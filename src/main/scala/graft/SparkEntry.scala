@@ -1,13 +1,150 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.LookupConfig
+import graft.operators.LookupTransform
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY.md §7.2 minimum slice: customer enriched with nation name. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    LookupTransform(
+      Map("customer" -> t(spark, dir, "customer"), "nation" -> t(spark, dir, "nation")),
+      LookupConfig("nation", "c_nationkey", "n_nationkey", "n_name",
+        outputField = Some("nation_name")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Tier A: reference Lookup semantics (SURVEY.md §2.3 Q1-Q8) ----
+
+    // Q1 base enrichment (docs/Lookup-batchjoiner.md:29-59 shape).
+    "q1_lookup_basic" -> ((s, dir) =>
+      LookupTransform(
+        Map("orders" -> t(s, dir, "orders"), "customer" -> t(s, dir, "customer")),
+        LookupConfig("customer", "o_custkey", "c_custkey", "c_name",
+          outputField = Some("cust_name")))),
+
+    // Q2 E4: no outputField → alias defaults to lookupValueField (Lookup.java:390).
+    "q2_lookup_alias_default" -> ((s, dir) =>
+      LookupTransform(
+        Map("customer" -> t(s, dir, "customer"), "nation" -> t(s, dir, "nation")),
+        LookupConfig("nation", "c_nationkey", "n_nationkey", "n_name"))),
+
+    // Q3 E1: left-outer null padding — lookup side filtered so some
+    // l_partkey values have no match (Lookup.java:456-457).
+    "q3_lookup_unmatched_nulls" -> ((s, dir) =>
+      LookupTransform(
+        Map("lineitem" -> t(s, dir, "lineitem"),
+          "part" -> t(s, dir, "part").filter(col("p_size") < 25)),
+        LookupConfig("part", "l_partkey", "p_partkey", "p_brand",
+          outputField = Some("brand")))),
+
+    // Q4 E2: duplicate lookup keys multiply rows — many orders per customer
+    // (true join, not a first-match map; Lookup.java:219-231).
+    "q4_lookup_dup_keys" -> ((s, dir) =>
+      LookupTransform(
+        Map("customer" -> t(s, dir, "customer"), "orders" -> t(s, dir, "orders")),
+        LookupConfig("orders", "c_custkey", "o_custkey", "o_totalprice",
+          outputField = Some("any_price")))),
+
+    // Q5 E3: NULL keys on both sides never match (setNullSafe(false),
+    // Lookup.java:224). Nulls injected deterministically.
+    "q5_lookup_null_keys" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_custkey"))
+          .as("o_custkey"),
+        col("o_totalprice"))
+      val customer = t(s, dir, "customer").select(
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_custkey"))
+          .as("c_custkey"),
+        col("c_name"))
+      LookupTransform(
+        Map("orders" -> orders, "customer" -> customer),
+        LookupConfig("customer", "o_custkey", "c_custkey", "c_name",
+          outputField = Some("cust_name")))
+    }),
+
+    // Q6 extension: widget-spec `defaultValue` (widgets/Lookup-batchjoiner.json:45-51,
+    // dead in the reference Config) — unmatched rows get the default, not null.
+    "q6_lookup_default_value" -> ((s, dir) =>
+      LookupTransform(
+        Map("lineitem" -> t(s, dir, "lineitem"),
+          "part" -> t(s, dir, "part").filter(col("p_size") < 25)),
+        LookupConfig("part", "l_partkey", "p_partkey", "p_brand",
+          outputField = Some("brand"), defaultValue = Some("UNKNOWN")))),
+
+    // Q7 E8: compatible-but-unequal key types (int lookup key vs bigint
+    // input key; Lookup.java:510-513 / Cast.canUpCast).
+    "q7_lookup_key_upcast" -> ((s, dir) => {
+      val supplier = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("int").as("s_suppkey"), col("s_acctbal"))
+      LookupTransform(
+        Map("lineitem" -> t(s, dir, "lineitem"), "supplier" -> supplier),
+        LookupConfig("supplier", "l_suppkey", "s_suppkey", "s_acctbal",
+          outputField = Some("supp_bal")))
+    }),
+
+    // Q8 composability: chained lookups in a DAG (stage model,
+    // Lookup.java:464-465) — lineitem → orders, then → part.
+    "q8_lookup_chained" -> ((s, dir) => {
+      val step1 = LookupTransform(
+        Map("lineitem" -> t(s, dir, "lineitem"), "orders" -> t(s, dir, "orders")),
+        LookupConfig("orders", "l_orderkey", "o_orderkey", "o_orderdate",
+          outputField = Some("order_date")))
+      LookupTransform(
+        Map("step1" -> step1, "part" -> t(s, dir, "part")),
+        LookupConfig("part", "l_partkey", "p_partkey", "p_type",
+          outputField = Some("part_type")))
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_lookup_basic" ->
+      """SELECT o.*, c.c_name AS cust_name
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q2_lookup_alias_default" ->
+      """SELECT c.*, n.n_name AS n_name
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    "q3_lookup_unmatched_nulls" ->
+      """SELECT l.*, p.p_brand AS brand
+        |FROM lineitem l LEFT JOIN (SELECT * FROM part WHERE p_size < 25) p
+        |ON l.l_partkey = p.p_partkey""".stripMargin,
+    "q4_lookup_dup_keys" ->
+      """SELECT c.*, o.o_totalprice AS any_price
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin,
+    "q5_lookup_null_keys" ->
+      """SELECT o2.*, c2.c_name AS cust_name
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+        |        o_totalprice FROM orders) o2
+        |LEFT JOIN (SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey END AS c_custkey,
+        |        c_name FROM customer) c2
+        |ON o2.o_custkey = c2.c_custkey""".stripMargin,
+    "q6_lookup_default_value" ->
+      """SELECT l.*, COALESCE(p.p_brand, 'UNKNOWN') AS brand
+        |FROM lineitem l LEFT JOIN (SELECT * FROM part WHERE p_size < 25) p
+        |ON l.l_partkey = p.p_partkey""".stripMargin,
+    "q7_lookup_key_upcast" ->
+      """SELECT l.*, s.s_acctbal AS supp_bal
+        |FROM lineitem l
+        |LEFT JOIN (SELECT CAST(s_suppkey AS INTEGER) AS s_suppkey, s_acctbal FROM supplier) s
+        |ON l.l_suppkey = s.s_suppkey""".stripMargin,
+    "q8_lookup_chained" ->
+      """SELECT l.*, o.o_orderdate AS order_date, p.p_type AS part_type
+        |FROM lineitem l
+        |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |LEFT JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
+  )
 }
