@@ -1,0 +1,154 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/**
+ * DuckDB oracle SQL for the Tier-B queries, generated from the same
+ * constants (hash prime/base, mixer, marker lists, LSH planes) the Spark
+ * operators use, so the two sides cannot drift.
+ *
+ * Determinism rules shared with the Scala side:
+ *   - hashes are integer polynomial folds — `list_reduce` with no seed
+ *     equals Spark's `aggregate(…, 0L, …)` because the first fold step
+ *     `(0*31+c)%p == c` matches reduce-without-initial;
+ *   - every floating-point result is either a single division of exact
+ *     integers or a left-associated `t1+t2+…` chain mirroring Spark's
+ *     left-assoc expression reduce — bit-identical in IEEE doubles;
+ *   - aggregation is only over integers (order-insensitive) or min/max.
+ */
+object OracleSql {
+
+  private val P = TextFunctions.HashPrime
+  private val Mix = TextFunctions.Mix
+
+  /** Rolling hash of a string-valued SQL expression (chars, base 31 mod p). */
+  private def rh(expr: String): String =
+    s"list_reduce(list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT), (h, c) -> (h*31 + c) % $P)"
+
+  private val toks = "string_split(text, ' ')"
+
+  /** Distinct 3-gram shingle hashes of `text` (empty if < 3 tokens). */
+  private val shingleHashes: String =
+    s"""list_distinct(list_transform(
+       |  CASE WHEN len($toks) >= 3
+       |       THEN list_transform(range(1, len($toks) - 1),
+       |              i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+       |       ELSE [] END,
+       |  s -> ${rh("s")}))""".stripMargin
+
+  /** Exact all-pairs n-gram Jaccard >= threshold — the oracle for BOTH the
+    * exact inverted-index operator and the MinHash+LSH operator (at the
+    * given banding, LSH misses a >=0.6 pair with probability < 1e-10). */
+  def ngramJaccardPairs(threshold: Double, maxDocFreq: Int): String =
+    s"""WITH sets AS (SELECT doc_id AS id, $shingleHashes AS hs FROM documents),
+       |sets2 AS (SELECT id, hs, len(hs) AS sz FROM sets WHERE len(hs) > 0),
+       |inv AS (SELECT id, unnest(hs) AS h FROM sets2),
+       |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= $maxDocFreq),
+       |invf AS (SELECT inv.id, inv.h FROM inv JOIN rare USING (h)),
+       |inter AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+       |          FROM invf x JOIN invf y ON x.h = y.h AND x.id < y.id
+       |          GROUP BY 1, 2)
+       |SELECT i.id_a, i.id_b,
+       |       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+       |FROM inter i
+       |JOIN sets2 sa ON i.id_a = sa.id
+       |JOIN sets2 sb ON i.id_b = sb.id
+       |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= $threshold""".stripMargin
+
+  /** Per-doc 32-bit SimHash as a CTE body (relational formulation of the
+    * per-row fold the Spark side does with higher-order functions). */
+  private val simhashCte: String =
+    s"""tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |th AS (SELECT doc_id, (${rh("tok")} * $Mix) % ${TextFunctions.TwoPow32} AS h FROM tk),
+       |bits AS (SELECT doc_id, i, SUM(((h >> i) & 1)*2 - 1) AS s
+       |         FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS i) ii
+       |         GROUP BY 1, 2),
+       |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+       |       FROM bits GROUP BY 1)""".stripMargin
+
+  def textFingerprint: String =
+    s"""WITH $simhashCte
+       |SELECT d.doc_id, md5(d.text) AS md5_hex, ${rh("d.text")} AS rolling_hash, sh.simhash
+       |FROM documents d JOIN sh USING (doc_id)""".stripMargin
+
+  /** SimHash near-dup pairs within maxHamming bits (popcount spelled as a
+    * 32-term sum — portable, no bit_count dependency). */
+  def simhashPairs(maxHamming: Int): String = {
+    // Each term fully parenthesized: SQL's `&` binds looser than `+`.
+    val pop = (0 until 32).map(i => s"(((xor(x.simhash, y.simhash)) >> $i) & 1)").mkString(" + ")
+    s"""WITH $simhashCte
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST($pop AS INTEGER) AS hamming
+       |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       |WHERE $pop <= $maxHamming""".stripMargin
+  }
+
+  private def markerLen(listName: Seq[String]): String =
+    s"len(list_filter($toks, t -> list_contains([${listName.map("'" + _ + "'").mkString(", ")}], t)))"
+
+  def textQuality: String = {
+    val stops = markerLen(TextFunctions.LangMarkers.head._2)
+    s"""SELECT doc_id,
+       |  len($toks) AS n_tokens,
+       |  len(list_distinct($toks)) AS n_uniq_tokens,
+       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
+       |  CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) AS ttr,
+       |  CAST($stops AS DOUBLE) / len($toks) AS stop_ratio,
+       |  CAST(length(text) - (len($toks) - 1) AS DOUBLE) / len($toks) AS mean_token_len,
+       |  (len($toks) >= 10
+       |     AND CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) >= 0.1
+       |     AND CAST($stops AS DOUBLE) / len($toks) <= 0.5) AS quality_ok
+       |FROM documents""".stripMargin
+  }
+
+  def textLangId: String = {
+    val langs = TextFunctions.LangMarkers
+    val counts = langs.map { case (l, ws) => l -> markerLen(ws) }
+    // CASE chain: first lang whose count >= all later counts wins.
+    val chain = counts.zipWithIndex.init.reverse
+      .foldLeft(s"'${langs.last._1}'") { case (els, ((lang, c), i)) =>
+        val cond = counts.drop(i + 1).map { case (_, o) => s"$c >= $o" }.mkString(" AND ")
+        s"CASE WHEN $cond THEN '$lang' ELSE $els END"
+      }
+    val anyHit = counts.map(_._2).mkString(" + ")
+    s"""SELECT doc_id,
+       |  CASE WHEN ($anyHit) > 0 THEN $chain ELSE 'und' END AS lang_pred
+       |FROM documents""".stripMargin
+  }
+
+  def textStats: String =
+    s"""SELECT lang,
+       |  count(*) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       |  CAST(sum(len($toks)) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
+       |  CAST(sum(len($toks)) AS DOUBLE) / count(*) AS avg_tokens
+       |FROM documents GROUP BY lang""".stripMargin
+
+  def dedupExact: String =
+    """SELECT * FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) = 1""".stripMargin
+
+  /** Left-associated cosine terms between two vector SQL expressions. */
+  private def dotTerms(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"$a[$i]::DOUBLE * $b[$i]::DOUBLE").mkString(" + ")
+
+  def embedTopK(queryId: Long, k: Int, dim: Int): String = {
+    val dotQ = dotTerms("e.embedding", "q.qv", dim)
+    val n2e = dotTerms("e.embedding", "e.embedding", dim)
+    val n2q = dotTerms("q.qv", "q.qv", dim)
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId)
+       |SELECT e.vec_id, ($dotQ) / (sqrt($n2e) * sqrt($n2q)) AS score
+       |FROM embeddings e, q
+       |ORDER BY score DESC, e.vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  def embedNearDup(threshold: Double, dim: Int): String = {
+    val n2 = dotTerms("embedding", "embedding", dim)
+    val dotXY = dotTerms("x.v", "y.v", dim)
+    s"""WITH n AS (SELECT vec_id AS id, embedding AS v, ($n2) AS n2 FROM embeddings)
+       |SELECT x.id AS id_a, y.id AS id_b, ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) AS cosine
+       |FROM n x JOIN n y ON x.id < y.id
+       |WHERE ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) >= $threshold""".stripMargin
+  }
+}

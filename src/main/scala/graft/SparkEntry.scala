@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.LookupTransform
+import graft.operators.{Dedup, LookupTransform, SimilaritySearch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -106,6 +106,58 @@ object SparkEntry {
         LookupConfig("part", "l_partkey", "p_partkey", "p_type",
           outputField = Some("part_type")))
     }),
+
+    // ---- Tier B: training-data-pipeline operators (SURVEY.md §2.3) ----
+
+    // Text analysis: per-language corpus stats (integer sums + derived avgs).
+    "q9_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(t(s, dir, "documents"))),
+
+    // Per-doc quality metrics: ws/BPE-ish token counts, TTR, stopword
+    // ratio, mean token length, quality gate.
+    "q10_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"))),
+
+    // Language-ID by stopword-marker voting (deterministic heuristic).
+    "q11_text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"))),
+
+    // Content fingerprints: md5 + rolling hash + 32-bit SimHash.
+    "q12_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"))),
+
+    // Exact dedup: first doc per source (hash-partitioned window).
+    "q13_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), Seq("source"), "doc_id")),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    "q14_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"))),
+
+    // MinHash+LSH near-dup pairs (k=128, 32 bands) with exact verification.
+    "q15_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"))),
+
+    // SimHash near-dup pairs within Hamming distance 3 (pigeonhole blocks).
+    "q16_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"))),
+
+    // Brute-force cosine top-10 against the vec_id=0 embedding.
+    "q17_embed_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.topKCosine(e, e.filter(col("vec_id") === 0), k = 10)
+    }),
+
+    // Exact cosine near-duplicate pairs over embeddings.
+    "q18_embed_neardup" -> ((s, dir) =>
+      SimilaritySearch.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
+
+    // Approximate ANN top-10: LSH sign-projection buckets, exact re-rank.
+    // No SQL oracle (approximate by design) → driver rows-only check.
+    "q19_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.annTopKLsh(e, e.filter(col("vec_id") === 0), k = 10)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -146,5 +198,16 @@ object SparkEntry {
         |FROM lineitem l
         |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         |LEFT JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
+    "q9_text_stats" -> OracleSql.textStats,
+    "q10_text_quality" -> OracleSql.textQuality,
+    "q11_text_langid" -> OracleSql.textLangId,
+    "q12_text_fingerprint" -> OracleSql.textFingerprint,
+    "q13_dedup_exact" -> OracleSql.dedupExact,
+    "q14_dedup_ngram_jaccard" -> OracleSql.ngramJaccardPairs(threshold = 0.6, maxDocFreq = 10000),
+    "q15_dedup_minhash_lsh" -> OracleSql.ngramJaccardPairs(threshold = 0.6, maxDocFreq = 10000),
+    "q16_dedup_simhash" -> OracleSql.simhashPairs(maxHamming = 3),
+    "q17_embed_topk" -> OracleSql.embedTopK(queryId = 0, k = 10, dim = 64),
+    "q18_embed_neardup" -> OracleSql.embedNearDup(threshold = 0.4, dim = 64),
+    // q19_ann_lsh: intentionally no oracle — approximate ANN (rows-only check).
   )
 }

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic text primitives for the training-data-pipeline operators
+ * (dedup, fingerprinting, language-ID, quality scoring).
+ *
+ * These extend the reference's scope — `data-integrations/lookup-transform`
+ * contains a single lookup-join operator and no scalar function library
+ * (SURVEY.md §2.2) — and are part of this engine's north-star surface
+ * (SURVEY.md §2.3 Tier B).
+ *
+ * Design constraints:
+ *   - Pure `org.apache.spark.sql.functions` compositions (codegen-friendly;
+ *     no UDFs), so Catalyst can prune/push down around them.
+ *   - Integer-exact math (polynomial hashes mod a prime) so results are
+ *     bit-reproducible across engines — every function here can be mirrored
+ *     exactly in ANSI SQL for the DuckDB correctness oracle.
+ *   - Per-row only: nothing in this file shuffles. Operators compose these
+ *     into plans; the functions themselves scale linearly with input size.
+ */
+object TextFunctions {
+
+  /** Modulus for polynomial hashes: a prime < 2^30, so `base * h + char`
+    * stays far below 2^63 (no overflow in Spark or in DuckDB, whose BIGINT
+    * arithmetic raises on overflow rather than wrapping). */
+  val HashPrime = 1000000007L
+
+  /** Polynomial base — classic Horner base-31 string hash. */
+  val HashBase = 31L
+
+  /** Knuth multiplicative constant used to spread the ~30 significant bits
+    * of a mod-prime hash across all 32 output bits (for SimHash). */
+  val Mix = 2654435761L
+  val TwoPow32 = 4294967296L
+
+  /** Whitespace tokenization. The corpus contract (TESTDATA.md documents
+    * table) is single-space-separated tokens; `split` on a single space is
+    * exactly mirrored by DuckDB's `string_split(text, ' ')`. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Character-level Horner rolling hash: fold `(h*31 + ascii(c)) % p` left
+    * to right. Empty-string chars are filtered because Spark's `split(s,"")`
+    * keeps a trailing empty element (limit -1) while DuckDB's does not. */
+  def rollingHash(s: Column): Column =
+    aggregate(
+      filter(split(s, ""), c => length(c) > 0),
+      lit(0L),
+      (h, c) => (h * HashBase + ascii(c)) % HashPrime)
+
+  /** 32-bit mixed token hash for SimHash bit sampling. */
+  def mix32(h: Column): Column = (h * Mix) % TwoPow32
+
+  /** Word n-gram shingles as space-joined strings, e.g. n=3:
+    * ["a","b","c","d"] → ["a b c", "b c d"]. Documents shorter than n
+    * tokens yield an empty array (guarded: Spark's `sequence(0, -k)` counts
+    * *down*, which would otherwise fabricate negative indices). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle hashes for a document: the MinHash/Jaccard input set. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(tokens(text), n), rollingHash(_)))
+
+  /** MinHash signature of a hash-set column: `k` signatures, where
+    * `sig_i = min over h of ((2i+1)*h + 7919*i + 1) mod p`. The coefficient
+    * family is fixed and public so the DuckDB oracle can replay it.
+    * Empty input → null signatures (callers filter empty shingle sets). */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hashes,
+        h => ((i * 2 + 1) * h + i * lit(7919L) + 1) % HashPrime)))
+
+  /** 32-bit SimHash over the token multiset (term-frequency weighted).
+    * Per token: 32 sign contributions (+1 if bit set, else -1) accumulated
+    * into a 32-wide counter array; final bit i is set iff counter_i > 0.
+    * Entirely per-row (no shuffle): a single `aggregate` higher-order fold. */
+  def simhash(toks: Column): Column = {
+    val signBits: Column => Column = h =>
+      array((0 until 32).map(i => (shiftright(h, i) % 2) * 2 - 1): _*)
+    val acc = aggregate(
+      transform(toks, t => mix32(rollingHash(t))),
+      array_repeat(lit(0L), 32),
+      (a, h) => zip_with(a, signBits(h), (x, y) => x + y))
+    (0 until 32)
+      .map(i => when(element_at(acc, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Pigeonhole blocks of a 32-bit SimHash: 4 bytes. Two hashes within
+    * Hamming distance 3 must agree on at least one byte (4 blocks, ≤3
+    * differing bits ⇒ some block untouched), so blocking on
+    * (block_id, block_value) is *lossless* for distance ≤ 3. */
+  def simhashBlocks(sh: Column): Column =
+    array((0 until 4).map(b =>
+      struct(lit(b).as("block_id"),
+        (shiftright(sh, 8 * b) % 256).as("block_val"))): _*)
+
+  /** "BPE-ish" token count: alpha runs, digit runs, and single punctuation
+    * marks each count as one token (a crude subword proxy; same RE2/Java
+    * regex semantics for this pattern). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  /** Stopword hit count over a fixed public marker list. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  /** Per-language marker lists for the n-gram/stopword language-ID
+    * heuristic. Fixed and public so the SQL oracle can replay them. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "que", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est"))
+
+  /** Language-ID: argmax of marker counts as a chained CASE with a
+    * deterministic tiebreak (earlier list order wins); all counts zero →
+    * "und" per BCP-47 "undetermined". The CASE chain shape is mirrored
+    * verbatim in the SQL oracle. */
+  def langId(toks: Column): Column = {
+    val counts = LangMarkers.map { case (lang, ws) => lang -> markerCount(toks, ws) }
+    val anyHit = counts.map(_._2).reduce(_ + _) > 0
+    // CASE WHEN c0 >= c1 AND c0 >= c2 ... THEN lang0 WHEN c1 >= c2 ... THEN lang1 ...
+    val best = counts.zipWithIndex.init.foldRight(lit(counts.last._1)) {
+      case (((lang, c), i), els) =>
+        val geAllLater = counts.drop(i + 1).map(_._2)
+          .foldLeft(lit(true))((acc, o) => acc && c >= o)
+        when(geAllLater, lang).otherwise(els)
+    }
+    when(anyHit, best).otherwise(lit("und"))
+  }
+}

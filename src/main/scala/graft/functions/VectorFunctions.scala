@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Dense-vector math over `array<float>` embedding columns, as pure Catalyst
+ * expression trees (no UDFs — everything stays inside whole-stage codegen).
+ *
+ * Determinism contract: all reductions are *left-associated* chains in
+ * double precision, e.g. `((t1+t2)+t3)+…`, which is exactly how a SQL
+ * engine parses `t1+t2+t3+…`. The DuckDB oracle mirrors the same operand
+ * order, so scores match bit-for-bit — no epsilon comparisons needed.
+ *
+ * The unrolled form (dim is a compile-time constant per call site) beats a
+ * higher-order `aggregate(zip_with(...))` fold: it codegens to straight-line
+ * arithmetic instead of an interpreted lambda loop.
+ */
+object VectorFunctions {
+
+  /** Left-associated unrolled dot product in double precision. */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (1 to dim)
+      .map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  /** Squared L2 norm (same unrolled form). */
+  def norm2(a: Column, dim: Int): Column = dot(a, a, dim)
+
+  /** Cosine similarity: dot(a,b) / (sqrt(|a|²) * sqrt(|b|²)). */
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dot(a, b, dim) / (sqrt(norm2(a, dim)) * sqrt(norm2(b, dim)))
+
+  /** Cosine from a precomputed squared-norm pair (for joins that project
+    * norms once per row instead of once per pair). Same arithmetic shape:
+    * dot / (sqrt(na2) * sqrt(nb2)). */
+  def cosineWithNorms(dotCol: Column, na2: Column, nb2: Column): Column =
+    dotCol / (sqrt(na2) * sqrt(nb2))
+
+  /** Deterministic pseudo-random hyperplane weight for LSH: plane `j`,
+    * component `i` → an integer in [-2^31, 2^31) via a Knuth mix of the
+    * flattened index. Public/fixed so any engine can replay the planes. */
+  def planeWeight(j: Int, i: Int, dim: Int): Long =
+    ((j.toLong * dim + i) * TextFunctions.Mix) % TextFunctions.TwoPow32 - (1L << 31)
+
+  /** Sign-random-projection LSH bucket id over `nPlanes` hyperplanes:
+    * bit j is set iff dot(plane_j, v) > 0. */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      val proj = (1 to dim)
+        .map(i => element_at(v, i).cast("double") * lit(planeWeight(j, i, dim).toDouble))
+        .reduce(_ + _)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

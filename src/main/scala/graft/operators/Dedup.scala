@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact, n-gram
+ * Jaccard, MinHash+LSH, and SimHash near-dup detection. North-star
+ * extensions beyond the reference's single lookup operator (SURVEY.md §2.2,
+ * §2.3 Tier B Q9/Q11).
+ *
+ * Scale design (100 TB posture):
+ *   - `exact` is one hash-partitioned window — the canonical distributed
+ *     dedup; AQE handles key skew.
+ *   - Near-dup operators never materialize the O(n²) pair space. Candidate
+ *     generation is an inverted-index equi-join (shared shingle / LSH band
+ *     bucket / SimHash pigeonhole block), i.e. a shuffle on the bucket key,
+ *     and only bucket-colliding pairs are scored. A document-frequency cap
+ *     on shingles (`maxDocFreq`) bounds the quadratic blowup of
+ *     stop-shingles — the standard "drop ubiquitous features" guard.
+ *   - All hashes are integer polynomial hashes (TextFunctions), so every
+ *     operator here is exactly replayable in ANSI SQL for the oracle.
+ */
+object Dedup {
+
+  /** Exact dedup: keep, per distinct value of `keyCols`, the row with the
+    * smallest `orderCol`. One shuffle on the key columns. */
+  def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Per-doc distinct shingle-hash sets with set size; docs with fewer
+    * than `n` tokens (empty shingle set) are dropped — they cannot reach
+    * any positive Jaccard threshold. */
+  private def withShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sz", size(col("hs")))
+
+  /** Inverted index (id, shingle-hash) with ubiquitous shingles (document
+    * frequency > maxDocFreq) removed — mirrors the SQL oracle's HAVING cap. */
+  private def invertedIndex(sets: DataFrame, maxDocFreq: Int): DataFrame = {
+    val inv = sets.select(col("id"), explode(col("hs")).as("h"))
+    val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("h")
+    inv.join(rare, "h")
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs: all (a, b), a < b, with
+   * `|shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold`.
+   *
+   * Candidate generation by inverted-index self-join is *exact* (not
+   * approximate): any pair with Jaccard > 0 shares at least one shingle,
+   * so no qualifying pair is missed (given threshold > 0 and shingles
+   * under the document-frequency cap).
+   */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
+      maxDocFreq: Int = 10000): DataFrame = {
+    val sets = withShingleSets(docs, idCol, textCol, n).cache()
+    val inv = invertedIndex(sets, maxDocFreq)
+    val inter = inv.as("x").join(inv.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sets.select(col("id"), col("sz"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sa.sz") + col("sb.sz") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * MinHash + LSH near-dup pairs. Pipeline: k-wide MinHash signatures →
+   * `bands` LSH bands of k/bands rows each → bucket self-join on
+   * (band_id, band signature) → distinct candidate pairs → exact Jaccard
+   * verification on the shingle sets → threshold filter.
+   *
+   * With k=128, bands=32 (r=4), a pair at Jaccard j collides in a band
+   * with probability j⁴; the miss probability (1-j⁴)³² at j=0.9 is ~1e-15,
+   * so at sane thresholds the output equals the exact operator's (which is
+   * why the same SQL oracle verifies both). Unlike `ngramJaccardPairs`,
+   * candidates here are bounded by band-bucket collisions rather than
+   * shared-shingle frequency — the scale path when shingle joins get hot.
+   */
+  def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.6): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val r = k / bands
+    val sets = withShingleSets(docs, idCol, textCol, n).cache()
+
+    val sigs = sets.select(col("id"), minhashSignature(col("hs"), k).as("sig"))
+    val banded = sigs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_id"),
+          concat_ws("_", slice(col("sig"), b * r + 1, lit(r))).as("band_key"))))
+        .as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_key"))
+
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    val verified = candidates
+      .join(sets.select(col("id"), col("hs").as("hs_a"), col("sz").as("sz_a")),
+        col("id_a") === col("id"))
+      .drop("id")
+      .join(sets.select(col("id"), col("hs").as("hs_b"), col("sz").as("sz_b")),
+        col("id_b") === col("id"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jaccard"))
+    verified.filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * SimHash near-dup pairs: 32-bit term-frequency SimHash per doc, then all
+   * pairs within `maxHamming` bit flips. Candidate generation uses the
+   * 4-byte pigeonhole blocks (TextFunctions.simhashBlocks): for
+   * maxHamming ≤ 3 at least one byte is untouched, so blocking on byte
+   * value is lossless and the O(n²) cross join is avoided.
+   */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "pigeonhole blocking over 4 bytes is only lossless for maxHamming <= 3")
+    val hashed = docs
+      .select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("sh"))
+      .cache()
+    val blocked = hashed.select(col("id"), col("sh"), explode(simhashBlocks(col("sh"))).as("b"))
+      .select(col("id"), col("sh"), col("b.block_id"), col("b.block_val"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.block_id") === col("y.block_id") &&
+          col("x.block_val") === col("y.block_val") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

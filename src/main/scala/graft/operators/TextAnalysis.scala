@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Text-analysis operators for training-data pipelines: corpus statistics,
+ * per-document quality scoring, language identification, and content
+ * fingerprinting. North-star extensions beyond the reference's single
+ * lookup operator (SURVEY.md §2.2/§2.3 Tier B).
+ *
+ * Scale notes (100 TB posture):
+ *   - `quality` / `languageId` / `fingerprint` are pure per-row projections
+ *     — no shuffle, fully parallel, whole-stage-codegen'd expression trees.
+ *     They read only the columns they use, so Parquet column pruning keeps
+ *     the scan narrow.
+ *   - `stats` is a single hash aggregation with map-side partial
+ *     aggregation; sums are over 64-bit integers (exact, order-insensitive)
+ *     and ratios are computed from the final integer sums, so results do
+ *     not depend on partitioning or aggregation order.
+ */
+object TextAnalysis {
+
+  /** Per-group corpus statistics. Integer sums only (order-insensitive);
+    * averages derived from the sums by one double division. */
+  def stats(docs: DataFrame, groupCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(groupCol), length(col(textCol)).as("chars").cast("long"),
+        size(toks).cast("long").as("toks"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("chars").as("sum_chars"),
+        sum("toks").as("sum_tokens"))
+      .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))
+      .withColumn("avg_tokens", col("sum_tokens").cast("double") / col("n_docs"))
+  }
+
+  /** Per-document quality metrics: token counts (whitespace and BPE-ish),
+    * type-token ratio, stopword ratio, mean token length, and a boolean
+    * quality gate. All ratios are single divisions of exact integers, so
+    * they are bit-deterministic across engines. */
+  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val stops = markerCount(toks, LangMarkers.head._2) // English stopword list
+    val meanTokLen = (length(col(textCol)) - (nToks - 1)).cast("double") / nToks
+    val ttr = nUniq.cast("double") / nToks
+    val stopRatio = stops.cast("double") / nToks
+    docs.select(
+      col(idCol),
+      nToks.as("n_tokens"),
+      nUniq.as("n_uniq_tokens"),
+      bpeTokenCount(col(textCol)).as("n_bpe_tokens"),
+      ttr.as("ttr"),
+      stopRatio.as("stop_ratio"),
+      meanTokLen.as("mean_token_len"),
+      (nToks >= 10 && ttr >= 0.1 && stopRatio <= 0.5).as("quality_ok"))
+  }
+
+  /** Language identification by stopword-marker voting (TextFunctions
+    * .langId); emits the prediction next to the document id. */
+  def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), langId(tokens(col(textCol))).as("lang_pred"))
+
+  /** Content fingerprints: MD5 (exact-dup key), a base-31 rolling hash
+    * (cheap order-sensitive fingerprint), and a 32-bit SimHash (near-dup
+    * fingerprint). Per-row, no shuffle. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(col(textCol)).as("md5_hex"),
+      rollingHash(col(textCol)).as("rolling_hash"),
+      simhash(tokens(col(textCol))).as("simhash"))
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/**
+ * Unit tests for the dedup family over hand-built fixtures with known
+ * duplicate structure, plus invariants over the real `documents` table
+ * (SURVEY.md §2.3 Tier B: exact dedup, n-gram Jaccard, MinHash+LSH,
+ * SimHash).
+ */
+class DedupSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(rows.map { case (i, t) => Row(i, t) }.asJava, docSchema)
+
+  test("exact dedup keeps the min-order row per key with all columns intact") {
+    val df = docs(3L -> "b b b", 1L -> "a a a", 2L -> "a a a", 4L -> "b b b")
+    val out = Dedup.exact(df, Seq("text"), "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(out.toSeq == Seq((1L, "a a a"), (3L, "b b b")))
+  }
+
+  test("ngram Jaccard finds an identical pair at jaccard 1.0 and ignores disjoint docs") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely different words entirely here now folks")
+    val out = Dedup.ngramJaccardPairs(df, threshold = 0.5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getDouble(2) == 1.0)
+  }
+
+  test("ngram Jaccard scores a partial overlap correctly") {
+    // shingles(a): {1 2 3, 2 3 4, 3 4 5}; shingles(b): {2 3 4, 3 4 5, 4 5 6}
+    // inter=2, union=4 → jaccard=0.5
+    val df = docs(1L -> "w1 w2 w3 w4 w5", 2L -> "w2 w3 w4 w5 w6")
+    val out = Dedup.ngramJaccardPairs(df, threshold = 0.4).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 0.5)
+  }
+
+  test("docs shorter than n tokens are dropped, not crashed on") {
+    val df = docs(1L -> "only two", 2L -> "x", 3L -> "a b c d")
+    assert(Dedup.ngramJaccardPairs(df, threshold = 0.1).collect().isEmpty)
+  }
+
+  test("minhash LSH agrees with exact ngram Jaccard on the documents table") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact == lsh)
+    assert(exact.nonEmpty) // the synthetic corpus plants near-dups
+  }
+
+  test("simhash pairs include every identical-text pair and respect the hamming cap") {
+    val df = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight")
+    val out = Dedup.simhashPairs(df, maxHamming = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(out.head.getInt(2) == 0) // identical text → identical simhash
+  }
+
+  test("simhash pigeonhole blocking loses no pair vs brute force on documents") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet").limit(100).cache()
+    val blocked = Dedup.simhashPairs(d, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same simhashes
+    val hs = d.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash(split(col("text"), " ")).as("sh"))
+    val brute = hs.as("x").join(hs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Tests for similarity search over the `embeddings` table: exact top-k
+ * sanity (self-match first, descending scores), near-dup symmetry with the
+ * threshold, and ANN-vs-exact recall behavior (SURVEY.md §2.3 Tier B Q10).
+ */
+class SimilaritySearchSpec extends SparkSpec {
+
+  private def emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  test("top-k cosine: query vector matches itself with score 1.0, scores descend") {
+    val e = emb.cache()
+    val q = e.filter(col("vec_id") === 0)
+    val rows = SimilaritySearch.topKCosine(e, q, k = 5).collect()
+    assert(rows.length == 5)
+    assert(rows.head.getLong(0) == 0L)
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-12)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("near-dup pairs are ordered (a < b) and all meet the threshold") {
+    val rows = SimilaritySearch.cosineNearDupPairs(emb, threshold = 0.3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3)
+    }
+  }
+
+  test("ANN LSH returns the self-match and a subset of brute-force candidates' scores") {
+    val e = emb.cache()
+    val q = e.filter(col("vec_id") === 0)
+    val ann = SimilaritySearch.annTopKLsh(e, q, k = 10).collect()
+    assert(ann.nonEmpty)
+    assert(ann.head.getLong(0) == 0L) // the query shares its own bucket
+    // every ANN score must equal the exact cosine for that id (re-rank is exact)
+    val exact = SimilaritySearch.topKCosine(e, q, k = e.count().toInt).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach(r => assert(exact(r.getLong(0)) == r.getDouble(1)))
+  }
+}
