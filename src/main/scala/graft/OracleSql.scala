@@ -143,6 +143,29 @@ object OracleSql {
        |ORDER BY score DESC, e.vec_id ASC LIMIT $k""".stripMargin
   }
 
+  /** Mirror of Multimodal.StubCodec over documents-derived payloads: the
+    * payload is the UTF-8 text (ASCII corpus), so the byte rolling hash
+    * equals the character rolling hash. */
+  def multimodalMeta: String =
+    s"""WITH m AS (SELECT doc_id, text, ${rh("text")} AS h FROM documents)
+       |SELECT doc_id AS media_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |  CAST(length(text) AS BIGINT) AS byte_len,
+       |  h AS checksum,
+       |  CAST(64 + h % 1856 AS INTEGER) AS width,
+       |  CAST(64 + (h // 1856) % 1016 AS INTEGER) AS height,
+       |  CAST(1 + length(text) % 30 AS INTEGER) AS n_frames
+       |FROM m""".stripMargin
+
+  /** Epoch-aligned hour buckets == Spark's window(ts, '1 hour'). Aggregates
+    * are counts and min/max only (order-insensitive). */
+  def eventsWindow: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def embedNearDup(threshold: Double, dim: Int): String = {
     val n2 = dotTerms("embedding", "embedding", dim)
     val dotXY = dotTerms("x.v", "y.v", dim)

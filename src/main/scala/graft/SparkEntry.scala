@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{Dedup, LookupTransform, SimilaritySearch, TextAnalysis}
+import graft.operators.{Dedup, LookupTransform, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -158,6 +159,16 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       SimilaritySearch.annTopKLsh(e, e.filter(col("vec_id") === 0), k = 10)
     }),
+
+    // Multimodal plumbing: opaque binary payloads → typed metadata via the
+    // batch-iterated codec (stub decode, real Spark contract).
+    "q20_multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()),
+
+    // Tumbling-window event stats (same code path serves streaming with a
+    // watermark; on batch it is epoch-aligned hour bucketing).
+    "q21_events_window" -> ((s, dir) =>
+      StreamingOps.windowedStats(Tables.loadEvents(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -209,5 +220,7 @@ object SparkEntry {
     "q17_embed_topk" -> OracleSql.embedTopK(queryId = 0, k = 10, dim = 64),
     "q18_embed_neardup" -> OracleSql.embedNearDup(threshold = 0.4, dim = 64),
     // q19_ann_lsh: intentionally no oracle — approximate ANN (rows-only check).
+    "q20_multimodal_meta" -> OracleSql.multimodalMeta,
+    "q21_events_window" -> OracleSql.eventsWindow,
   )
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: treat image/audio/video payloads as opaque
+ * `binary` columns with typed metadata extracted by a pluggable codec.
+ * North-star extension (training-data pipelines over mixed media).
+ *
+ * Spark design: decode runs through `Dataset.mapPartitions` over typed
+ * case-class records in fixed-size batches — the JVM analog of PySpark's
+ * `mapInPandas` (iterator-of-batches in, iterator-of-batches out). This is
+ * the designated escape hatch for per-record imperative work that Catalyst
+ * expressions cannot express (real codecs call native libs); everything
+ * around it stays declarative:
+ *   - the input is pre-projected to exactly (id, type, content) so Parquet
+ *     column pruning still applies upstream of the imperative region;
+ *   - no shuffle: decode is partition-local and preserves partitioning;
+ *   - output is a typed Dataset with a stable schema, so downstream
+ *     operators re-enter codegen land immediately.
+ *
+ * The actual byte decoding is STUBBED: this container has no image/audio
+ * libraries, so `StubCodec` computes deterministic fake dimensions from a
+ * rolling checksum of the payload (clearly marked below). The Spark-side
+ * contract — schema, batching, partition behavior — is real and tested;
+ * swapping in a production codec is implementing `MediaCodec.decode`.
+ */
+object Multimodal {
+
+  /** An opaque media payload: id, declared modality, raw bytes. */
+  case class MediaRecord(media_id: Long, media_type: String, content: Array[Byte])
+
+  /** Typed metadata extracted from a payload. For images width/height are
+    * pixel dims and n_frames == 1; for audio/video, n_frames carries the
+    * frame/sample-window count. */
+  case class MediaMeta(media_id: Long, media_type: String, byte_len: Long,
+      checksum: Long, width: Int, height: Int, n_frames: Int)
+
+  /** Batch decoder SPI. Implementations must be deterministic per byte
+    * payload and must not retain state across batches (executors may
+    * re-run partitions on failure). */
+  trait MediaCodec extends Serializable {
+    def decode(rec: MediaRecord): MediaMeta
+  }
+
+  /**
+   * STUB CODEC — deterministic fake. A real deployment replaces this with
+   * a native decoder (libjpeg/ffmpeg/...). Fake fields are pure functions
+   * of the bytes so tests and the SQL oracle can replay them:
+   *   checksum = base-31 rolling hash of the bytes mod 1e9+7
+   *   width    = 64 + checksum % 1856   (image-plausible dims)
+   *   height   = 64 + (checksum / 1856) % 1016
+   *   n_frames = 1 + byte_len % 30
+   */
+  object StubCodec extends MediaCodec {
+    import graft.functions.TextFunctions.{HashBase, HashPrime}
+    def decode(rec: MediaRecord): MediaMeta = {
+      var h = 0L
+      var i = 0
+      while (i < rec.content.length) {
+        h = (h * HashBase + (rec.content(i) & 0xff)) % HashPrime
+        i += 1
+      }
+      MediaMeta(rec.media_id, rec.media_type, rec.content.length.toLong, h,
+        64 + (h % 1856).toInt, 64 + ((h / 1856) % 1016).toInt,
+        1 + (rec.content.length % 30))
+    }
+  }
+
+  /** Default decode batch size — sized like an Arrow record batch: large
+    * enough to amortize per-batch overhead, small enough that a batch of
+    * multi-MB payloads doesn't blow executor memory. */
+  val DefaultBatchSize = 256
+
+  /**
+   * Decode media metadata. Input must carry (`idCol`: long, `typeCol`:
+   * string, `binCol`: binary); output is the typed `MediaMeta` Dataset.
+   * Partition-local; batch-iterated via the codec.
+   */
+  def decodeMeta(df: DataFrame, codec: MediaCodec = StubCodec,
+      idCol: String = "media_id", typeCol: String = "media_type",
+      binCol: String = "content", batchSize: Int = DefaultBatchSize): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val records = df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(typeCol).as("media_type"),
+      col(binCol).as("content")).as[MediaRecord]
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => batch.iterator.map(codec.decode) }
+    }
+  }
+
+  /** Test/demo adapter: derive an opaque media table from the `documents`
+    * corpus (payload = UTF-8 text bytes, modality round-robined by id).
+    * Real pipelines read payloads from object-store parquet/binaryFile. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"))
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.config.LookupConfig
+import graft.operators.LookupTransform
+
+/**
+ * Streaming surface of the engine (Structured Streaming). The reference
+ * plugin declares streaming-pipeline compatibility but contains no
+ * streaming logic of its own (`pom.xml:30`, SURVEY.md §1.1) — the host
+ * platform would run the same join on a streaming dataset. In Spark that
+ * is literal: the SAME DataFrame compositions run under `readStream`, so
+ * both operators here work unchanged on batch and streaming frames.
+ *
+ * Scale notes:
+ *   - `enrich` is the classic stream-static join: the static lookup side
+ *     is broadcast once per micro-batch plan, the stream side is never
+ *     shuffled. This is the streaming face of the reference's lookup
+ *     operator (`Lookup.java:59-64`).
+ *   - `windowedStats` is a watermarked tumbling-window aggregation:
+ *     watermark bounds state (late events beyond it are dropped), windows
+ *     align to the epoch — equivalent to `date_trunc` bucketing in batch.
+ *     Aggregates are integer counts and min/max only, so results are
+ *     independent of partitioning and arrival order.
+ */
+object StreamingOps {
+
+  /** Stream-static lookup enrichment: `stream` rows enriched from a static
+    * `lookup` dimension via the engine's Lookup operator (broadcast
+    * left-outer equi-join; all E1-E8 semantics apply per micro-batch). */
+  def enrich(stream: DataFrame, streamName: String, lookup: DataFrame,
+      cfg: LookupConfig): DataFrame =
+    LookupTransform(Map(streamName -> stream, cfg.lookupDataset -> lookup), cfg)
+
+  /** Watermarked tumbling-window statistics per key: event count, distinct
+    * users, min/max value. On a batch frame the watermark is a no-op and
+    * this is plain `date_trunc`-style bucketing — the property the DuckDB
+    * oracle exploits. */
+  def windowedStats(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "event_type", valueCol: String = "value",
+      userCol: String = "user_id", windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    // Streaming state stores cannot hold exact distinct sets; use the HLL
+    // sketch there (the standard streaming trade-off) and exact distinct in
+    // batch (what the DuckDB oracle checks).
+    val distinctUsers =
+      if (events.isStreaming) approx_count_distinct(col(userCol))
+      else count_distinct(col(userCol))
+    withWm
+      .groupBy(window(col(tsCol), windowDuration).as("w"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        distinctUsers.as("n_users"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .select(col("w.start").as("window_start"), col(keyCol),
+        col("n_events"), col("n_users"), col("min_value"), col("max_value"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/**
+ * Tests for the multimodal plumbing: typed schema contract, deterministic
+ * stub decode, batch iteration, and agreement with the expression-level
+ * rolling hash (the SQL-oracle bridge).
+ */
+class MultimodalSpec extends SparkSpec {
+
+  test("decodeMeta: stub codec fields are deterministic functions of the bytes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, "image", "ab".getBytes("UTF-8")),
+      (2L, "audio", "ba".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "content")
+    val out = Multimodal.decodeMeta(df).collect().map(m => m.media_id -> m).toMap
+    // rolling hash "ab" = 97*31+98 = 3105 (bytes == chars for ASCII)
+    assert(out(1L).checksum == 3105L)
+    assert(out(2L).checksum == 3135L)
+    assert(out(1L).byte_len == 2L)
+    assert(out(1L).width == 64 + (3105 % 1856))
+    assert(out(1L).height == 64 + ((3105 / 1856) % 1016).toInt)
+    assert(out(1L).n_frames == 1 + (2 % 30))
+    assert(out(1L).media_type == "image")
+  }
+
+  test("decodeMeta batches: results identical across batch sizes (incl. size 1)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(50)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val a = Multimodal.decodeMeta(media, batchSize = 1).collect().sortBy(_.media_id).toSeq
+    val b = Multimodal.decodeMeta(media, batchSize = 7).collect().sortBy(_.media_id).toSeq
+    val c = Multimodal.decodeMeta(media).collect().sortBy(_.media_id).toSeq
+    assert(a == b && b == c)
+    assert(a.size == 50)
+  }
+
+  test("checksum agrees with the expression-level rolling hash over ASCII text") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(20).cache()
+    val viaCodec = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs))
+      .collect().map(m => m.media_id -> m.checksum).toMap
+    val viaExpr = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCodec == viaExpr)
+  }
+}
