@@ -41,10 +41,22 @@ object TextFunctions {
     * exactly mirrored by DuckDB's `string_split(text, ' ')`. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Character-level Horner rolling hash: fold `(h*31 + ascii(c)) % p` left
-    * to right. Empty-string chars are filtered because Spark's `split(s,"")`
-    * keeps a trailing empty element (limit -1) while DuckDB's does not. */
-  def rollingHash(s: Column): Column =
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
+  /** Horner rolling hash: fold `(h*31 + byte) % p` left to right over the
+    * UTF-8 bytes (== the SQL oracle's char-level `ascii()` fold on ASCII
+    * corpora). Native codegen'd expression — the HOF spelling
+    * (`rollingHashHof`) is kept for parity tests. */
+  def rollingHash(s: Column): Column = native(catalyst.RollingHashBytes(expr(s)))
+
+  /** Reference HOF formulation of [[rollingHash]] (interpreted; used to
+    * cross-check the native expression). Empty-string chars are filtered
+    * because Spark's `split(s,"")` keeps a trailing empty element
+    * (limit -1) while DuckDB's does not. */
+  def rollingHashHof(s: Column): Column =
     aggregate(
       filter(split(s, ""), c => length(c) > 0),
       lit(0L),
@@ -70,8 +82,13 @@ object TextFunctions {
   /** MinHash signature of a hash-set column: `k` signatures, where
     * `sig_i = min over h of ((2i+1)*h + 7919*i + 1) mod p`. The coefficient
     * family is fixed and public so the DuckDB oracle can replay it.
-    * Empty input → null signatures (callers filter empty shingle sets). */
+    * Empty input → null signatures (callers filter empty shingle sets).
+    * Native codegen'd expression; HOF spelling kept for parity tests. */
   def minhashSignature(hashes: Column, k: Int): Column =
+    native(catalyst.MinHashSig(expr(hashes), k))
+
+  /** Reference HOF formulation of [[minhashSignature]]. */
+  def minhashSignatureHof(hashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(hashes,
         h => ((i * 2 + 1) * h + i * lit(7919L) + 1) % HashPrime)))
@@ -79,12 +96,16 @@ object TextFunctions {
   /** 32-bit SimHash over the token multiset (term-frequency weighted).
     * Per token: 32 sign contributions (+1 if bit set, else -1) accumulated
     * into a 32-wide counter array; final bit i is set iff counter_i > 0.
-    * Entirely per-row (no shuffle): a single `aggregate` higher-order fold. */
-  def simhash(toks: Column): Column = {
+    * Entirely per-row (no shuffle). Native codegen'd expression; HOF
+    * spelling kept for parity tests. */
+  def simhash(toks: Column): Column = native(catalyst.SimHash32(expr(toks)))
+
+  /** Reference HOF formulation of [[simhash]] (single `aggregate` fold). */
+  def simhashHof(toks: Column): Column = {
     val signBits: Column => Column = h =>
       array((0 until 32).map(i => (shiftright(h, i) % 2) * 2 - 1): _*)
     val acc = aggregate(
-      transform(toks, t => mix32(rollingHash(t))),
+      transform(toks, t => mix32(rollingHashHof(t))),
       array_repeat(lit(0L), 32),
       (a, h) => zip_with(a, signBits(h), (x, y) => x + y))
     (0 until 32)

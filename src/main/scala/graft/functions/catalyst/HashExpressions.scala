@@ -1,0 +1,182 @@
+package graft.functions.catalyst
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextFunctions.{HashBase, HashPrime, Mix, TwoPow32}
+
+/**
+ * Native Catalyst expressions for the hash hot paths. The composable
+ * higher-order-function formulations in TextFunctions are semantically
+ * identical but interpreted per element (Spark HOFs don't participate in
+ * codegen); on the near-dup operators that lambda overhead dominates. These
+ * expressions generate tight Java loops inside whole-stage codegen —
+ * the preferred Spark extension order: native Expression with doGenCode >
+ * Scala UDF (SURVEY.md §2.4).
+ *
+ * Hashing is byte-level over UTF-8; for the ASCII corpora this engine
+ * targets it is identical to the char-level `ascii()` fold the SQL oracle
+ * replays (and to Multimodal.StubCodec's byte checksum).
+ */
+
+/** Base-31 rolling hash mod 1e9+7 over a string's UTF-8 bytes. */
+case class RollingHashBytes(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < b.length) { h = (h * HashBase + (b(i) & 0xff)) % HashPrime; i += 1 }
+    h
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $b = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h = ($h * ${HashBase}L + ($b[$i] & 0xff)) % ${HashPrime}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashBytes =
+    copy(child = newChild)
+}
+
+/** 32-bit term-frequency SimHash over an array of token strings: per token
+  * mix the rolling hash to 32 bits, accumulate ±1 per bit, emit the sign
+  * vector as a long. Matches the TextFunctions.simhash fold exactly. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = new Array[Long](32)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        val b = arr.getUTF8String(j).getBytes
+        var h = 0L
+        var i = 0
+        while (i < b.length) { h = (h * HashBase + (b(i) & 0xff)) % HashPrime; i += 1 }
+        val m = (h * Mix) % TwoPow32
+        var k = 0
+        while (k < 32) { cnt(k) += ((m >> k) & 1L) * 2 - 1; k += 1 }
+      }
+      j += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 32) { if (cnt(k) > 0) out |= 1L << k; k += 1 }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cnt = ctx.freshName("cnt")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $cnt = new long[32];
+         |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  if (!$c.isNullAt($j)) {
+         |    byte[] $b = $c.getUTF8String($j).getBytes();
+         |    long $h = 0L;
+         |    for (int $i = 0; $i < $b.length; $i++) {
+         |      $h = ($h * ${HashBase}L + ($b[$i] & 0xff)) % ${HashPrime}L;
+         |    }
+         |    long $m = ($h * ${Mix}L) % ${TwoPow32}L;
+         |    for (int $k = 0; $k < 32; $k++) { $cnt[$k] += (($m >> $k) & 1L) * 2 - 1; }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $k = 0; $k < 32; $k++) { if ($cnt[$k] > 0) $out |= 1L << $k; }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** MinHash signature: sig_i = min over hashes h of ((2i+1)*h + 7919i + 1)
+  * mod p, i in [0, k). Null (empty-set) semantics follow the HOF version:
+  * empty input yields a null signature — callers filter empty shingle sets.
+  * Matches TextFunctions.minhashSignature exactly. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_sig"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](k)(null))
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val h = arr.getLong(j)
+        val v = ((2L * i + 1) * h + 7919L * i + 1) % HashPrime
+        if (v < best) best = v
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val best = ctx.freshName("best")
+      val v = ctx.freshName("v")
+      val h = ctx.freshName("h")
+      val gad = classOf[GenericArrayData].getName
+      s"""
+         |if ($c.numElements() == 0) {
+         |  ${ev.value} = new $gad(new Object[$k]);
+         |} else {
+         |  long[] $sig = new long[$k];
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $best = Long.MAX_VALUE;
+         |    for (int $j = 0; $j < $c.numElements(); $j++) {
+         |      long $h = $c.getLong($j);
+         |      long $v = ((2L * $i + 1) * $h + 7919L * $i + 1) % ${HashPrime}L;
+         |      if ($v < $best) $best = $v;
+         |    }
+         |    $sig[$i] = $best;
+         |  }
+         |  ${ev.value} = new $gad($sig);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

@@ -40,7 +40,8 @@ object Dedup {
     * any positive Jaccard threshold. */
   private def withShingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hs"))
+    graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")))
 
@@ -139,7 +140,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "pigeonhole blocking over 4 bytes is only lossless for maxHamming <= 3")
-    val hashed = docs
+    val hashed = graft.SparkUtil.ensureParallelism(docs)
       .select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("sh"))
       .cache()
     val blocked = hashed.select(col("id"), col("sh"), explode(simhashBlocks(col("sh"))).as("b"))

@@ -43,7 +43,8 @@ object SimilaritySearch {
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64): DataFrame = {
-    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val withNorm = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
       norm2(col(vecCol), dim).as("n2"))
     withNorm.as("x").join(withNorm.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -59,7 +60,8 @@ object SimilaritySearch {
   def annTopKLsh(df: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nPlanes: Int = 8): DataFrame = {
-    val bucketed = df.select(col(idCol), col(vecCol),
+    val bucketed = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), dim, nPlanes).as("__bucket"))
     val q = broadcast(query.select(col(vecCol).as("__qvec"),
       lshBucket(col(vecCol), dim, nPlanes).as("__qbucket")))

@@ -71,7 +71,7 @@ object TextAnalysis {
     * (cheap order-sensitive fingerprint), and a 32-bit SimHash (near-dup
     * fingerprint). Per-row, no shuffle. */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
+    graft.SparkUtil.ensureParallelism(docs).select(
       col(idCol),
       md5(col(textCol)).as("md5_hex"),
       rollingHash(col(textCol)).as("rolling_hash"),

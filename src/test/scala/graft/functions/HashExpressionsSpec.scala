@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Parity tests: the native codegen'd hash expressions must agree with the
+ * interpreted higher-order-function formulations (the formulations the
+ * DuckDB oracle replays in SQL) on the real corpus.
+ */
+class HashExpressionsSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("native rolling hash == HOF rolling hash on the corpus") {
+    val d = docs.select(
+      TextFunctions.rollingHash(col("text")).as("a"),
+      TextFunctions.rollingHashHof(col("text")).as("b"))
+    assert(d.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("native simhash == HOF simhash on the corpus") {
+    val toks = split(col("text"), " ")
+    val d = docs.select(
+      TextFunctions.simhash(toks).as("a"),
+      TextFunctions.simhashHof(toks).as("b"))
+    assert(d.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("native minhash signature == HOF signature on the corpus") {
+    val hs = TextFunctions.shingleHashes(col("text"), 3)
+    val d = docs.filter(size(split(col("text"), " ")) >= 3).select(
+      TextFunctions.minhashSignature(hs, 32).as("a"),
+      TextFunctions.minhashSignatureHof(hs, 32).as("b"))
+    assert(d.filter(not(col("a") <=> col("b"))).count() == 0)
+  }
+
+  test("native expressions survive both codegen and interpreted eval paths") {
+    // force interpreted path by disabling whole-stage codegen
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val r1 = docs.limit(20).select(TextFunctions.rollingHash(col("text")).as("h"))
+        .collect().map(_.getLong(0)).toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val r2 = docs.limit(20).select(TextFunctions.rollingHash(col("text")).as("h"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(r1 == r2)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+}
