@@ -18,8 +18,20 @@ import org.apache.spark.sql.functions._
  */
 object VectorFunctions {
 
-  /** Left-associated unrolled dot product in double precision. */
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
+  /** Dot product in double precision, ascending-index accumulation (==
+    * the left-associated chain the SQL oracle evaluates). Native codegen'd
+    * expression; `dim` is the declared width (the kernel loops the actual
+    * array length — all corpus vectors match it). */
   def dot(a: Column, b: Column, dim: Int): Column =
+    native(catalyst.DotProductF32(expr(a), expr(b)))
+
+  /** Unrolled-expression formulation of [[dot]] (kept for parity tests). */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
     (1 to dim)
       .map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
       .reduce(_ + _)

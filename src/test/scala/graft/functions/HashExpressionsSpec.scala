@@ -36,6 +36,14 @@ class HashExpressionsSpec extends SparkSpec {
     assert(d.filter(not(col("a") <=> col("b"))).count() == 0)
   }
 
+  test("native float dot product == unrolled element_at chain, bit for bit") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(100).cache()
+    val pairs = emb.as("x").crossJoin(emb.as("y")).select(
+      VectorFunctions.dot(col("x.embedding"), col("y.embedding"), 64).as("a"),
+      VectorFunctions.dotUnrolled(col("x.embedding"), col("y.embedding"), 64).as("b"))
+    assert(pairs.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("native expressions survive both codegen and interpreted eval paths") {
     // force interpreted path by disabling whole-stage codegen
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
