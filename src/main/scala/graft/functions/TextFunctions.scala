@@ -75,8 +75,13 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct shingle hashes for a document: the MinHash/Jaccard input set. */
+  /** Distinct shingle hashes for a document: the MinHash/Jaccard input set.
+    * Native one-pass expression; HOF spelling kept for parity tests. */
   def shingleHashes(text: Column, n: Int): Column =
+    native(catalyst.ShingleHashes(expr(text), n))
+
+  /** Reference HOF formulation of [[shingleHashes]]. */
+  def shingleHashesHof(text: Column, n: Int): Column =
     array_distinct(transform(shingles(tokens(text), n), rollingHash(_)))
 
   /** MinHash signature of a hash-set column: `k` signatures, where

@@ -119,6 +119,54 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct word-n-gram shingle hashes of a text column in one pass.
+  *
+  * Observation exploited: with single-space separators a shingle's joined
+  * string (`tok_i ⌴ … ⌴ tok_{i+n-1}`) is exactly a contiguous byte range of
+  * the original text, so each shingle hash is a rolling hash over a byte
+  * slice — no per-shingle string materialization. Matches
+  * `array_distinct(transform(shingles(tokens(text), n), rollingHash))`
+  * (first-occurrence order) byte for byte.
+  *
+  * CodegenFallback: the per-byte loop dominates; one virtual eval call per
+  * row is noise, and the surrounding stage stays whole-stage-codegen'd. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    // token start offsets (position 0 and after each space)
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i < b.length) { if (b(i) == ' '.toByte) starts += i + 1; i += 1 }
+    val m = starts.length
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w + n <= m) {
+      val from = starts(w)
+      val until = if (w + n < m) starts(w + n) - 1 else b.length // exclusive; -1 drops the separator
+      var h = 0L
+      var j = from
+      while (j < until) { h = (h * HashBase + (b(j) & 0xff)) % HashPrime; j += 1 }
+      seen.add(h)
+      w += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** MinHash signature: sig_i = min over hashes h of ((2i+1)*h + 7919i + 1)
   * mod p, i in [0, k). Null (empty-set) semantics follow the HOF version:
   * empty input yields a null signature — callers filter empty shingle sets.

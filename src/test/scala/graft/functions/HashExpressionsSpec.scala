@@ -36,6 +36,23 @@ class HashExpressionsSpec extends SparkSpec {
     assert(d.filter(not(col("a") <=> col("b"))).count() == 0)
   }
 
+  test("native shingle hashes == HOF shingle hashes on the corpus (incl. order)") {
+    val d = docs.select(
+      TextFunctions.shingleHashes(col("text"), 3).as("a"),
+      TextFunctions.shingleHashesHof(col("text"), 3).as("b"))
+    assert(d.filter(not(col("a") <=> col("b"))).count() == 0)
+    // short-doc edge: fewer tokens than n → empty array, not null/crash
+    val spark0 = spark
+    import spark0.implicits._
+    val short = Seq("one two", "a").toDF("text")
+      .select(TextFunctions.shingleHashes(col("text"), 3).as("a"),
+        TextFunctions.shingleHashesHof(col("text"), 3).as("b"))
+      .collect()
+    short.foreach { r =>
+      assert(r.getSeq[Long](0).isEmpty && r.getSeq[Long](1).isEmpty)
+    }
+  }
+
   test("native float dot product == unrolled element_at chain, bit for bit") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(100).cache()
     val pairs = emb.as("x").crossJoin(emb.as("y")).select(
