@@ -166,6 +166,19 @@ object OracleSql {
       |  min(value) AS min_value, max(value) AS max_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** As-of pick spelled as join + windowed row_number so the tiebreak
+    * (order key desc) is explicit — DuckDB's ASOF JOIN leaves equal-time
+    * ties unspecified, which would break the hash compare. */
+  def asofJoin: String =
+    """SELECT e.event_id, e.ts, e.user_id,
+      |       o.o_orderkey AS last_order_key,
+      |       o.o_orderdate AS last_order_date,
+      |       o.o_totalprice AS last_order_price
+      |FROM events e
+      |LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |QUALIFY row_number() OVER (PARTITION BY e.event_id
+      |  ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1""".stripMargin
+
   def embedNearDup(threshold: Double, dim: Int): String = {
     val n2 = dotTerms("embedding", "embedding", dim)
     val dotXY = dotTerms("x.v", "y.v", dim)

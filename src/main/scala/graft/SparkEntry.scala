@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{Dedup, LookupTransform, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, LookupTransform, Multimodal, SimilaritySearch, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -169,6 +169,24 @@ object SparkEntry {
     // watermark; on batch it is epoch-aligned hour bucketing).
     "q21_events_window" -> ((s, dir) =>
       StreamingOps.windowedStats(Tables.loadEvents(s, dir))),
+
+    // As-of join: each event enriched with the user's latest order at or
+    // before the event time (order key uniquifies date ties).
+    "q22_asof_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      AsOfJoin(
+        Tables.loadEvents(s, dir).select("event_id", "ts", "user_id"),
+        orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        leftId = "event_id",
+        rightCols = Seq(
+          "o_orderkey" -> "last_order_key",
+          "o_orderdate" -> "last_order_date",
+          "o_totalprice" -> "last_order_price"),
+        tieBreakCols = Seq("o_orderkey"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -222,5 +240,6 @@ object SparkEntry {
     // q19_ann_lsh: intentionally no oracle — approximate ANN (rows-only check).
     "q20_multimodal_meta" -> OracleSql.multimodalMeta,
     "q21_events_window" -> OracleSql.eventsWindow,
+    "q22_asof_join" -> OracleSql.asofJoin,
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+case class L(id: Long, k: Long, t: Timestamp)
+case class R(k: Long, t: Timestamp, rid: Long, v: String)
+
+/** Unit tests for the as-of join over hand-built temporal fixtures:
+  * latest-at-or-before pick, exact-time inclusion, null padding, and
+  * deterministic tie-breaking. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def join(ls: Seq[L], rs: Seq[R]) = {
+    val spark0 = spark
+    import spark0.implicits._
+    AsOfJoin(ls.toDF(), rs.toDF(),
+      leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "t",
+      leftId = "id", rightCols = Seq("rid" -> "rid", "v" -> "v"),
+      tieBreakCols = Seq("rid"))
+  }
+
+  test("picks the latest right row at or before the left time, per key") {
+    val out = join(
+      Seq(L(1, 10, ts("2024-01-05 00:00:00")), L(2, 10, ts("2024-01-02 00:00:00"))),
+      Seq(R(10, ts("2024-01-01 00:00:00"), 100, "old"),
+        R(10, ts("2024-01-03 00:00:00"), 101, "new"),
+        R(10, ts("2024-01-09 00:00:00"), 102, "future")))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out(1L) == "new")  // latest <= Jan 5 is Jan 3
+    assert(out(2L) == "old")  // latest <= Jan 2 is Jan 1; Jan 3 is in the future
+  }
+
+  test("a right row at exactly the left time is included") {
+    val out = join(
+      Seq(L(1, 10, ts("2024-01-03 00:00:00"))),
+      Seq(R(10, ts("2024-01-03 00:00:00"), 100, "exact")))
+      .collect()
+    assert(out.head.getString(4) == "exact")
+  }
+
+  test("left rows with no match survive null-padded; keys never cross") {
+    val out = join(
+      Seq(L(1, 10, ts("2024-01-01 00:00:00")), L(2, 99, ts("2024-01-05 00:00:00"))),
+      Seq(R(10, ts("2024-01-02 00:00:00"), 100, "late"),
+        R(55, ts("2024-01-01 00:00:00"), 101, "other-key")))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(out(1L).isEmpty) // only right row for key 10 is later
+    assert(out(2L).isEmpty) // key 99 has no right rows at all
+  }
+
+  test("equal right times break ties by the tie-break column, descending") {
+    val out = join(
+      Seq(L(1, 10, ts("2024-01-05 00:00:00"))),
+      Seq(R(10, ts("2024-01-03 00:00:00"), 100, "low"),
+        R(10, ts("2024-01-03 00:00:00"), 200, "high")))
+      .collect()
+    assert(out.length == 1 && out.head.getString(4) == "high")
+  }
+}
