@@ -179,6 +179,29 @@ object OracleSql {
       |QUALIFY row_number() OVER (PARTITION BY e.event_id
       |  ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1""".stripMargin
 
+  /** Gap-based sessions replayed relationally: lag → new-session flag →
+    * running sum = session id → group. Session end = last event + gap
+    * (Spark session_window semantics). Gap compare on exact epoch micros. */
+  def sessionize(gapMinutes: Int): String = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapUs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged)
+       |SELECT user_id, min(ts) AS session_start,
+       |       max(ts) + INTERVAL $gapMinutes MINUTE AS session_end,
+       |       count(*) AS n_events
+       |FROM sess GROUP BY user_id, sid""".stripMargin
+  }
+
   def embedNearDup(threshold: Double, dim: Int): String = {
     val n2 = dotTerms("embedding", "embedding", dim)
     val dotXY = dotTerms("x.v", "y.v", dim)

@@ -187,6 +187,10 @@ object SparkEntry {
           "o_totalprice" -> "last_order_price"),
         tieBreakCols = Seq("o_orderkey"))
     }),
+
+    // Gap-based sessionization (native session_window; streaming-capable).
+    "q23_sessionize" -> ((s, dir) =>
+      StreamingOps.sessionize(Tables.loadEvents(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -241,5 +245,6 @@ object SparkEntry {
     "q20_multimodal_meta" -> OracleSql.multimodalMeta,
     "q21_events_window" -> OracleSql.eventsWindow,
     "q22_asof_join" -> OracleSql.asofJoin,
+    "q23_sessionize" -> OracleSql.sessionize(gapMinutes = 30),
   )
 }

@@ -60,4 +60,24 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col(keyCol),
         col("n_events"), col("n_users"), col("min_value"), col("max_value"))
   }
+
+  /** Gap-based sessionization per user via Spark's native `session_window`
+    * (merges events closer than `gap`; session end = last event + gap).
+    * The same call runs under Structured Streaming with a watermark —
+    * session windows are the canonical stateful-merge use case. One
+    * shuffle on (user, session); deterministic because session boundaries
+    * depend only on event times, not arrival/partition order. */
+  def sessionize(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    withWm
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
+  }
 }

@@ -52,6 +52,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.length == 2) // watermark path skipped, same aggregation shape
   }
 
+  test("sessionize: gap-based session merge with end = last event + gap") {
+    val spark0 = spark
+    import spark0.implicits._
+    val batch = Seq(
+      Ev(t("2024-01-01 10:00:00"), "click", 1L, 1.0),
+      Ev(t("2024-01-01 10:10:00"), "click", 1L, 1.0),  // same session (10 min gap)
+      Ev(t("2024-01-01 11:30:00"), "click", 1L, 1.0),  // new session (80 min gap)
+      Ev(t("2024-01-01 10:05:00"), "view", 2L, 1.0))   // separate user
+    val rows = StreamingOps.sessionize(batch.toDF()).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
+        (r.getTimestamp(2).toString, r.getLong(3))).toMap
+    assert(rows((1L, "2024-01-01 10:00:00.0")) == (("2024-01-01 10:40:00.0", 2L)))
+    assert(rows((1L, "2024-01-01 11:30:00.0")) == (("2024-01-01 12:00:00.0", 1L)))
+    assert(rows((2L, "2024-01-01 10:05:00.0")) == (("2024-01-01 10:35:00.0", 1L)))
+  }
+
+  test("sessionize runs under Structured Streaming with a watermark") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.sessionize(input.toDF())
+      .writeStream.format("memory").queryName("sess_test").outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 10:00:00"), "click", 1L, 1.0),
+        Ev(t("2024-01-01 10:10:00"), "click", 1L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_test").collect()
+      assert(rows.length == 1 && rows.head.getLong(3) == 2L)
+    } finally q.stop()
+  }
+
   test("stream-static enrich: lookup semantics per micro-batch (left outer, broadcast)") {
     val spark0 = spark
     import spark0.implicits._
