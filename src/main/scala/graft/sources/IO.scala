@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.config.FailureCollector
+import graft.operators.LookupTransform
+import graft.schema.CdapSchema
+
+/**
+ * Source/sink surface. The reference delegates all I/O to host-platform
+ * plugins (SURVEY.md §2.2: tests use MockSource/MockSink) whose contract
+ * is "produce/consume structured records matching a declared CDAP schema".
+ * In Spark the formats come free (`spark.read`/`write`); what this module
+ * adds is the *contract*: schema-validated reads (error-accumulating, like
+ * the reference's config validation) and layout-aware writes.
+ *
+ * Scale notes (100 TB posture):
+ *   - `read` never infers schemas on big data when a contract is supplied —
+ *     inference is a full extra scan for CSV/JSON.
+ *   - `writePartitioned` encodes the two physical-layout levers that matter
+ *     at scale: directory partitioning (partition pruning on read) and a
+ *     target file-size repartition (avoids the many-small-files problem
+ *     that kills object-store listings).
+ *   - `writeBucketed` persists a co-location contract (`bucketBy` +
+ *     `sortBy`) so later equi-joins/aggs on the bucket keys skip their
+ *     shuffle entirely — the standard answer to repeated 100 TB joins.
+ */
+object IO {
+
+  /** Read `format` data at `path`. With a CDAP-JSON schema contract the
+    * schema is parsed (graft.schema translator, `Lookup.java:396` dialect)
+    * and enforced; mismatches are reported accumulated, like reference
+    * validation. */
+  def read(spark: SparkSession, format: String, path: String,
+      cdapSchemaJson: Option[String] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.read.format(format).options(options)
+    cdapSchemaJson match {
+      case None => reader.load(path)
+      case Some(json) =>
+        val expected = CdapSchema.parse(json)
+        val df = format match {
+          // Text formats take the contract as the read schema (no inference
+          // scan); columnar formats keep their embedded schema and are
+          // checked against the contract.
+          case "csv" | "json" => reader.schema(expected).load(path)
+          case _ => reader.load(path)
+        }
+        assertCompatible(df.schema, expected)
+        df.select(expected.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    }
+  }
+
+  /** Error-accumulating structural check: every contract field must exist
+    * with a compatible (widening) type — same relation as lookup keys. */
+  private def assertCompatible(actual: StructType, expected: StructType): Unit = {
+    val collector = new FailureCollector
+    val byName = actual.fields.map(f => f.name -> f).toMap
+    expected.fields.foreach { ef =>
+      byName.get(ef.name) match {
+        case None =>
+          collector.addFailure(s"Field '${ef.name}' declared in the schema contract is missing from the source.",
+            property = "schema")
+        case Some(af) if !LookupTransform.compatibleKeys(af.dataType, ef.dataType) =>
+          collector.addFailure(
+            s"Field '${ef.name}' has type ${af.dataType.simpleString} incompatible with declared ${ef.dataType.simpleString}.",
+            property = "schema")
+        case _ =>
+      }
+    }
+    collector.getOrThrow()
+  }
+
+  /** Directory-partitioned write with a file-count target per partition.
+    * `overwrite` uses dynamic partition overwrite semantics so re-runs
+    * replace only the partitions they produce. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      format: String = "parquet", mode: String = "overwrite",
+      filesPerPartition: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.repartition(filesPerPartition, partitionCols.map(col): _*)
+      .write.format(format).mode(mode)
+      .partitionBy(partitionCols: _*)
+      .save(path)
+    df.sparkSession.read.format(format).load(path)
+  }
+
+  /** Bucketed + sorted managed table: equi-joins/aggregations on
+    * `bucketCols` between tables with matching bucketing read without a
+    * shuffle (and merge without a sort when `sortCols` match). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String] = Nil,
+      format: String = "parquet", mode: String = "overwrite"): DataFrame = {
+    val w = df.write.format(format).mode(mode)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+    df.sparkSession.table(table)
+  }
+}

@@ -17,6 +17,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh managed-table location per JVM: the in-memory catalog dies
+      // with the session, so a persistent warehouse dir would collide on
+      // the next run's saveAsTable
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.config.ValidationException
+
+/** Tests for the source/sink contract layer: CDAP-schema-validated reads,
+  * partitioned writes with pruning, bucketed tables, and the salted join. */
+class IOSpec extends SparkSpec {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("read with a CDAP schema contract: csv takes the schema, projection ordered") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp("graft_csv")
+    Seq((1, "a"), (2, "b")).toDF("id", "name").write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    val cdap =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"id","type":"int"},{"name":"name","type":"string"}]}""".stripMargin
+    val df = IO.read(spark, "csv", dir, Some(cdap), Map("header" -> "true"))
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+  }
+
+  test("contract violations accumulate: missing field AND incompatible type in one throw") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp("graft_pq")
+    Seq((1, "a")).toDF("id", "name").write.mode("overwrite").parquet(dir)
+    val cdap =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"id","type":"string"},{"name":"missing","type":"int"}]}""".stripMargin
+    val ex = intercept[ValidationException](IO.read(spark, "parquet", dir, Some(cdap)))
+    assert(ex.failures.size == 2)
+  }
+
+  test("partitioned write prunes partitions on filtered read") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp("graft_part")
+    val df = Seq((1, "en"), (2, "de"), (3, "en")).toDF("id", "lang")
+    val back = IO.writePartitioned(df, dir, Seq("lang"))
+    assert(back.count() == 3)
+    val plan = spark.read.parquet(dir).filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("lang=de"))
+    assert(spark.read.parquet(dir).filter(col("lang") === "en").count() == 2)
+  }
+
+  test("bucketed table join on bucket keys plans without a shuffle of the big side") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+      val ta = IO.writeBucketed(a, "graft_bucket_a", Seq("k"), 4, Seq("k"))
+      val tb = IO.writeBucketed(b, "graft_bucket_b", Seq("k"), 4, Seq("k"))
+      val joined = ta.join(tb, "k")
+      val exchanges = joined.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 0) // bucketing co-locates both sides
+      assert(joined.count() == 100)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join == plain join on a skewed dataset (inner and left)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // key 7 is hot: 5000 rows; others sparse
+    val left = ((1 to 5000).map(_ => 7L) ++ Seq(1L, 2L, 99L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val right = Seq((7L, "hot"), (1L, "one"), (3L, "three")).toDF("rk", "v")
+    for (jt <- Seq("inner", "left")) {
+      val plain = left.join(right, left("k") === right("rk"), jt)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val salted = graft.SparkUtil.saltedJoin(left, right, "k", "rk", salt = 8, joinType = jt)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(plain.toSeq == salted.toSeq)
+    }
+  }
+}
