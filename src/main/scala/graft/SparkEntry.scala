@@ -191,6 +191,22 @@ object SparkEntry {
     // Gap-based sessionization (native session_window; streaming-capable).
     "q23_sessionize" -> ((s, dir) =>
       StreamingOps.sessionize(Tables.loadEvents(s, dir))),
+
+    // Exact per-lang length percentiles (linear interpolation).
+    "q24_text_percentiles" -> ((s, dir) =>
+      TextAnalysis.percentiles(t(s, dir, "documents"))),
+
+    // Top-3 longest docs per language (WindowGroupLimit pattern).
+    "q25_topk_per_group" -> ((s, dir) =>
+      TextAnalysis.topKPerGroup(t(s, dir, "documents"), k = 3)),
+
+    // ROLLUP subtotals over (lang, source).
+    "q26_rollup_stats" -> ((s, dir) =>
+      TextAnalysis.rollupStats(t(s, dir, "documents"))),
+
+    // Corpus text normalization (lower/strip/collapse/trim).
+    "q27_text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(t(s, dir, "documents"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -246,5 +262,22 @@ object SparkEntry {
     "q21_events_window" -> OracleSql.eventsWindow,
     "q22_asof_join" -> OracleSql.asofJoin,
     "q23_sessionize" -> OracleSql.sessionize(gapMinutes = 30),
+    "q24_text_percentiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90, quantile_cont(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q25_topk_per_group" ->
+      """SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |FROM documents
+        |QUALIFY rank <= 3""".stripMargin,
+    "q26_rollup_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "q27_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text_norm
+        |FROM documents""".stripMargin,
   )
 }

@@ -62,6 +62,51 @@ object TextAnalysis {
       (nToks >= 10 && ttr >= 0.1 && stopRatio <= 0.5).as("quality_ok"))
   }
 
+  /** Per-group exact percentiles of a numeric column. Spark's `percentile`
+    * and DuckDB's `quantile_cont` share the linear-interpolation definition,
+    * so results are bit-identical on integer inputs. Exact percentiles sort
+    * per group; at 100 TB swap in `approx_percentile` (t-digest sketch,
+    * mergeable map-side) when the rank error budget allows. */
+  def percentiles(docs: DataFrame, groupCol: String = "lang",
+      valueCol: String = "n_chars"): DataFrame =
+    docs.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(0.5)).as("p50"),
+      percentile(col(valueCol), lit(0.9)).as("p90"),
+      percentile(col(valueCol), lit(0.99)).as("p99"))
+
+  /** Subtotal/total aggregation over a dimension hierarchy via ROLLUP:
+    * (lang, source) → per-pair, per-lang, grand-total rows (nulls mark
+    * rolled-up levels). One shuffle; partial aggregation map-side. */
+  def rollupStats(docs: DataFrame, dims: Seq[String] = Seq("lang", "source"),
+      textCol: String = "text"): DataFrame =
+    docs.rollup(dims.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col(textCol)).cast("long")).as("sum_chars"))
+
+  /** Deterministic text normalization for training corpora: lowercase,
+    * strip non-alphanumerics, collapse runs of spaces, trim. Pure per-row
+    * codegen'd projection. */
+  def normalize(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
+        " +", " ")).as("text_norm"))
+
+  /** Top-k rows per group by a ranking column (descending), deterministic
+    * via the id tiebreak — the distributed "best n per key" pattern.
+    * Spark plans this as WindowGroupLimit: the top-k is taken partially
+    * map-side before the shuffle, so the full group never materializes. */
+  def topKPerGroup(docs: DataFrame, k: Int, groupCol: String = "lang",
+      rankCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(rankCol).desc, col(idCol).asc)
+    docs.select(col(idCol), col(groupCol), col(rankCol))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Language identification by stopword-marker voting (TextFunctions
     * .langId); emits the prediction next to the document id. */
   def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -66,6 +66,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L).getString(1) == "187ef4436122d1cc2f40dc2b92f0eba0") // md5("ab")
   }
 
+  test("percentiles interpolate linearly per group") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), (4L, "en", 40L))
+      .toDF("doc_id", "lang", "n_chars")
+    val r = TextAnalysis.percentiles(df).collect().head
+    assert(r.getDouble(1) == 25.0)                     // p50 of 10,20,30,40
+    assert(math.abs(r.getDouble(2) - 37.0) < 1e-9)     // p90 = 30 + 0.7*10
+  }
+
+  test("topKPerGroup keeps exactly k rows per group with deterministic tie-break") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "en", 5L), (2L, "en", 5L), (3L, "en", 9L), (4L, "de", 1L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = TextAnalysis.topKPerGroup(df, k = 2).collect()
+      .map(r => (r.getString(1), r.getInt(3)) -> r.getLong(0)).toMap
+    assert(out(("en", 1)) == 3L) // longest
+    assert(out(("en", 2)) == 1L) // tie at 5 broken by doc_id asc
+    assert(out(("de", 1)) == 4L)
+  }
+
+  test("rollupStats emits pair, per-dim subtotal, and grand-total rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "en", "s1", "abc"), (2L, "en", "s2", "de"), (3L, "de", "s1", "f"))
+      .toDF("doc_id", "lang", "source", "text")
+    val rows = TextAnalysis.rollupStats(df).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows((Some("en"), Some("s1"))) == ((1L, 3L)))
+    assert(rows((Some("en"), None)) == ((2L, 5L)))     // lang subtotal
+    assert(rows((None, None)) == ((3L, 6L)))           // grand total
+  }
+
+  test("normalize lowercases, strips punctuation, collapses spaces, trims") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "  Hello,   WORLD!! x1  ")).toDF("doc_id", "text")
+    val r = TextAnalysis.normalize(df).collect().head
+    assert(r.getString(1) == "hello world x1")
+  }
+
   test("simhash of identical token multisets is identical; permutations too (order-free)") {
     import org.apache.spark.sql.functions._
     val df = docs((1L, "en", "x y z"), (2L, "en", "z y x"), (3L, "en", "p q r"))
