@@ -202,6 +202,21 @@ object OracleSql {
        |FROM sess GROUP BY user_id, sid""".stripMargin
   }
 
+  /** Components via transitive closure (recursive CTE) over the same
+    * pair graph; component = least reachable id. Closure is fine at
+    * oracle scale — the engine's label propagation is the scale path. */
+  def dedupComponents(threshold: Double, maxDocFreq: Int): String =
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
+
   def embedNearDup(threshold: Double, dim: Int): String = {
     val n2 = dotTerms("embedding", "embedding", dim)
     val dotXY = dotTerms("x.v", "y.v", dim)

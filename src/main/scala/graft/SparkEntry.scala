@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{AsOfJoin, Dedup, LookupTransform, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, LookupTransform, Multimodal, SimilaritySearch, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -207,6 +207,16 @@ object SparkEntry {
     // Corpus text normalization (lower/strip/collapse/trim).
     "q27_text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(t(s, dir, "documents"))),
+
+    // Near-dup clusters: connected components (min-label propagation)
+    // over the exact n-gram-Jaccard pair graph; isolated docs keep their
+    // own id as component.
+    "q28_dedup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b")
+      ConnectedComponents(pairs, vertices = Some(docs.select("doc_id")))
+        .select(col("id").as("doc_id"), col("component"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,5 +289,6 @@ object SparkEntry {
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text_norm
         |FROM documents""".stripMargin,
+    "q28_dedup_components" -> OracleSql.dedupComponents(threshold = 0.6, maxDocFreq = 10000),
   )
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Tests for min-label-propagation connected components: chains, isolated
+  * vertices, multi-hop merges, and the near-dup pipeline composition. */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)], verts: Seq[Long] = Nil) = {
+    val spark0 = spark
+    import spark0.implicits._
+    val v = if (verts.nonEmpty) Some(verts.toDF("id")) else None
+    ConnectedComponents(edges.toDF("id_a", "id_b"), v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain collapses to the minimum id across multiple hops") {
+    // 5-4, 4-3, 3-2, 2-1: diameter 4 forces several propagation rounds
+    val out = cc(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep separate labels; isolated vertices self-label") {
+    val out = cc(Seq((1L, 2L), (10L, 11L)), verts = Seq(1L, 2L, 10L, 11L, 99L))
+    assert(out(1L) == 1L && out(2L) == 1L)
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out(99L) == 99L)
+  }
+
+  test("two clusters bridged by one edge merge into one component") {
+    val out = cc(Seq((1L, 2L), (3L, 4L), (2L, 3L)))
+    assert(out.values.toSet == Set(1L))
+  }
+
+  test("near-dup pipeline: planted dup pairs in documents form >=1 nontrivial cluster") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b")
+    val comp = ConnectedComponents(pairs,
+      vertices = Some(docs.select("doc_id")))
+    val sizes = comp.groupBy("component").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(sizes >= 1)
+    assert(comp.count() == docs.count()) // every doc labeled exactly once
+  }
+}
