@@ -157,6 +157,15 @@ object OracleSql {
        |  CAST(1 + length(text) % 30 AS INTEGER) AS n_frames
        |FROM m""".stripMargin
 
+  /** Frame expansion mirror: the stub codec emits `1 + byte_len % 30`
+    * frames with checksum `(doc_checksum*31 + frame_id) % p`. */
+  def multimodalFrames: String =
+    s"""WITH m AS (SELECT doc_id, text, ${rh("text")} AS h FROM documents),
+       |f AS (SELECT doc_id AS media_id, h,
+       |        CAST(unnest(range(0, 1 + length(text) % 30)) AS INTEGER) AS frame_id
+       |      FROM m)
+       |SELECT media_id, frame_id, (h * 31 + frame_id) % $P AS frame_checksum FROM f""".stripMargin
+
   /** Epoch-aligned hour buckets == Spark's window(ts, '1 hour'). Aggregates
     * are counts and min/max only (order-insensitive). */
   def eventsWindow: String =

@@ -217,6 +217,10 @@ object SparkEntry {
       ConnectedComponents(pairs, vertices = Some(docs.select("doc_id")))
         .select(col("id").as("doc_id"), col("component"))
     }),
+
+    // Frame sampling: one row per (payload, frame) through the batch codec.
+    "q29_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -290,5 +294,6 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text_norm
         |FROM documents""".stripMargin,
     "q28_dedup_components" -> OracleSql.dedupComponents(threshold = 0.6, maxDocFreq = 10000),
+    "q29_multimodal_frames" -> OracleSql.multimodalFrames,
   )
 }

@@ -92,6 +92,68 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media payload (video/audio window or the
+    * single image frame). */
+  case class MediaFrame(media_id: Long, frame_id: Int, frame_checksum: Long)
+
+  /** A fixed-width feature vector extracted from a payload — the bridge
+    * from opaque media into the similarity-search operators. */
+  case class MediaFeatures(media_id: Long, features: Array[Float])
+
+  /**
+   * Frame sampling: one output row per (payload, frame) — the
+   * row-expanding shape of a real video decoder (iterator-of-batches in,
+   * flatMap out; partition-local, no shuffle). STUB frames: the stub
+   * codec's frame count with a per-frame rolling checksum
+   * `(checksum*31 + frame_id) % p`, replayable in SQL.
+   */
+  def sampleFrames(df: DataFrame, codec: MediaCodec = StubCodec,
+      idCol: String = "media_id", typeCol: String = "media_type",
+      binCol: String = "content", batchSize: Int = DefaultBatchSize): Dataset[MediaFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions.{HashBase, HashPrime}
+    val records = df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(typeCol).as("media_type"),
+      col(binCol).as("content")).as[MediaRecord]
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { rec =>
+        val meta = codec.decode(rec)
+        (0 until meta.n_frames).iterator.map(i =>
+          MediaFrame(meta.media_id, i, (meta.checksum * HashBase + i) % HashPrime))
+      })
+    }
+  }
+
+  /**
+   * Feature extraction: payload → fixed-width `array<float>` embedding.
+   * STUB features (deterministic functions of the checksum standing in for
+   * a real vision/audio encoder); the output schema and batch shape are
+   * the real contract — the result feeds SimilaritySearch directly.
+   */
+  def extractFeatures(df: DataFrame, dim: Int = 8,
+      codec: MediaCodec = StubCodec, idCol: String = "media_id",
+      typeCol: String = "media_type", binCol: String = "content",
+      batchSize: Int = DefaultBatchSize): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions.HashPrime
+    val records = df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(typeCol).as("media_type"),
+      col(binCol).as("content")).as[MediaRecord]
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { rec =>
+        val meta = codec.decode(rec)
+        val fs = Array.tabulate(dim) { j =>
+          (((meta.checksum * (2 * j + 1) + j) % HashPrime) % 1000L).toFloat / 1000f
+        }
+        MediaFeatures(meta.media_id, fs)
+      })
+    }
+  }
+
   /** Test/demo adapter: derive an opaque media table from the `documents`
     * corpus (payload = UTF-8 text bytes, modality round-robined by id).
     * Real pipelines read payloads from object-store parquet/binaryFile. */

@@ -37,6 +37,30 @@ class MultimodalSpec extends SparkSpec {
     assert(a.size == 50)
   }
 
+  test("sampleFrames expands one row per frame with rolling per-frame checksums") {
+    val spark0 = spark
+    import spark0.implicits._
+    // "ab": checksum 3105, byte_len 2 → n_frames = 1 + 2%30 = 3
+    val df = Seq((1L, "video", "ab".getBytes("UTF-8"))).toDF("media_id", "media_type", "content")
+    val frames = Multimodal.sampleFrames(df).collect().sortBy(_.frame_id)
+    assert(frames.length == 3)
+    assert(frames.map(_.frame_id).toSeq == Seq(0, 1, 2))
+    assert(frames(0).frame_checksum == (3105L * 31 + 0) % 1000000007L)
+    assert(frames(2).frame_checksum == (3105L * 31 + 2) % 1000000007L)
+  }
+
+  test("extractFeatures yields fixed-width vectors that feed similarity search") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(30)
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs), dim = 8)
+      .toDF().withColumnRenamed("media_id", "vec_id")
+      .withColumnRenamed("features", "embedding")
+    assert(feats.head().getSeq[Float](1).length == 8)
+    val q = feats.limit(1)
+    val top = SimilaritySearch.topKCosine(feats, q, k = 3, dim = 8).collect()
+    assert(top.length == 3)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-12) // self-match first
+  }
+
   test("checksum agrees with the expression-level rolling hash over ASCII text") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(20).cache()
