@@ -41,12 +41,13 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
+    // Iterate only over vertices that have edges: isolated vertices can
+    // never change label, so they are appended self-labeled at the end
+    // instead of riding through every propagation join (in near-dup graphs
+    // the edge subgraph is a tiny fraction of the corpus).
     val edgeVerts = sym.select(col("a").as("id")).distinct()
-    val allVerts = vertices
-      .map(v => v.select(col(v.columns.head).as("id")).union(edgeVerts).distinct())
-      .getOrElse(edgeVerts)
 
-    var labels = allVerts.select(col("id"), col("id").as("component"))
+    var labels = edgeVerts.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -69,6 +70,14 @@ object ConnectedComponents {
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIterations rounds")
-    labels
+    vertices match {
+      case None => labels
+      case Some(v) =>
+        val vs = v.select(col(v.columns.head).as("id"))
+        val isolated = vs.join(edgeVerts.withColumnRenamed("id", "eid"),
+            vs("id") === col("eid"), "left_anti")
+          .select(col("id"), col("id").as("component"))
+        labels.union(isolated)
+    }
   }
 }
