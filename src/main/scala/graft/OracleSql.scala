@@ -226,6 +226,51 @@ object OracleSql {
        |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
 
+  /** IVF ANN: centroids = vec_id < nlist, probe = nprobe nearest cells to
+    * the query, exact cosine re-rank within probed cells. Every cosine is
+    * the shared left-assoc chain, every tie-break explicit, so the
+    * approximate index is still exactly replayable. */
+  def ivfTopK(queryId: Long, k: Int, dim: Int, nlist: Int, nprobe: Int): String = {
+    val n2q = dotTerms("q.qv", "q.qv", dim)
+    val n2c = dotTerms("c.cv", "c.cv", dim)
+    val n2e = dotTerms("e.embedding", "e.embedding", dim)
+    val dotEC = dotTerms("e.embedding", "c.cv", dim)
+    val dotCQ = dotTerms("c.cv", "q.qv", dim)
+    val dotAQ = dotTerms("a.embedding", "q.qv", dim)
+    val n2a = dotTerms("a.embedding", "a.embedding", dim)
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $nlist),
+       |probe AS (SELECT c.cid FROM cent c CROSS JOIN q
+       |          ORDER BY ($dotCQ) / (sqrt($n2c) * sqrt($n2q)) DESC, c.cid ASC
+       |          LIMIT $nprobe),
+       |assign AS (SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ($dotEC) / (sqrt($n2e) * sqrt($n2c)) DESC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)
+       |SELECT a.vec_id, ($dotAQ) / (sqrt($n2a) * sqrt($n2q)) AS score
+       |FROM assign a CROSS JOIN q
+       |WHERE a.cid IN (SELECT cid FROM probe)
+       |ORDER BY score DESC, a.vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Knuth-mix bucket in [0,100) of a non-negative BIGINT id — mirrors
+    * `Sampling.bucket`. */
+  private def sampleBucket(idExpr: String): String =
+    s"(($idExpr * $Mix) % ${TextFunctions.TwoPow32}) % 100"
+
+  def stratifiedSample(rates: Seq[(String, Int)], defaultPct: Int,
+      strataCol: String, idCol: String): String = {
+    val cases = rates.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    s"""SELECT * FROM documents
+       |WHERE ${sampleBucket(idCol)} < (CASE $strataCol $cases ELSE $defaultPct END)""".stripMargin
+  }
+
+  def trainTestSplit(testPct: Int, idCol: String): String =
+    s"""SELECT *, CASE WHEN ${sampleBucket(idCol)} < $testPct
+       |THEN 'test' ELSE 'train' END AS split FROM documents""".stripMargin
+
   def embedNearDup(threshold: Double, dim: Int): String = {
     val n2 = dotTerms("embedding", "embedding", dim)
     val dotXY = dotTerms("x.v", "y.v", dim)

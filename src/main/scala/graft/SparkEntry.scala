@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, LookupTransform, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, LookupTransform, Multimodal, Sampling, SimilaritySearch, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -221,6 +221,23 @@ object SparkEntry {
     // Frame sampling: one row per (payload, frame) through the batch codec.
     "q29_multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()),
+
+    // IVF ANN top-10: driver-side centroid codebook, codegen'd cell
+    // assignment, nprobe-cell candidate filter, exact re-rank. Fully
+    // deterministic -> exact oracle (unlike q19's rows-only check).
+    "q30_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.annTopKIvf(e, e.filter(col("vec_id") === 0), k = 10)
+    }),
+
+    // Deterministic per-language downsampling (corpus rebalancing).
+    "q31_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"),
+        rates = Map("en" -> 20, "de" -> 50), defaultPct = 80)),
+
+    // Content-addressed train/test split (stable across runs and tables).
+    "q32_train_test_split" -> ((s, dir) =>
+      Sampling.trainTestSplit(t(s, dir, "documents"), testPct = 20)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -295,5 +312,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q28_dedup_components" -> OracleSql.dedupComponents(threshold = 0.6, maxDocFreq = 10000),
     "q29_multimodal_frames" -> OracleSql.multimodalFrames,
+    "q30_ivf_ann" -> OracleSql.ivfTopK(queryId = 0, k = 10, dim = 64, nlist = 16, nprobe = 4),
+    "q31_stratified_sample" -> OracleSql.stratifiedSample(
+      rates = Seq("en" -> 20, "de" -> 50), defaultPct = 80,
+      strataCol = "lang", idCol = "doc_id"),
+    "q32_train_test_split" -> OracleSql.trainTestSplit(testPct = 20, idCol = "doc_id"),
   )
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Deterministic sampling for training-data pipelines: hash-bucket
+ * sampling, per-stratum rate control, and train/test splitting. North-star
+ * extensions (SURVEY.md §2.3 Tier B); no analog in the reference
+ * (`Lookup.java` is join-only — the host platform has no sampler either).
+ *
+ * All three are *content-addressed* (a Knuth multiplicative mix of a stable
+ * id, reduced mod 100), not `rand()`-based, because at 100 TB a sample must
+ * be (a) reproducible across reruns and engines, (b) consistent across
+ * tables (the same id always lands in the same bucket, so a document and
+ * its derived rows stay in the same split), and (c) a pure narrow
+ * projection — no seed-state, no shuffle, evaluated inside whole-stage
+ * codegen and pushed against the scan.
+ *
+ * The bucket function is public arithmetic (`(id * 2654435761) mod 2^32
+ * mod 100`), so any engine — including the DuckDB oracle — replays it
+ * bit-identically.
+ */
+object Sampling {
+
+  /** Hash bucket in [0, 100) for a non-negative integer id column. */
+  def bucket(id: Column): Column =
+    pmod(TextFunctions.mix32(id.cast("long")), lit(100L))
+
+  /** Keep rows whose id-bucket falls below `pct` (≈ pct% of rows,
+    * deterministic). */
+  def hashSample(df: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame =
+    df.filter(bucket(col(idCol)) < pct)
+
+  /** Per-stratum sampling rates: rows in stratum s are kept at
+    * `rates(s)`% (default `defaultPct`% for unlisted strata). The rate
+    * CASE-chain is built over sorted keys so the plan is deterministic.
+    * The classic corpus rebalancer (e.g. downsample dominant languages). */
+  def stratifiedSample(df: DataFrame, rates: Map[String, Int], defaultPct: Int,
+      strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct).cast("long")) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < pct)
+  }
+
+  /** Adds a `split` column: "test" for ids bucketed below `testPct`,
+    * else "train". Id-addressed, so membership is stable across runs and
+    * joins (no leakage when derived tables are split independently). */
+  def trainTestSplit(df: DataFrame, testPct: Int,
+      idCol: String = "doc_id"): DataFrame =
+    df.withColumn("split",
+      when(bucket(col(idCol)) < testPct, lit("test")).otherwise(lit("train")))
+}

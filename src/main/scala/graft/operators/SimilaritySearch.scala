@@ -53,6 +53,60 @@ object SimilaritySearch {
       .filter(col("cosine") >= threshold)
   }
 
+  /** IVF-style ANN top-k: a small centroid table partitions the corpus
+    * into `nlist` cells; the query probes its `nprobe` nearest cells and
+    * re-ranks candidates by exact cosine.
+    *
+    * Centroids are the `nlist` lowest-id vectors — a deterministic public
+    * stand-in for a k-means codebook (the index *structure* is identical;
+    * training better centroids is an offline concern orthogonal to the
+    * query path). Like real IVF, the codebook is a driver-side model
+    * artifact: collected once (≤ nlist rows), then burned into the plan as
+    * literals, so cell assignment is ONE codegen'd projection — a
+    * `greatest` over per-centroid (cosine, -cid) structs — with no join
+    * and no shuffle. The full plan is scan → project → filter(probed
+    * cells) → TakeOrderedAndProject: at cluster scale the only data
+    * movement is the final top-k gather. Tie-breaks (max cosine, then min
+    * cid; final order score desc, id asc) are explicit, so the whole
+    * operator is deterministic and exactly SQL-oracleable — unlike
+    * hash-bucket ANN, the approximation is in the *index*, not the
+    * execution. */
+  def annTopKIvf(df: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val cents = df.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    require(cents.size >= 2, s"IVF needs >= 2 centroids, found ${cents.size}")
+    val qv = query.select(col(vecCol).cast("array<float>"))
+      .as[Array[Float]].head()
+    // Driver-side cosine with the same ascending-index double accumulation
+    // as DotProductF32 / the SQL oracle — bit-identical probe ordering.
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cosD(a: Array[Float], b: Array[Float]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val probed = cents.map { case (cid, cv) => (cosD(cv, qv), cid) }
+      .sortBy { case (c, cid) => (-c, cid) }.take(nprobe).map(_._2)
+    val best = greatest(cents.map { case (cid, cv) =>
+      struct(cosine(col(vecCol), typedLit(cv), dim).as("cos"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    val q = broadcast(query.select(col(vecCol).as("__qvec")))
+    df.withColumn("__cid", -best.getField("ncid"))
+      .filter(col("__cid").isin(probed: _*))
+      .crossJoin(q)
+      .select(col(idCol), cosine(col(vecCol), col("__qvec"), dim).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Approximate top-k: LSH-bucketed candidates (same sign-projection
     * bucket as the query) re-ranked by exact cosine. The bucket join
     * replaces the cross join; recall depends on nPlanes (more planes →

@@ -61,6 +61,63 @@ object StreamingOps {
         col("n_events"), col("n_users"), col("min_value"), col("max_value"))
   }
 
+  /**
+   * Streaming exact dedup with custom state: the first row per content key
+   * is emitted, later arrivals (same or later micro-batches) are dropped.
+   * `KeyValueGroupedDataset.flatMapGroupsWithState` holds one boolean of
+   * state per key — the designated Structured Streaming extension point
+   * for custom state machines.
+   *
+   * Scale notes: state is partitioned by key across the cluster (grows
+   * with distinct keys, not rows). With `stateTimeout = Some(d)` a key's
+   * state expires after `d` of processing-time inactivity, bounding the
+   * store — the standard dedup-window trade-off (a key re-appearing after
+   * expiry is treated as new). Caveats of `ProcessingTimeTimeout`: the
+   * engine schedules extra micro-batches to fire expirations (every
+   * execution "requires another batch"), so give the query a real trigger
+   * interval, and note `processAllAvailable()` never returns on such a
+   * query — tests use the default `None` (no expiry). For event-time
+   * bounded dedup prefer the built-in
+   * `withWatermark(...).dropDuplicatesWithinWatermark(key)`; this operator
+   * exists for the min-id keep rule + the custom-state extension point.
+   * Within a micro-batch the kept row is the minimum id (deterministic
+   * under shuffle order). Batch analog: `Dedup.exact`.
+   *
+   * Input contract: (`idCol`: long, `keyCol`: string) — key on a content
+   * hash (e.g. `TextFunctions.rollingHash`/md5) for text dedup.
+   */
+  def streamingDedup(stream: DataFrame, idCol: String = "doc_id",
+      keyCol: String = "content_key",
+      stateTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (stateTimeout.isDefined) {
+      GroupStateTimeout.ProcessingTimeTimeout()
+    } else GroupStateTimeout.NoTimeout()
+    val pairs = stream
+      .select(col(idCol).cast("long"), col(keyCol).cast("string"))
+      .as[(Long, String)]
+    pairs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[(Long, String)], state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty // key already seen in an earlier batch
+          } else {
+            state.update(true)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            val first = rows.minBy(_._1) // deterministic within-batch pick
+            Iterator.single(first)
+          }
+      }
+      .toDF(idCol, keyCol)
+  }
+
   /** Gap-based sessionization per user via Spark's native `session_window`
     * (merges events closer than `gap`; session end = last event + gap).
     * The same call runs under Structured Streaming with a watermark —

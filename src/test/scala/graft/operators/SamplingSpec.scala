@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Tests for deterministic sampling: reproducibility (same input → same
+ * rows), stratified rate ordering, split stability and partition (every
+ * row in exactly one of train/test).
+ */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("hashSample is deterministic and roughly proportional") {
+    val a = Sampling.hashSample(docs, pct = 30).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(docs, pct = 30).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    val n = docs.count().toDouble
+    assert(a.length > n * 0.15 && a.length < n * 0.45) // ~30%, loose bound
+  }
+
+  test("hashSample is monotone in pct: smaller sample nests inside larger") {
+    val small = Sampling.hashSample(docs, pct = 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.hashSample(docs, pct = 40).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val sampled = Sampling.stratifiedSample(docs, rates = Map("en" -> 0), defaultPct = 100)
+    val langs = sampled.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(!langs.contains("en"))
+    assert(sampled.count() == docs.filter(col("lang") =!= "en").count())
+  }
+
+  test("trainTestSplit partitions every row, stable across calls") {
+    val s1 = Sampling.trainTestSplit(docs, testPct = 20)
+    assert(s1.count() == docs.count())
+    val bySplit = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "test")))
+    assert(bySplit.getOrElse("test", 0L) > 0 && bySplit.getOrElse("train", 0L) > 0)
+    // same ids land in the same split on a rerun (content-addressed)
+    val t1 = s1.filter(col("split") === "test").select("doc_id").collect().map(_.getLong(0)).sorted
+    val t2 = Sampling.trainTestSplit(docs, testPct = 20)
+      .filter(col("split") === "test").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(t1.sameElements(t2))
+  }
+}

@@ -33,6 +33,31 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: self-match first, exact scores, candidates confined to probed cells") {
+    val e = emb.cache()
+    val q = e.filter(col("vec_id") === 0)
+    val ivf = SimilaritySearch.annTopKIvf(e, q, k = 10, nlist = 16, nprobe = 4).collect()
+    assert(ivf.nonEmpty)
+    // vec 0 is a centroid, assigned to its own cell, which the query (== vec 0) probes first
+    assert(ivf.head.getLong(0) == 0L)
+    assert(math.abs(ivf.head.getDouble(1) - 1.0) < 1e-12)
+    val scores = ivf.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // re-rank is exact: every IVF score equals the brute-force cosine for that id
+    val exact = SimilaritySearch.topKCosine(e, q, k = e.count().toInt).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach(r => assert(exact(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("IVF ANN with all cells probed == exact brute-force top-k") {
+    val e = emb.cache()
+    val q = e.filter(col("vec_id") === 0)
+    val all = SimilaritySearch.annTopKIvf(e, q, k = 10, nlist = 16, nprobe = 16).collect()
+    val exact = SimilaritySearch.topKCosine(e, q, k = 10).collect()
+    assert(all.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("ANN LSH returns the self-match and a subset of brute-force candidates' scores") {
     val e = emb.cache()
     val q = e.filter(col("vec_id") === 0)

@@ -85,6 +85,24 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup keeps min-id first occurrence, suppresses later batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingDedup(input.toDF().toDF("doc_id", "content_key"))
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      input.addData((2L, "a"), (1L, "a"), (3L, "b"))
+      q.processAllAvailable()
+      input.addData((4L, "a"), (5L, "c")) // "a" already seen in batch 1
+      q.processAllAvailable()
+      val rows = spark.table("dedup_test").collect()
+        .map(r => r.getString(1) -> r.getLong(0)).toMap
+      assert(rows == Map("a" -> 1L, "b" -> 3L, "c" -> 5L))
+    } finally q.stop()
+  }
+
   test("stream-static enrich: lookup semantics per micro-batch (left outer, broadcast)") {
     val spark0 = spark
     import spark0.implicits._
