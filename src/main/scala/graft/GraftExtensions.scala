@@ -16,7 +16,8 @@ import graft.functions.catalyst._
  * Exposed functions (names prefixed to avoid any builtin collision):
  *   graft_rolling_hash(str), graft_simhash32(array<string>),
  *   graft_shingle_hashes(str, n), graft_minhash_sig(array<long>, k),
- *   graft_dot_f32(array<float>, array<float>).
+ *   graft_dot_f32(array<float>, array<float>),
+ *   graft_srp_bucket(array<float>, dim, nPlanes).
  * Integer parameters must be foldable literals (resolved at plan time).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -43,7 +44,9 @@ object GraftExtensions {
       ShingleHashes(es.head, litInt(es(1), "shingle width n"))),
     "graft_minhash_sig" -> ((es: Seq[Expression]) =>
       MinHashSig(es.head, litInt(es(1), "signature width k"))),
-    "graft_dot_f32" -> ((es: Seq[Expression]) => DotProductF32(es.head, es(1))))
+    "graft_dot_f32" -> ((es: Seq[Expression]) => DotProductF32(es.head, es(1))),
+    "graft_srp_bucket" -> ((es: Seq[Expression]) =>
+      SrpBucketF32(es.head, litInt(es(1), "dim"), litInt(es(2), "nPlanes"))))
 
   /** Register all functions on an existing session. */
   def register(spark: SparkSession): Unit =

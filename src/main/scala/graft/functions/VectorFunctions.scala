@@ -56,8 +56,14 @@ object VectorFunctions {
     ((j.toLong * dim + i) * TextFunctions.Mix) % TextFunctions.TwoPow32 - (1L << 31)
 
   /** Sign-random-projection LSH bucket id over `nPlanes` hyperplanes:
-    * bit j is set iff dot(plane_j, v) > 0. */
+    * bit j is set iff dot(plane_j, v) > 0. Native codegen'd expression;
+    * the unrolled formulation ([[lshBucketHof]]) is kept for parity
+    * tests. */
   def lshBucket(v: Column, dim: Int, nPlanes: Int): Column =
+    native(catalyst.SrpBucketF32(expr(v), dim, nPlanes))
+
+  /** Unrolled-expression formulation of [[lshBucket]] (parity twin). */
+  def lshBucketHof(v: Column, dim: Int, nPlanes: Int): Column =
     (0 until nPlanes).map { j =>
       val proj = (1 to dim)
         .map(i => element_at(v, i).cast("double") * lit(planeWeight(j, i, dim).toDouble))

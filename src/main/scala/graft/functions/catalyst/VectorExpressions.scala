@@ -48,3 +48,65 @@ case class DotProductF32(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProductF32 = copy(left = newLeft, right = newRight)
 }
+
+/**
+ * Sign-random-projection LSH bucket over an `array<float>` vector: bit j
+ * of the result is set iff the dot product with deterministic public
+ * hyperplane j is > 0 (planes from the Knuth-mix formula in
+ * `VectorFunctions.planeWeight` — replayable by any engine). Semantically
+ * identical to the unrolled `lshBucketHof` chain (same ascending-index
+ * left-assoc accumulation), but one tight nested loop instead of a
+ * dim×nPlanes expression tree — the 512-node tree was the q19 hot spot.
+ */
+case class SrpBucketF32(child: Expression, dim: Int, nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import graft.functions.TextFunctions.{Mix, TwoPow32}
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_srp_bucket"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      var proj = 0.0
+      var a = 0
+      while (a < n) {
+        val w = ((j.toLong * dim + (a + 1)) * Mix) % TwoPow32 - (1L << 31)
+        proj += v.getFloat(a).toDouble * w.toDouble
+        a += 1
+      }
+      if (proj > 0) bucket += 1L << j
+      j += 1
+    }
+    bucket
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val a = ctx.freshName("a")
+      val w = ctx.freshName("w")
+      val proj = ctx.freshName("proj")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = Math.min($dim, $c.numElements());
+         |long $bucket = 0L;
+         |for (int $j = 0; $j < $nPlanes; $j++) {
+         |  double $proj = 0.0;
+         |  for (int $a = 0; $a < $n; $a++) {
+         |    long $w = (((long) $j * $dim + ($a + 1)) * ${Mix}L) % ${TwoPow32}L - (1L << 31);
+         |    $proj += (double) $c.getFloat($a) * (double) $w;
+         |  }
+         |  if ($proj > 0) $bucket += 1L << $j;
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucketF32 =
+    copy(child = newChild)
+}

@@ -56,17 +56,18 @@ object ConnectedComponents {
         .join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("id"))
         .agg(min(col("component")).as("nb_min"))
+      // Carry the previous label through the projection so convergence is
+      // a filter over the checkpointed result, not another join.
       val updated = labels.as("l")
         .join(nbMin.as("n"), col("l.id") === col("n.id"), "left")
-        .select(col("l.id").as("id"),
+        .select(col("l.id").as("id"), col("l.component").as("prev"),
           least(col("l.component"), coalesce(col("n.nb_min"), col("l.component")))
             .as("component"))
         .localCheckpoint(true)
-      val changed = updated.as("u").join(labels.as("o"), col("u.id") === col("o.id"))
-        .filter(col("u.component") =!= col("o.component"))
+      val changed = updated.filter(col("component") =!= col("prev"))
         .limit(1).count()
       converged = changed == 0
-      labels = updated
+      labels = updated.select("id", "component")
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIterations rounds")

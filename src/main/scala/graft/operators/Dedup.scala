@@ -45,10 +45,12 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")))
 
-  /** Inverted index (id, shingle-hash) with ubiquitous shingles (document
-    * frequency > maxDocFreq) removed — mirrors the SQL oracle's HAVING cap. */
+  /** Inverted index (id, sz, shingle-hash) with ubiquitous shingles
+    * (document frequency > maxDocFreq) removed — mirrors the SQL oracle's
+    * HAVING cap. The set size rides along so downstream Jaccard math needs
+    * no join back to the sets (sz is functionally dependent on id). */
   private def invertedIndex(sets: DataFrame, maxDocFreq: Int): DataFrame = {
-    val inv = sets.select(col("id"), explode(col("hs")).as("h"))
+    val inv = sets.select(col("id"), col("sz"), explode(col("hs")).as("h"))
     val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select("h")
     inv.join(rare, "h")
@@ -68,16 +70,13 @@ object Dedup {
       maxDocFreq: Int = 10000): DataFrame = {
     val sets = withShingleSets(docs, idCol, textCol, n).cache()
     val inv = invertedIndex(sets, maxDocFreq)
-    val inter = inv.as("x").join(inv.as("y"),
+    inv.as("x").join(inv.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .groupBy(col("x.id").as("id_a"), col("x.sz").as("sz_a"),
+        col("y.id").as("id_b"), col("y.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sets.select(col("id"), col("sz"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("sa.sz") + col("sb.sz") - col("inter")))
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

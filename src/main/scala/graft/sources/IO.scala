@@ -87,6 +87,21 @@ object IO {
     df.sparkSession.read.format(format).load(path)
   }
 
+  /** Balanced training-shard write: exactly `nShards` output files with
+    * near-equal row counts, rows assigned by a deterministic hash of
+    * `idCol` (NOT round-robin, which depends on input partition order — a
+    * rerun or a different source layout would scramble shard membership).
+    * `repartition(n, expr)` hash-shuffles once; each shard is one task →
+    * one file, so downstream loaders stream shards independently. */
+  def writeShards(df: DataFrame, path: String, nShards: Int,
+      idCol: String, format: String = "parquet",
+      mode: String = "overwrite"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(nShards, col(idCol))
+      .write.format(format).mode(mode).save(path)
+    df.sparkSession.read.format(format).load(path)
+  }
+
   /** Bucketed + sorted managed table: equi-joins/aggregations on
     * `bucketCols` between tables with matching bucketing read without a
     * shuffle (and merge without a sort when `sortCols` match). */

@@ -61,6 +61,14 @@ class HashExpressionsSpec extends SparkSpec {
     assert(pairs.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("native SRP bucket == unrolled plane chain, every vector") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val d = emb.select(
+      VectorFunctions.lshBucket(col("embedding"), 64, 8).as("a"),
+      VectorFunctions.lshBucketHof(col("embedding"), 64, 8).as("b"))
+    assert(d.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("native expressions survive both codegen and interpreted eval paths") {
     // force interpreted path by disabling whole-stage codegen
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")

@@ -69,6 +69,24 @@ class IOSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("shard write: exactly nShards files, lossless, stable membership across reruns") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out1 = java.nio.file.Files.createTempDirectory("graft_shards1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_shards2").toString
+    val r1 = IO.writeShards(docs, out1, nShards = 4, idCol = "doc_id")
+    assert(r1.count() == docs.count())
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files(out1).length == 4)
+    // deterministic membership: rerun (different input partitioning) puts
+    // every doc_id in the same shard file index
+    IO.writeShards(docs.repartition(7), out2, nShards = 4, idCol = "doc_id")
+    def membership(p: String) = files(p).zipWithIndex.flatMap { case (f, i) =>
+      spark.read.parquet(f.getPath).select("doc_id").collect().map(_.getLong(0) -> i)
+    }.toMap
+    assert(membership(out1) == membership(out2))
+  }
+
   test("salted join == plain join on a skewed dataset (inner and left)") {
     val spark0 = spark
     import spark0.implicits._
