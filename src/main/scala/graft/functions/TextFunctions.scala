@@ -133,8 +133,20 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
 
-  /** Stopword hit count over a fixed public marker list. */
-  def markerCount(toks: Column, markers: Seq[String]): Column =
+  /** Stopword hit count over a fixed public marker list: whole-token
+    * matches counted in one regex pass. Token-equality equivalent on
+    * single-space-tokenized text (the corpus contract — see [[tokens]]):
+    * the lookahead keeps the trailing delimiter unconsumed so adjacent
+    * markers all count. Formulated this way because lambda HOFs are
+    * CodegenFallback and knock the whole projection out of whole-stage
+    * codegen; [[markerCountHof]] is the parity twin. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(regexp_extract_all(text,
+      lit("(?:^| )(?:" + markers.mkString("|") + ")(?= |$)"), lit(0)))
+
+  /** Lambda formulation of [[markerCount]] over a token array (parity
+    * twin; interpreted). */
+  def markerCountHof(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers: _*)))
 
   /** Per-language marker lists for the n-gram/stopword language-ID
@@ -149,8 +161,8 @@ object TextFunctions {
     * deterministic tiebreak (earlier list order wins); all counts zero →
     * "und" per BCP-47 "undetermined". The CASE chain shape is mirrored
     * verbatim in the SQL oracle. */
-  def langId(toks: Column): Column = {
-    val counts = LangMarkers.map { case (lang, ws) => lang -> markerCount(toks, ws) }
+  def langId(text: Column): Column = {
+    val counts = LangMarkers.map { case (lang, ws) => lang -> markerCount(text, ws) }
     val anyHit = counts.map(_._2).reduce(_ + _) > 0
     // CASE WHEN c0 >= c1 AND c0 >= c2 ... THEN lang0 WHEN c1 >= c2 ... THEN lang1 ...
     val best = counts.zipWithIndex.init.foldRight(lit(counts.last._1)) {

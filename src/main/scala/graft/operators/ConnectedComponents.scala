@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
  *   - `localCheckpoint` per round truncates the lineage so the plan
  *     doesn't grow with the iteration count (the classic iterative-Spark
  *     failure mode);
- *   - the driver only ever sees one Boolean per round (the convergence
- *     check), never row data.
+ *   - the driver only ever sees one scalar per round (the label-sum
+ *     convergence check), never row data.
  */
 object ConnectedComponents {
 
@@ -47,27 +47,35 @@ object ConnectedComponents {
     // the edge subgraph is a tiny fraction of the corpus).
     val edgeVerts = sym.select(col("a").as("id")).distinct()
 
+    // Self-loops make one join+groupBy compute min(own, neighbors) in a
+    // single pass — no second join to merge the previous label back in.
+    val symAll = sym
+      .union(edgeVerts.select(col("id").as("a"), col("id").as("b")))
+      .localCheckpoint(true)
+
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+
     var labels = edgeVerts.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    // Labels are per-vertex monotone non-increasing, so the total is
+    // strictly decreasing until fixpoint: an unchanged sum IS convergence
+    // (decimal sum — a 64-bit sum could overflow at cluster-scale id
+    // ranges). One scalar to the driver per round, no row compare.
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val nbMin = sym
-        .join(labels, sym("b") === labels("id"))
-        .groupBy(sym("a").as("id"))
-        .agg(min(col("component")).as("nb_min"))
-      // Carry the previous label through the projection so convergence is
-      // a filter over the checkpointed result, not another join.
-      val updated = labels.as("l")
-        .join(nbMin.as("n"), col("l.id") === col("n.id"), "left")
-        .select(col("l.id").as("id"), col("l.component").as("prev"),
-          least(col("l.component"), coalesce(col("n.nb_min"), col("l.component")))
-            .as("component"))
+      val updated = symAll
+        .join(labels, symAll("b") === labels("id"))
+        .groupBy(symAll("a").as("id"))
+        .agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      val changed = updated.filter(col("component") =!= col("prev"))
-        .limit(1).count()
-      converged = changed == 0
-      labels = updated.select("id", "component")
+      val s = labelSum(updated)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = updated
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIterations rounds")

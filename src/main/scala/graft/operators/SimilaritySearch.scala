@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -73,38 +73,98 @@ object SimilaritySearch {
     * execution. */
   def annTopKIvf(df: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
+      codebook: Option[Seq[Array[Float]]] = None): DataFrame = {
     val session = df.sparkSession
     import session.implicits._
-    val cents = df.filter(col(idCol) < nlist)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val cents: Seq[(Long, Array[Float])] = codebook match {
+      case Some(cs) => cs.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+      case None => df.filter(col(idCol) < nlist)
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    }
     require(cents.size >= 2, s"IVF needs >= 2 centroids, found ${cents.size}")
     val qv = query.select(col(vecCol).cast("array<float>"))
       .as[Array[Float]].head()
-    // Driver-side cosine with the same ascending-index double accumulation
-    // as DotProductF32 / the SQL oracle — bit-identical probe ordering.
-    def dotD(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    def cosD(a: Array[Float], b: Array[Float]): Double =
-      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
     val probed = cents.map { case (cid, cv) => (cosD(cv, qv), cid) }
       .sortBy { case (c, cid) => (-c, cid) }.take(nprobe).map(_._2)
-    val best = greatest(cents.map { case (cid, cv) =>
-      struct(cosine(col(vecCol), typedLit(cv), dim).as("cos"),
-        lit(-cid).as("ncid"))
-    }: _*)
     val q = broadcast(query.select(col(vecCol).as("__qvec")))
-    df.withColumn("__cid", -best.getField("ncid"))
+    df.withColumn("__cid", cellAssign(col(vecCol), cents, dim))
       .filter(col("__cid").isin(probed: _*))
       .crossJoin(q)
       .select(col(idCol), cosine(col(vecCol), col("__qvec"), dim).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Nearest-cell id for a vector against a literal codebook: ONE
+    * codegen'd `greatest` over per-centroid (cosine, -cid) structs — max
+    * cosine, ties to the lowest cid. No join, no shuffle. */
+  private def cellAssign(v: Column, cents: Seq[(Long, Array[Float])],
+      dim: Int): Column =
+    -greatest(cents.map { case (cid, cv) =>
+      struct(cosine(v, typedLit(cv), dim).as("cos"), lit(-cid).as("ncid"))
+    }: _*).getField("ncid")
+
+  /** Driver-side dot/cosine with the same ascending-index double
+    * accumulation as DotProductF32 / the SQL oracle — bit-identical
+    * ordering wherever driver and executor math meet. */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def cosD(a: Array[Float], b: Array[Float]): Double =
+    dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+
+  /**
+   * Spherical k-means codebook training for the IVF index: Lloyd
+   * iterations with cosine assignment, seeded deterministically with the
+   * `nlist` lowest-id vectors.
+   *
+   * Spark shape per iteration: assignment is the same single codegen'd
+   * projection the query path uses (codebook as literals — no join), and
+   * the mean update is one `groupBy(cell)` over `dim` per-component sums
+   * with map-side partial aggregation, so the shuffle carries at most
+   * `nlist × dim` doubles per map task regardless of corpus size — the
+   * canonical scalable k-means step. The driver only ever holds the
+   * codebook (`nlist × dim` floats), never row data.
+   *
+   * Determinism note: per-component sums are floating-point reductions
+   * whose association order depends on partitioning, so trained centroids
+   * can differ at the last ulp across cluster layouts (inherent to any
+   * distributed mean). The *query* path stays exact for whatever codebook
+   * is passed; the SQL-oracled q30 uses the seed codebook, which is fully
+   * replayable.
+   */
+  def trainIvfCentroids(df: DataFrame, nlist: Int = 16, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): Seq[Array[Float]] = {
+    val session = df.sparkSession
+    import session.implicits._
+    var cents: Seq[Array[Float]] = df.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2).toSeq
+    require(cents.size >= 2, s"k-means needs >= 2 seeds, found ${cents.size}")
+    val sumCols = (1 to dim).map(i =>
+      sum(element_at(col("__v"), i).cast("double")).as(s"s$i"))
+    for (_ <- 1 to iters) {
+      val indexed = cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+      val cellMeans = df
+        .select(cellAssign(col(vecCol), indexed, dim).as("__cell"),
+          col(vecCol).as("__v"))
+        .groupBy("__cell")
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          r.getLong(0).toInt -> Array.tabulate(dim)(i => (r.getDouble(i + 2) / n).toFloat)
+        }.toMap
+      // empty cells keep their previous centroid (standard Lloyd fallback)
+      cents = cents.zipWithIndex.map { case (old, i) => cellMeans.getOrElse(i, old) }
+    }
+    cents
   }
 
   /** Approximate top-k: LSH-bucketed candidates (same sign-projection

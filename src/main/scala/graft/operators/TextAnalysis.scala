@@ -47,7 +47,7 @@ object TextAnalysis {
     val toks = tokens(col(textCol))
     val nToks = size(toks)
     val nUniq = size(array_distinct(toks))
-    val stops = markerCount(toks, LangMarkers.head._2) // English stopword list
+    val stops = markerCount(col(textCol), LangMarkers.head._2) // English stopword list
     val meanTokLen = (length(col(textCol)) - (nToks - 1)).cast("double") / nToks
     val ttr = nUniq.cast("double") / nToks
     val stopRatio = stops.cast("double") / nToks
@@ -110,7 +110,7 @@ object TextAnalysis {
   /** Language identification by stopword-marker voting (TextFunctions
     * .langId); emits the prediction next to the document id. */
   def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), langId(tokens(col(textCol))).as("lang_pred"))
+    docs.select(col(idCol), langId(col(textCol)).as("lang_pred"))
 
   /** Content fingerprints: MD5 (exact-dup key), a base-31 rolling hash
     * (cheap order-sensitive fingerprint), and a 32-bit SimHash (near-dup

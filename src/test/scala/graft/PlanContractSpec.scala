@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SimilaritySearch, TextAnalysis}
+
+/**
+ * Plan contracts: the physical-plan properties the 100 TB posture depends
+ * on, asserted so a refactor can't silently regress them. These are the
+ * claims SURVEY.md §2.3 makes per operator — broadcast (not sort-merge)
+ * lookup joins, parquet filter pushdown, top-k without a global sort, and
+ * shuffle-free IVF candidate generation.
+ */
+class PlanContractSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("lookup join plans as broadcast hash join, never sort-merge") {
+    val p = plan(SparkEntry.queries("q1_lookup_basic")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  private def hasShuffle(p: String): Boolean =
+    p.contains("Exchange hashpartitioning") ||
+      p.contains("Exchange rangepartitioning") ||
+      p.contains("Exchange SinglePartition")
+
+  test("exact top-k plans as TakeOrderedAndProject (no global sort)") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = plan(SimilaritySearch.topKCosine(e, e.filter(col("vec_id") === 0), k = 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("IVF ANN candidate generation has no shuffle exchange at all") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = plan(SimilaritySearch.annTopKIvf(e, e.filter(col("vec_id") === 0), k = 10))
+    assert(!hasShuffle(p), s"unexpected shuffle in IVF plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("filters reach the parquet scan as pushed filters") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(docs.filter(col("lang") === "en").select("doc_id", "lang"))
+    assert(p.contains("EqualTo(lang,en)"), p)
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(docs.select("doc_id", "lang"))
+    assert(p.contains("struct<doc_id:bigint,lang:string>"), p)
+  }
+
+  test("per-row text analysis stays inside whole-stage codegen") {
+    // codegen'd stages print with a `*(n)` marker; an unstarred Project
+    // means something (e.g. a lambda HOF) fell back to interpreted eval
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    assert(plan(TextAnalysis.quality(docs)).contains("*(1) Project"))
+    assert(plan(TextAnalysis.languageId(docs)).contains("*(1) Project"))
+  }
+}

@@ -61,6 +61,15 @@ class HashExpressionsSpec extends SparkSpec {
     assert(pairs.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("regex marker count == lambda token filter on the corpus (every language list)") {
+    TextFunctions.LangMarkers.foreach { case (_, markers) =>
+      val d = docs.select(
+        TextFunctions.markerCount(col("text"), markers).as("a"),
+        TextFunctions.markerCountHof(split(col("text"), " "), markers).as("b"))
+      assert(d.filter(col("a") =!= col("b")).count() == 0)
+    }
+  }
+
   test("native SRP bucket == unrolled plane chain, every vector") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val d = emb.select(

@@ -58,6 +58,30 @@ class SimilaritySearchSpec extends SparkSpec {
       exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("k-means codebook training improves assignment quality, query path stays exact") {
+    val e = emb.cache()
+    val seed = SimilaritySearch.trainIvfCentroids(e, nlist = 8, iters = 0)
+    val trained = SimilaritySearch.trainIvfCentroids(e, nlist = 8, iters = 5)
+    assert(seed.size == 8 && trained.size == 8)
+    assert(trained.forall(_.length == 64))
+    // mean best-cell cosine must not degrade after Lloyd iterations
+    def quality(cb: Seq[Array[Float]]): Double = {
+      val best = greatest(cb.map(cv =>
+        graft.functions.VectorFunctions.cosine(col("embedding"),
+          typedLit(cv), 64)): _*)
+      e.select(avg(best)).collect().head.getDouble(0)
+    }
+    assert(quality(trained) >= quality(seed) - 1e-9)
+    // a trained codebook plugs into the same exact-re-rank query path
+    val q = e.filter(col("vec_id") === 0)
+    val ivf = SimilaritySearch.annTopKIvf(e, q, k = 10, nprobe = 3,
+      codebook = Some(trained)).collect()
+    assert(ivf.nonEmpty)
+    val exact = SimilaritySearch.topKCosine(e, q, k = e.count().toInt).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach(r => assert(exact(r.getLong(0)) == r.getDouble(1)))
+  }
+
   test("ANN LSH returns the self-match and a subset of brute-force candidates' scores") {
     val e = emb.cache()
     val q = e.filter(col("vec_id") === 0)
