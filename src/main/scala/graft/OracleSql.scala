@@ -271,6 +271,26 @@ object OracleSql {
     s"""SELECT *, CASE WHEN ${sampleBucket(idCol)} < $testPct
        |THEN 'test' ELSE 'train' END AS split FROM documents""".stripMargin
 
+  /** Mirror of Dedup.decontaminate over a hashSample(pct) eval set: drop
+    * documents whose md5 matches a sampled fingerprint. */
+  def decontaminate(evalPct: Int, idCol: String): String =
+    s"""SELECT d.* FROM documents d
+       |WHERE md5(d.text) NOT IN
+       |  (SELECT md5(text) FROM documents WHERE ${sampleBucket(idCol)} < $evalPct)""".stripMargin
+
+  /** Mirror of TextAnalysis.packSequences: contiguous per-group layout in
+    * id order, integer-exact start-offset bucketing. */
+  def packSequences(budget: Int, groupCol: String, idCol: String): String =
+    s"""WITH t AS (SELECT $idCol, $groupCol,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+       |c AS (SELECT $idCol, $groupCol, n_tokens,
+       |    (SUM(n_tokens) OVER (PARTITION BY $groupCol ORDER BY $idCol
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |      - n_tokens AS start_off FROM t)
+       |SELECT $idCol, $groupCol, n_tokens,
+       |  start_off // $budget AS seq_id, start_off % $budget AS seq_offset
+       |FROM c""".stripMargin
+
   def embedNearDup(threshold: Double, dim: Int): String = {
     val n2 = dotTerms("embedding", "embedding", dim)
     val dotXY = dotTerms("x.v", "y.v", dim)

@@ -238,6 +238,17 @@ object SparkEntry {
     // Content-addressed train/test split (stable across runs and tables).
     "q32_train_test_split" -> ((s, dir) =>
       Sampling.trainTestSplit(t(s, dir, "documents"), testPct = 20)),
+
+    // Eval-set decontamination: drop docs whose md5 appears in a
+    // (deterministically sampled) stand-in eval set; broadcast anti-join.
+    "q33_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, Sampling.hashSample(docs, pct = 5))
+    }),
+
+    // Sequence packing: contiguous fixed-budget layout per language.
+    "q34_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"), budgetTokens = 1024)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -317,5 +328,8 @@ object SparkEntry {
       rates = Seq("en" -> 20, "de" -> 50), defaultPct = 80,
       strataCol = "lang", idCol = "doc_id"),
     "q32_train_test_split" -> OracleSql.trainTestSplit(testPct = 20, idCol = "doc_id"),
+    "q33_decontaminate" -> OracleSql.decontaminate(evalPct = 5, idCol = "doc_id"),
+    "q34_pack_sequences" -> OracleSql.packSequences(budget = 1024,
+      groupCol = "lang", idCol = "doc_id"),
   )
 }

@@ -35,6 +35,19 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Eval-set decontamination: drop every document whose content
+    * fingerprint (md5 of `textCol`) appears in `evalSet` — the standard
+    * guard against benchmark/eval leakage into training data. The
+    * fingerprint side is distinct'd and broadcast, so the corpus scan
+    * never shuffles: a broadcast LEFT ANTI join is the lookup operator's
+    * dual (keep what does NOT match). Swap md5 for a normalized or
+    * n-gram fingerprint upstream for fuzzier containment checks. */
+  def decontaminate(docs: DataFrame, evalSet: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val sigs = evalSet.select(md5(col(textCol)).as("__sig")).distinct()
+    docs.join(broadcast(sigs), md5(docs(textCol)) === col("__sig"), "left_anti")
+  }
+
   /** Per-doc distinct shingle-hash sets with set size; docs with fewer
     * than `n` tokens (empty shingle set) are dropped — they cannot reach
     * any positive Jaccard threshold. */

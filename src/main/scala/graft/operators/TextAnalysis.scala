@@ -107,6 +107,32 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Sequence packing for training: documents are laid out contiguously
+    * per group in id order, and each document is assigned to the
+    * fixed-token-budget sequence containing its start offset (greedy
+    * contiguous fill — documents may straddle a boundary; the trainer's
+    * sample-splitting handles that, as usual for packed pretraining data).
+    * Integer-exact: one window cumulative sum and integer division, so
+    * the layout is deterministic and SQL-replayable.
+    *
+    * One shuffle on `groupCol`. With few/huge groups (e.g. packing a
+    * whole language), partition instead by a composite key — e.g.
+    * `(lang, Sampling.bucket(id))` — and pack each bucket independently;
+    * packing quality is unaffected since sequences never span groups. */
+  def packSequences(docs: DataFrame, budgetTokens: Int,
+      groupCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nToks = size(tokens(col(textCol))).cast("long")
+    docs.select(col(idCol), col(groupCol), nToks.as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        expr(s"start_off div $budgetTokens").as("seq_id"),
+        pmod(col("start_off"), lit(budgetTokens.toLong)).as("seq_offset"))
+  }
+
   /** Language identification by stopword-marker voting (TextFunctions
     * .langId); emits the prediction next to the document id. */
   def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -34,6 +34,15 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.count() == docs.filter(col("lang") =!= "en").count())
   }
 
+  test("decontaminate removes exactly the eval-set content, keeps the rest") {
+    val eval = Sampling.hashSample(docs, pct = 10)
+    val clean = Dedup.decontaminate(docs, eval)
+    assert(clean.count() == docs.count() - eval.count()) // corpus texts unique per doc
+    val evalIds = eval.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds.intersect(evalIds).isEmpty)
+  }
+
   test("trainTestSplit partitions every row, stable across calls") {
     val s1 = Sampling.trainTestSplit(docs, testPct = 20)
     assert(s1.count() == docs.count())

@@ -108,6 +108,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getString(1) == "hello world x1")
   }
 
+  test("packSequences: contiguous layout, budget respected, straddling allowed") {
+    // budget 5: doc1 (3 toks) [seq 0 off 0], doc2 (3 toks) [starts at 3 →
+    // seq 0 off 3, straddles], doc3 (2 toks) [starts at 6 → seq 1 off 1]
+    val df = docs((1L, "en", "a b c"), (2L, "en", "d e f"), (3L, "en", "g h"),
+      (4L, "fr", "u v w x y z")) // other group restarts at offset 0
+    val out = TextAnalysis.packSequences(df, budgetTokens = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((0L, 3L)))
+    assert(out(3L) == ((1L, 1L)))
+    assert(out(4L) == ((0L, 0L)))
+  }
+
   test("simhash of identical token multisets is identical; permutations too (order-free)") {
     import org.apache.spark.sql.functions._
     val df = docs((1L, "en", "x y z"), (2L, "en", "z y x"), (3L, "en", "p q r"))
