@@ -211,9 +211,13 @@ object SparkEntry {
     // Near-dup clusters: connected components (min-label propagation)
     // over the exact n-gram-Jaccard pair graph; isolated docs keep their
     // own id as component.
+    // Candidate pairs come from the MinHash+LSH scale path; at this
+    // banding and threshold its output equals the exact inverted-index
+    // operator's (see q15, which shares q14's oracle), so the component
+    // closure — and this query's oracle — are unchanged.
     "q28_dedup_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b")
+      val pairs = Dedup.minhashLshPairs(docs).select("id_a", "id_b")
       ConnectedComponents(pairs, vertices = Some(docs.select("doc_id")))
         .select(col("id").as("doc_id"), col("component"))
     }),

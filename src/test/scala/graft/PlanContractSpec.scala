@@ -53,6 +53,12 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("struct<doc_id:bigint,lang:string>"), p)
   }
 
+  test("top-k per group plans with WindowGroupLimit (map-side partial top-k)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(TextAnalysis.topKPerGroup(docs, k = 3))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("per-row text analysis stays inside whole-stage codegen") {
     // codegen'd stages print with a `*(n)` marker; an unstarred Project
     // means something (e.g. a lambda HOF) fell back to interpreted eval
