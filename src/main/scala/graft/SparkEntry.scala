@@ -253,6 +253,10 @@ object SparkEntry {
     // Sequence packing: contiguous fixed-budget layout per language.
     "q34_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(t(s, dir, "documents"), budgetTokens = 1024)),
+
+    // Curriculum deciles: per-language NTILE over a quality proxy.
+    "q35_quality_buckets" -> ((s, dir) =>
+      TextAnalysis.qualityBuckets(t(s, dir, "documents"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -335,5 +339,9 @@ object SparkEntry {
     "q33_decontaminate" -> OracleSql.decontaminate(evalPct = 5, idCol = "doc_id"),
     "q34_pack_sequences" -> OracleSql.packSequences(budget = 1024,
       groupCol = "lang", idCol = "doc_id"),
+    "q35_quality_buckets" ->
+      """SELECT doc_id, lang, n_chars,
+        |  ntile(10) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS bucket
+        |FROM documents""".stripMargin,
   )
 }

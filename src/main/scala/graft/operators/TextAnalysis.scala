@@ -107,6 +107,20 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Curriculum buckets: per-group NTILE over a quality proxy
+    * (descending, id tiebreak for a total order → deterministic bucket
+    * edges). The standard "schedule easy-to-hard / sample by quality
+    * tier" preprocessing step; one shuffle on the group key. */
+  def qualityBuckets(docs: DataFrame, nBuckets: Int = 10,
+      groupCol: String = "lang", rankCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(rankCol).desc, col(idCol).asc)
+    docs.select(col(idCol), col(groupCol), col(rankCol))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+  }
+
   /** Sequence packing for training: documents are laid out contiguously
     * per group in id order, and each document is assigned to the
     * fixed-token-budget sequence containing its start offset (greedy

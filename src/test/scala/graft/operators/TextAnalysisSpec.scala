@@ -108,6 +108,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getString(1) == "hello world x1")
   }
 
+  test("qualityBuckets: balanced per-group ntile, best rows in bucket 1") {
+    val df = docs((1L, "en", "a"), (2L, "en", "a b"), (3L, "en", "a b c"),
+      (4L, "en", "a b c d"), (5L, "fr", "x"), (6L, "fr", "x y"))
+    val out = TextAnalysis.qualityBuckets(df, nBuckets = 2, rankCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // en ranked desc by doc_id: 4,3 -> bucket 1; 2,1 -> bucket 2
+    assert(out(4L) == 1 && out(3L) == 1 && out(2L) == 2 && out(1L) == 2)
+    assert(out(6L) == 1 && out(5L) == 2)
+  }
+
   test("packSequences: contiguous layout, budget respected, straddling allowed") {
     // budget 5: doc1 (3 toks) [seq 0 off 0], doc2 (3 toks) [starts at 3 →
     // seq 0 off 3, straddles], doc3 (2 toks) [starts at 6 → seq 1 off 1]
