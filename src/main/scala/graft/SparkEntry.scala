@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, LookupTransform, Multimodal, Sampling, SimilaritySearch, TextAnalysis}
+import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, IntervalJoin, LookupTransform, Multimodal, Sampling, SimilaritySearch, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -257,6 +257,19 @@ object SparkEntry {
     // Curriculum deciles: per-language NTILE over a quality proxy.
     "q35_quality_buckets" -> ((s, dir) =>
       TextAnalysis.qualityBuckets(t(s, dir, "documents"))),
+
+    // Interval join: all orders in the 7 days up to each event
+    // (row-multiplying range join; equi-key + range post-filter plan).
+    "q36_interval_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      IntervalJoin(
+        Tables.loadEvents(s, dir).select("event_id", "ts", "user_id"),
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate", lookback = "7 days")
+        .select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -343,5 +356,10 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars,
         |  ntile(10) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS bucket
         |FROM documents""".stripMargin,
+    "q36_interval_join" ->
+      """SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        |  AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+        |  AND o.o_orderdate <= e.ts""".stripMargin,
   )
 }

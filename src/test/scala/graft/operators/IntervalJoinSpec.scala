@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Interval-join semantics: bounds inclusive on both ends, key must match,
+ * rows multiply (unlike AsOfJoin's latest-only pick), and the plan keeps
+ * the equi-key (hash join, not a cross product).
+ */
+class IntervalJoinSpec extends SparkSpec {
+
+  private def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+
+  test("inclusive bounds, key match, row multiplication") {
+    val spark0 = spark
+    import spark0.implicits._
+    val left = Seq((1L, ts(1000)), (2L, ts(1000))).toDF("k", "lt")
+    val right = Seq(
+      (1L, ts(1000), "at"), (1L, ts(940), "edge"), (1L, ts(939), "before"),
+      (1L, ts(1001), "after"), (9L, ts(1000), "wrong_key"))
+      .toDF("rk", "rt", "tag")
+    val out = IntervalJoin(left, right, "k", "rk", "lt", "rt", lookback = "1 minute")
+      .select("k", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "at"), (1L, "edge"))) // both ends inclusive; rest excluded
+  }
+
+  test("plans as an equi hash join with range filter, not a cross product") {
+    val spark0 = spark
+    import spark0.implicits._
+    val left = Seq((1L, ts(1000))).toDF("k", "lt")
+    val right = Seq((1L, ts(990), "x")).toDF("rk", "rt", "tag")
+    val p = IntervalJoin(left, right, "k", "rk", "lt", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

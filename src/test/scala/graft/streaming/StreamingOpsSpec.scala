@@ -103,6 +103,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits only in-window key matches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val left = MemoryStream[(Long, Long)]
+    val right = MemoryStream[(Long, Long)]
+    val l = left.toDF().toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(col("sec")).as("lt"))
+    val r = right.toDF().toDF("rk", "rsec")
+      .select(col("rk"), timestamp_seconds(col("rsec")).as("rt"))
+    val joined = graft.operators.IntervalJoin.streaming(
+      l, r, "k", "rk", "lt", "rt", lookback = "1 minute", watermark = "10 minutes")
+    val q = joined.select(col("k"), unix_timestamp(col("rt")).as("rsec")).writeStream
+      .format("memory").queryName("ij_test").outputMode("append").start()
+    try {
+      left.addData((1L, 1000L), (2L, 1000L))
+      right.addData((1L, 950L), (1L, 930L), (2L, 1000L), (3L, 1000L))
+      q.processAllAvailable()
+      val rows = spark.table("ij_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 950L), (2L, 1000L))) // 930 out of window; key 3 unmatched
+    } finally q.stop()
+  }
+
   test("stream-static enrich: lookup semantics per micro-batch (left outer, broadcast)") {
     val spark0 = spark
     import spark0.implicits._
