@@ -258,17 +258,22 @@ object SparkEntry {
     "q35_quality_buckets" -> ((s, dir) =>
       TextAnalysis.qualityBuckets(t(s, dir, "documents"))),
 
-    // Interval join: all orders in the 7 days up to each event
-    // (row-multiplying range join; equi-key + range post-filter plan).
+    // Interval join: all events by the same user in the 7 days up to each
+    // event (row-multiplying range join; equi-key + range post-filter
+    // plan). A self-lookback — the canonical "recent user activity"
+    // enrichment — chosen over the orders table because events and orders
+    // occupy disjoint epochs in the fixtures (events Jan 2024, orders
+    // 1995-2001): the oracle must verify MATCHING rows, not 0 == 0.
     "q36_interval_join" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
-      IntervalJoin(
-        Tables.loadEvents(s, dir).select("event_id", "ts", "user_id"),
-        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
-        leftKey = "user_id", rightKey = "o_custkey",
-        leftTime = "ts", rightTime = "o_orderdate", lookback = "7 days")
-        .select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")
+      val events = Tables.loadEvents(s, dir).select("event_id", "ts", "user_id")
+      val prior = events.select(
+        col("user_id").as("prior_user_id"),
+        col("event_id").as("prior_event_id"),
+        col("ts").as("prior_ts"))
+      IntervalJoin(events, prior,
+        leftKey = "user_id", rightKey = "prior_user_id",
+        leftTime = "ts", rightTime = "prior_ts", lookback = "7 days")
+        .select("event_id", "ts", "user_id", "prior_event_id", "prior_ts")
     }),
   )
 
@@ -357,9 +362,10 @@ object SparkEntry {
         |  ntile(10) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS bucket
         |FROM documents""".stripMargin,
     "q36_interval_join" ->
-      """SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice
-        |FROM events e JOIN orders o ON e.user_id = o.o_custkey
-        |  AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
-        |  AND o.o_orderdate <= e.ts""".stripMargin,
+      """SELECT e.event_id, e.ts, e.user_id,
+        |  p.event_id AS prior_event_id, p.ts AS prior_ts
+        |FROM events e JOIN events p ON e.user_id = p.user_id
+        |  AND p.ts >= e.ts - INTERVAL 7 DAY
+        |  AND p.ts <= e.ts""".stripMargin,
   )
 }

@@ -26,6 +26,22 @@ class IntervalJoinSpec extends SparkSpec {
     assert(out == Set((1L, "at"), (1L, "edge"))) // both ends inclusive; rest excluded
   }
 
+  test("declared q36 is non-vacuous: the self-lookback matches real rows") {
+    // Round-1 regression guard: the original q36 joined events (Jan 2024)
+    // against orders (1995-2001) — zero overlap, so the oracle verified
+    // 0 == 0. The self-lookback shape must keep producing matches (every
+    // event matches at least itself).
+    val out = graft.SparkEntry.queries("q36_interval_join")(spark, sf())
+    val events = graft.Tables.loadEvents(spark, sf())
+    val n = out.count()
+    assert(n >= events.count()) // self-match plus real prior-event matches
+    // spot-check semantics: prior_ts within (ts - 7 days, ts] for all rows
+    val bad = out.filter(
+      col("prior_ts") > col("ts") ||
+        col("prior_ts") < col("ts") - expr("INTERVAL 7 DAYS")).count()
+    assert(bad == 0)
+  }
+
   test("plans as an equi hash join with range filter, not a cross product") {
     val spark0 = spark
     import spark0.implicits._
