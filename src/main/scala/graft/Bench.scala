@@ -23,20 +23,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Sink into the `noop` format, not `count()`: count() lets Catalyst's
+    // ColumnPruning delete every projected expression (a projection-only
+    // query would be timed as a bare parquet scan). The noop sink fully
+    // evaluates and serializes every output row while writing nothing.
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
+        case e: Throwable =>
+          System.err.println(s"bench FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+          return None
+      }
+      Some((System.nanoTime() - t0) / 1e9)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      time(fn) // warmup: codegen + JIT + footer cache
+      time(name, fn) // warmup: codegen + JIT + footer cache
       spark.catalog.clearCache()
-      name -> time(fn)
+      name -> time(name, fn)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Failed queries are reported as -1 markers and EXCLUDED from the
+    // total (a -1 contribution would shrink the headline number).
+    val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
