@@ -111,8 +111,12 @@ object OracleSql {
         s"CASE WHEN $cond THEN '$lang' ELSE $els END"
       }
     val anyHit = counts.map(_._2).mkString(" + ")
+    // Han branch first — mirrors TextFunctions.langId. RE2 and Java regex
+    // share the \x{...} class syntax; DuckDB standard strings pass the
+    // backslash through untouched.
     s"""SELECT doc_id,
-       |  CASE WHEN ($anyHit) > 0 THEN $chain ELSE 'und' END AS lang_pred
+       |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+       |       WHEN ($anyHit) > 0 THEN $chain ELSE 'und' END AS lang_pred
        |FROM documents""".stripMargin
   }
 
@@ -255,9 +259,10 @@ object OracleSql {
   }
 
   /** Knuth-mix bucket in [0,100) of a non-negative BIGINT id — mirrors
-    * `Sampling.bucket`. */
+    * `Sampling.bucket` (id reduced mod 2^31 first so the product stays
+    * below 2^63: DuckDB traps BIGINT overflow where Spark would wrap). */
   private def sampleBucket(idExpr: String): String =
-    s"(($idExpr * $Mix) % ${TextFunctions.TwoPow32}) % 100"
+    s"((($idExpr % ${graft.operators.Sampling.IdFold}) * $Mix) % ${TextFunctions.TwoPow32}) % 100"
 
   def stratifiedSample(rates: Seq[(String, Int)], defaultPct: Int,
       strataCol: String, idCol: String): String = {

@@ -157,7 +157,19 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "y", "que", "es"),
     "fr" -> Seq("le", "les", "des", "et", "une", "est"))
 
-  /** Language-ID: argmax of marker counts as a chained CASE with a
+  /** Han (CJK Unified Ideographs) regex — the character-class branch of
+    * the language-ID heuristic: Chinese is not whitespace-tokenized, so
+    * stopword markers can never fire on it; a single Han codepoint is a
+    * stronger signal than any marker count. Same pattern syntax in Java
+    * regex (Spark) and RE2 (the DuckDB oracle). */
+  val HanRegex = "[\\x{4e00}-\\x{9fff}]"
+
+  /** Count of Han ideographs in the text (codegen'd regex pass). */
+  def cjkCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(HanRegex), lit(0)))
+
+  /** Language-ID: a Han character-class branch first (→ "zh"), then the
+    * argmax of stopword-marker counts as a chained CASE with a
     * deterministic tiebreak (earlier list order wins); all counts zero →
     * "und" per BCP-47 "undetermined". The CASE chain shape is mirrored
     * verbatim in the SQL oracle. */
@@ -171,6 +183,7 @@ object TextFunctions {
           .foldLeft(lit(true))((acc, o) => acc && c >= o)
         when(geAllLater, lang).otherwise(els)
     }
-    when(anyHit, best).otherwise(lit("und"))
+    when(cjkCount(text) > 0, lit("zh"))
+      .otherwise(when(anyHit, best).otherwise(lit("und")))
   }
 }

@@ -19,15 +19,22 @@ import graft.functions.TextFunctions
  * projection — no seed-state, no shuffle, evaluated inside whole-stage
  * codegen and pushed against the scan.
  *
- * The bucket function is public arithmetic (`(id * 2654435761) mod 2^32
- * mod 100`), so any engine — including the DuckDB oracle — replays it
- * bit-identically.
+ * The bucket function is public arithmetic (`((id mod 2^31) * 2654435761)
+ * mod 2^32 mod 100`), so any engine — including the DuckDB oracle —
+ * replays it bit-identically. The id is reduced mod 2^31 BEFORE the Knuth
+ * multiply: (2^31 - 1) * 2654435761 < 2^63, so the product never exceeds
+ * signed-64-bit range in any engine. Without the reduction, ids above
+ * ~3.46e9 would silently wrap in Spark but raise in DuckDB (which traps
+ * BIGINT overflow) — exactly the id range a 100 TB corpus reaches.
  */
 object Sampling {
 
+  /** Ids at/above this are folded down so the Knuth product stays < 2^63. */
+  val IdFold = 2147483648L // 2^31
+
   /** Hash bucket in [0, 100) for a non-negative integer id column. */
   def bucket(id: Column): Column =
-    pmod(TextFunctions.mix32(id.cast("long")), lit(100L))
+    pmod(TextFunctions.mix32(pmod(id.cast("long"), lit(IdFold))), lit(100L))
 
   /** Keep rows whose id-bucket falls below `pct` (≈ pct% of rows,
     * deterministic). */

@@ -43,6 +43,27 @@ class SamplingSpec extends SparkSpec {
     assert(cleanIds.intersect(evalIds).isEmpty)
   }
 
+  test("bucket never overflows 64-bit math, even for ids beyond 2^32") {
+    import spark.implicits._
+    // Ids at the scale where the unreduced Knuth product would exceed
+    // 2^63 (Spark would wrap silently; DuckDB would raise). The mod-2^31
+    // fold keeps every intermediate in range and the result in [0, 100).
+    val ids = Seq(0L, 1L, 2147483647L, 2147483648L, 3500000000L,
+      4294967296L, Long.MaxValue)
+    val got = ids.toDF("id").select(Sampling.bucket(col("id")).as("b"))
+      .collect().map(_.getLong(0))
+    // Reference arithmetic in BigInt (no overflow possible).
+    val want = ids.map { id =>
+      ((BigInt(id) % BigInt(2147483648L)) * BigInt(2654435761L) %
+        BigInt(4294967296L) % 100).toLong
+    }
+    assert(got.toSeq == want)
+    assert(got.forall(b => b >= 0 && b < 100))
+    // small ids (the entire fixture range) keep their round-1 buckets:
+    // the fold is the identity below 2^31
+    assert(got(2) == (BigInt(2147483647L) * 2654435761L % 4294967296L % 100).toLong)
+  }
+
   test("trainTestSplit partitions every row, stable across calls") {
     val s1 = Sampling.trainTestSplit(docs, testPct = 20)
     assert(s1.count() == docs.count())

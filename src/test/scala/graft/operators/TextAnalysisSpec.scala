@@ -56,6 +56,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
   }
 
+  test("langId labels Han-script text zh via the character-class branch") {
+    val df = docs(
+      (1L, "?", "机器学习模型训练数据"),           // pure Han → zh, not und
+      (2L, "?", "数据 data 处理 pipeline"),        // mixed: Han wins over en markers
+      (3L, "?", "the quick brown fox of and to")) // no Han → marker vote (en)
+    val out = TextAnalysis.languageId(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "zh" && out(2L) == "zh" && out(3L) == "en")
+  }
+
   test("fingerprints: md5 matches a known digest, rolling hash is order-sensitive") {
     val df = docs((1L, "en", "ab"), (2L, "en", "ba"))
     val out = TextAnalysis.fingerprint(df).collect()
