@@ -74,13 +74,30 @@ object IO {
 
   /** Directory-partitioned write with a file-count target per partition.
     * `overwrite` uses dynamic partition overwrite semantics so re-runs
-    * replace only the partitions they produce. */
+    * replace only the partitions they produce.
+    *
+    * The shuffle key is `(partitionCols..., salt)` with
+    * `salt = hash(dataCols) mod filesPerPartition` — so each directory
+    * partition is written by up to `filesPerPartition` tasks (≤ that many
+    * files per directory) while the job keeps one task per
+    * (partition, salt) combination. Repartitioning by
+    * `(filesPerPartition, partitionCols)` instead — the obvious spelling —
+    * would make `filesPerPartition` partitions TOTAL, collapsing a
+    * 100 TB write onto (by default) a single task. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       format: String = "parquet", mode: String = "overwrite",
       filesPerPartition: Int = 1): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.repartition(filesPerPartition, partitionCols.map(col): _*)
+    val dataCols = df.columns.filterNot(partitionCols.contains)
+    val salt = pmod(hash(dataCols.map(col): _*), lit(filesPerPartition))
+    // Explicit partition count: with a bare `repartition(exprs)` AQE is
+    // free to coalesce the whole shuffle into one partition on small
+    // inputs, silently re-creating the single-writer bottleneck this salt
+    // exists to avoid.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, partitionCols.map(col) :+ salt: _*)
       .write.format(format).mode(mode)
       .partitionBy(partitionCols: _*)
       .save(path)

@@ -52,6 +52,23 @@ class IOSpec extends SparkSpec {
     assert(spark.read.parquet(dir).filter(col("lang") === "en").count() == 2)
   }
 
+  test("partitioned write spreads work: many tasks, <= filesPerPartition files per dir") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp("graft_part_par")
+    // 2 directory partitions x 200 rows; request up to 3 files per dir
+    val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    IO.writePartitioned(df, dir, Seq("lang"), filesPerPartition = 3)
+    def parquets(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val perDir = Seq("en", "de").map(l => parquets(s"$dir/lang=$l").length)
+    // the salt must actually fan out (round-1 bug: ONE task wrote
+    // everything) and must respect the per-directory cap
+    assert(perDir.forall(n => n >= 2 && n <= 3), s"files per dir: $perDir")
+    assert(spark.read.parquet(dir).count() == 400)
+  }
+
   test("bucketed table join on bucket keys plans without a shuffle of the big side") {
     val spark0 = spark
     import spark0.implicits._
