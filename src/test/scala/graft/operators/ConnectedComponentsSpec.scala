@@ -32,6 +32,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out.values.toSet == Set(1L))
   }
 
+  test("empty edge set: every vertex self-labels (no NPE on the null SUM)") {
+    // Round-1 regression guard: SUM over zero rows is NULL; a clean corpus
+    // (zero near-dup pairs) must yield all-self-labeled, not crash.
+    val out = cc(Nil, verts = Seq(1L, 2L, 3L))
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("reliable checkpointing matches local-checkpoint labels") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
+    val reliable = ConnectedComponents(edges.toDF("id_a", "id_b"),
+        reliableCheckpoints = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == cc(edges))
+    // the reliable path really wrote checkpoint data to the fault-tolerant dir
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("near-dup pipeline: planted dup pairs in documents form >=1 nontrivial cluster") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b")
