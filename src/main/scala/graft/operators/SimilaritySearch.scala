@@ -167,19 +167,43 @@ object SimilaritySearch {
     cents
   }
 
-  /** Approximate top-k: LSH-bucketed candidates (same sign-projection
-    * bucket as the query) re-ranked by exact cosine. The bucket join
-    * replaces the cross join; recall depends on nPlanes (more planes →
-    * smaller buckets → faster and less complete). */
+  /** Approximate top-k: multi-table SRP-LSH candidates re-ranked by exact
+    * cosine — the standard (Indyk-Motwani) table-union construction. Each
+    * of `nTables` independent tables hashes with its own `nPlanes` sign
+    * projections; a candidate is any vector sharing the query's bucket in
+    * AT LEAST ONE table, so per-match recall is `1-(1-p^nPlanes)^nTables`
+    * (p = 1 - angle/pi) instead of the single-table `p^nPlanes` — small
+    * per-table buckets for speed, many tables for recall.
+    *
+    * Spark shape: ONE native codegen'd projection computes all
+    * `nTables*nPlanes` sign bits (a single 63-bit bucket), bit-sliced
+    * into per-table buckets and exploded to (table, bucket) keys; the
+    * query side (tiny) is broadcast and the candidate match is a pure
+    * equi-join — never a cross join. Multi-table duplicates are dropped
+    * before re-ranking. Explode cost is nTables rows per vector — the
+    * standard LSH space/recall trade, same shape as MinHash banding. */
   def annTopKLsh(df: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, nPlanes: Int = 8): DataFrame = {
+      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
+    val totalPlanes = nPlanes * nTables
+    val mask = (1L << nPlanes) - 1
+    // slice table t's bucket out of the all-tables bit string (the bit
+    // string is projected once per row, then sliced — the native SRP pass
+    // runs exactly once per vector)
+    def tableKeys(bits: Column): Column = explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("t"),
+        shiftright(bits, t * nPlanes).bitwiseAND(lit(mask)).as("b"))): _*))
     val bucketed = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), dim, nPlanes).as("__bucket"))
-    val q = broadcast(query.select(col(vecCol).as("__qvec"),
-      lshBucket(col(vecCol), dim, nPlanes).as("__qbucket")))
-    bucketed.join(q, col("__bucket") === col("__qbucket"))
+        lshBucket(col(vecCol), dim, totalPlanes).as("__bits"))
+      .select(col(idCol), col(vecCol), tableKeys(col("__bits")).as("__tb"))
+    val q = broadcast(query
+      .select(col(vecCol).as("__qvec"),
+        lshBucket(col(vecCol), dim, totalPlanes).as("__qbits"))
+      .select(col("__qvec"), tableKeys(col("__qbits")).as("__qtb")))
+    bucketed.join(q, col("__tb") === col("__qtb"))
+      .dropDuplicates(idCol) // a candidate may collide in several tables
       .select(col(idCol), cosine(col(vecCol), col("__qvec"), dim).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)

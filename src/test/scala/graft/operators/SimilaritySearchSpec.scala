@@ -93,4 +93,25 @@ class SimilaritySearchSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     ann.foreach(r => assert(exact(r.getLong(0)) == r.getDouble(1)))
   }
+
+  test("ANN LSH recall@10 vs exact top-10 stays above the pinned floor") {
+    // q19 has no SQL oracle by design (driver records rows-only), so this
+    // spec is the recall gate: bucket-logic regressions (wrong plane set,
+    // bucket key drift, lost candidates) cannot hide behind "approximate
+    // by design". The fixture is deterministic, so recall is a constant;
+    // the floor is pinned just below the measured value.
+    val e = emb.cache()
+    val q = e.filter(col("vec_id") === 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val exact = ids(SimilaritySearch.topKCosine(e, q, k = 10))
+    val ann = ids(SimilaritySearch.annTopKLsh(e, q, k = 10))
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    info(f"recall@10 = $recall%.2f (8 tables x 4 planes, union of buckets)")
+    assert(recall >= 0.5, f"recall@10 dropped to $recall%.2f")
+    // widening the probe (fewer planes -> bigger buckets) must not lose
+    // candidates: with 0 planes every vector shares one bucket == exact
+    val annAll = ids(SimilaritySearch.annTopKLsh(e, q, k = 10, nPlanes = 0))
+    assert(annAll == exact)
+  }
 }
