@@ -17,6 +17,7 @@ import graft.functions.catalyst._
  *   graft_rolling_hash(str), graft_simhash32(array<string>),
  *   graft_shingle_hashes(str, n), graft_minhash_sig(array<long>, k),
  *   graft_dot_f32(array<float>, array<float>),
+ *   graft_token_mode_count(str),
  *   graft_srp_bucket(array<float>, dim, nPlanes).
  * Integer parameters must be foldable literals (resolved at plan time).
  */
@@ -45,6 +46,7 @@ object GraftExtensions {
     "graft_minhash_sig" -> ((es: Seq[Expression]) =>
       MinHashSig(es.head, litInt(es(1), "signature width k"))),
     "graft_dot_f32" -> ((es: Seq[Expression]) => DotProductF32(es.head, es(1))),
+    "graft_token_mode_count" -> ((es: Seq[Expression]) => TokenModeCount(es.head)),
     "graft_srp_bucket" -> ((es: Seq[Expression]) =>
       SrpBucketF32(es.head, litInt(es(1), "dim"), litInt(es(2), "nPlanes"))))
 

@@ -28,14 +28,18 @@ object OracleSql {
 
   private val toks = "string_split(text, ' ')"
 
-  /** Distinct 3-gram shingle hashes of `text` (empty if < 3 tokens). */
-  private val shingleHashes: String =
+  /** Distinct word-n-gram shingle hashes of `text` (empty if < n tokens). */
+  private def shingleHashesN(n: Int): String = {
+    val joined = (0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
     s"""list_distinct(list_transform(
-       |  CASE WHEN len($toks) >= 3
-       |       THEN list_transform(range(1, len($toks) - 1),
-       |              i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+       |  CASE WHEN len($toks) >= $n
+       |       THEN list_transform(range(1, len($toks) - ${n - 2}),
+       |              i -> $joined)
        |       ELSE [] END,
        |  s -> ${rh("s")}))""".stripMargin
+  }
+
+  private val shingleHashes: String = shingleHashesN(3)
 
   /** Exact all-pairs n-gram Jaccard >= threshold — the oracle for BOTH the
     * exact inverted-index operator and the MinHash+LSH operator (at the
@@ -295,6 +299,64 @@ object OracleSql {
        |SELECT $idCol, $groupCol, n_tokens,
        |  start_off // $budget AS seq_id, start_off % $budget AS seq_offset
        |FROM c""".stripMargin
+
+  /** Mirror of TextAnalysis.repetition: max term frequency relationally
+    * (unnest → per-token counts → max), 2-gram uniqueness via the same
+    * rolling-hash shingles, ratios as single divisions. */
+  def textRepetition: String =
+    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       |top AS (SELECT doc_id, MAX(c) AS top FROM tc GROUP BY 1),
+       |base AS (SELECT doc_id, len($toks)::BIGINT AS n,
+       |           len(${shingleHashesN(2)})::BIGINT AS u2 FROM documents)
+       |SELECT b.doc_id, b.n AS n_tokens, t.top AS top_tok_count,
+       |  CAST(t.top AS DOUBLE) / b.n AS top_tok_ratio,
+       |  greatest(b.n - 1, 0) AS n_2grams, b.u2 AS uniq_2grams,
+       |  CASE WHEN b.n - 1 > 0 THEN CAST(b.n - 1 - b.u2 AS DOUBLE) / (b.n - 1)
+       |       ELSE 0.0 END AS dup_2gram_ratio,
+       |  (CAST(t.top AS DOUBLE) / b.n <= 0.2 AND
+       |   CASE WHEN b.n - 1 > 0 THEN CAST(b.n - 1 - b.u2 AS DOUBLE) / (b.n - 1)
+       |        ELSE 0.0 END <= 0.5) AS repetition_ok
+       |FROM base b JOIN top t USING (doc_id)""".stripMargin
+
+  /** Mirror of Sketches.approxDistinct: 60-bit md5-prefix hash, integer
+    * register table, exact-integer harmonic sum, one final division. The
+    * bias constant and 2^maxRank are interpolated from the SAME Scala
+    * doubles the operator burns into its plan (Double.toString round-trips
+    * exactly), so the estimate matches bit-for-bit. */
+  def hllDistinct(p: Int, keyCol: String = "lang", valueCol: String = "text"): String = {
+    val m = 1 << p
+    val maxRank = 60 - p + 1
+    val c1 = graft.operators.Sketches.alpha(p) * m * m
+    val c2 = math.pow(2.0, maxRank)
+    s"""WITH h AS (SELECT $keyCol,
+       |    CAST(concat('0x', substr(md5($valueCol), 1, 15)) AS BIGINT) AS h FROM documents),
+       |b AS (SELECT $keyCol, h & ${m - 1} AS bucket,
+       |        CASE WHEN (h >> $p) = 0 THEN $maxRank
+       |             ELSE $maxRank - length(bin(h >> $p)) END AS r FROM h),
+       |reg AS (SELECT $keyCol, bucket, MAX(r) AS register FROM b GROUP BY 1, 2),
+       |agg AS (SELECT $keyCol,
+       |          CAST(SUM((1::BIGINT) << ($maxRank - register)) AS BIGINT)
+       |            + ($m - count(*)) * ((1::BIGINT) << $maxRank) AS s_int,
+       |          $m - count(*) AS v_zero
+       |        FROM reg GROUP BY 1)
+       |SELECT $keyCol, s_int, v_zero,
+       |  ($c1 * $c2) / CAST(s_int AS DOUBLE) AS hll_estimate
+       |FROM agg""".stripMargin
+  }
+
+  /** Mirror of Dedup.decontaminateFuzzy over a hashSample(evalPct) eval
+    * set: integer cross-multiplied shingle containment vs the eval side. */
+  def decontaminateFuzzy(evalPct: Int, containPct: Int, idCol: String): String =
+    s"""WITH ev AS (SELECT $idCol AS eid, ${shingleHashesN(3)} AS hs FROM documents
+       |            WHERE ${sampleBucket(idCol)} < $evalPct),
+       |ev2 AS (SELECT eid, len(hs) AS esz, hs FROM ev WHERE len(hs) > 0),
+       |einv AS (SELECT eid, esz, unnest(hs) AS h FROM ev2),
+       |cinv AS (SELECT $idCol AS cid, unnest(${shingleHashesN(3)}) AS h FROM documents),
+       |hits AS (SELECT c.cid, e.eid, e.esz, count(*) AS hits
+       |         FROM cinv c JOIN einv e USING (h) GROUP BY 1, 2, 3),
+       |bad AS (SELECT DISTINCT cid FROM hits WHERE hits * 100 >= $containPct * esz)
+       |SELECT d.* FROM documents d WHERE d.$idCol NOT IN (SELECT cid FROM bad)""".stripMargin
 
   def embedNearDup(threshold: Double, dim: Int): String = {
     val n2 = dotTerms("embedding", "embedding", dim)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, IntervalJoin, LookupTransform, Multimodal, Sampling, SimilaritySearch, TextAnalysis}
+import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, IntervalJoin, LookupTransform, Multimodal, Sampling, SimilaritySearch, Sketches, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -275,6 +275,36 @@ object SparkEntry {
         leftTime = "ts", rightTime = "prior_ts", lookback = "7 days")
         .select("event_id", "ts", "user_id", "prior_event_id", "prior_ts")
     }),
+
+    // Deterministic HyperLogLog distinct-count sketch per language —
+    // public integer register math, exactly SQL-replayable (unlike the
+    // engine-internal state of approx_count_distinct).
+    "q37_hll_distinct" -> ((s, dir) =>
+      Sketches.approxDistinct(t(s, dir, "documents"), Seq("lang"), "text", p = 4)),
+
+    // Gopher-style repetition quality signals (top-token share,
+    // duplicate-2-gram fraction) — per-row native expressions.
+    "q38_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"))),
+
+    // Fuzzy decontamination: drop docs containing >= 80% of an eval
+    // doc's 3-gram shingles (catches edited/embedded leakage that exact
+    // md5 matching misses).
+    "q39_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateFuzzy(docs, Sampling.hashSample(docs, pct = 5),
+        containPct = 80)
+    }),
+
+    // Skew-safe salted equi-join, oracled against the PLAIN join — the
+    // salt must only route rows, never change results.
+    "q40_salted_join" -> ((s, dir) => {
+      val events = Tables.loadEvents(s, dir).select("event_id", "user_id")
+      val customer = t(s, dir, "customer").select("c_custkey", "c_name")
+      SparkUtil.saltedJoin(events, customer, "user_id", "c_custkey",
+          salt = 8, joinType = "inner")
+        .select("event_id", "user_id", "c_name")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -367,5 +397,12 @@ object SparkEntry {
         |FROM events e JOIN events p ON e.user_id = p.user_id
         |  AND p.ts >= e.ts - INTERVAL 7 DAY
         |  AND p.ts <= e.ts""".stripMargin,
+    "q37_hll_distinct" -> OracleSql.hllDistinct(p = 4),
+    "q38_repetition" -> OracleSql.textRepetition,
+    "q39_decontaminate_fuzzy" -> OracleSql.decontaminateFuzzy(
+      evalPct = 5, containPct = 80, idCol = "doc_id"),
+    "q40_salted_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
   )
 }

@@ -118,6 +118,16 @@ object TextFunctions {
       .reduce(_ + _)
   }
 
+  /** Maximum term frequency of the text's tokens (repetition signal).
+    * Native one-pass expression; HOF spelling kept for parity tests. */
+  def topTokenCount(text: Column): Column =
+    native(catalyst.TokenModeCount(expr(text)))
+
+  /** Reference HOF formulation of [[topTokenCount]] (interpreted). */
+  def topTokenCountHof(toks: Column): Column =
+    array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))).cast("long")
+
   /** Pigeonhole blocks of a 32-bit SimHash: 4 bytes. Two hashes within
     * Hamming distance 3 must agree on at least one byte (4 blocks, ≤3
     * differing bits ⇒ some block untouched), so blocking on

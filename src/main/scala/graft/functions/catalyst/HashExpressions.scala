@@ -167,6 +167,41 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Maximum term frequency over the single-space-separated tokens of a
+  * text — the core of Gopher-style repetition scoring (a doc whose most
+  * frequent token dominates is boilerplate/spam-shaped). One pass, one
+  * hash map per row, no shuffle; tokens are compared as byte slices of
+  * the original string (no per-token string copies beyond the map keys).
+  *
+  * CodegenFallback for the same reason as [[ShingleHashes]]: the per-row
+  * loop dominates and the surrounding stage stays whole-stage-codegen'd. */
+case class TokenModeCount(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_token_mode_count"
+
+  private val Space = UTF8String.fromString(" ")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(Space, -1)
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    var best = 0
+    var i = 0
+    while (i < toks.length) {
+      var c = counts.get(toks(i))
+      if (c == null) { c = new Array[Int](1); counts.put(toks(i), c) }
+      c(0) += 1
+      if (c(0) > best) best = c(0)
+      i += 1
+    }
+    best.toLong
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenModeCount =
+    copy(child = newChild)
+}
+
 /** MinHash signature: sig_i = min over hashes h of ((2i+1)*h + 7919i + 1)
   * mod p, i in [0, k). Null (empty-set) semantics follow the HOF version:
   * empty input yields a null signature — callers filter empty shingle sets.

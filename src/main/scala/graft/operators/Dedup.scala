@@ -48,6 +48,42 @@ object Dedup {
     docs.join(broadcast(sigs), md5(docs(textCol)) === col("__sig"), "left_anti")
   }
 
+  /**
+   * Fuzzy eval-set decontamination: drop every corpus document containing
+   * at least `containPct`% of some eval document's distinct n-gram
+   * shingles — the guard exact-md5 [[decontaminate]] cannot provide when
+   * benchmark text leaks with edits (cosmetic rewording, prompt framing,
+   * concatenation). Containment is measured against the EVAL side
+   * (`|shingles(corpus doc) ∩ shingles(eval doc)| / |shingles(eval doc)|`),
+   * the right asymmetry for leakage: a long training doc that embeds a
+   * whole eval item must die even though the item is a tiny fraction of it.
+   *
+   * Scale design (100 TB posture): the eval index (shingle hash →
+   * eval doc) is small and broadcast, so the corpus scan stays
+   * shuffle-free through candidate generation; only matching
+   * (corpus, eval) shingle hits — rare by construction — enter the
+   * count aggregation, and the final keep-filter is again a broadcast
+   * LEFT ANTI. The containment test is integer cross-multiplication
+   * (`hits * 100 >= containPct * |eval shingles|`) — no floats anywhere.
+   */
+  def decontaminateFuzzy(docs: DataFrame, evalSet: DataFrame,
+      containPct: Int = 80, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val evalIdx = evalSet
+      .select(col(idCol).as("__eid"), shingleHashes(col(textCol), n).as("__ehs"))
+      .filter(size(col("__ehs")) > 0)
+      .select(col("__eid"), size(col("__ehs")).as("__esz"), explode(col("__ehs")).as("__h"))
+    val corpusShingles = docs
+      .select(col(idCol).as("__cid"), explode(shingleHashes(col(textCol), n)).as("__h"))
+    val contaminated = corpusShingles
+      .join(broadcast(evalIdx), "__h")
+      .groupBy(col("__cid"), col("__eid"), col("__esz"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") * 100 >= lit(containPct) * col("__esz"))
+      .select(col("__cid")).distinct()
+    docs.join(broadcast(contaminated), docs(idCol) === col("__cid"), "left_anti")
+  }
+
   /** Per-doc distinct shingle-hash sets with set size; docs with fewer
     * than `n` tokens (empty shingle set) are dropped — they cannot reach
     * any positive Jaccard threshold. */

@@ -147,6 +147,33 @@ object TextAnalysis {
         pmod(col("start_off"), lit(budgetTokens.toLong)).as("seq_offset"))
   }
 
+  /** Gopher-style repetition signals per document: the share of the most
+    * frequent token (`top_tok_ratio`) and the duplicate-2-gram fraction
+    * (`dup_2gram_ratio`), plus a boolean gate — boilerplate, spam, and
+    * generation loops score high on both. Pure per-row projection (native
+    * one-pass expressions, no shuffle); every ratio is a single division
+    * of exact integers, so the whole operator SQL-replays bit-identically.
+    * 2-gram uniqueness is counted over rolling hashes on BOTH engines, so
+    * the (cosmically rare) hash collision cannot cause oracle drift. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val nToks = size(tokens(col(textCol))).cast("long")
+    val top = topTokenCount(col(textCol))
+    val n2 = greatest(nToks - 1, lit(0L))
+    val uniq2 = size(shingleHashes(col(textCol), 2)).cast("long")
+    val topRatio = top.cast("double") / nToks
+    val dupRatio = when(n2 > 0, (n2 - uniq2).cast("double") / n2).otherwise(lit(0.0))
+    graft.SparkUtil.ensureParallelism(docs).select(
+      col(idCol),
+      nToks.as("n_tokens"),
+      top.as("top_tok_count"),
+      topRatio.as("top_tok_ratio"),
+      n2.as("n_2grams"),
+      uniq2.as("uniq_2grams"),
+      dupRatio.as("dup_2gram_ratio"),
+      (topRatio <= 0.2 && dupRatio <= 0.5).as("repetition_ok"))
+  }
+
   /** Language identification by stopword-marker voting (TextFunctions
     * .langId); emits the prediction next to the document id. */
   def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

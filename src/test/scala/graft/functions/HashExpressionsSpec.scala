@@ -61,6 +61,13 @@ class HashExpressionsSpec extends SparkSpec {
     assert(pairs.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("native token mode count == HOF distinct-filter max on the corpus") {
+    val d = docs.select(
+      TextFunctions.topTokenCount(col("text")).as("a"),
+      TextFunctions.topTokenCountHof(split(col("text"), " ")).as("b"))
+    assert(d.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("regex marker count == lambda token filter on the corpus (every language list)") {
     TextFunctions.LangMarkers.foreach { case (_, markers) =>
       val d = docs.select(

@@ -54,6 +54,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(df, threshold = 0.1).collect().isEmpty)
   }
 
+  test("fuzzy decontamination drops embedded/edited eval leakage, keeps the rest") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = docs(
+      1L -> evalDoc,                                         // exact copy
+      2L -> ("prefix words here " + evalDoc + " suffix words there"), // embedded
+      3L -> "completely unrelated text about spark catalyst optimizer rules",
+      4L -> "the quick brown fox sat still") // shares a few shingles, below 80%
+    val eval = docs(100L -> evalDoc)
+    val kept = Dedup.decontaminateFuzzy(corpus, eval, containPct = 80)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
+  test("fuzzy decontamination with an empty eval set keeps everything") {
+    val corpus = docs(1L -> "a b c d e", 2L -> "f g h i j")
+    val kept = Dedup.decontaminateFuzzy(corpus, corpus.filter(col("doc_id") < 0))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("minhash LSH agrees with exact ngram Jaccard on the documents table") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(d).collect()

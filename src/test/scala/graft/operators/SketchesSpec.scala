@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Tests for the deterministic HLL sketch: estimate accuracy against exact
+ * distinct counts, merge-associativity of register state, and rerun
+ * stability (the whole point of public-arithmetic sketching).
+ */
+class SketchesSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("register table: bucket in range, rank positive, deterministic across reruns") {
+    val regs = Sketches.hllRegisters(docs, Seq("lang"), "text", p = 4)
+    val rows = regs.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.forall { case (_, b, r) => b >= 0 && b < 16 && r >= 1 && r <= 57 })
+    val again = Sketches.hllRegisters(docs, Seq("lang"), "text", p = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.sorted.sameElements(again.sorted))
+  }
+
+  test("estimate tracks exact distinct counts within HLL error bounds") {
+    val est = Sketches.approxDistinct(docs, Seq("lang"), "text", p = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val exact = docs.groupBy("lang").agg(countDistinct("text").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (lang, n) =>
+      val e = est(lang)
+      // raw estimate (no linear-counting correction): generous 2x bound —
+      // the oracle pins exact arithmetic; this pins sketch sanity
+      assert(e > n / 2.0 && e < n * 2.0, s"$lang: estimate $e vs exact $n")
+    }
+  }
+
+  test("register merge: sketching halves then merging == sketching the whole") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val merged = Sketches.mergeRegisters(
+        Sketches.hllRegisters(a, Seq("lang"), "text", p = 4),
+        Sketches.hllRegisters(b, Seq("lang"), "text", p = 4), Seq("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    val whole = Sketches.hllRegisters(docs, Seq("lang"), "text", p = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    assert(merged.sameElements(whole))
+  }
+
+  test("hash60 parses the md5 prefix as the oracle does") {
+    val spark0 = spark
+    import spark0.implicits._
+    val got = Seq("a").toDF("v").select(Sketches.hash60(col("v"))).head.getLong(0)
+    // md5("a") = 0cc175b9c0f1b6a8..., first 15 hex chars as integer
+    assert(got == java.lang.Long.parseLong("0cc175b9c0f1b6a", 16))
+  }
+}

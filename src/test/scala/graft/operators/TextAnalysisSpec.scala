@@ -66,6 +66,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == "zh" && out(2L) == "zh" && out(3L) == "en")
   }
 
+  test("repetition: top-token share and duplicate-2-gram fraction") {
+    val df = docs(
+      (1L, "en", "spam spam spam spam ham"),   // top=4/5, 2grams: s-s x3 (dup), s-h
+      (2L, "en", "all tokens here are unique"))
+    val out = TextAnalysis.repetition(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 5 && r1.getLong(2) == 4)       // n_tokens, top_tok_count
+    assert(r1.getDouble(3) == 4.0 / 5.0)                   // top_tok_ratio
+    assert(r1.getLong(4) == 4 && r1.getLong(5) == 2)       // n_2grams, uniq ("spam spam","spam ham")
+    assert(r1.getDouble(6) == 2.0 / 4.0)                   // dup_2gram_ratio
+    assert(!r1.getBoolean(7))                              // repetitive -> fails gate
+    val r2 = out(2L)
+    assert(r2.getLong(2) == 1 && r2.getDouble(6) == 0.0)
+    assert(r2.getBoolean(7))
+  }
+
   test("fingerprints: md5 matches a known digest, rolling hash is order-sensitive") {
     val df = docs((1L, "en", "ab"), (2L, "en", "ba"))
     val out = TextAnalysis.fingerprint(df).collect()
