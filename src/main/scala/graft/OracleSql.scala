@@ -366,4 +366,38 @@ object OracleSql {
        |FROM n x JOIN n y ON x.id < y.id
        |WHERE ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) >= $threshold""".stripMargin
   }
+
+  /** The SRP bit string `SrpBucketF32` computes, replayed relationally:
+    * plane j's weight for component i (1-based) is
+    * `((j*dim + i) * Mix) mod 2^32 - 2^31`; the projection is the same
+    * ascending-index float→double accumulation (left-assoc chain), and
+    * bit j is set iff the projection is > 0. */
+  private def srpBits(vExpr: String, dim: Int, totalPlanes: Int): String =
+    (0 until totalPlanes).map { j =>
+      val terms = (1 to dim).map { i =>
+        val w = ((j.toLong * dim + i) * Mix) % TextFunctions.TwoPow32 - (1L << 31)
+        s"$vExpr[$i]::DOUBLE * ($w)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($terms) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Mirror of SimilaritySearch.cosineNearDupPairsLsh: candidate pairs
+    * share an nPlanes-bit slice of the SRP bit string in >= 1 of nTables
+    * tables (an OR chain over bit slices), then exact cosine >= threshold.
+    * The index is approximate; the SQL replay is exact. */
+  def embedNearDupLsh(threshold: Double, dim: Int,
+      nPlanes: Int, nTables: Int): String = {
+    val n2 = dotTerms("embedding", "embedding", dim)
+    val dotXY = dotTerms("x.v", "y.v", dim)
+    val mask = (1L << nPlanes) - 1
+    val anyTable = (0 until nTables).map { t =>
+      s"((x.bits >> ${t * nPlanes}) & $mask) = ((y.bits >> ${t * nPlanes}) & $mask)"
+    }.mkString(" OR ")
+    s"""WITH n AS (SELECT vec_id AS id, embedding AS v, ($n2) AS n2,
+       |             ${srpBits("embedding", dim, nPlanes * nTables)} AS bits
+       |           FROM embeddings)
+       |SELECT x.id AS id_a, y.id AS id_b, ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) AS cosine
+       |FROM n x JOIN n y ON x.id < y.id AND ($anyTable)
+       |WHERE ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) >= $threshold""".stripMargin
+  }
 }

@@ -296,6 +296,14 @@ object SparkEntry {
         containPct = 80)
     }),
 
+    // LSH-blocked cosine near-dup pairs — q18's scale-path sibling
+    // (equi-join on SRP (table, bucket) keys, never a cross join).
+    // Exactly oracled: the approximation is in the index, not the
+    // execution (same principle as q30).
+    "q41_embed_neardup_lsh" -> ((s, dir) =>
+      SimilaritySearch.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
+        threshold = 0.4)),
+
     // Skew-safe salted equi-join, oracled against the PLAIN join — the
     // salt must only route rows, never change results.
     "q40_salted_join" -> ((s, dir) => {
@@ -404,5 +412,7 @@ object SparkEntry {
     "q40_salted_join" ->
       """SELECT e.event_id, e.user_id, c.c_name
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "q41_embed_neardup_lsh" -> OracleSql.embedNearDupLsh(
+      threshold = 0.4, dim = 64, nPlanes = 4, nTables = 8),
   )
 }

@@ -182,18 +182,22 @@ object SimilaritySearch {
     * equi-join — never a cross join. Multi-table duplicates are dropped
     * before re-ranking. Explode cost is nTables rows per vector — the
     * standard LSH space/recall trade, same shape as MinHash banding. */
+  /** Explode a multi-table SRP bit string into (table, bucket) keys —
+    * table t's bucket is bits [t*nPlanes, (t+1)*nPlanes). The bit string
+    * is projected once per row; slicing is trivial bit math. */
+  private def srpTableKeys(bits: Column, nPlanes: Int, nTables: Int): Column = {
+    val mask = (1L << nPlanes) - 1
+    explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("t"),
+        shiftright(bits, t * nPlanes).bitwiseAND(lit(mask)).as("b"))): _*))
+  }
+
   def annTopKLsh(df: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     val totalPlanes = nPlanes * nTables
-    val mask = (1L << nPlanes) - 1
-    // slice table t's bucket out of the all-tables bit string (the bit
-    // string is projected once per row, then sliced — the native SRP pass
-    // runs exactly once per vector)
-    def tableKeys(bits: Column): Column = explode(array((0 until nTables).map(t =>
-      struct(lit(t).as("t"),
-        shiftright(bits, t * nPlanes).bitwiseAND(lit(mask)).as("b"))): _*))
+    def tableKeys(bits: Column): Column = srpTableKeys(bits, nPlanes, nTables)
     val bucketed = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol), col(vecCol),
         lshBucket(col(vecCol), dim, totalPlanes).as("__bits"))
@@ -207,5 +211,42 @@ object SimilaritySearch {
       .select(col(idCol), cosine(col(vecCol), col("__qvec"), dim).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /**
+   * LSH-blocked cosine near-dup pairs — the scale path that replaces
+   * [[cosineNearDupPairs]]'s quadratic self-join: candidates are pairs
+   * sharing an SRP bucket in at least one of `nTables` tables (an
+   * equi-join on (table, bucket), never a cross join), then scored by
+   * exact cosine against `threshold`.
+   *
+   * Like the IVF index (q30), the approximation lives in the INDEX, not
+   * the execution: the candidate rule — "same `nPlanes`-bit slice of a
+   * deterministic sign-projection bit string in ≥ 1 table" — is public
+   * integer/float arithmetic the SQL oracle replays exactly, so even
+   * though recall < 1 vs the exact operator, the output is fully
+   * deterministic and exactly verifiable. Expected recall per pair at
+   * angle θ is `1-(1-p^nPlanes)^nTables`, p = 1 - θ/π.
+   */
+  def cosineNearDupPairsLsh(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
+    val tagged = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm2(col(vecCol), dim).as("n2"),
+        lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits"))
+      .select(col("id"), col("v"), col("n2"),
+        srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
+    tagged.as("x").join(tagged.as("y"),
+        col("x.__tb") === col("y.__tb") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"),
+        col("x.n2").as("na2"), col("y.n2").as("nb2"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
+      .select(col("id_a"), col("id_b"),
+        cosineWithNorms(dot(col("va"), col("vb"), dim), col("na2"), col("nb2"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

@@ -94,6 +94,24 @@ class SimilaritySearchSpec extends SparkSpec {
     ann.foreach(r => assert(exact(r.getLong(0)) == r.getDouble(1)))
   }
 
+  test("LSH near-dup pairs: subset of exact pairs, same scores, no cross join") {
+    val e = emb.cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(SimilaritySearch.cosineNearDupPairs(e, threshold = 0.3))
+    val lsh = SimilaritySearch.cosineNearDupPairsLsh(e, threshold = 0.3)
+    val got = pairs(lsh)
+    assert(got.nonEmpty)
+    // candidates are a subset of the exact pair set with identical scores
+    got.foreach { case (pair, c) => assert(exact(pair) == c) }
+    val recall = got.size.toDouble / exact.size
+    info(f"pair recall = $recall%.2f (${got.size}/${exact.size})")
+    assert(recall >= 0.5, f"LSH pair recall dropped to $recall%.2f")
+    // the blocking must plan as an equi-join, never a cross product
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("ANN LSH recall@10 vs exact top-10 stays above the pinned floor") {
     // q19 has no SQL oracle by design (driver records rows-only), so this
     // spec is the recall gate: bucket-logic regressions (wrong plane set,
