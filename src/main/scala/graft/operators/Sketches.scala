@@ -43,6 +43,14 @@ object Sketches {
   private def rank(w: Column, bits: Int): Column =
     when(w === 0, lit(bits + 1)).otherwise(lit(bits + 1) - length(bin(w)))
 
+  /** The per-row (bucket, rank) pair feeding a p-bit HLL — public so the
+    * streaming surface shares the exact same projection. */
+  def bucketAndRank(value: Column, p: Int): (Column, Column) = {
+    require(p >= 2 && p <= 16, s"p must be in [2,16], got $p")
+    val h = hash60(value)
+    (h.bitwiseAND(lit((1 << p) - 1L)), rank(shiftright(h, p), 60 - p))
+  }
+
   /**
    * Per-group HLL register table: one row per (keys..., bucket) with the
    * max rank observed — the sketch's mergeable state.
@@ -51,13 +59,8 @@ object Sketches {
    */
   def hllRegisters(df: DataFrame, keys: Seq[String], valueCol: String,
       p: Int = 4): DataFrame = {
-    require(p >= 2 && p <= 16, s"p must be in [2,16], got $p")
-    val m = 1 << p
-    val h = hash60(col(valueCol))
-    val wBits = 60 - p
-    df.select((keys.map(col) :+
-        h.bitwiseAND(lit(m - 1L)).as("bucket") :+
-        rank(shiftright(h, p), wBits).as("r")): _*)
+    val (bucket, r) = bucketAndRank(col(valueCol), p)
+    df.select((keys.map(col) :+ bucket.as("bucket") :+ r.as("r")): _*)
       .groupBy((keys.map(col) :+ col("bucket")): _*)
       .agg(max(col("r")).as("register"))
   }

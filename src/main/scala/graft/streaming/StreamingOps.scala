@@ -62,6 +62,35 @@ object StreamingOps {
   }
 
   /**
+   * Watermarked windowed HLL register table: per (window, key, bucket) the
+   * max rank — the deterministic distinct-count sketch (graft.operators
+   * .Sketches) under Structured Streaming. The register table is exactly
+   * the mergeable state streaming aggregation wants: `max` is
+   * associative/commutative, so late-but-in-watermark events fold in
+   * correctly, and downstream consumers merge register tables across
+   * windows/jobs (element-wise max) before estimating. State per key is
+   * one integer per non-empty bucket — at most `2^p` rows per (window,
+   * key) regardless of event volume. On a batch frame the watermark is a
+   * no-op and the output equals `Sketches.hllRegisters` over the same
+   * window buckets (the property the spec pins).
+   */
+  def windowedHllRegisters(events: DataFrame, valueCol: String,
+      tsCol: String = "ts", keyCol: String = "event_type",
+      windowDuration: String = "1 hour", watermark: String = "2 hours",
+      p: Int = 4): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val (bucket, r) = graft.operators.Sketches.bucketAndRank(col(valueCol), p)
+    withWm
+      .select(window(col(tsCol), windowDuration).as("w"), col(keyCol),
+        bucket.as("bucket"), r.as("r"))
+      .groupBy(col("w"), col(keyCol), col("bucket"))
+      .agg(max(col("r")).as("register"))
+      .select(col("w.start").as("window_start"), col(keyCol),
+        col("bucket"), col("register"))
+  }
+
+  /**
    * Streaming exact dedup with custom state: the first row per content key
    * is emitted, later arrivals (same or later micro-batches) are dropped.
    * `KeyValueGroupedDataset.flatMapGroupsWithState` holds one boolean of

@@ -66,4 +66,27 @@ class PlanContractSpec extends SparkSpec {
     assert(plan(TextAnalysis.quality(docs)).contains("*(1) Project"))
     assert(plan(TextAnalysis.languageId(docs)).contains("*(1) Project"))
   }
+
+  test("repetition scoring is per-row only: no hash/range shuffle in the plan") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(TextAnalysis.repetition(docs))
+    assert(!hasShuffle(p), s"unexpected shuffle in repetition plan:\n$p")
+  }
+
+  test("HLL sketch aggregates with map-side partial max (bounded shuffle)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(graft.operators.Sketches.approxDistinct(docs, Seq("lang"), "text"))
+    // partial_max before the exchange => at most groups x 2^p rows shuffle
+    assert(p.contains("partial_max"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"$exchanges hash exchanges in sketch plan:\n$p")
+  }
+
+  test("fuzzy decontamination joins broadcast — the corpus is never sort-merged") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(graft.operators.Dedup.decontaminateFuzzy(
+      docs, docs.filter(col("doc_id") < 25)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

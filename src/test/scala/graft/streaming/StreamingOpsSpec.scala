@@ -52,6 +52,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.length == 2) // watermark path skipped, same aggregation shape
   }
 
+  test("windowedHllRegisters: stream output equals the batch sketch on the same rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val evs = Seq(
+      Ev(t("2024-01-01 10:05:00"), "click", 1L, 2.0),
+      Ev(t("2024-01-01 10:15:00"), "click", 2L, 8.0),
+      Ev(t("2024-01-01 10:25:00"), "click", 1L, 2.0), // dup value -> same register
+      Ev(t("2024-01-01 11:05:00"), "click", 3L, 5.0),
+      Ev(t("2024-01-01 10:30:00"), "view", 1L, 1.0))
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.windowedHllRegisters(input.toDF(), valueCol = "user_id")
+      .writeStream.format("memory").queryName("hll_test").outputMode("complete").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getInt(3)))
+        .sorted.toSeq
+      val streamed = canon(spark.table("hll_test"))
+      val batch = canon(StreamingOps.windowedHllRegisters(evs.toDF(), valueCol = "user_id"))
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // mergeable-state property: every register row is (bucket < 16, rank >= 1)
+      assert(streamed.forall { case (_, _, b, r) => b >= 0 && b < 16 && r >= 1 })
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based session merge with end = last event + gap") {
     val spark0 = spark
     import spark0.implicits._
