@@ -367,6 +367,22 @@ object OracleSql {
        |WHERE ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) >= $threshold""".stripMargin
   }
 
+  /** Mirror of TextAnalysis.vocabulary: top-k tokens by (freq desc,
+    * token asc) — a total order, so the cut is deterministic. */
+  def vocabulary(k: Int): String =
+    s"""SELECT tok AS token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+       |FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+       |GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT $k""".stripMargin
+
+  /** Mirror of Sampling.takePerStratum: exact per-stratum quotas by
+    * (content bucket, id) rank. */
+  def takePerStratum(n: Int, strataCol: String, idCol: String): String =
+    s"""SELECT * EXCLUDE (__rank) FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY $strataCol
+       |    ORDER BY ${sampleBucket(idCol)} ASC, $idCol ASC) AS __rank
+       |  FROM documents)
+       |WHERE __rank <= $n""".stripMargin
+
   /** The SRP bit string `SrpBucketF32` computes, replayed relationally:
     * plane j's weight for component i (1-based) is
     * `((j*dim + i) * Mix) mod 2^32 - 2^31`; the projection is the same

@@ -304,6 +304,16 @@ object SparkEntry {
       SimilaritySearch.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // Tokenizer vocabulary: top-500 tokens with term + document
+    // frequency (agg + TakeOrderedAndProject, no global sort).
+    "q42_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"), k = 500)),
+
+    // Exact per-stratum quotas: 50 docs per language, deterministic
+    // rank by (content bucket, id).
+    "q43_take_per_stratum" -> ((s, dir) =>
+      Sampling.takePerStratum(t(s, dir, "documents"), n = 50)),
+
     // Skew-safe salted equi-join, oracled against the PLAIN join — the
     // salt must only route rows, never change results.
     "q40_salted_join" -> ((s, dir) => {
@@ -414,5 +424,8 @@ object SparkEntry {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     "q41_embed_neardup_lsh" -> OracleSql.embedNearDupLsh(
       threshold = 0.4, dim = 64, nPlanes = 4, nTables = 8),
+    "q42_vocab_topk" -> OracleSql.vocabulary(k = 500),
+    "q43_take_per_stratum" -> OracleSql.takePerStratum(
+      n = 50, strataCol = "lang", idCol = "doc_id"),
   )
 }

@@ -60,4 +60,23 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame =
     df.withColumn("split",
       when(bucket(col(idCol)) < testPct, lit("test")).otherwise(lit("train")))
+
+  /** EXACT per-stratum quotas: the `n` rows of each stratum with the
+    * lowest (bucket, id) rank — rate-based [[stratifiedSample]] yields
+    * ~pct%, this yields exactly min(n, |stratum|) rows (the "10k docs per
+    * language" requirement). Ranking by the content-addressed bucket
+    * keeps selection pseudorandom yet deterministic, and aligned with
+    * [[hashSample]] membership (low buckets first). One shuffle on the
+    * stratum key; Spark plans the rank-filter as WindowGroupLimit, so
+    * each map task forwards at most `n` rows per stratum — the full
+    * stratum never materializes on one node. */
+  def takePerStratum(df: DataFrame, n: Int, strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(bucket(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .drop("__rank")
+  }
 }

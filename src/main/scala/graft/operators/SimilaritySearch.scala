@@ -232,18 +232,27 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
-    val tagged = graft.SparkUtil.ensureParallelism(df)
+    val base = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         norm2(col(vecCol), dim).as("n2"),
         lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits"))
-      .select(col("id"), col("v"), col("n2"),
-        srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
-    tagged.as("x").join(tagged.as("y"),
+      .cache()
+    // Candidate ids first, vectors later: the multi-table dedupe
+    // (`distinct`) runs over bare (id, id) pairs — hash-aggregable —
+    // instead of rows carrying float arrays, which would force a
+    // sort-based aggregate with two wide sorts. Same candidates-then-
+    // verify shape as Dedup.minhashLshPairs.
+    val keys = base.select(col("id"),
+      srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
+    val candidates = keys.as("x").join(keys.as("y"),
         col("x.__tb") === col("y.__tb") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"),
-        col("x.n2").as("na2"), col("y.n2").as("nb2"))
-      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id"), col("v").as("va"), col("n2").as("na2")),
+        col("id_a") === col("id")).drop("id")
+      .join(base.select(col("id"), col("v").as("vb"), col("n2").as("nb2")),
+        col("id_b") === col("id")).drop("id")
       .select(col("id_a"), col("id_b"),
         cosineWithNorms(dot(col("va"), col("vb"), dim), col("na2"), col("nb2"))
           .as("cosine"))

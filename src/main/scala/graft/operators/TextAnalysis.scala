@@ -174,6 +174,21 @@ object TextAnalysis {
       (topRatio <= 0.2 && dupRatio <= 0.5).as("repetition_ok"))
   }
 
+  /** Vocabulary construction: the `k` most frequent tokens corpus-wide
+    * with term frequency and document frequency (the IDF ingredient) —
+    * the relational core of tokenizer training. Plan shape: explode →
+    * hash agg with map-side partial counts (at most |vocab| rows cross
+    * the shuffle per map task) → `TakeOrderedAndProject` top-k (no global
+    * sort). The (freq desc, token asc) order is total, so the cut at `k`
+    * is deterministic and SQL-replayable. */
+  def vocabulary(docs: DataFrame, k: Int = 1000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col(idCol)).as("doc_freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   /** Language identification by stopword-marker voting (TextFunctions
     * .langId); emits the prediction next to the document id. */
   def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

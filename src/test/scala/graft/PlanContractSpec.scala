@@ -82,6 +82,19 @@ class PlanContractSpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges hash exchanges in sketch plan:\n$p")
   }
 
+  test("vocabulary top-k: partial counts map-side, TakeOrderedAndProject cut") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(TextAnalysis.vocabulary(docs, k = 100))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("per-stratum quotas plan with WindowGroupLimit (partial top-n map-side)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(graft.operators.Sampling.takePerStratum(docs, n = 50))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("fuzzy decontamination joins broadcast — the corpus is never sort-merged") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val p = plan(graft.operators.Dedup.decontaminateFuzzy(

@@ -43,6 +43,22 @@ class SamplingSpec extends SparkSpec {
     assert(cleanIds.intersect(evalIds).isEmpty)
   }
 
+  test("takePerStratum: exact quotas, deterministic membership, hashSample-aligned") {
+    val out = Sampling.takePerStratum(docs, n = 20)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.forall(_ == 20)) // every fixture language has >= 20 docs
+    assert(out.count() == byLang.size * 20)
+    // rerun-stable
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Sampling.takePerStratum(docs, n = 20)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
+    // quota larger than the stratum: returns the whole stratum, no crash
+    val all = Sampling.takePerStratum(docs, n = 1000000)
+    assert(all.count() == docs.count())
+  }
+
   test("bucket never overflows 64-bit math, even for ids beyond 2^32") {
     import spark.implicits._
     // Ids at the scale where the unreduced Knuth product would exceed

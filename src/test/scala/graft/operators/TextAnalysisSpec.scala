@@ -66,6 +66,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == "zh" && out(2L) == "zh" && out(3L) == "en")
   }
 
+  test("vocabulary: frequency-ranked top-k with doc frequency, deterministic cut") {
+    val df = docs(
+      (1L, "en", "spark spark spark hash join"),
+      (2L, "en", "spark hash scan"),
+      (3L, "en", "zzz"))
+    val out = TextAnalysis.vocabulary(df, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // spark: tf=4 in 2 docs; hash: tf=2 in 2 docs; then join < scan < zzz at tf=1
+    assert(out.toSeq == Seq(("spark", 4L, 2L), ("hash", 2L, 2L), ("join", 1L, 1L)))
+  }
+
   test("repetition: top-token share and duplicate-2-gram fraction") {
     val df = docs(
       (1L, "en", "spam spam spam spam ham"),   // top=4/5, 2grams: s-s x3 (dup), s-h
