@@ -383,6 +383,18 @@ object OracleSql {
        |  FROM documents)
        |WHERE __rank <= $n""".stripMargin
 
+  /** Mirror of Sketches.bloomWords over a hashSample(evalPct) eval set:
+    * Kirsch-Mitzenmacher positions from the 60-bit md5-prefix hash,
+    * 63-bit words, bit_or aggregation. */
+  def bloomWords(evalPct: Int, mBits: Int, k: Int, idCol: String): String =
+    s"""WITH ev AS (SELECT text FROM documents WHERE ${sampleBucket(idCol)} < $evalPct),
+       |h AS (SELECT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h FROM ev),
+       |p AS (SELECT ((h >> 30) + i * ((h & 1073741823) * 2 + 1)) % $mBits AS pos
+       |      FROM h CROSS JOIN (SELECT unnest(range(0, $k)) AS i) ii)
+       |SELECT pos // ${graft.operators.Sketches.BloomWordBits} AS word_idx,
+       |  bit_or(1::BIGINT << CAST(pos % ${graft.operators.Sketches.BloomWordBits} AS INT)) AS bits
+       |FROM p GROUP BY 1""".stripMargin
+
   /** The SRP bit string `SrpBucketF32` computes, replayed relationally:
     * plane j's weight for component i (1-based) is
     * `((j*dim + i) * Mix) mod 2^32 - 2^31`; the projection is the same

@@ -304,6 +304,21 @@ object SparkEntry {
       SimilaritySearch.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // Bloom-prefiltered decontamination: must produce EXACTLY q33's
+    // result (no false negatives; false positives removed by the exact
+    // verify) while shipping a ~8 KB literal instead of the full
+    // fingerprint set.
+    "q44_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(docs, Sampling.hashSample(docs, pct = 5))
+    }),
+
+    // The Bloom word table itself (construction oracled bit-for-bit).
+    "q45_bloom_words" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sketches.bloomWords(Sampling.hashSample(docs, pct = 5), "text")
+    }),
+
     // Tokenizer vocabulary: top-500 tokens with term + document
     // frequency (agg + TakeOrderedAndProject, no global sort).
     "q42_vocab_topk" -> ((s, dir) =>
@@ -427,5 +442,9 @@ object SparkEntry {
     "q42_vocab_topk" -> OracleSql.vocabulary(k = 500),
     "q43_take_per_stratum" -> OracleSql.takePerStratum(
       n = 50, strataCol = "lang", idCol = "doc_id"),
+    // q44 must equal the exact decontamination — same oracle as q33.
+    "q44_decontaminate_bloom" -> OracleSql.decontaminate(evalPct = 5, idCol = "doc_id"),
+    "q45_bloom_words" -> OracleSql.bloomWords(
+      evalPct = 5, mBits = 1 << 16, k = 5, idCol = "doc_id"),
   )
 }

@@ -49,6 +49,35 @@ object Dedup {
   }
 
   /**
+   * Bloom-prefiltered exact decontamination — same RESULT as
+   * [[decontaminate]] (the spec and oracle pin that), different scale
+   * shape: the eval set is compressed into a deterministic Bloom filter
+   * (`Sketches.bloomArray`, ~mBits/8 bytes) that rides the plan as a
+   * LITERAL, so candidate detection is a pure per-row filter — no join,
+   * no shuffle, no broadcast of the full fingerprint set. Only
+   * bloom-positive docs (true matches + false positives, no false
+   * negatives) reach the exact md5 verify, and only verified ids reach
+   * the final broadcast anti-join.
+   *
+   * When the eval fingerprint set is small, plain [[decontaminate]]'s
+   * broadcast anti-join is simpler and just as fast; this shape is for
+   * when the eval set is too big to broadcast but its Bloom digest isn't
+   * — the classic "ship the sketch, not the set".
+   */
+  def decontaminateBloom(docs: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      mBits: Int = 1 << 16, k: Int = 5): DataFrame = {
+    val words = Sketches.bloomArray(evalSet, textCol, mBits, k)
+    val candidates = docs
+      .filter(Sketches.bloomMightContain(col(textCol), words, mBits, k))
+    val sigs = evalSet.select(md5(col(textCol)).as("__sig")).distinct()
+    val contaminated = candidates
+      .join(sigs, md5(candidates(textCol)) === col("__sig"), "left_semi")
+      .select(col(idCol).as("__bad"))
+    docs.join(broadcast(contaminated), docs(idCol) === col("__bad"), "left_anti")
+  }
+
+  /**
    * Fuzzy eval-set decontamination: drop every corpus document containing
    * at least `containPct`% of some eval document's distinct n-gram
    * shingles — the guard exact-md5 [[decontaminate]] cannot provide when

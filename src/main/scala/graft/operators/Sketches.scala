@@ -85,6 +85,81 @@ object Sketches {
    * regime; it is not folded in here because `ln` is the one operation
    * whose last-ulp rounding the cross-engine contract cannot pin.
    */
+  // ---- Bloom filter (membership sketch) ----------------------------------
+  //
+  // Same philosophy as the HLL above: public arithmetic end to end so the
+  // construction is SQL-replayable and the filter is a portable ARTIFACT
+  // (an array of longs), not engine-internal state. Positions use the
+  // Kirsch-Mitzenmacher double-hash family over the 60-bit md5-prefix
+  // hash: pos_i = (h1 + i*h2) mod mBits with h1 = top 30 bits and
+  // h2 = 2*(low 30 bits)+1 (odd). Words hold 63 bits, not 64, so every
+  // bit mask stays a positive signed long in every engine (DuckDB's
+  // BIGINT shift of bit 63 would overflow).
+
+  /** Bits per Bloom word (63 keeps `1 << (pos mod 63)` positive). */
+  val BloomWordBits = 63
+
+  /** The k absolute bit positions of `value` in an `mBits`-wide filter. */
+  def bloomPositions(value: Column, mBits: Int, k: Int): Seq[Column] = {
+    require(k >= 1 && mBits >= BloomWordBits, s"need k >= 1 and mBits >= $BloomWordBits")
+    val h = hash60(value)
+    val h1 = shiftright(h, 30)
+    val h2 = h.bitwiseAND(lit((1L << 30) - 1)) * 2 + 1
+    (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong)))
+  }
+
+  /**
+   * Distributed Bloom build: the sparse word table (word_idx, bits) of the
+   * distinct values of `valueCol` — a `bit_or` aggregation, so the state
+   * is mergeable exactly like HLL registers (element-wise OR across
+   * partial builds) and the shuffle is bounded at `mBits/63` rows per map
+   * task regardless of input size.
+   */
+  def bloomWords(df: DataFrame, valueCol: String, mBits: Int = 1 << 16,
+      k: Int = 5): DataFrame =
+    df.select(explode(array(bloomPositions(col(valueCol), mBits, k): _*)).as("__pos"))
+      .select(expr(s"__pos div $BloomWordBits").as("word_idx"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__pos % $BloomWordBits AS INT))").as("__mask"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(__mask)").as("bits"))
+
+  /** Collect a word table into the dense long-array artifact (driver-side;
+    * `mBits/63 + 1` longs — a 2^20-bit filter is ~16 KB). */
+  def bloomArray(df: DataFrame, valueCol: String, mBits: Int = 1 << 16,
+      k: Int = 5): Array[Long] = {
+    val words = new Array[Long](mBits / BloomWordBits + 1)
+    bloomWords(df, valueCol, mBits, k).collect().foreach { r =>
+      words(r.getLong(0).toInt) = r.getLong(1)
+    }
+    words
+  }
+
+  /** Right shift by a column-valued amount (the DSL `shiftright` only
+    * accepts a literal shift). */
+  private def shr(v: Column, n: Column): Column = {
+    val b = org.apache.spark.sql.graft.ColumnBridge
+    b.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+      b.expression(v), b.expression(n)))
+  }
+
+  /** Membership predicate against a literal word array: all `k` bits set.
+    * A pure per-row expression — the filter rides the plan as a literal
+    * (like the IVF codebook), so probing shuffles NOTHING and joins
+    * NOTHING. False positives possible (callers verify exactly); false
+    * negatives impossible. */
+  def bloomMightContain(value: Column, words: Array[Long], mBits: Int,
+      k: Int = 5): Column = {
+    val wordsCol = typedLit(words.toSeq)
+    bloomPositions(value, mBits, k).map { pos =>
+      val bitIdx = pmod(pos, lit(BloomWordBits.toLong)).cast("int")
+      // (pos - bitIdx) is an exact multiple of 63 and pos < 2^31, so the
+      // double division is exact before the int cast
+      val wordIdx = ((pos - bitIdx) / lit(BloomWordBits)).cast("int")
+      shr(element_at(wordsCol, wordIdx + 1), bitIdx)
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
   /** Standard HLL bias-correction constant for 2^p registers — public so
     * the SQL oracle generator interpolates the identical double. */
   def alpha(p: Int): Double = p match {

@@ -67,6 +67,23 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L, 4L))
   }
 
+  test("bloom-prefiltered decontamination equals the exact broadcast version") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val eval = Sampling.hashSample(d, pct = 10)
+    val exact = Dedup.decontaminate(d, eval)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val bloom = Dedup.decontaminateBloom(d, eval)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(bloom.sameElements(exact))
+    // the candidate pre-filter is a pure per-row literal probe: no join,
+    // no shuffle before the verify
+    val words = Sketches.bloomArray(eval, "text")
+    val p = d.filter(Sketches.bloomMightContain(
+        org.apache.spark.sql.functions.col("text"), words, 1 << 16))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
   test("fuzzy decontamination with an empty eval set keeps everything") {
     val corpus = docs(1L -> "a b c d e", 2L -> "f g h i j")
     val kept = Dedup.decontaminateFuzzy(corpus, corpus.filter(col("doc_id") < 0))

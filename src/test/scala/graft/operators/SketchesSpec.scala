@@ -48,6 +48,37 @@ class SketchesSpec extends SparkSpec {
     assert(merged.sameElements(whole))
   }
 
+  test("bloom filter: no false negatives, low false-positive rate, words well-formed") {
+    val spark0 = spark
+    import spark0.implicits._
+    val inserted = (0 until 200).map(i => s"value_$i")
+    val probes = (0 until 1000).map(i => s"other_$i")
+    val insDf = inserted.toDF("v")
+    val mBits = 1 << 14
+    val words = Sketches.bloomArray(insDf, "v", mBits, k = 5)
+    assert(words.length == mBits / Sketches.BloomWordBits + 1)
+    assert(words.forall(_ >= 0L)) // 63-bit words: masks never touch the sign bit
+    def contained(vals: Seq[String]): Int =
+      vals.toDF("v").filter(Sketches.bloomMightContain(col("v"), words, mBits, k = 5))
+        .count().toInt
+    assert(contained(inserted) == inserted.size) // the defining guarantee
+    val fp = contained(probes)
+    // 200 keys in 16384 bits at k=5 -> theoretical fp ~ 0.2%; allow slack
+    assert(fp < 30, s"false-positive count $fp out of ${probes.size}")
+  }
+
+  test("bloom words merge by element-wise OR across partial builds") {
+    val spark0 = spark
+    import spark0.implicits._
+    val all = (0 until 100).map(i => s"v$i")
+    val mBits = 1 << 12
+    val wholeWords = Sketches.bloomArray(all.toDF("v"), "v", mBits, k = 5)
+    val a = Sketches.bloomArray(all.take(50).toDF("v"), "v", mBits, k = 5)
+    val b = Sketches.bloomArray(all.drop(50).toDF("v"), "v", mBits, k = 5)
+    val merged = a.zip(b).map { case (x, y) => x | y }
+    assert(merged.sameElements(wholeWords))
+  }
+
   test("hash60 parses the md5 prefix as the oracle does") {
     val spark0 = spark
     import spark0.implicits._
