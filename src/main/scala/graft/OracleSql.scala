@@ -174,6 +174,20 @@ object OracleSql {
        |      FROM m)
        |SELECT media_id, frame_id, (h * 31 + frame_id) % $P AS frame_checksum FROM f""".stripMargin
 
+  /** Mirror of Multimodal.resize over documents-derived payloads: stub
+    * dims from the checksum, exact scale factors (single divisions),
+    * resized checksum `((h*31 + tw)*31 + th) % p`. */
+  def multimodalResize(targetW: Int, targetH: Int): String =
+    s"""WITH m AS (SELECT doc_id, ${rh("text")} AS h FROM documents)
+       |SELECT doc_id AS media_id,
+       |  CAST(64 + h % 1856 AS INTEGER) AS width,
+       |  CAST(64 + (h // 1856) % 1016 AS INTEGER) AS height,
+       |  $targetW AS target_w, $targetH AS target_h,
+       |  CAST($targetW AS DOUBLE) / (64 + h % 1856) AS scale_x,
+       |  CAST($targetH AS DOUBLE) / (64 + (h // 1856) % 1016) AS scale_y,
+       |  ((h * 31 + $targetW) * 31 + $targetH) % $P AS resized_checksum
+       |FROM m""".stripMargin
+
   /** Epoch-aligned hour buckets == Spark's window(ts, '1 hour'). Aggregates
     * are counts and min/max only (order-insensitive). */
   def eventsWindow: String =

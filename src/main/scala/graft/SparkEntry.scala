@@ -304,6 +304,11 @@ object SparkEntry {
       SimilaritySearch.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // Multimodal resize: fixed target dims + scale factors through the
+    // batch codec (stub resampling, real Spark contract).
+    "q46_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()),
+
     // Bloom-prefiltered decontamination: must produce EXACTLY q33's
     // result (no false negatives; false positives removed by the exact
     // verify) while shipping a ~8 KB literal instead of the full
@@ -446,5 +451,6 @@ object SparkEntry {
     "q44_decontaminate_bloom" -> OracleSql.decontaminate(evalPct = 5, idCol = "doc_id"),
     "q45_bloom_words" -> OracleSql.bloomWords(
       evalPct = 5, mBits = 1 << 16, k = 5, idCol = "doc_id"),
+    "q46_multimodal_resize" -> OracleSql.multimodalResize(targetW = 224, targetH = 224),
   )
 }

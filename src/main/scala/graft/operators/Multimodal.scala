@@ -154,6 +154,44 @@ object Multimodal {
     }
   }
 
+  /** A resize result: source dims, target dims, the scale factors a real
+    * resampler would apply, and the checksum of the (stub) resized
+    * payload. */
+  case class MediaResized(media_id: Long, width: Int, height: Int,
+      target_w: Int, target_h: Int, scale_x: Double, scale_y: Double,
+      resized_checksum: Long)
+
+  /**
+   * Resize: payload → fixed target dimensions (the standard vision-model
+   * preprocessing step). Partition-local batch transform like the other
+   * codec ops. STUB resampling: a real implementation rewrites the pixel
+   * buffer; the stub derives the resized payload's checksum
+   * deterministically (`((checksum*31 + target_w)*31 + target_h) mod p`)
+   * and reports the exact scale factors, so the full output is
+   * SQL-replayable while the Spark contract (typed schema, batching, no
+   * shuffle) is the real thing.
+   */
+  def resize(df: DataFrame, targetW: Int = 224, targetH: Int = 224,
+      codec: MediaCodec = StubCodec, idCol: String = "media_id",
+      typeCol: String = "media_type", binCol: String = "content",
+      batchSize: Int = DefaultBatchSize): Dataset[MediaResized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions.{HashBase, HashPrime}
+    val records = df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(typeCol).as("media_type"),
+      col(binCol).as("content")).as[MediaRecord]
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { rec =>
+        val meta = codec.decode(rec)
+        MediaResized(meta.media_id, meta.width, meta.height, targetW, targetH,
+          targetW.toDouble / meta.width, targetH.toDouble / meta.height,
+          ((meta.checksum * HashBase + targetW) * HashBase + targetH) % HashPrime)
+      })
+    }
+  }
+
   /** Test/demo adapter: derive an opaque media table from the `documents`
     * corpus (payload = UTF-8 text bytes, modality round-robined by id).
     * Real pipelines read payloads from object-store parquet/binaryFile. */

@@ -102,4 +102,18 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("no declared query ever plans a CartesianProduct") {
+    // Sweeping regression net over the whole inventory: a dropped join
+    // key or a broken equi-condition shows up as a cartesian. q18 is the
+    // documented exact bounded-n exception (its plan is a broadcast
+    // nested loop by construction; q41 is its scale path).
+    val exempt = Set("q18_embed_neardup")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!exempt(name)) {
+        val p = plan(fn(spark, sf()))
+        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      }
+    }
+  }
 }

@@ -61,6 +61,22 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-12) // self-match first
   }
 
+  test("resize reports stub dims, exact scale factors, and a derived checksum") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(10)
+    val metas = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs))
+      .collect().map(m => m.media_id -> m).toMap
+    val resized = Multimodal.resize(Multimodal.mediaFromDocuments(docs),
+      targetW = 224, targetH = 128).collect()
+    assert(resized.length == 10)
+    resized.foreach { r =>
+      val m = metas(r.media_id)
+      assert(r.width == m.width && r.height == m.height)
+      assert(r.target_w == 224 && r.target_h == 128)
+      assert(r.scale_x == 224.0 / m.width && r.scale_y == 128.0 / m.height)
+      assert(r.resized_checksum == ((m.checksum * 31 + 224) * 31 + 128) % 1000000007L)
+    }
+  }
+
   test("checksum agrees with the expression-level rolling hash over ASCII text") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(20).cache()
