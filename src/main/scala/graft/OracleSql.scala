@@ -397,6 +397,29 @@ object OracleSql {
        |  FROM documents)
        |WHERE __rank <= $n""".stripMargin
 
+  /** Mirror of Sketches.histogramQuantiles: power-of-two buckets via
+    * length(bin(v)), window cumsum, integer-until-one-division linear
+    * interpolation in the straddling bucket. */
+  def histogramQuantiles(pcts: Seq[Int], keyCol: String = "lang",
+      valueCol: String = "n_chars"): String = {
+    val base =
+      s"""WITH c AS (SELECT $keyCol, length(bin($valueCol)) AS bucket, count(*) AS cnt
+         |           FROM documents GROUP BY 1, 2),
+         |cum AS (SELECT $keyCol, bucket, cnt,
+         |  CAST(SUM(cnt) OVER (PARTITION BY $keyCol ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(SUM(cnt) OVER (PARTITION BY $keyCol) AS BIGINT) AS n FROM c)""".stripMargin
+    val selects = pcts.map { p =>
+      val t = s"greatest((n * $p) // 100, 1)"
+      s"""SELECT $keyCol, $p AS pct,
+         |  CAST((1::BIGINT << (bucket - 1)) AS DOUBLE) +
+         |  CAST(($t - (cum - cnt)) * ((1::BIGINT << bucket) - (1::BIGINT << (bucket - 1)))
+         |    AS DOUBLE) / CAST(cnt AS DOUBLE) AS estimate
+         |FROM cum WHERE cum >= $t AND cum - cnt < $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    base + "\n" + selects
+  }
+
   /** Mirror of Sketches.bloomWords over a hashSample(evalPct) eval set:
     * Kirsch-Mitzenmacher positions from the 60-bit md5-prefix hash,
     * 63-bit words, bit_or aggregation. */

@@ -304,6 +304,12 @@ object SparkEntry {
       SimilaritySearch.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // Log-histogram quantile sketch: mergeable counts over power-of-two
+    // buckets, integer-exact interpolation — the deterministic,
+    // SQL-replayable alternative to approx_percentile's t-digest.
+    "q47_quantile_sketch" -> ((s, dir) =>
+      Sketches.histogramQuantiles(t(s, dir, "documents"), Seq("lang"), "n_chars")),
+
     // Multimodal resize: fixed target dims + scale factors through the
     // batch codec (stub resampling, real Spark contract).
     "q46_multimodal_resize" -> ((s, dir) =>
@@ -452,5 +458,6 @@ object SparkEntry {
     "q45_bloom_words" -> OracleSql.bloomWords(
       evalPct = 5, mBits = 1 << 16, k = 5, idCol = "doc_id"),
     "q46_multimodal_resize" -> OracleSql.multimodalResize(targetW = 224, targetH = 224),
+    "q47_quantile_sketch" -> OracleSql.histogramQuantiles(Seq(50, 90, 99)),
   )
 }

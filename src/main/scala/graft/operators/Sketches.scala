@@ -160,6 +160,57 @@ object Sketches {
     }.reduce(_ && _)
   }
 
+  // ---- Log-histogram quantile sketch -------------------------------------
+  //
+  // The quantile member of the sketch family (distinct = HLL, membership =
+  // Bloom): per-group counts over DATA-INDEPENDENT power-of-two buckets
+  // (`bucket = length(bin(v))`, i.e. floor(log2 v) + 1 — the same integer
+  // bin() trick as the HLL rank, identical in both engines), so partial
+  // sketches merge by summing counts. Quantile estimates interpolate
+  // linearly inside the straddling bucket with integer arithmetic until
+  // one final division — bit-replayable in SQL, unlike approx_percentile's
+  // merge-order-dependent t-digest. Relative error is bounded by the
+  // bucket width (factor-of-2 buckets → estimate within [lo, hi) of the
+  // true value's bucket).
+
+  /**
+   * Per-group quantile estimates from the log-histogram sketch.
+   * `percentiles` are integer percents; `valueCol` must be a positive
+   * integer column. Output: one row per (keys..., pct) with the estimate.
+   *
+   * Scale shape: one `groupBy(keys, bucket)` with map-side partial counts
+   * (≤ 63 buckets per group cross the wire), a ≤63-row-per-group window
+   * cumsum, and a tiny per-percentile filter — no sort of the data, no
+   * full materialization.
+   */
+  def histogramQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100))
+    val counts = df
+      .select((keys.map(col) :+
+        length(bin(col(valueCol))).cast("int").as("bucket")): _*)
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    percentiles.map { p =>
+      // integer target rank; straddling bucket has cumBefore < t <= cum
+      val t = expr(s"greatest((n * $p) div 100, 1)")
+      cum.filter(col("cum") >= t && (col("cum") - col("cnt")) < t)
+        .select((keys.map(col) :+ lit(p).as("pct") :+
+          // lo + (t - cumBefore) * (hi - lo) / cnt, integer until the division
+          expr(s"""CAST(shiftleft(CAST(1 AS BIGINT), bucket - 1) AS DOUBLE) +
+                  |CAST((greatest((n * $p) div 100, 1) - (cum - cnt)) *
+                  |     (shiftleft(CAST(1 AS BIGINT), bucket) - shiftleft(CAST(1 AS BIGINT), bucket - 1))
+                  |  AS DOUBLE) / CAST(cnt AS DOUBLE)""".stripMargin).as("estimate")): _*)
+    }.reduce(_.unionAll(_))
+  }
+
   /** Standard HLL bias-correction constant for 2^p registers — public so
     * the SQL oracle generator interpolates the identical double. */
   def alpha(p: Int): Double = p match {

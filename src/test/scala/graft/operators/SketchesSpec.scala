@@ -79,6 +79,28 @@ class SketchesSpec extends SparkSpec {
     assert(merged.sameElements(wholeWords))
   }
 
+  test("histogram quantiles: one row per (key, pct), estimates within bucket bounds") {
+    val est = Sketches.histogramQuantiles(docs, Seq("lang"), "n_chars")
+    val rows = est.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(rows.size == langs.length * 3) // exactly one straddling bucket each
+    // log-bucket guarantee: estimate within a factor of 2 of the exact value
+    val exact = TextAnalysis.percentiles(docs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    langs.foreach { lang =>
+      val (p50, p90, p99) = exact(lang)
+      Seq(50 -> p50, 90 -> p90, 99 -> p99).foreach { case (p, ex) =>
+        val e = rows((lang, p))
+        assert(e > ex / 2 && e < ex * 2, s"$lang p$p: sketch $e vs exact $ex")
+      }
+    }
+    // deterministic across reruns
+    val again = Sketches.histogramQuantiles(docs, Seq("lang"), "n_chars")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again == rows)
+  }
+
   test("hash60 parses the md5 prefix as the oracle does") {
     val spark0 = spark
     import spark0.implicits._
