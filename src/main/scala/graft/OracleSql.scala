@@ -397,6 +397,26 @@ object OracleSql {
        |  FROM documents)
        |WHERE __rank <= $n""".stripMargin
 
+  /** Mirror of the q48 CMS pipeline: grid = per-(row, col) occurrence
+    * counts over token positions (same KM family as Bloom), estimate =
+    * min over the depth cells for each distinct token. */
+  def cmsTokenFreq(width: Int, depth: Int): String = {
+    val h = s"CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)"
+    val pos = s"((h >> 30) + i * ((h & 1073741823) * 2 + 1)) % $width"
+    s"""WITH occ AS (SELECT unnest($toks) AS token FROM documents),
+       |hh AS (SELECT token, $h AS h FROM occ),
+       |p AS (SELECT $pos AS pos, i FROM hh
+       |      CROSS JOIN (SELECT unnest(range(0, $depth)) AS i) ii),
+       |cms AS (SELECT i, pos, count(*) AS cnt FROM p GROUP BY 1, 2),
+       |d AS (SELECT DISTINCT token FROM occ),
+       |dh AS (SELECT token, $h AS h FROM d),
+       |dp AS (SELECT token, i, $pos AS pos FROM dh
+       |       CROSS JOIN (SELECT unnest(range(0, $depth)) AS i) ii)
+       |SELECT dp.token, CAST(MIN(cms.cnt) AS BIGINT) AS est_freq
+       |FROM dp JOIN cms ON dp.i = cms.i AND dp.pos = cms.pos
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Mirror of Sketches.histogramQuantiles: power-of-two buckets via
     * length(bin(v)), window cumsum, integer-until-one-division linear
     * interpolation in the straddling bucket. */

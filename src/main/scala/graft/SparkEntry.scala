@@ -304,6 +304,16 @@ object SparkEntry {
       SimilaritySearch.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // Count-min token frequencies: the grid rides the plan as a literal;
+    // estimates never underestimate (spec-pinned vs exact counts).
+    "q48_cms_token_freq" -> ((s, dir) => {
+      val occ = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val grid = Sketches.cmsArray(occ, "token")
+      occ.distinct()
+        .select(col("token"), Sketches.cmsEstimate(col("token"), grid).as("est_freq"))
+    }),
+
     // Log-histogram quantile sketch: mergeable counts over power-of-two
     // buckets, integer-exact interpolation — the deterministic,
     // SQL-replayable alternative to approx_percentile's t-digest.
@@ -459,5 +469,6 @@ object SparkEntry {
       evalPct = 5, mBits = 1 << 16, k = 5, idCol = "doc_id"),
     "q46_multimodal_resize" -> OracleSql.multimodalResize(targetW = 224, targetH = 224),
     "q47_quantile_sketch" -> OracleSql.histogramQuantiles(Seq(50, 90, 99)),
+    "q48_cms_token_freq" -> OracleSql.cmsTokenFreq(width = 1024, depth = 4),
   )
 }

@@ -160,6 +160,50 @@ object Sketches {
     }.reduce(_ && _)
   }
 
+  // ---- Count-min sketch (frequency estimation) ---------------------------
+  //
+  // The frequency member of the family: depth×width counter grid, each
+  // occurrence increments one cell per row (positions from the same
+  // Kirsch-Mitzenmacher family as the Bloom filter), point estimate =
+  // min over the depth cells. Overestimates only (collisions add, never
+  // subtract); construction is a pure count aggregation, so the grid
+  // merges by cell-wise SUM and is bit-replayable in SQL.
+
+  /** Sparse CMS grid over the rows of `df` (one increment per row):
+    * (row_idx, col_idx, cnt). At most depth×width cells cross the wire
+    * per map task regardless of input size. */
+  def cmsTable(df: DataFrame, valueCol: String, width: Int = 1024,
+      depth: Int = 4): DataFrame =
+    df.select(explode(array(
+        bloomPositions(col(valueCol), width, depth).zipWithIndex.map {
+          case (pos, i) => struct(lit(i).as("i"), pos.as("pos"))
+        }: _*)).as("__c"))
+      .select(col("__c.i").as("row_idx"), col("__c.pos").as("col_idx"))
+      .groupBy(col("row_idx"), col("col_idx"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Collect the grid into the dense artifact (row-major, depth×width
+    * longs — 4×1024 is 32 KB). */
+  def cmsArray(df: DataFrame, valueCol: String, width: Int = 1024,
+      depth: Int = 4): Array[Long] = {
+    val grid = new Array[Long](width * depth)
+    cmsTable(df, valueCol, width, depth).collect().foreach { r =>
+      grid(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2)
+    }
+    grid
+  }
+
+  /** Point frequency estimate against a literal grid: min over the depth
+    * cells — a pure per-row expression (no join, no shuffle), like
+    * [[bloomMightContain]]. Never underestimates. */
+  def cmsEstimate(value: Column, grid: Array[Long], width: Int = 1024,
+      depth: Int = 4): Column = {
+    val gridCol = typedLit(grid.toSeq)
+    least(bloomPositions(value, width, depth).zipWithIndex.map {
+      case (pos, i) => element_at(gridCol, pos.cast("int") + (i * width + 1))
+    }: _*)
+  }
+
   // ---- Log-histogram quantile sketch -------------------------------------
   //
   // The quantile member of the sketch family (distinct = HLL, membership =

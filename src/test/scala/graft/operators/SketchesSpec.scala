@@ -79,6 +79,30 @@ class SketchesSpec extends SparkSpec {
     assert(merged.sameElements(wholeWords))
   }
 
+  test("count-min sketch never underestimates; wide grid recovers exact counts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val occ = docs.select(explode(split(col("text"), " ")).as("token")).cache()
+    val exact = occ.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grid = Sketches.cmsArray(occ, "token")
+    val est = occ.distinct()
+      .select(col("token"), Sketches.cmsEstimate(col("token"), grid).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (tok, e) => assert(e >= exact(tok), s"$tok underestimated") }
+    // ~31 distinct tokens in 4x1024 cells: collisions are essentially
+    // impossible, so the sketch should be exact here
+    assert(est == exact)
+    // grids merge by cell-wise sum
+    val evenGrid = Sketches.cmsArray(
+      docs.filter(col("doc_id") % 2 === 0).select(explode(split(col("text"), " ")).as("token")), "token")
+    val oddGrid = Sketches.cmsArray(
+      docs.filter(col("doc_id") % 2 === 1).select(explode(split(col("text"), " ")).as("token")), "token")
+    val merged = evenGrid.zip(oddGrid).map { case (x, y) => x + y }
+    assert(merged.sameElements(grid))
+  }
+
   test("histogram quantiles: one row per (key, pct), estimates within bucket bounds") {
     val est = Sketches.histogramQuantiles(docs, Seq("lang"), "n_chars")
     val rows = est.collect()
