@@ -304,6 +304,11 @@ object SparkEntry {
       SimilaritySearch.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin): must equal
+    // q14's output — shares its oracle.
+    "q49_jaccard_prefix_filter" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"))),
+
     // Count-min token frequencies: the grid rides the plan as a literal;
     // estimates never underestimate (spec-pinned vs exact counts).
     "q48_cms_token_freq" -> ((s, dir) => {
@@ -470,5 +475,8 @@ object SparkEntry {
     "q46_multimodal_resize" -> OracleSql.multimodalResize(targetW = 224, targetH = 224),
     "q47_quantile_sketch" -> OracleSql.histogramQuantiles(Seq(50, 90, 99)),
     "q48_cms_token_freq" -> OracleSql.cmsTokenFreq(width = 1024, depth = 4),
+    // identical output contract to q14 (exact pairs) — same oracle
+    "q49_jaccard_prefix_filter" -> OracleSql.ngramJaccardPairs(
+      threshold = 0.6, maxDocFreq = 10000),
   )
 }

@@ -91,6 +91,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("prefix-filtered Jaccard equals the plain inverted-index operator exactly") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = canon(Dedup.ngramJaccardPairs(d))
+    val prefix = canon(Dedup.ngramJaccardPairsPrefix(d))
+    assert(prefix == plain)
+    assert(plain.nonEmpty)
+    // also at a lower threshold, where prefixes are longer
+    assert(canon(Dedup.ngramJaccardPairsPrefix(d, threshold = 0.3)) ==
+      canon(Dedup.ngramJaccardPairs(d, threshold = 0.3)))
+  }
+
   test("minhash LSH agrees with exact ngram Jaccard on the documents table") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(d).collect()
