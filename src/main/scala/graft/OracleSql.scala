@@ -397,6 +397,26 @@ object OracleSql {
        |  FROM documents)
        |WHERE __rank <= $n""".stripMargin
 
+  /** Mirror of Dedup.crossCorpusPairs with the corpus split by sample
+    * bucket (< newPct = the "new batch", rest = the existing corpus). */
+  def crossCorpusPairs(newPct: Int, threshold: Double, maxDocFreq: Int,
+      idCol: String): String =
+    s"""WITH sets AS (SELECT $idCol AS id, ${sampleBucket(idCol)} AS b,
+       |                $shingleHashes AS hs FROM documents),
+       |sets2 AS (SELECT id, b, hs, len(hs) AS sz FROM sets WHERE len(hs) > 0),
+       |inv AS (SELECT id, b, sz, unnest(hs) AS h FROM sets2),
+       |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= $maxDocFreq),
+       |invf AS (SELECT inv.id, inv.b, inv.sz, inv.h FROM inv JOIN rare USING (h)),
+       |inter AS (SELECT x.id AS new_id, x.sz AS sz_a, y.id AS old_id, y.sz AS sz_b,
+       |                 count(*) AS inter
+       |          FROM invf x JOIN invf y ON x.h = y.h
+       |          WHERE x.b < $newPct AND y.b >= $newPct
+       |          GROUP BY 1, 2, 3, 4)
+       |SELECT new_id, old_id,
+       |       CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
+       |FROM inter
+       |WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $threshold""".stripMargin
+
   /** Mirror of the q48 CMS pipeline: grid = per-(row, col) occurrence
     * counts over token positions (same KM family as Bloom), estimate =
     * min over the depth cells for each distinct token. */

@@ -304,6 +304,16 @@ object SparkEntry {
       SimilaritySearch.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // Cross-corpus dedup: near-dup pairs between a "new batch" (sample
+    // buckets < 50) and the existing corpus (the rest) — the
+    // incremental-ingest shape, where self-join dedup doesn't apply.
+    "q50_cross_corpus_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusPairs(
+        docs.filter(Sampling.bucket(col("doc_id")) < 50),
+        docs.filter(Sampling.bucket(col("doc_id")) >= 50))
+    }),
+
     // Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin): must equal
     // q14's output — shares its oracle.
     "q49_jaccard_prefix_filter" -> ((s, dir) =>
@@ -478,5 +488,7 @@ object SparkEntry {
     // identical output contract to q14 (exact pairs) — same oracle
     "q49_jaccard_prefix_filter" -> OracleSql.ngramJaccardPairs(
       threshold = 0.6, maxDocFreq = 10000),
+    "q50_cross_corpus_dedup" -> OracleSql.crossCorpusPairs(
+      newPct = 50, threshold = 0.6, maxDocFreq = 10000, idCol = "doc_id"),
   )
 }

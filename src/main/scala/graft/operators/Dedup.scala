@@ -160,6 +160,39 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus near-dup pairs: every (new, existing) document pair with
+   * n-gram Jaccard >= threshold — the incremental-ingest shape ("dedupe
+   * this crawl batch against the corpus we already have") where the
+   * self-join operators don't apply because the two sides are different
+   * tables. Same inverted-index candidate generation as
+   * [[ngramJaccardPairs]], joining the NEW side's index against the
+   * EXISTING side's; candidates are bounded by shared-shingle frequency
+   * products and the doc-frequency cap (computed over the union, so a
+   * shingle ubiquitous in the existing corpus is capped even if rare in
+   * the batch).
+   */
+  def crossCorpusPairs(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      threshold: Double = 0.6, maxDocFreq: Int = 10000): DataFrame = {
+    val newSets = withShingleSets(newDocs, idCol, textCol, n)
+    val oldSets = withShingleSets(oldDocs, idCol, textCol, n)
+    val df = newSets.select(explode(col("hs")).as("h"))
+      .union(oldSets.select(explode(col("hs")).as("h")))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("h")
+    def index(sets: DataFrame) =
+      sets.select(col("id"), col("sz"), explode(col("hs")).as("h")).join(df, "h")
+    index(newSets).as("x").join(index(oldSets).as("y"), col("x.h") === col("y.h"))
+      .groupBy(col("x.id").as("new_id"), col("x.sz").as("sz_a"),
+        col("y.id").as("old_id"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("new_id"), col("old_id"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
    * Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin):
    * same output as [[ngramJaccardPairs]] — the spec and the shared oracle
    * pin that — but the inverted index holds only each document's

@@ -91,6 +91,23 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("cross-corpus pairs = the between-sides subset of the self-join pairs") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val newSide = d.filter(Sampling.bucket(col("doc_id")) < 50)
+    val oldSide = d.filter(Sampling.bucket(col("doc_id")) >= 50)
+    val newIds = newSide.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cross = Dedup.crossCorpusPairs(newSide, oldSide).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cross.nonEmpty)
+    cross.foreach { case (n, o, _) => assert(newIds(n) && !newIds(o)) }
+    // agreement with the self-join operator on the same pair space
+    val self = Dedup.ngramJaccardPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .filter { case (x, y, _) => newIds(x) && !newIds(y) }.toSet
+    assert(cross == self)
+  }
+
   test("prefix-filtered Jaccard equals the plain inverted-index operator exactly") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
