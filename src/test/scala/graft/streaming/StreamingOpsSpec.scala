@@ -52,6 +52,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.length == 2) // watermark path skipped, same aggregation shape
   }
 
+  test("hashSample and trainTestSplit run unchanged on streams (stateless projections)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val input = MemoryStream[Long]
+    val docs = input.toDF().withColumnRenamed("value", "doc_id")
+    val q = graft.operators.Sampling.trainTestSplit(
+        graft.operators.Sampling.hashSample(docs, pct = 60), testPct = 20)
+      .writeStream.format("memory").queryName("sample_test").outputMode("append").start()
+    try {
+      input.addData(0L until 200L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sample_test").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // identical membership and split labels as the batch call
+      val batch = graft.operators.Sampling.trainTestSplit(
+          graft.operators.Sampling.hashSample(
+            (0L until 200L).toDF("doc_id"), pct = 60), testPct = 20)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.values.toSet.subsetOf(Set("train", "test")))
+    } finally q.stop()
+  }
+
   test("windowedHllRegisters: stream output equals the batch sketch on the same rows") {
     val spark0 = spark
     import spark0.implicits._
