@@ -171,16 +171,18 @@ object SparkEntry {
       StreamingOps.windowedStats(Tables.loadEvents(s, dir))),
 
     // As-of join: each event enriched with the user's latest order at or
-    // before the event time (order key uniquifies date ties).
+    // before the event time (order key uniquifies date ties). Declared
+    // via the merge formulation (one shuffle, no history multiplication
+    // — the deep-history scale path); spec pins it equal to the
+    // join+pick formulation.
     "q22_asof_join" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
         .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
-      AsOfJoin(
+      AsOfJoin.unionSorted(
         Tables.loadEvents(s, dir).select("event_id", "ts", "user_id"),
         orders,
         leftKey = "user_id", rightKey = "o_custkey",
         leftTime = "ts", rightTime = "o_orderdate",
-        leftId = "event_id",
         rightCols = Seq(
           "o_orderkey" -> "last_order_key",
           "o_orderdate" -> "last_order_date",

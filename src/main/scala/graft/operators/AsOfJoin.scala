@@ -16,14 +16,18 @@ import org.apache.spark.sql.functions._
  * Determinism: the picked row is unique only if `tieBreakCols` breaks
  * rightTime ties; callers pass a unique right column (e.g. the order key).
  *
- * Scale notes (100 TB posture): implemented as an equi-join on the key
- * (shuffle both sides, AQE-managed) + per-left-row window pick. The time
- * predicate rides the join so Catalyst pushes it into the join condition;
- * cost is O(matching history per key), the classic trade-off of the
- * declarative formulation. When per-key history is deep, the scale path is
- * bucketing both sides by key and sorted-merge within buckets
- * (`bucketBy(key).sortBy(time)`) so the as-of pick becomes a linear merge —
- * same semantics, no per-pair blowup.
+ * Scale notes (100 TB posture): two formulations with identical output
+ * (spec-pinned):
+ *   - [[apply]]: equi-join on the key + per-left-row window pick. Cost is
+ *     O(matching history per key) — every event is multiplied by its full
+ *     eligible history before the pick. Simple, fine when history is
+ *     shallow.
+ *   - [[unionSorted]]: the merge formulation — union both sides tagged,
+ *     ONE shuffle on the key, one window sort, forward-fill the latest
+ *     right payload. Each row is materialized exactly once (no
+ *     history multiplication), which is the deep-history scale path; with
+ *     both sides bucketed+sorted by (key, time) the shuffle disappears
+ *     entirely.
  */
 object AsOfJoin {
 
@@ -54,5 +58,51 @@ object AsOfJoin {
       .filter(col("__rn") === 1)
       .select(left.columns.map(c => col(s"l.$c")) ++
         rightCols.map { case (rc, alias) => col(s"r.$rc").as(alias) }: _*)
+  }
+
+  /**
+   * Merge formulation of the same as-of semantics: tag and union both
+   * sides, sort each key's timeline once, and forward-fill the most
+   * recent right payload onto every left row (`last(..., ignoreNulls)`
+   * over an unbounded-preceding window). At equal timestamps the right
+   * row sorts first (inclusive `<=`), and tie-break columns sort
+   * ascending so the forward fill lands on the greatest — matching
+   * [[apply]]'s (time desc, tiebreaks desc) pick exactly. Right rows
+   * with null key or null time can never be picked by the join
+   * formulation and are filtered before the union (null-key left rows
+   * still pass through null-padded — E3-style semantics).
+   */
+  def unionSorted(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[(String, String)],
+      tieBreakCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val payloadType = StructType(rightCols.map { case (rc, alias) =>
+      org.apache.spark.sql.types.StructField(alias, right.schema(rc).dataType, nullable = true)
+    }.toArray)
+    val tbNames = tieBreakCols.map(c => s"__tb_$c")
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select((
+        col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+          tieBreakCols.map(c => col(c).as(s"__tb_$c"))) ++
+        Seq(struct(rightCols.map { case (rc, alias) => col(rc).as(alias) }: _*).as("__p")) ++
+        left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lSide = left
+      .select((
+        col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
+          tieBreakCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tb_$c"))) ++
+        Seq(lit(null).cast(payloadType).as("__p")) ++
+        left.columns.map(col): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy((col("__t").asc +: col("__side").asc +:
+        tbNames.map(c => col(c).asc_nulls_first)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rSide.unionByName(lSide)
+      .withColumn("__fill", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightCols.map { case (_, alias) => col("__fill").getField(alias).as(alias) }: _*)
   }
 }

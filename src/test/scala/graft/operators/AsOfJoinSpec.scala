@@ -60,4 +60,38 @@ class AsOfJoinSpec extends SparkSpec {
       .collect()
     assert(out.length == 1 && out.head.getString(4) == "high")
   }
+
+  test("unionSorted (merge formulation) == join+pick on fixtures and real tables") {
+    val spark0 = spark
+    import spark0.implicits._
+    // crafted fixture covering ties, exact-time inclusion, null padding
+    val ls = Seq(
+      L(1, 10, ts("2024-01-05 00:00:00")), L(2, 10, ts("2024-01-02 00:00:00")),
+      L(3, 10, ts("2024-01-03 00:00:00")), L(4, 99, ts("2024-01-05 00:00:00")))
+    val rs = Seq(
+      R(10, ts("2024-01-01 00:00:00"), 100, "old"),
+      R(10, ts("2024-01-03 00:00:00"), 101, "tie-low"),
+      R(10, ts("2024-01-03 00:00:00"), 200, "tie-high"),
+      R(55, ts("2024-01-01 00:00:00"), 102, "other-key"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.toString()).toSeq
+    val viaJoin = canon(join(ls, rs))
+    val viaMerge = canon(AsOfJoin.unionSorted(ls.toDF(), rs.toDF(),
+      leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "t",
+      rightCols = Seq("rid" -> "rid", "v" -> "v"), tieBreakCols = Seq("rid")))
+    assert(viaMerge == viaJoin)
+
+    // the real q22 inputs: events x orders at sf0.001
+    val events = graft.Tables.loadEvents(spark, sf()).select("event_id", "ts", "user_id")
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+      .withColumn("o_orderdate",
+        org.apache.spark.sql.functions.col("o_orderdate").cast("timestamp"))
+    val rcols = Seq("o_orderkey" -> "last_order_key",
+      "o_orderdate" -> "last_order_date", "o_totalprice" -> "last_order_price")
+    val big1 = canon(AsOfJoin(events, orders, "user_id", "o_custkey", "ts",
+      "o_orderdate", "event_id", rcols, Seq("o_orderkey")))
+    val big2 = canon(AsOfJoin.unionSorted(events, orders, "user_id", "o_custkey",
+      "ts", "o_orderdate", rcols, Seq("o_orderkey")))
+    assert(big2 == big1)
+  }
 }
