@@ -397,6 +397,13 @@ object OracleSql {
        |  FROM documents)
        |WHERE __rank <= $n""".stripMargin
 
+  /** Mirror of the q51 cleaned corpus: keep each doc whose component
+    * representative (min reachable id) is itself. */
+  def dedupCorpus(threshold: Double, maxDocFreq: Int): String =
+    s"""WITH comp AS (${dedupComponents(threshold, maxDocFreq)})
+       |SELECT d.* FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+       |WHERE c.component = c.doc_id""".stripMargin
+
   /** Mirror of Dedup.crossCorpusPairs with the corpus split by sample
     * bucket (< newPct = the "new batch", rest = the existing corpus). */
   def crossCorpusPairs(newPct: Int, threshold: Double, maxDocFreq: Int,

@@ -306,6 +306,19 @@ object SparkEntry {
       SimilaritySearch.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // End-to-end dedup: the cleaned corpus — one representative document
+    // (the minimum id) per near-dup cluster, isolated docs untouched.
+    // Composes the LSH candidate pairs and the component labeling into
+    // the artifact a training pipeline actually ships.
+    "q51_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs).select("id_a", "id_b")
+      val reps = ConnectedComponents(pairs, vertices = Some(docs.select("doc_id")))
+        .filter(col("id") === col("component"))
+        .select(col("id").as("__rep"))
+      docs.join(broadcast(reps), docs("doc_id") === col("__rep"), "left_semi")
+    }),
+
     // Cross-corpus dedup: near-dup pairs between a "new batch" (sample
     // buckets < 50) and the existing corpus (the rest) — the
     // incremental-ingest shape, where self-join dedup doesn't apply.
@@ -492,5 +505,6 @@ object SparkEntry {
       threshold = 0.6, maxDocFreq = 10000),
     "q50_cross_corpus_dedup" -> OracleSql.crossCorpusPairs(
       newPct = 50, threshold = 0.6, maxDocFreq = 10000, idCol = "doc_id"),
+    "q51_dedup_corpus" -> OracleSql.dedupCorpus(threshold = 0.6, maxDocFreq = 10000),
   )
 }

@@ -53,6 +53,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("cleaned corpus keeps exactly one representative per cluster") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val cleaned = graft.SparkEntry.queries("q51_dedup_corpus")(spark, sf())
+    val pairs = Dedup.minhashLshPairs(docs).select("id_a", "id_b")
+    val comp = ConnectedComponents(pairs, vertices = Some(docs.select("doc_id")))
+    val clusters = comp.select("component").distinct().count()
+    assert(cleaned.count() == clusters) // one doc per component
+    assert(cleaned.count() < docs.count()) // dups actually removed
+    // every kept doc is its own component representative
+    val keptIds = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    val reps = comp.filter(org.apache.spark.sql.functions.col("id") ===
+        org.apache.spark.sql.functions.col("component"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == reps)
+  }
+
   test("near-dup pipeline: planted dup pairs in documents form >=1 nontrivial cluster") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b")
