@@ -14,7 +14,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |       size(graft_shingle_hashes('a b c d', 3)) AS ns,
         |       size(graft_minhash_sig(array(5L, 9L), 16)) AS nk,
         |       graft_dot_f32(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
-        |       graft_srp_bucket(array(1.0F, 2.0F), 2, 8) AS b
+        |       graft_srp_bucket(array(1.0F, 2.0F), 2, 8) AS b,
+        |       graft_token_mode_count('spam spam ham') AS m
         |""".stripMargin).collect().head
     assert(r.getLong(0) == 3105L)                 // 97*31+98
     assert(r.getLong(1) != 0L)
@@ -22,6 +23,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(3) == 16)
     assert(r.getDouble(4) == 1.0 * 3.0 + 2.0 * 4.0)
     assert(r.getLong(5) >= 0L && r.getLong(5) < 256L) // 8-plane bucket range
+    assert(r.getLong(6) == 2L)                    // "spam" twice
   }
 
   test("non-literal width parameters are rejected with a clear error") {
