@@ -242,17 +242,19 @@ object Sketches {
     val cum = counts
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("n", sum(col("cnt")).over(wAll))
-    percentiles.map { p =>
-      // integer target rank; straddling bucket has cumBefore < t <= cum
-      val t = expr(s"greatest((n * $p) div 100, 1)")
-      cum.filter(col("cum") >= t && (col("cum") - col("cnt")) < t)
-        .select((keys.map(col) :+ lit(p).as("pct") :+
-          // lo + (t - cumBefore) * (hi - lo) / cnt, integer until the division
-          expr(s"""CAST(shiftleft(CAST(1 AS BIGINT), bucket - 1) AS DOUBLE) +
-                  |CAST((greatest((n * $p) div 100, 1) - (cum - cnt)) *
-                  |     (shiftleft(CAST(1 AS BIGINT), bucket) - shiftleft(CAST(1 AS BIGINT), bucket - 1))
-                  |  AS DOUBLE) / CAST(cnt AS DOUBLE)""".stripMargin).as("estimate")): _*)
-    }.reduce(_.unionAll(_))
+    // One pass for ALL percentiles: explode the pct list against the tiny
+    // cumulative table instead of unioning one aggregation per percentile
+    // (which would re-run the corpus groupBy once per requested quantile).
+    // Integer target rank t; the straddling bucket has cumBefore < t <= cum.
+    cum.withColumn("pct", explode(array(percentiles.map(lit(_)): _*)))
+      .withColumn("__t", expr("greatest((n * pct) div 100, 1)"))
+      .filter(col("cum") >= col("__t") && (col("cum") - col("cnt")) < col("__t"))
+      .select((keys.map(col) :+ col("pct") :+
+        // lo + (t - cumBefore) * (hi - lo) / cnt, integer until the division
+        expr("""CAST(shiftleft(CAST(1 AS BIGINT), bucket - 1) AS DOUBLE) +
+               |CAST((__t - (cum - cnt)) *
+               |     (shiftleft(CAST(1 AS BIGINT), bucket) - shiftleft(CAST(1 AS BIGINT), bucket - 1))
+               |  AS DOUBLE) / CAST(cnt AS DOUBLE)""".stripMargin).as("estimate")): _*)
   }
 
   /** Standard HLL bias-correction constant for 2^p registers — public so
