@@ -103,6 +103,20 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("as-of merge formulation shuffles exactly once") {
+    // the whole point of unionSorted vs join+pick: union -> ONE hash
+    // exchange on the key -> sort -> window fill
+    val p = plan(SparkEntry.queries("q22_asof_join")(spark, sf()))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"$exchanges hash exchanges in as-of plan:\n$p")
+  }
+
+  test("exact dedup plans with WindowGroupLimit (rank filter pushed map-side)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(graft.operators.Dedup.exact(docs, Seq("source"), "doc_id"))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("no declared query ever plans a CartesianProduct") {
     // Sweeping regression net over the whole inventory: a dropped join
     // key or a broken equi-condition shows up as a cartesian. q18 is the
