@@ -17,6 +17,12 @@ class PlanContractSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("driver smoke contract: SparkEntry.entry returns rows") {
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    assert(out.columns.last == "nation_name") // enrichment column present, last (E5)
+  }
+
   test("lookup join plans as broadcast hash join, never sort-merge") {
     val p = plan(SparkEntry.queries("q1_lookup_basic")(spark, sf()))
     assert(p.contains("BroadcastHashJoin"))
