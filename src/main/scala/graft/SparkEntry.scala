@@ -306,6 +306,11 @@ object SparkEntry {
       SimilaritySearch.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // Content-addressed sampling for id-less corpora: membership decided
+    // by an md5-derived bucket of the text itself.
+    "q52_content_sample" -> ((s, dir) =>
+      Sampling.contentSample(t(s, dir, "documents"), pct = 30)),
+
     // End-to-end dedup: the cleaned corpus — one representative document
     // (the minimum id) per near-dup cluster, isolated docs untouched.
     // Composes the LSH candidate pairs and the component labeling into
@@ -506,5 +511,8 @@ object SparkEntry {
     "q50_cross_corpus_dedup" -> OracleSql.crossCorpusPairs(
       newPct = 50, threshold = 0.6, maxDocFreq = 10000, idCol = "doc_id"),
     "q51_dedup_corpus" -> OracleSql.dedupCorpus(threshold = 0.6, maxDocFreq = 10000),
+    "q52_content_sample" ->
+      """SELECT * FROM documents
+        |WHERE (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) % 100 < 30""".stripMargin,
   )
 }

@@ -61,6 +61,21 @@ object Sampling {
     df.withColumn("split",
       when(bucket(col(idCol)) < testPct, lit("test")).otherwise(lit("train")))
 
+  /** Content-addressed bucket in [0, 100) for ARBITRARY values (strings,
+    * composites cast to string) — the no-dense-id case: real corpora often
+    * key on URLs or content hashes, not sequential longs. Uses the
+    * engine-portable 60-bit md5-prefix hash (`Sketches.hash60`), so the
+    * DuckDB oracle replays membership exactly; same reproducibility
+    * contract as [[bucket]]. */
+  def contentBucket(value: Column): Column =
+    pmod(Sketches.hash60(value), lit(100L))
+
+  /** Keep ~pct% of rows selected by content identity (md5-derived bucket
+    * of `keyCol`), not position or id — stable across reruns, engines,
+    * and table layouts even when no numeric id exists. */
+  def contentSample(df: DataFrame, pct: Int, keyCol: String = "text"): DataFrame =
+    df.filter(contentBucket(col(keyCol)) < pct)
+
   /** EXACT per-stratum quotas: the `n` rows of each stratum with the
     * lowest (bucket, id) rank — rate-based [[stratifiedSample]] yields
     * ~pct%, this yields exactly min(n, |stratum|) rows (the "10k docs per

@@ -43,6 +43,20 @@ class SamplingSpec extends SparkSpec {
     assert(cleanIds.intersect(evalIds).isEmpty)
   }
 
+  test("contentSample: id-free membership is content-determined and rerun-stable") {
+    val a = Sampling.contentSample(docs, pct = 30).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val b = Sampling.contentSample(docs.repartition(7), pct = 30).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b)) // layout-independent
+    val n = docs.count().toDouble
+    assert(a.length > n * 0.15 && a.length < n * 0.45) // ~30%, loose bound
+    // nesting: smaller content sample is a subset of the larger
+    val small = Sampling.contentSample(docs, pct = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a.toSet))
+  }
+
   test("takePerStratum: exact quotas, deterministic membership, hashSample-aligned") {
     val out = Sampling.takePerStratum(docs, n = 20)
     val byLang = out.groupBy("lang").count().collect()
