@@ -178,15 +178,45 @@ object TextFunctions {
   def cjkCount(text: Column): Column =
     size(regexp_extract_all(text, lit(HanRegex), lit(0)))
 
-  /** Language-ID: a Han character-class branch first (→ "zh"), then the
-    * argmax of stopword-marker counts as a chained CASE with a
-    * deterministic tiebreak (earlier list order wins); all counts zero →
-    * "und" per BCP-47 "undetermined". The CASE chain shape is mirrored
-    * verbatim in the SQL oracle. */
+  /** All [[LangMarkers]] lists counted in ONE native tokenization pass
+    * (array of per-list counts) — replaces one regex scan per language.
+    * Whole-token semantics identical to [[markerCount]] (parity spec). */
+  def langMarkerCounts(text: Column): Column =
+    native(catalyst.MarkerCounts(expr(text), LangMarkers.map(_._2)))
+
+  /** The language vote over a MATERIALIZED counts array (one
+    * `element_at` per reference instead of re-evaluating the counting
+    * expression inside every CASE branch — callers project
+    * [[langMarkerCounts]] into a column first, see
+    * `TextAnalysis.languageId`): a Han character-class branch first
+    * (→ "zh"), then the argmax of the marker counts as a chained CASE
+    * with a deterministic tiebreak (earlier list order wins); all counts
+    * zero → "und" per BCP-47 "undetermined". The CASE chain shape is
+    * mirrored verbatim in the SQL oracle (which spells the counts as
+    * regex passes — token-equality equivalent on the single-space corpus
+    * contract). */
+  def langIdFromCounts(countsArr: Column, text: Column): Column = {
+    val counts = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(countsArr, i + 1)
+    }
+    val anyHit = counts.map(_._2).reduce(_ + _) > 0
+    // CASE WHEN c0 >= c1 AND c0 >= c2 ... THEN lang0 WHEN c1 >= c2 ... THEN lang1 ...
+    val best = counts.zipWithIndex.init.foldRight(lit(counts.last._1)) {
+      case (((lang, c), i), els) =>
+        val geAllLater = counts.drop(i + 1).map(_._2)
+          .foldLeft(lit(true))((acc, o) => acc && c >= o)
+        when(geAllLater, lang).otherwise(els)
+    }
+    when(cjkCount(text) > 0, lit("zh"))
+      .otherwise(when(anyHit, best).otherwise(lit("und")))
+  }
+
+  /** One-column convenience spelling of the language-ID (regex marker
+    * counts inline — fine for ad-hoc use; the operator path projects the
+    * single-pass native counts first). */
   def langId(text: Column): Column = {
     val counts = LangMarkers.map { case (lang, ws) => lang -> markerCount(text, ws) }
     val anyHit = counts.map(_._2).reduce(_ + _) > 0
-    // CASE WHEN c0 >= c1 AND c0 >= c2 ... THEN lang0 WHEN c1 >= c2 ... THEN lang1 ...
     val best = counts.zipWithIndex.init.foldRight(lit(counts.last._1)) {
       case (((lang, c), i), els) =>
         val geAllLater = counts.drop(i + 1).map(_._2)

@@ -202,6 +202,79 @@ case class TokenModeCount(child: Expression)
     copy(child = newChild)
 }
 
+/** Whole-token marker counts for SEVERAL marker lists in one tokenization
+  * pass: returns `array<int>` with one count per input list. Replaces one
+  * `regexp_extract_all` pass PER LIST (the language-ID hot path runs four
+  * lists plus a script check per row) with a single split + hash-map probe
+  * per token. Token-equality semantics on single-space-separated text —
+  * identical to the regex formulation the SQL oracle replays (whole-token
+  * match, adjacent markers all counted).
+  *
+  * Full `doGenCode` (not CodegenFallback): the language-ID projection is
+  * plan-contract-pinned to stay inside whole-stage codegen, and a
+  * fallback expression would de-star the stage. The marker map rides the
+  * generated code as a reference object. */
+case class MarkerCounts(child: Expression, markerLists: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_marker_counts"
+
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    markerLists.zipWithIndex.foreach { case (ws, i) =>
+      ws.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val cur = m.get(k)
+        m.put(k, if (cur == null) Array(i) else cur :+ i)
+      }
+    }
+    m
+  }
+  private val Space = UTF8String.fromString(" ")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(Space, -1)
+    val counts = new Array[Int](markerLists.size)
+    var i = 0
+    while (i < toks.length) {
+      val hit = lookup.get(toks(i))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val utf8 = classOf[UTF8String].getName
+      val gad = classOf[GenericArrayData].getName
+      val mapRef = ctx.addReferenceObj("markerMap", lookup, "java.util.HashMap")
+      val spaceRef = ctx.addReferenceObj("space", Space, utf8)
+      val toks = ctx.freshName("toks")
+      val counts = ctx.freshName("counts")
+      val hit = ctx.freshName("hit")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |$utf8[] $toks = $c.split($spaceRef, -1);
+         |int[] $counts = new int[${markerLists.size}];
+         |for (int $i = 0; $i < $toks.length; $i++) {
+         |  int[] $hit = (int[]) $mapRef.get($toks[$i]);
+         |  if ($hit != null) {
+         |    for (int $j = 0; $j < $hit.length; $j++) { $counts[$hit[$j]]++; }
+         |  }
+         |}
+         |${ev.value} = new $gad($counts);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerCounts =
+    copy(child = newChild)
+}
+
 /** MinHash signature: sig_i = min over hashes h of ((2i+1)*h + 7919i + 1)
   * mod p, i in [0, k). Null (empty-set) semantics follow the HOF version:
   * empty input yields a null signature — callers filter empty shingle sets.

@@ -189,10 +189,17 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
-  /** Language identification by stopword-marker voting (TextFunctions
-    * .langId); emits the prediction next to the document id. */
+  /** Language identification by stopword-marker voting: all marker lists
+    * counted in ONE native tokenization pass projected into a counts
+    * column, then the CASE-chain vote reads `element_at` off that array —
+    * two stacked projections (Catalyst keeps them split because the
+    * counts column is referenced many times), instead of one regex scan
+    * per language per row. */
   def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), langId(col(textCol)).as("lang_pred"))
+    docs
+      .select(col(idCol), col(textCol), langMarkerCounts(col(textCol)).as("__mc"))
+      .select(col(idCol),
+        langIdFromCounts(col("__mc"), col(textCol)).as("lang_pred"))
 
   /** Content fingerprints: MD5 (exact-dup key), a base-31 rolling hash
     * (cheap order-sensitive fingerprint), and a 32-bit SimHash (near-dup

@@ -68,6 +68,16 @@ class HashExpressionsSpec extends SparkSpec {
     assert(d.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("native multi-list marker counts == regex marker count per language list") {
+    val d = docs.select(
+      TextFunctions.langMarkerCounts(col("text")).as("mc"),
+      org.apache.spark.sql.functions.array(
+        TextFunctions.LangMarkers.map { case (_, ws) =>
+          TextFunctions.markerCount(col("text"), ws)
+        }: _*).as("re"))
+    assert(d.filter(col("mc") =!= col("re")).count() == 0)
+  }
+
   test("regex marker count == lambda token filter on the corpus (every language list)") {
     TextFunctions.LangMarkers.foreach { case (_, markers) =>
       val d = docs.select(
