@@ -170,17 +170,22 @@ object Sketches {
   // merges by cell-wise SUM and is bit-replayable in SQL.
 
   /** Sparse CMS grid over the rows of `df` (one increment per row):
-    * (row_idx, col_idx, cnt). At most depth×width cells cross the wire
-    * per map task regardless of input size. */
+    * (row_idx, col_idx, cnt). Values are pre-aggregated (a plain
+    * wordcount with map-side partial counts) BEFORE the ×depth position
+    * explode, so the explode and the cell aggregation run over distinct
+    * values, not raw occurrences — cells then accumulate the value
+    * weights. At most depth×width cells per map task either way, but the
+    * occurrence-heavy first stage stays a bare hash aggregation. */
   def cmsTable(df: DataFrame, valueCol: String, width: Int = 1024,
       depth: Int = 4): DataFrame =
-    df.select(explode(array(
+    df.groupBy(col(valueCol)).agg(count(lit(1)).as("__w"))
+      .select(col("__w"), explode(array(
         bloomPositions(col(valueCol), width, depth).zipWithIndex.map {
           case (pos, i) => struct(lit(i).as("i"), pos.as("pos"))
         }: _*)).as("__c"))
-      .select(col("__c.i").as("row_idx"), col("__c.pos").as("col_idx"))
+      .select(col("__c.i").as("row_idx"), col("__c.pos").as("col_idx"), col("__w"))
       .groupBy(col("row_idx"), col("col_idx"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__w")).as("cnt"))
 
   /** Collect the grid into the dense artifact (row-major, depth×width
     * longs — 4×1024 is 32 KB). */
