@@ -27,6 +27,24 @@ class IOSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("orc round-trips through the contract read like parquet (columnar path)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp("graft_orc")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.mode("overwrite").orc(dir)
+    val cdap =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+    val df = IO.read(spark, "orc", dir, Some(cdap))
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // contract violation still accumulates on the columnar path
+    val bad =
+      """{"type":"record","name":"t","fields":[{"name":"missing","type":"int"}]}""".stripMargin
+    intercept[graft.config.ValidationException](IO.read(spark, "orc", dir, Some(bad)))
+  }
+
   test("contract violations accumulate: missing field AND incompatible type in one throw") {
     val spark0 = spark
     import spark0.implicits._
