@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, struct, xxhash64}
 
 /** Shared plan-shaping helpers. */
 object SparkUtil {
@@ -12,10 +13,46 @@ object SparkUtil {
    * MinHash, pairwise cosine) on one core. On a real cluster the scan
    * already yields >= cores splits, so this is a no-op there; the check
    * avoids paying an unconditional shuffle at scale.
+   *
+   * The probe is the optimizer's size estimate (driver-side planning only)
+   * against `files.maxPartitionBytes` — the same arithmetic FileSourceScan
+   * uses to split files — NOT `df.rdd.getNumPartitions`, which would force
+   * a plan-to-RDD conversion (materializing the physical plan outside
+   * AQE's view) just to read a number.
    */
   def ensureParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    val maxBytes = sess.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(maxBytes) * target) df.repartition(target) else df
+  }
+
+  /**
+   * Track an operator-internal `cache()` so a long-lived session composing
+   * many operators can release the shingle-set/vector intermediates:
+   * operators return LAZY DataFrames, so they cannot unpersist before the
+   * caller evaluates — instead every internal cache registers here and the
+   * caller (or driver harness) calls [[unpersistTrackedCaches]] once the
+   * results are materialized. Bench/Verify do this between queries; other
+   * callers own the same contract (otherwise caches accumulate until LRU
+   * eviction).
+   */
+  private val trackedCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  def trackCache(df: DataFrame): DataFrame = {
+    df.cache()
+    trackedCaches.add(df)
+    df
+  }
+
+  /** Unpersist every cache registered by [[trackCache]] since the last
+    * call. Safe to call while other queries run — only graft-internal
+    * caches are dropped (never `spark.catalog.clearCache()`, which would
+    * nuke caller-owned caches too). */
+  def unpersistTrackedCaches(): Unit = {
+    var df = trackedCaches.poll()
+    while (df != null) { df.unpersist(blocking = false); df = trackedCaches.poll() }
   }
 
   /**
@@ -30,23 +67,41 @@ object SparkUtil {
    * exceeds what partition-splitting can balance (e.g. skewed *build*
    * sides, or aggregations after the join keyed on the same column).
    *
-   * Join types: "inner" and "left" (the lookup-shaped cases; right/full
-   * would need the mirrored construction).
+   * Join types (the left side is always the scattered/skewed one):
+   *   - "inner"/"left": scatter left, replicate right.
+   *   - "right": the mirror — replicate left, scatter right (each right
+   *     row exists once, so unmatched right rows surface exactly once).
+   *   - "full": salted left-outer (all left rows + matches), then the
+   *     right-only remainder appended null-padded via an anti-join on the
+   *     plain key. The anti-join never multiplies rows, so a hot key on
+   *     the probe side degrades gracefully rather than exploding.
    */
   def saltedJoin(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
       salt: Int, joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left",
-      s"saltedJoin supports inner/left, got '$joinType'")
-    import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, struct, xxhash64}
-    val saltedL = leftDf.withColumn("__salt",
-      pmod(xxhash64(struct(leftDf.columns.map(col(_)): _*)), lit(salt)).cast("int"))
-    val saltedR = rightDf.withColumn("__salt",
+    def scatter(df: DataFrame): DataFrame = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col(_)): _*)), lit(salt)).cast("int"))
+    def replicate(df: DataFrame): DataFrame = df.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
-    saltedL.join(saltedR,
-        saltedL(leftKey) === saltedR(rightKey) &&
-          saltedL("__salt") === saltedR("__salt"),
-        joinType)
-      .drop("__salt")
+    def salted(l: DataFrame, r: DataFrame, jt: String): DataFrame =
+      l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"), jt)
+        .drop("__salt")
+    joinType match {
+      case "inner" | "left" | "left_outer" =>
+        salted(scatter(leftDf), replicate(rightDf), joinType)
+      case "right" | "right_outer" =>
+        salted(replicate(leftDf), scatter(rightDf), "right")
+      case "full" | "full_outer" | "outer" =>
+        val leftPart = salted(scatter(leftDf), replicate(rightDf), "left")
+        val rightOnly = rightDf
+          .join(leftDf.select(col(leftKey).as("__lk")),
+            rightDf(rightKey) === col("__lk"), "left_anti")
+          .select(leftDf.schema.map(f =>
+            lit(null).cast(f.dataType).as(f.name)) ++
+            rightDf.columns.map(col(_)): _*)
+        leftPart.unionByName(rightOnly)
+      case other => throw new IllegalArgumentException(
+        s"saltedJoin supports inner/left/right/full, got '$other'")
+    }
   }
 }

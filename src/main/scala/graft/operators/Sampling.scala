@@ -79,9 +79,10 @@ object Sampling {
   /** EXACT per-stratum quotas: the `n` rows of each stratum with the
     * lowest (bucket, id) rank — rate-based [[stratifiedSample]] yields
     * ~pct%, this yields exactly min(n, |stratum|) rows (the "10k docs per
-    * language" requirement). Ranking by the content-addressed bucket
-    * keeps selection pseudorandom yet deterministic, and aligned with
-    * [[hashSample]] membership (low buckets first). One shuffle on the
+    * language" requirement). Ranking by the Knuth id-bucket ([[bucket]],
+    * same function as [[hashSample]]) keeps selection pseudorandom yet
+    * deterministic, and aligned with [[hashSample]] membership (low
+    * buckets first). One shuffle on the
     * stratum key; Spark plans the rank-filter as WindowGroupLimit, so
     * each map task forwards at most `n` rows per stratum — the full
     * stratum never materializes on one node. */

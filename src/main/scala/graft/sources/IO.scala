@@ -87,11 +87,16 @@ object IO {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       format: String = "parquet", mode: String = "overwrite",
       filesPerPartition: Int = 1): DataFrame = {
-    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit, spark_partition_id}
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val dataCols = df.columns.filterNot(partitionCols.contains)
-    val salt = pmod(hash(dataCols.map(col): _*), lit(filesPerPartition))
+    // Every column a partition column → zero-arg hash() would fail at
+    // analysis; rows then carry no data beyond their directory, so any
+    // spread preserves results — salt by input partition id instead.
+    val salt =
+      if (dataCols.isEmpty) pmod(spark_partition_id(), lit(filesPerPartition))
+      else pmod(hash(dataCols.map(col): _*), lit(filesPerPartition))
     // Explicit partition count: with a bare `repartition(exprs)` AQE is
     // free to coalesce the whole shuffle into one partition on small
     // inputs, silently re-creating the single-writer bottleneck this salt

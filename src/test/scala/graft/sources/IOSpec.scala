@@ -122,19 +122,22 @@ class IOSpec extends SparkSpec {
     assert(membership(out1) == membership(out2))
   }
 
-  test("salted join == plain join on a skewed dataset (inner and left)") {
+  test("salted join == plain join on a skewed dataset (all four join types)") {
     val spark0 = spark
     import spark0.implicits._
-    // key 7 is hot: 5000 rows; others sparse
-    val left = ((1 to 5000).map(_ => 7L) ++ Seq(1L, 2L, 99L)).zipWithIndex
+    // key 7 is hot: 5000 rows; others sparse; null keys on both sides
+    // (must never match, and must survive the outer variants null-padded)
+    val left = (((1 to 5000).map(_ => 7L) ++ Seq(1L, 2L, 99L)).map(Option(_))
+      ++ Seq(None)).zipWithIndex
       .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
-    val right = Seq((7L, "hot"), (1L, "one"), (3L, "three")).toDF("rk", "v")
-    for (jt <- Seq("inner", "left")) {
+    val right = Seq((Option(7L), "hot"), (Some(1L), "one"), (Some(3L), "three"),
+      (None, "nullkey")).toDF("rk", "v")
+    for (jt <- Seq("inner", "left", "right", "full")) {
       val plain = left.join(right, left("k") === right("rk"), jt)
         .collect().map(_.toSeq).sortBy(_.toString)
       val salted = graft.SparkUtil.saltedJoin(left, right, "k", "rk", salt = 8, joinType = jt)
         .collect().map(_.toSeq).sortBy(_.toString)
-      assert(plain.toSeq == salted.toSeq)
+      assert(plain.toSeq == salted.toSeq, s"joinType=$jt diverged from plain join")
     }
   }
 }
