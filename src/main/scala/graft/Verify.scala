@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Operator-internal caches (shingle sets, vector norms) are
+      // per-query intermediates; release them so 50+ queries in one
+      // session don't accumulate to LRU-eviction pressure.
+      SparkUtil.unpersistTrackedCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

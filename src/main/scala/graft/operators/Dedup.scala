@@ -146,7 +146,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
       maxDocFreq: Int = 10000): DataFrame = {
-    val sets = withShingleSets(docs, idCol, textCol, n).cache()
+    val sets = graft.SparkUtil.trackCache(withShingleSets(docs, idCol, textCol, n))
     val inv = invertedIndex(sets, maxDocFreq)
     inv.as("x").join(inv.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id"))
@@ -214,8 +214,8 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
       maxDocFreq: Int = 10000): DataFrame = {
-    val sets = withShingleSets(docs, idCol, textCol, n).cache()
-    val inv = invertedIndex(sets, maxDocFreq)
+    val sets = withShingleSets(docs, idCol, textCol, n)
+    val inv = graft.SparkUtil.trackCache(invertedIndex(sets, maxDocFreq))
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col("id")).orderBy(col("__df").asc, col("h").asc)
     val prefix = inv.join(dfreq, "h")
@@ -226,10 +226,19 @@ object Dedup {
         col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // Verify against the CAPPED per-doc sets, not the full shingle sets:
+    // [[ngramJaccardPairs]] (and the shared oracle) count intersections
+    // only over shingles under the doc-frequency cap, so when the cap
+    // binds — exactly the heavy-tailed regime this operator targets — an
+    // intersection over full sets would emit pairs q14 omits. `sz` stays
+    // the FULL set size (functionally dependent on id, carried through
+    // the index), matching q14's denominator exactly.
+    val capped = inv.groupBy(col("id"), col("sz"))
+      .agg(collect_list(col("h")).as("hs"))
     candidates
-      .join(sets.select(col("id"), col("hs").as("hs_a"), col("sz").as("sz_a")),
+      .join(capped.select(col("id"), col("hs").as("hs_a"), col("sz").as("sz_a")),
         col("id_a") === col("id")).drop("id")
-      .join(sets.select(col("id"), col("hs").as("hs_b"), col("sz").as("sz_b")),
+      .join(capped.select(col("id"), col("hs").as("hs_b"), col("sz").as("sz_b")),
         col("id_b") === col("id")).drop("id")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .select(col("id_a"), col("id_b"),
@@ -256,7 +265,7 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val r = k / bands
-    val sets = withShingleSets(docs, idCol, textCol, n).cache()
+    val sets = graft.SparkUtil.trackCache(withShingleSets(docs, idCol, textCol, n))
 
     val sigs = sets.select(col("id"), minhashSignature(col("hs"), k).as("sig"))
     val banded = sigs.select(col("id"),
@@ -296,9 +305,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "pigeonhole blocking over 4 bytes is only lossless for maxHamming <= 3")
-    val hashed = graft.SparkUtil.ensureParallelism(docs)
-      .select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("sh"))
-      .cache()
+    val hashed = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(docs)
+        .select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("sh")))
     val blocked = hashed.select(col("id"), col("sh"), explode(simhashBlocks(col("sh"))).as("b"))
       .select(col("id"), col("sh"), col("b.block_id"), col("b.block_val"))
     blocked.as("x").join(blocked.as("y"),

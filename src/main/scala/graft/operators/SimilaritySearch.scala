@@ -167,21 +167,6 @@ object SimilaritySearch {
     cents
   }
 
-  /** Approximate top-k: multi-table SRP-LSH candidates re-ranked by exact
-    * cosine — the standard (Indyk-Motwani) table-union construction. Each
-    * of `nTables` independent tables hashes with its own `nPlanes` sign
-    * projections; a candidate is any vector sharing the query's bucket in
-    * AT LEAST ONE table, so per-match recall is `1-(1-p^nPlanes)^nTables`
-    * (p = 1 - angle/pi) instead of the single-table `p^nPlanes` — small
-    * per-table buckets for speed, many tables for recall.
-    *
-    * Spark shape: ONE native codegen'd projection computes all
-    * `nTables*nPlanes` sign bits (a single 63-bit bucket), bit-sliced
-    * into per-table buckets and exploded to (table, bucket) keys; the
-    * query side (tiny) is broadcast and the candidate match is a pure
-    * equi-join — never a cross join. Multi-table duplicates are dropped
-    * before re-ranking. Explode cost is nTables rows per vector — the
-    * standard LSH space/recall trade, same shape as MinHash banding. */
   /** Explode a multi-table SRP bit string into (table, bucket) keys —
     * table t's bucket is bits [t*nPlanes, (t+1)*nPlanes). The bit string
     * is projected once per row; slicing is trivial bit math. */
@@ -192,23 +177,68 @@ object SimilaritySearch {
         shiftright(bits, t * nPlanes).bitwiseAND(lit(mask)).as("b"))): _*))
   }
 
+  /** Multiprobe variant of [[srpTableKeys]] for the QUERY side: per table,
+    * the exact bucket plus every 1-bit-flipped bucket (`nPlanes` flips) —
+    * a near-miss on one hyperplane's sign no longer costs the whole
+    * table. Probing is query-side only, so the corpus index stays at
+    * `nTables` rows per vector; only the (tiny, broadcast) probe set
+    * grows `(nPlanes+1)×`. */
+  private def srpProbeKeys(bits: Column, nPlanes: Int, nTables: Int,
+      multiprobe: Boolean): Column = {
+    val mask = (1L << nPlanes) - 1
+    explode(flatten(array((0 until nTables).map { t =>
+      val b = shiftright(bits, t * nPlanes).bitwiseAND(lit(mask))
+      val variants = b +:
+        (if (multiprobe) (0 until nPlanes).map(j => b.bitwiseXOR(lit(1L << j)))
+         else Seq.empty[Column])
+      array(variants.map(v => struct(lit(t).as("t"), v.as("b"))): _*)
+    }: _*)))
+  }
+
+  /** Approximate top-k: multi-table SRP-LSH candidates re-ranked by exact
+    * cosine — the standard (Indyk-Motwani) table-union construction. Each
+    * of `nTables` independent tables hashes with its own `nPlanes` sign
+    * projections; a candidate is any vector sharing one of the query's
+    * probed buckets in AT LEAST ONE table. Without multiprobe, per-match
+    * recall is `1-(1-p^nPlanes)^nTables` (p = 1 - angle/pi) instead of
+    * the single-table `p^nPlanes`; with 1-bit multiprobe the per-table
+    * hit rate rises to `p^n + n·p^(n-1)(1-p)` (Hamming ≤ 1 on the
+    * sketch), which is what pushes recall@10 past 0.9 at practical
+    * table counts (spec-pinned floor).
+    *
+    * Spark shape: ONE native codegen'd projection computes all
+    * `nTables*nPlanes` sign bits (a single 63-bit bucket), bit-sliced
+    * into per-table buckets and exploded to (table, bucket) keys; the
+    * query side (tiny) is broadcast and the candidate match is a pure
+    * equi-join — never a cross join. Explode cost is nTables rows per
+    * corpus vector — the standard LSH space/recall trade, same shape as
+    * MinHash banding.
+    *
+    * Determinism with multi-row queries: a candidate's score is its MAX
+    * cosine over all query rows it collides with ("nearest to any
+    * query"), computed by a hash aggregation over bare (id, score) rows —
+    * no arbitrary which-query-row-survived pick, so the output is
+    * deterministic for any query cardinality (single-row queries, the
+    * common case, are unaffected). */
   def annTopKLsh(df: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 15,
+      multiprobe: Boolean = true): DataFrame = {
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     val totalPlanes = nPlanes * nTables
-    def tableKeys(bits: Column): Column = srpTableKeys(bits, nPlanes, nTables)
     val bucketed = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol), col(vecCol),
         lshBucket(col(vecCol), dim, totalPlanes).as("__bits"))
-      .select(col(idCol), col(vecCol), tableKeys(col("__bits")).as("__tb"))
+      .select(col(idCol), col(vecCol),
+        srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
     val q = broadcast(query
       .select(col(vecCol).as("__qvec"),
         lshBucket(col(vecCol), dim, totalPlanes).as("__qbits"))
-      .select(col("__qvec"), tableKeys(col("__qbits")).as("__qtb")))
+      .select(col("__qvec"),
+        srpProbeKeys(col("__qbits"), nPlanes, nTables, multiprobe).as("__qtb")))
     bucketed.join(q, col("__tb") === col("__qtb"))
-      .dropDuplicates(idCol) // a candidate may collide in several tables
       .select(col(idCol), cosine(col(vecCol), col("__qvec"), dim).as("score"))
+      .groupBy(col(idCol)).agg(max(col("score")).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -232,11 +262,11 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
-    val base = graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm2(col(vecCol), dim).as("n2"),
-        lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits"))
-      .cache()
+    val base = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(df)
+        .select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm2(col(vecCol), dim).as("n2"),
+          lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits")))
     // Candidate ids first, vectors later: the multi-table dedupe
     // (`distinct`) runs over bare (id, id) pairs — hash-aggregable —
     // instead of rows carrying float arrays, which would force a
