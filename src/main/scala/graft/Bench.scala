@@ -1,21 +1,27 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 /**
  * Driver-run benchmark: every SparkEntry query against
  * `SPARK_GRAFT_SF_DIR`, one JSON result line on stdout.
  *
- * Each query is executed twice and the second (steady-state) time is
- * reported: the first pass pays one-time costs that say nothing about
- * throughput at scale — whole-stage codegen compilation, JIT warmup,
- * parquet footer reads — and at sf0.1 those fixed costs would otherwise
- * dominate sub-second queries.
+ * Each query runs once as warmup (whole-stage-codegen compilation, JIT,
+ * parquet footer reads — one-time costs that say nothing about throughput
+ * at scale) and then THREE timed times; the reported per-query number is
+ * the MEDIAN, with min/max kept in the JSON. This machine is shared and
+ * background load swings single samples 3-6× (BASELINE.md), which made
+ * round-over-round single-sample comparison meaningless; the median of
+ * three plus visible spread is the smallest fix that makes a regression
+ * distinguishable from a noisy neighbor.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,29 +33,43 @@ object Bench {
     // ColumnPruning delete every projected expression (a projection-only
     // query would be timed as a bare parquet scan). The noop sink fully
     // evaluates and serializes every output row while writing nothing.
+    //
+    // NonFatal only: a fatal error (OOM, stack overflow) leaves the JVM in
+    // an unknown state — continuing would silently corrupt every number
+    // after it, so fatals kill the run instead of being reported as a
+    // per-query failure.
     def time(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           System.err.println(s"bench FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
           return None
       }
       Some((System.nanoTime() - t0) / 1e9)
     }
+    // Between runs: drop graft-internal operator caches and cached scans so
+    // every sample pays the same (cold-cache) work.
+    def reset(): Unit = { SparkUtil.unpersistTrackedCaches(); spark.catalog.clearCache() }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       time(name, fn) // warmup: codegen + JIT + footer cache
-      spark.catalog.clearCache()
-      name -> time(name, fn)
+      val samples = (1 to runs).flatMap { _ => reset(); time(name, fn) }
+      name -> samples.sorted
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
-      .mkString("{", ",", "}")
+    def fmt(d: Double) = f"$d%.4f"
+    val qs = results.map { case (k, s) =>
+      val v = if (s.isEmpty) -1.0 else s(s.size / 2)
+      s"\"" + k + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    val spread = results.collect { case (k, s) if s.nonEmpty =>
+      s"\"" + k + "\":[" + fmt(s.head) + "," + fmt(s.last) + "]"
+    }.mkString("{", ",", "}")
     // Failed queries are reported as -1 markers and EXCLUDED from the
     // total (a -1 contribution would shrink the headline number).
-    val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
+    val failed = results.collect { case (k, s) if s.isEmpty => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, s) if s.nonEmpty => s(s.size / 2) }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread_min_max":$spread,"runs_per_query":$runs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

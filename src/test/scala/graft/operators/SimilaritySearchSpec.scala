@@ -125,11 +125,34 @@ class SimilaritySearchSpec extends SparkSpec {
     val exact = ids(SimilaritySearch.topKCosine(e, q, k = 10))
     val ann = ids(SimilaritySearch.annTopKLsh(e, q, k = 10))
     val recall = exact.intersect(ann).size.toDouble / exact.size
-    info(f"recall@10 = $recall%.2f (8 tables x 4 planes, union of buckets)")
-    assert(recall >= 0.5, f"recall@10 dropped to $recall%.2f")
+    info(f"recall@10 = $recall%.2f (15 tables x 4 planes, 1-bit multiprobe)")
+    assert(recall >= 0.9, f"recall@10 dropped to $recall%.2f")
+    // multiprobe only ADDS probed buckets: its candidate set must contain
+    // every exact-bucket candidate (recall is monotone in the probe set)
+    val annNoProbe = ids(SimilaritySearch.annTopKLsh(e, q, k = 10, multiprobe = false))
+    val recallNoProbe = exact.intersect(annNoProbe).size.toDouble / exact.size
+    info(f"recall@10 without multiprobe = $recallNoProbe%.2f")
+    assert(recall >= recallNoProbe)
     // widening the probe (fewer planes -> bigger buckets) must not lose
     // candidates: with 0 planes every vector shares one bucket == exact
     val annAll = ids(SimilaritySearch.annTopKLsh(e, q, k = 10, nPlanes = 0))
     assert(annAll == exact)
+  }
+
+  test("ANN LSH is deterministic for multi-row queries: score = max over query rows") {
+    val e = emb.cache()
+    val q2 = e.filter(col("vec_id") === 0 || col("vec_id") === 1)
+    val runs = (1 to 3).map(_ =>
+      SimilaritySearch.annTopKLsh(e, q2, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(runs.distinct.size == 1, "multi-query ANN result varied across runs")
+    // each score is the best exact cosine against either query row
+    val exact0 = SimilaritySearch.topKCosine(e, e.filter(col("vec_id") === 0),
+      k = e.count().toInt).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact1 = SimilaritySearch.topKCosine(e, e.filter(col("vec_id") === 1),
+      k = e.count().toInt).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    runs.head.foreach { case (id, score) =>
+      assert(score == math.max(exact0(id), exact1(id)))
+    }
   }
 }
