@@ -105,7 +105,9 @@ object OracleSql {
        |FROM documents""".stripMargin
   }
 
-  def textLangId: String = {
+  def textLangId: String = textLangIdFrom("documents")
+
+  private def textLangIdFrom(source: String): String = {
     val langs = TextFunctions.LangMarkers
     val counts = langs.map { case (l, ws) => l -> markerLen(ws) }
     // CASE chain: first lang whose count >= all later counts wins.
@@ -121,7 +123,23 @@ object OracleSql {
     s"""SELECT doc_id,
        |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
        |       WHEN ($anyHit) > 0 THEN $chain ELSE 'und' END AS lang_pred
-       |FROM documents""".stripMargin
+       |FROM $source""".stripMargin
+  }
+
+  /** Language-ID over a corpus with Han text deterministically injected
+    * into a hash-sampled slice (codepoints built with chr(), so the SQL
+    * stays pure ASCII) — the oracle row that actually exercises the `zh`
+    * character-class branch, which the pure-ASCII fixture corpus never
+    * reaches. Java-regex-vs-RE2 drift on the Han class would surface
+    * here, not just in unit specs. */
+  def textLangIdZh(injectPct: Int): String = {
+    val han = Seq(0x4e2d, 0x6587).map(cp => s"chr($cp)").mkString(" || ")
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${sampleBucket("doc_id")} < $injectPct
+       |         THEN text || ' ' || $han ELSE text END AS text
+       |  FROM documents)
+       |${textLangIdFrom("injected")}""".stripMargin
   }
 
   def textStats: String =

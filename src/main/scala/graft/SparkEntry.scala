@@ -123,6 +123,20 @@ object SparkEntry {
     "q11_text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"))),
 
+    // Language-ID with Han text injected into a hash-sampled 20% slice —
+    // the fixture corpus is pure ASCII, so q11 alone never reaches the
+    // `zh` character-class branch; this query builds the Han suffix
+    // inside the query (codepoint literals, deterministic membership) so
+    // the branch gets a real cross-engine oracle row.
+    "q53_langid_zh" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(Sampling.bucket(col("doc_id")) < 20,
+          concat(col("text"), lit(" 中文")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.languageId(injected)
+    }),
+
     // Content fingerprints: md5 + rolling hash + 32-bit SimHash.
     "q12_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"))),
@@ -437,6 +451,7 @@ object SparkEntry {
     "q9_text_stats" -> OracleSql.textStats,
     "q10_text_quality" -> OracleSql.textQuality,
     "q11_text_langid" -> OracleSql.textLangId,
+    "q53_langid_zh" -> OracleSql.textLangIdZh(injectPct = 20),
     "q12_text_fingerprint" -> OracleSql.textFingerprint,
     "q13_dedup_exact" -> OracleSql.dedupExact,
     "q14_dedup_ngram_jaccard" -> OracleSql.ngramJaccardPairs(threshold = 0.6, maxDocFreq = 10000),

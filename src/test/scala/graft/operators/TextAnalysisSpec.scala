@@ -66,6 +66,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == "zh" && out(2L) == "zh" && out(3L) == "en")
   }
 
+  test("q53 Han injection flips exactly the sampled slice to zh") {
+    // the declared q53 query must actually exercise the zh branch: every
+    // doc in the injected 20% slice votes zh, every other doc keeps its
+    // q11 prediction (the suffix only touches sampled rows)
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    val q53 = graft.SparkEntry.queries("q53_langid_zh")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q11 = TextAnalysis.languageId(corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sampled = corpus.select("doc_id").collect().map(_.getLong(0))
+      .filter { id => ((id % 2147483648L) * 2654435761L % 4294967296L % 100) < 20 }
+      .toSet
+    assert(sampled.nonEmpty, "fixture slice is empty — q53 would be vacuous")
+    q53.foreach { case (id, lang) =>
+      if (sampled(id)) assert(lang == "zh", s"doc $id in the Han slice predicted $lang")
+      else assert(lang == q11(id), s"doc $id outside the slice drifted from q11")
+    }
+  }
+
   test("vocabulary: frequency-ranked top-k with doc frequency, deterministic cut") {
     val df = docs(
       (1L, "en", "spark spark spark hash join"),
