@@ -204,6 +204,27 @@ object SparkEntry {
         tieBreakCols = Seq("o_orderkey"))
     }),
 
+    // The join+pick as-of formulation — same semantics as q22 (shares
+    // its oracle), declared separately so BOTH formulations sit behind
+    // the correctness gate: this is the one whose (key, leftId) pick
+    // window reuses the join's shuffle and goes zero-Exchange on
+    // bucketed inputs (PlanContractSpec).
+    "q56_asof_join_pick" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      AsOfJoin(
+        Tables.loadEvents(s, dir).select("event_id", "ts", "user_id"),
+        orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        leftId = "event_id",
+        rightCols = Seq(
+          "o_orderkey" -> "last_order_key",
+          "o_orderdate" -> "last_order_date",
+          "o_totalprice" -> "last_order_price"),
+        tieBreakCols = Seq("o_orderkey"))
+    }),
+
     // Gap-based sessionization (native session_window; streaming-capable).
     "q23_sessionize" -> ((s, dir) =>
       StreamingOps.sessionize(Tables.loadEvents(s, dir))),
@@ -463,6 +484,8 @@ object SparkEntry {
     "q20_multimodal_meta" -> OracleSql.multimodalMeta,
     "q21_events_window" -> OracleSql.eventsWindow,
     "q22_asof_join" -> OracleSql.asofJoin,
+    // identical output contract to q22 (join+pick formulation) — same oracle
+    "q56_asof_join_pick" -> OracleSql.asofJoin,
     "q23_sessionize" -> OracleSql.sessionize(gapMinutes = 30),
     "q24_text_percentiles" ->
       """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,

@@ -21,18 +21,29 @@ import org.apache.spark.sql.functions._
  *   - [[apply]]: equi-join on the key + per-left-row window pick. Cost is
  *     O(matching history per key) — every event is multiplied by its full
  *     eligible history before the pick. Simple, fine when history is
- *     shallow.
+ *     shallow. The pick window partitions by (key, leftId), not leftId
+ *     alone: HashPartitioning(key) from the join satisfies the clustered
+ *     distribution on the superset, so the window REUSES the join's
+ *     shuffle (local sort only, no second Exchange) — and with both
+ *     sides bucketed on the key the whole plan runs with ZERO Exchange
+ *     (spec-pinned in PlanContractSpec).
  *   - [[unionSorted]]: the merge formulation — union both sides tagged,
  *     ONE shuffle on the key, one window sort, forward-fill the latest
- *     right payload. Each row is materialized exactly once (no
- *     history multiplication), which is the deep-history scale path; with
- *     both sides bucketed+sorted by (key, time) the shuffle disappears
- *     entirely.
+ *     right payload. Each row is materialized exactly once (no history
+ *     multiplication), which is the deep-history scale path. Note that
+ *     bucketing does NOT remove this formulation's Exchange: Union
+ *     concatenates partitions rather than aligning them, so Spark
+ *     reports UnknownPartitioning above it regardless of the inputs'
+ *     layout — the bucketed zero-shuffle path is [[apply]].
  */
 object AsOfJoin {
 
   /**
-   * @param leftId unique left row id (window partition key for the pick)
+   * @param leftId unique left row id (window partition key for the pick;
+   *               MUST be unique per left row — the window partitions by
+   *               (leftKey, leftId), which is the same partition set as
+   *               leftId alone exactly when leftId never repeats across
+   *               keys)
    * @param rightCols right columns to attach, each (rightName, outputAlias)
    * @param tieBreakCols right columns that uniquify equal `rightTime` picks
    *                     (compared descending, after time)
@@ -49,7 +60,10 @@ object AsOfJoin {
       col(s"l.$leftKey") === col(s"r.$rightKey") &&
         col(s"r.$rightTime") <= col(s"l.$leftTime"),
       "left_outer")
-    val pick = Window.partitionBy(col(s"l.$leftId"))
+    // (key, leftId) partitioning: HashPartitioning(key) from the join
+    // satisfies ClusteredDistribution(key, leftId), so no extra Exchange
+    // is planned for the window — only a local sort.
+    val pick = Window.partitionBy(col(s"l.$leftKey"), col(s"l.$leftId"))
       .orderBy(
         (col(s"r.$rightTime").desc_nulls_last +:
           tieBreakCols.map(c => col(s"r.$c").desc_nulls_last)): _*)
@@ -78,10 +92,18 @@ object AsOfJoin {
       rightCols: Seq[(String, String)],
       tieBreakCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.StructType
+    val tbNames = tieBreakCols.map(c => s"__tb_$c")
+    // The union lays both sides out over internal columns; an input that
+    // already uses one of these names would collide into a confusing
+    // duplicate-column analysis error downstream — fail fast instead.
+    val reserved = Set("__k", "__t", "__side", "__p", "__fill") ++ tbNames
+    val clashes = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clashes.isEmpty,
+      s"asOfJoin.unionSorted reserves internal column names ${reserved.toSeq.sorted.mkString(", ")}; " +
+        s"rename input column(s) ${clashes.mkString(", ")}")
     val payloadType = StructType(rightCols.map { case (rc, alias) =>
       org.apache.spark.sql.types.StructField(alias, right.schema(rc).dataType, nullable = true)
     }.toArray)
-    val tbNames = tieBreakCols.map(c => s"__tb_$c")
     val rSide = right
       .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select((

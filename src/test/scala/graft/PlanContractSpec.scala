@@ -117,6 +117,54 @@ class PlanContractSpec extends SparkSpec {
     assert(exchanges == 1, s"$exchanges hash exchanges in as-of plan:\n$p")
   }
 
+  test("as-of join+pick: the pick window reuses the join's shuffle (no third exchange)") {
+    // The window partitions by (key, leftId); HashPartitioning(key) from
+    // the join satisfies that clustered distribution, so the plan carries
+    // exactly the join's two exchanges — a window on leftId alone would
+    // add a third full shuffle of the multiplied join output.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val events = Tables.loadEvents(spark, sf()).select("event_id", "ts", "user_id")
+      val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val p = plan(graft.operators.AsOfJoin(events, orders,
+        "user_id", "o_custkey", "ts", "o_orderdate", "event_id",
+        Seq("o_orderkey" -> "last_order_key"), Seq("o_orderkey")))
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 2, s"$exchanges hash exchanges in join+pick plan:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("as-of join+pick on bucketed inputs runs with ZERO exchange") {
+    // The SURVEY §2.3 claim, proven: both sides bucketed on the key means
+    // the join reads co-located buckets and the (key, leftId) window rides
+    // the same layout — no data movement anywhere in the plan.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val events = Tables.loadEvents(spark, sf()).select("event_id", "ts", "user_id")
+      val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val bEvents = graft.sources.IO.writeBucketed(events, "asof_events_b",
+        Seq("user_id"), nBuckets = 8, sortCols = Seq("user_id"))
+      val bOrders = graft.sources.IO.writeBucketed(orders, "asof_orders_b",
+        Seq("o_custkey"), nBuckets = 8, sortCols = Seq("o_custkey"))
+      val asof = graft.operators.AsOfJoin(bEvents, bOrders,
+        "user_id", "o_custkey", "ts", "o_orderdate", "event_id",
+        Seq("o_orderkey" -> "last_order_key"), Seq("o_orderkey"))
+      val p = plan(asof)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 0, s"$exchanges exchanges on bucketed inputs:\n$p")
+      // and it is the same answer as the shuffling plan
+      val plain = graft.operators.AsOfJoin(events, orders,
+        "user_id", "o_custkey", "ts", "o_orderdate", "event_id",
+        Seq("o_orderkey" -> "last_order_key"), Seq("o_orderkey"))
+      assert(asof.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+        plain.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("exact dedup plans with WindowGroupLimit (rank filter pushed map-side)") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val p = plan(graft.operators.Dedup.exact(docs, Seq("source"), "doc_id"))

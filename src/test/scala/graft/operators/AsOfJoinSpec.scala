@@ -94,4 +94,16 @@ class AsOfJoinSpec extends SparkSpec {
       "ts", "o_orderdate", rcols, Seq("o_orderkey")))
     assert(big2 == big1)
   }
+
+  test("unionSorted fails fast when an input uses a reserved internal name") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ls = Seq((10L, ts("2024-01-05 00:00:00"), "x")).toDF("k", "t", "__side")
+    val rs = Seq((10L, ts("2024-01-01 00:00:00"), 1L)).toDF("k", "t", "rid")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.unionSorted(ls, rs, "k", "k", "t", "t",
+        rightCols = Seq("rid" -> "rid"), tieBreakCols = Seq("rid"))
+    }
+    assert(e.getMessage.contains("__side"))
+  }
 }
