@@ -313,6 +313,22 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "prior_event_id", "prior_ts")
     }),
 
+    // The time-bucketed interval join — q36's skew-safe sibling (equi-key
+    // (user_id, lookback-wide time bucket), so a hyperactive user's
+    // history spreads across buckets instead of one task). Identical
+    // output by construction — shares q36's oracle.
+    "q54_interval_join_bucketed" -> ((s, dir) => {
+      val events = Tables.loadEvents(s, dir).select("event_id", "ts", "user_id")
+      val prior = events.select(
+        col("user_id").as("prior_user_id"),
+        col("event_id").as("prior_event_id"),
+        col("ts").as("prior_ts"))
+      IntervalJoin.bucketed(events, prior,
+        leftKey = "user_id", rightKey = "prior_user_id",
+        leftTime = "ts", rightTime = "prior_ts", lookback = "7 days")
+        .select("event_id", "ts", "user_id", "prior_event_id", "prior_ts")
+    }),
+
     // Deterministic HyperLogLog distinct-count sketch per language —
     // public integer register math, exactly SQL-replayable (unlike the
     // engine-internal state of approx_count_distinct).
@@ -431,6 +447,13 @@ object SparkEntry {
     }),
   )
 
+  private val intervalJoinOracle: String =
+    """SELECT e.event_id, e.ts, e.user_id,
+      |  p.event_id AS prior_event_id, p.ts AS prior_ts
+      |FROM events e JOIN events p ON e.user_id = p.user_id
+      |  AND p.ts >= e.ts - INTERVAL 7 DAY
+      |  AND p.ts <= e.ts""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -518,12 +541,9 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars,
         |  ntile(10) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS bucket
         |FROM documents""".stripMargin,
-    "q36_interval_join" ->
-      """SELECT e.event_id, e.ts, e.user_id,
-        |  p.event_id AS prior_event_id, p.ts AS prior_ts
-        |FROM events e JOIN events p ON e.user_id = p.user_id
-        |  AND p.ts >= e.ts - INTERVAL 7 DAY
-        |  AND p.ts <= e.ts""".stripMargin,
+    "q36_interval_join" -> intervalJoinOracle,
+    // identical output contract to q36 (time-bucketed equi-key) — same oracle
+    "q54_interval_join_bucketed" -> intervalJoinOracle,
     "q37_hll_distinct" -> OracleSql.hllDistinct(p = 4),
     "q38_repetition" -> OracleSql.textRepetition,
     "q39_decontaminate_fuzzy" -> OracleSql.decontaminateFuzzy(

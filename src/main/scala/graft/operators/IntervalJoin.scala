@@ -29,6 +29,59 @@ object IntervalJoin {
         right(rightTime) >= left(leftTime) - expr(s"INTERVAL $lookback") &&
         right(rightTime) <= left(leftTime))
 
+  /**
+   * Time-bucketed variant with IDENTICAL output (spec- and oracle-pinned
+   * against [[apply]]): the equi-key becomes (key, time_bucket) with
+   * bucket width = lookback, so one hyperactive key's history no longer
+   * funnels through a single task — each (key, bucket) pair is its own
+   * shuffle key, bounding per-task work by one lookback window of one
+   * key instead of one key's whole lifetime. The standard composite-key
+   * answer to *temporal* skew (a key hot for years); a key hot WITHIN a
+   * single window still needs `SparkUtil.saltedJoin`/AQE.
+   *
+   * Construction: a right row at time S matches a left row at time T iff
+   * `S ∈ [T-L, T]`, and with bucket width exactly L that means
+   * `bucket(S) ∈ {bucket(T)-1, bucket(T)}` — so the left side explodes
+   * into its two probe buckets (2× the SMALL side of the multiplication,
+   * never the history side) and each qualifying pair matches in exactly
+   * one bucket: no dedup pass needed. Buckets use floor division of
+   * epoch microseconds, correct for pre-1970 timestamps too.
+   *
+   * `lookback` must be a day-time interval (months are calendar-
+   * ambiguous and cannot define a fixed bucket width).
+   */
+  def bucketed(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      lookback: String = "7 days"): DataFrame = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(lookback))
+    require(iv.months == 0,
+      s"bucketed interval join needs a fixed-width day-time lookback, got '$lookback'")
+    val micros = iv.days * 86400000000L + iv.microseconds
+    require(micros > 0, s"lookback must be positive, got '$lookback'")
+    val reserved = Seq("__lb", "__rb")
+    val clashes = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(clashes.isEmpty,
+      s"bucketed interval join reserves column names ${reserved.mkString(", ")}; " +
+        s"rename input column(s) ${clashes.mkString(", ")}")
+    def bucket(t: org.apache.spark.sql.Column) = {
+      val us = unix_micros(t)
+      // floor division (correct for negatives too); the cast keeps the
+      // join key integral — `/` alone would yield a double and wrap the
+      // shuffle keys in float-normalization
+      ((us - pmod(us, lit(micros))) / lit(micros)).cast("long")
+    }
+    val l = left.withColumn("__lb",
+      explode(array(bucket(left(leftTime)) - 1, bucket(left(leftTime)))))
+    val r = right.withColumn("__rb", bucket(right(rightTime)))
+    l.join(r,
+        l(leftKey) === r(rightKey) && l("__lb") === r("__rb") &&
+          r(rightTime) >= l(leftTime) - expr(s"INTERVAL $lookback") &&
+          r(rightTime) <= l(leftTime))
+      .drop("__lb", "__rb")
+  }
+
   /** Stream-stream variant: watermarks bound both join-state buffers. */
   def streaming(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,

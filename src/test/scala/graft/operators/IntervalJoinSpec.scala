@@ -51,4 +51,61 @@ class IntervalJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("bucketed == plain on a boundary-exact fixture and the real events table") {
+    val spark0 = spark
+    import spark0.implicits._
+    // L = 60 s buckets; rows sit exactly ON bucket edges (960, 1020) and
+    // exactly at the lookback edge (T-L) to pin the inclusive bounds
+    // across the bucket split
+    val left = Seq((1L, ts(1000)), (1L, ts(1020)), (2L, ts(960))).toDF("k", "lt")
+    val right = Seq(
+      (1L, ts(940), "edge"), (1L, ts(941), "in"), (1L, ts(1000), "at"),
+      (1L, ts(960), "bucket_edge"), (1L, ts(1020), "later_at"),
+      (2L, ts(900), "k2_edge"), (2L, ts(961), "k2_after"))
+      .toDF("rk", "rt", "tag")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.toString()).toSeq
+    val plain = canon(IntervalJoin(left, right, "k", "rk", "lt", "rt", "1 minute"))
+    val bucketed = canon(IntervalJoin.bucketed(left, right, "k", "rk", "lt", "rt", "1 minute"))
+    assert(bucketed == plain)
+
+    // and on the real self-lookback (q36's shape) at sf0.001
+    val events = graft.Tables.loadEvents(spark, sf()).select("event_id", "ts", "user_id")
+    val prior = events.select(col("user_id").as("pk"), col("event_id").as("pid"),
+      col("ts").as("pts"))
+    val p1 = canon(IntervalJoin(events, prior, "user_id", "pk", "ts", "pts", "7 days"))
+    val p2 = canon(IntervalJoin.bucketed(events, prior, "user_id", "pk", "ts", "pts", "7 days"))
+    assert(p2 == p1)
+  }
+
+  test("bucketed shuffles on the composite (key, time-bucket) equi-key") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = Seq((1L, ts(1000))).toDF("k", "lt")
+      val right = Seq((1L, ts(990), "x")).toDF("rk", "rt", "tag")
+      val p = IntervalJoin.bucketed(left, right, "k", "rk", "lt", "rt")
+        .queryExecution.executedPlan.toString
+      // both exchanges must partition on (key, bucket) — the whole point
+      assert("hashpartitioning\\(k#\\d+L, __lb#\\d+".r.findFirstIn(p).isDefined, p)
+      assert("hashpartitioning\\(rk#\\d+L, __rb#\\d+".r.findFirstIn(p).isDefined, p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("bucketed rejects calendar-ambiguous and colliding inputs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val left = Seq((1L, ts(1000))).toDF("k", "lt")
+    val right = Seq((1L, ts(990), "x")).toDF("rk", "rt", "tag")
+    assert(intercept[IllegalArgumentException] {
+      IntervalJoin.bucketed(left, right, "k", "rk", "lt", "rt", "1 month")
+    }.getMessage.contains("day-time"))
+    val clash = Seq((1L, ts(1000), 0L)).toDF("k", "lt", "__lb")
+    assert(intercept[IllegalArgumentException] {
+      IntervalJoin.bucketed(clash, right, "k", "rk", "lt", "rt")
+    }.getMessage.contains("__lb"))
+  }
 }
