@@ -40,10 +40,18 @@ object ConnectedComponents {
    * @param reliableCheckpoints use fault-tolerant `checkpoint()` (requires
    *              `SparkContext.setCheckpointDir`) instead of executor-local
    *              checkpoints
+   * @param alternatingStars use the Kiveris et al. two-phase
+   *              large-star/small-star alternation (O(log²) rounds on any
+   *              graph shape) instead of min-label propagation
+   *              (O(component diameter) rounds — fine for shallow near-dup
+   *              clusters, quadratic-round risk on chain-shaped graphs).
+   *              Identical output (spec-pinned); pick stars when diameters
+   *              are unknown or large.
    * @return (id, component) where component = min id in the component
    */
   def apply(edges: DataFrame, vertices: Option[DataFrame] = None,
-      maxIterations: Int = 25, reliableCheckpoints: Boolean = false): DataFrame = {
+      maxIterations: Int = 25, reliableCheckpoints: Boolean = false,
+      alternatingStars: Boolean = false): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     val Seq(ca, cb) = edges.columns.toSeq.take(2)
@@ -56,6 +64,14 @@ object ConnectedComponents {
     // instead of riding through every propagation join (in near-dup graphs
     // the edge subgraph is a tiny fraction of the corpus).
     val edgeVerts = sym.select(col("a").as("id")).distinct()
+
+    if (alternatingStars) {
+      // anti-join against the labels themselves (not edgeVerts): stars
+      // drops self-loop edges, so a self-loop-only vertex is isolated
+      // and must come back through the `vertices` append
+      val labels = stars(sym, ckpt, maxIterations)
+      return withIsolated(labels, labels.select(col("id")), vertices)
+    }
 
     // Self-loops make one join+groupBy compute min(own, neighbors) in a
     // single pass — no second join to merge the previous label back in.
@@ -89,14 +105,85 @@ object ConnectedComponents {
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIterations rounds")
-    vertices match {
-      case None => labels
-      case Some(v) =>
-        val vs = v.select(col(v.columns.head).as("id"))
-        val isolated = vs.join(edgeVerts.withColumnRenamed("id", "eid"),
-            vs("id") === col("eid"), "left_anti")
-          .select(col("id"), col("id").as("component"))
-        labels.union(isolated)
+    withIsolated(labels, edgeVerts, vertices)
+  }
+
+  /** Append isolated vertices (no edges) self-labeled. */
+  private def withIsolated(labels: DataFrame, edgeVerts: DataFrame,
+      vertices: Option[DataFrame]): DataFrame = vertices match {
+    case None => labels
+    case Some(v) =>
+      val vs = v.select(col(v.columns.head).as("id"))
+      val isolated = vs.join(edgeVerts.withColumnRenamed("id", "eid"),
+          vs("id") === col("eid"), "left_anti")
+        .select(col("id"), col("id").as("component"))
+      labels.union(isolated)
+  }
+
+  /**
+   * Kiveris et al. ("Connected Components in MapReduce and Beyond",
+   * SoCC'14) two-phase alternation. Each round rewires the edge set
+   * toward a forest of stars centered at component minima:
+   *
+   *   - large-star(u): with m = min(N(u) ∪ {u}), emit (v, m) for every
+   *     neighbor v > u — big neighbors reattach to u's best-known min;
+   *   - small-star(u), over edges directed big→small: with m = min(N(u)),
+   *     emit (u, m) and (v, m) for the other small neighbors — u's small
+   *     fringe collapses onto its min.
+   *
+   * Both operations preserve connectivity, never grow the edge count
+   * beyond O(|E|), and converge in O(log²) rounds regardless of diameter
+   * — the fix for propagation's O(diameter) on chain-shaped graphs. At
+   * the fixpoint every non-minimum vertex holds exactly one edge to its
+   * component minimum, which IS the label assignment.
+   *
+   * Spark shape per round: two join+groupBy pairs (one per star op),
+   * each one shuffle on the grouping endpoint; a checkpoint truncates
+   * lineage; convergence compares an order-insensitive (count, hash-sum)
+   * edge-set checksum — two scalars to the driver per round, never rows.
+   */
+  private def stars(sym: DataFrame, ckpt: DataFrame => DataFrame,
+      maxIterations: Int): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = s.groupBy("a").agg(min("b").as("mn"))
+      s.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), least(col("a"), col("mn")).as("b"))
+        .distinct()
     }
+    def smallStar(e: DataFrame): DataFrame = { // e directed: a > b
+      val mins = e.groupBy("a").agg(min("b").as("mn"))
+      e.join(mins, "a")
+        .filter(col("b") =!= col("mn"))
+        .select(col("b").as("a"), col("mn").as("b"))
+        .union(mins.select(col("a"), col("mn").as("b")))
+        .distinct()
+    }
+    // Order-insensitive edge-set fingerprint: (count, sum of row hashes)
+    // as exact integers (decimal sum — no 64-bit overflow at scale).
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var cur = ckpt(sym.filter(col("a") > col("b")))
+    var prevSum = checksum(cur)
+    var converged = cur.isEmpty // an edgeless graph is already a fixpoint
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val next = ckpt(smallStar(largeStar(cur)))
+      val s = checksum(next)
+      converged = s == prevSum
+      prevSum = s
+      cur = next
+      iter += 1
+    }
+    require(converged, s"alternating stars did not converge in $maxIterations rounds")
+    // fixpoint: (v, min) for every non-min vertex; minima label themselves
+    val roots = cur.select(col("b").as("id")).distinct()
+      .join(cur.select(col("a").as("id2")), col("id") === col("id2"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    cur.select(col("a").as("id"), col("b").as("component")).union(roots)
   }
 }

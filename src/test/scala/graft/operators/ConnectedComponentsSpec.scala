@@ -69,6 +69,51 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(keptIds == reps)
   }
 
+  test("alternating stars == propagation on fixtures and the q28 pair graph") {
+    val spark0 = spark
+    import spark0.implicits._
+    def stars(edges: Seq[(Long, Long)], verts: Seq[Long] = Nil) = {
+      val v = if (verts.nonEmpty) Some(verts.toDF("id")) else None
+      ConnectedComponents(edges.toDF("id_a", "id_b"), v, alternatingStars = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // crafted fixtures: chain, disjoint + isolated, bridge merge, empty
+    for ((edges, verts) <- Seq(
+      (Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)), Nil),
+      (Seq((1L, 2L), (10L, 11L)), Seq(1L, 2L, 10L, 11L, 99L)),
+      (Seq((1L, 2L), (3L, 4L), (2L, 3L)), Nil),
+      (Seq.empty[(Long, Long)], Seq(1L, 2L, 3L))))
+      assert(stars(edges, verts) == cc(edges, verts), s"edges=$edges")
+    // the real near-dup pair graph (q28's input) at sf0.001
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(docs).select("id_a", "id_b")
+    val viaStars = ConnectedComponents(pairs, Some(docs.select("doc_id")),
+        alternatingStars = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = ConnectedComponents(pairs, Some(docs.select("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars == viaProp)
+  }
+
+  test("alternating stars converges on a deep chain that defeats propagation") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a 201-vertex chain has diameter 200: propagation needs ~100+ rounds
+    // (over any sane cap); the star alternation is O(log^2) and must
+    // finish well inside the same 25-round budget
+    val chain = (1L to 200L).map(i => (i - 1, i))
+    val out = ConnectedComponents(chain.toDF("id_a", "id_b"),
+        alternatingStars = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 201 && out.values.forall(_ == 0L))
+    // and propagation really does blow the round budget on this shape —
+    // the documented reason the alternation exists
+    intercept[IllegalArgumentException] {
+      ConnectedComponents(chain.toDF("id_a", "id_b"), maxIterations = 25)
+        .collect()
+    }
+  }
+
   test("near-dup pipeline: planted dup pairs in documents form >=1 nontrivial cluster") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b")
