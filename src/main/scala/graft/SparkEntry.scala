@@ -445,6 +445,18 @@ object SparkEntry {
           salt = 8, joinType = "inner")
         .select("event_id", "user_id", "c_name")
     }),
+
+    // Salted FULL OUTER join — the mirrored construction (salted
+    // left-outer + anti-joined right remainder), oracled against the
+    // plain full join. Unmatched rows on BOTH sides must surface exactly
+    // once despite the right side's salt replication.
+    "q55_salted_join_full" -> ((s, dir) => {
+      val events = Tables.loadEvents(s, dir).select("event_id", "user_id")
+      val customer = t(s, dir, "customer").select("c_custkey", "c_name")
+      SparkUtil.saltedJoin(events, customer, "user_id", "c_custkey",
+          salt = 8, joinType = "full")
+        .select("event_id", "user_id", "c_custkey", "c_name")
+    }),
   )
 
   private val intervalJoinOracle: String =
@@ -551,6 +563,9 @@ object SparkEntry {
     "q40_salted_join" ->
       """SELECT e.event_id, e.user_id, c.c_name
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "q55_salted_join_full" ->
+      """SELECT e.event_id, e.user_id, c.c_custkey, c.c_name
+        |FROM events e FULL JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     "q41_embed_neardup_lsh" -> OracleSql.embedNearDupLsh(
       threshold = 0.4, dim = 64, nPlanes = 4, nTables = 8),
     "q42_vocab_topk" -> OracleSql.vocabulary(k = 500),
