@@ -169,6 +169,23 @@ object OracleSql {
        |ORDER BY score DESC, e.vec_id ASC LIMIT $k""".stripMargin
   }
 
+  /** Batch kNN join: per query-batch vector, the top-k corpus neighbors
+    * (query batch = vec_id < queryMax). Same left-assoc cosine chain as
+    * embedTopK; the per-query cut is a rank window. */
+  def knnJoin(queryMax: Long, k: Int, dim: Int): String = {
+    val dotQ = dotTerms("e.embedding", "q.qv", dim)
+    val n2e = dotTerms("e.embedding", "e.embedding", dim)
+    val n2q = dotTerms("q.qv", "q.qv", dim)
+    val score = s"($dotQ) / (sqrt($n2e) * sqrt($n2q))"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < $queryMax)
+       |SELECT q.query_id, e.vec_id, $score AS score,
+       |  row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY $score DESC, e.vec_id ASC) AS rank
+       |FROM embeddings e, q
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
   /** Mirror of Multimodal.StubCodec over documents-derived payloads: the
     * payload is the UTF-8 text (ASCII corpus), so the byte rolling hash
     * equals the character rolling hash. */

@@ -174,6 +174,15 @@ object SparkEntry {
       SimilaritySearch.annTopKLsh(e, e.filter(col("vec_id") === 0), k = 10)
     }),
 
+    // Exact batch kNN join: top-5 corpus neighbors for EVERY vector of a
+    // broadcastable query batch — one narrow scoring pass over the
+    // corpus, per-query cut via WindowGroupLimit (<= k rows per query
+    // leave each map task).
+    "q57_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.knnJoin(e, e.filter(col("vec_id") < 5), k = 5)
+    }),
+
     // Multimodal plumbing: opaque binary payloads → typed metadata via the
     // batch-iterated codec (stub decode, real Spark contract).
     "q20_multimodal_meta" -> ((s, dir) =>
@@ -514,6 +523,7 @@ object SparkEntry {
     "q15_dedup_minhash_lsh" -> OracleSql.ngramJaccardPairs(threshold = 0.6, maxDocFreq = 10000),
     "q16_dedup_simhash" -> OracleSql.simhashPairs(maxHamming = 3),
     "q17_embed_topk" -> OracleSql.embedTopK(queryId = 0, k = 10, dim = 64),
+    "q57_knn_join" -> OracleSql.knnJoin(queryMax = 5, k = 5, dim = 64),
     "q18_embed_neardup" -> OracleSql.embedNearDup(threshold = 0.4, dim = 64),
     // q19_ann_lsh: intentionally no oracle — approximate ANN (rows-only check).
     "q20_multimodal_meta" -> OracleSql.multimodalMeta,

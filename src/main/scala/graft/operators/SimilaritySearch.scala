@@ -53,6 +53,37 @@ object SimilaritySearch {
       .filter(col("cosine") >= threshold)
   }
 
+  /**
+   * Exact batch kNN join: for EVERY row of a (small) query batch, its
+   * top-k corpus neighbors by cosine — the "attach nearest neighbors to
+   * each eval/centroid/probe vector" operator, i.e. [[topKCosine]]
+   * vectorized over queries.
+   *
+   * Scale design (100 TB posture): the query batch is broadcast and the
+   * corpus is scored in ONE narrow pass (corpus × |queries| scored rows,
+   * never materialized as a shuffle); the per-query top-k is a
+   * (query_id)-partitioned rank window that Spark plans as
+   * `WindowGroupLimit` — each map task forwards at most k rows per
+   * query, so the shuffle carries ≤ k·|queries| rows per task no matter
+   * the corpus size. The right operator while the batch side fits a
+   * broadcast (eval sets, codebooks, probe sets); for corpus×corpus
+   * scale use [[cosineNearDupPairsLsh]].
+   */
+  def knnJoin(df: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id", dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    graft.SparkUtil.ensureParallelism(df).crossJoin(q)
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("__qvec"), dim).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN top-k: a small centroid table partitions the corpus
     * into `nlist` cells; the query probes its `nprobe` nearest cells and
     * re-ranks candidates by exact cosine.

@@ -139,6 +139,23 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(annAll == exact)
   }
 
+  test("knnJoin == per-query topKCosine, and plans the per-query cut as WindowGroupLimit") {
+    val e = emb.cache()
+    val knn = SimilaritySearch.knnJoin(e, e.filter(col("vec_id") < 5), k = 5)
+    val got = knn.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    got.foreach { case (qid, rows) =>
+      val expect = SimilaritySearch.topKCosine(e, e.filter(col("vec_id") === qid), k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq == expect,
+        s"query $qid diverged from single-query top-k")
+    }
+    val p = knn.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("ANN LSH is deterministic for multi-row queries: score = max over query rows") {
     val e = emb.cache()
     val q2 = e.filter(col("vec_id") === 0 || col("vec_id") === 1)
