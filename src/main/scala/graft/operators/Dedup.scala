@@ -233,8 +233,8 @@ object Dedup {
     // intersection over full sets would emit pairs q14 omits. `sz` stays
     // the FULL set size (functionally dependent on id, carried through
     // the index), matching q14's denominator exactly.
-    val capped = inv.groupBy(col("id"), col("sz"))
-      .agg(collect_list(col("h")).as("hs"))
+    val capped = graft.SparkUtil.trackCache(
+      inv.groupBy(col("id"), col("sz")).agg(collect_list(col("h")).as("hs")))
     candidates
       .join(capped.select(col("id"), col("hs").as("hs_a"), col("sz").as("sz_a")),
         col("id_a") === col("id")).drop("id")
