@@ -532,6 +532,30 @@ object OracleSql {
     * share an nPlanes-bit slice of the SRP bit string in >= 1 of nTables
     * tables (an OR chain over bit slices), then exact cosine >= threshold.
     * The index is approximate; the SQL replay is exact. */
+  /** Corpus-scale approximate kNN join: per vector, the top-k among its
+    * SRP bucket-collision candidates (same bit replay as
+    * [[embedNearDupLsh]]); the per-vector cut is a rank window over the
+    * CTE's score column — identical bit patterns to Spark's score, so
+    * the ordering (score desc, id asc) matches exactly. */
+  def knnJoinLsh(k: Int, dim: Int, nPlanes: Int, nTables: Int): String = {
+    val n2 = dotTerms("embedding", "embedding", dim)
+    val dotXY = dotTerms("x.v", "y.v", dim)
+    val mask = (1L << nPlanes) - 1
+    val anyTable = (0 until nTables).map { t =>
+      s"((x.bits >> ${t * nPlanes}) & $mask) = ((y.bits >> ${t * nPlanes}) & $mask)"
+    }.mkString(" OR ")
+    s"""WITH n AS (SELECT vec_id AS id, embedding AS v, ($n2) AS n2,
+       |             ${srpBits("embedding", dim, nPlanes * nTables)} AS bits
+       |           FROM embeddings),
+       |c AS (SELECT x.id AS query_id, y.id AS cand_id,
+       |        ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) AS score
+       |      FROM n x JOIN n y ON x.id <> y.id AND ($anyTable))
+       |SELECT query_id, cand_id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cand_id ASC) AS rank
+       |FROM c QUALIFY rank <= $k""".stripMargin
+  }
+
   def embedNearDupLsh(threshold: Double, dim: Int,
       nPlanes: Int, nTables: Int): String = {
     val n2 = dotTerms("embedding", "embedding", dim)

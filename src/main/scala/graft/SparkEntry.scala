@@ -183,6 +183,13 @@ object SparkEntry {
       SimilaritySearch.knnJoin(e, e.filter(col("vec_id") < 5), k = 5)
     }),
 
+    // Corpus-scale approximate kNN join (the k-NN-graph step of semantic
+    // dedup): SRP bucket-collision candidates, exact cosine, per-vector
+    // WindowGroupLimit cut. Exactly oracled — approximation in the
+    // index, not the execution (q30/q41's principle).
+    "q58_knn_join_lsh" -> ((s, dir) =>
+      SimilaritySearch.knnJoinLsh(t(s, dir, "embeddings"), k = 5)),
+
     // Multimodal plumbing: opaque binary payloads → typed metadata via the
     // batch-iterated codec (stub decode, real Spark contract).
     "q20_multimodal_meta" -> ((s, dir) =>
@@ -524,6 +531,7 @@ object SparkEntry {
     "q16_dedup_simhash" -> OracleSql.simhashPairs(maxHamming = 3),
     "q17_embed_topk" -> OracleSql.embedTopK(queryId = 0, k = 10, dim = 64),
     "q57_knn_join" -> OracleSql.knnJoin(queryMax = 5, k = 5, dim = 64),
+    "q58_knn_join_lsh" -> OracleSql.knnJoinLsh(k = 5, dim = 64, nPlanes = 4, nTables = 8),
     "q18_embed_neardup" -> OracleSql.embedNearDup(threshold = 0.4, dim = 64),
     // q19_ann_lsh: intentionally no oracle — approximate ANN (rows-only check).
     "q20_multimodal_meta" -> OracleSql.multimodalMeta,

@@ -275,6 +275,54 @@ object SimilaritySearch {
   }
 
   /**
+   * Approximate corpus-scale kNN join — [[knnJoin]]'s sibling for when
+   * the query side IS the corpus ("attach top-k neighbors to every
+   * document's embedding", the k-NN-graph step of semantic dedup and
+   * cluster-based curation): candidates are SRP-LSH bucket collisions
+   * (an equi-join on (table, bucket) keys, never a cross join), scored
+   * by exact cosine, cut to k per vector by a rank window
+   * (`WindowGroupLimit` — ≤ k rows per vector leave each map task).
+   *
+   * Like q30/q41, the approximation lives in the INDEX, not the
+   * execution: the candidate rule is public integer/float arithmetic
+   * the SQL oracle replays exactly, so the output is deterministic and
+   * exactly verifiable even though candidates (and hence each vector's
+   * top-k pool) are approximate. Vectors whose buckets collide with
+   * nothing yield no rows. Candidate ids are deduped BARE (before the
+   * vector join-back) — rows carrying float arrays would force a
+   * sort-based aggregate.
+   */
+  def knnJoinLsh(df: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
+    val base = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(df)
+        .select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm2(col(vecCol), dim).as("n2"),
+          lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits")))
+    val keys = base.select(col("id"),
+      srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
+    val candidates = keys.as("x").join(keys.as("y"),
+        col("x.__tb") === col("y.__tb") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("query_id"), col("y.id").as("cand_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    candidates
+      .join(base.select(col("id"), col("v").as("qv"), col("n2").as("qn2")),
+        col("query_id") === col("id")).drop("id")
+      .join(base.select(col("id"), col("v").as("cv"), col("n2").as("cn2")),
+        col("cand_id") === col("id")).drop("id")
+      .select(col("query_id"), col("cand_id"),
+        cosineWithNorms(dot(col("qv"), col("cv"), dim), col("qn2"), col("cn2"))
+          .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * LSH-blocked cosine near-dup pairs — the scale path that replaces
    * [[cosineNearDupPairs]]'s quadratic self-join: candidates are pairs
    * sharing an SRP bucket in at least one of `nTables` tables (an

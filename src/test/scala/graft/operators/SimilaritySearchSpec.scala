@@ -156,6 +156,40 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("knnJoinLsh: exact scores over LSH candidates, WindowGroupLimit cut, sane recall") {
+    val e = emb.cache()
+    val knn = SimilaritySearch.knnJoinLsh(e, k = 5)
+    val rows = knn.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // per query: ranks are 1..n in strictly (score desc, id asc) order
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.size).toSeq)
+      assert(sorted.map(r => (-r._3, r._2)).toSeq ==
+        sorted.map(r => (-r._3, r._2)).sorted.toSeq, s"rank order broken for $qid")
+      assert(rs.forall(r => r._2 != qid), "a vector must not be its own neighbor")
+    }
+    // every score equals the exact cosine (re-rank is exact)
+    val exactAll = SimilaritySearch.cosineNearDupPairs(e, threshold = -2.0).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+        (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+    rows.foreach { case (q, c, s, _) => assert(exactAll((q, c)) == s) }
+    // recall@1 vs the exact kNN graph: the fixture's planted near-dups
+    // collide with high probability, so the top neighbor should usually
+    // survive bucketing
+    val exactTop = exactAll.toSeq.groupBy(_._1._1)
+      .map { case (q, ss) => q -> ss.map(x => (-x._2, x._1._2)).min._2 }
+    val gotTop = rows.filter(_._4 == 1).map(r => r._1 -> r._2).toMap
+    val hits = exactTop.count { case (q, c) => gotTop.get(q).contains(c) }
+    val recall = hits.toDouble / exactTop.size
+    info(f"kNN-graph recall@1 = $recall%.2f ($hits/${exactTop.size})")
+    assert(recall >= 0.3, f"recall@1 collapsed to $recall%.2f")
+    val p = knn.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ANN LSH is deterministic for multi-row queries: score = max over query rows") {
     val e = emb.cache()
     val q2 = e.filter(col("vec_id") === 0 || col("vec_id") === 1)
