@@ -171,6 +171,21 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("exact dedup on a key-bucketed table runs with zero exchange") {
+    // the 100 TB shape for repeated dedup over the same corpus: bucket
+    // once on the dedup key, and every later Dedup.exact window rides the
+    // bucket layout — no shuffle at all
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val bucketed = graft.sources.IO.writeBucketed(docs, "dedup_docs_b",
+      Seq("source"), nBuckets = 4, sortCols = Seq("source"))
+    val dedup = graft.operators.Dedup.exact(bucketed, Seq("source"), "doc_id")
+    val p = plan(dedup)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 0, s"$exchanges exchanges on bucketed dedup:\n$p")
+    assert(dedup.count() ==
+      graft.operators.Dedup.exact(docs, Seq("source"), "doc_id").count())
+  }
+
   test("no declared query ever plans a CartesianProduct") {
     // Sweeping regression net over the whole inventory: a dropped join
     // key or a broken equi-condition shows up as a cartesian. q18 is the

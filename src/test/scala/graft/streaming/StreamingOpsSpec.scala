@@ -155,6 +155,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Bloom decontamination filter runs unchanged under Structured Streaming") {
+    // the sketch-as-literal shape is streaming-safe by construction: the
+    // Bloom words ride the plan as a literal, so the candidate filter is
+    // a stateless per-row projection any stream can run in append mode
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val evalSet = Seq("leak me", "and me").toDF("text")
+    val words = graft.operators.Sketches.bloomArray(evalSet, "text", 1 << 12, 5)
+    val input = MemoryStream[String]
+    val filtered = input.toDF().toDF("text")
+      .filter(!graft.operators.Sketches.bloomMightContain(col("text"), words, 1 << 12, 5))
+    val q = filtered.writeStream.format("memory")
+      .queryName("bloom_stream_test").outputMode("append").start()
+    try {
+      input.addData("clean doc", "leak me", "also clean", "and me")
+      q.processAllAvailable()
+      val kept = spark.table("bloom_stream_test").collect().map(_.getString(0)).toSet
+      assert(kept == Set("clean doc", "also clean"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits only in-window key matches") {
     val spark0 = spark
     import spark0.implicits._
