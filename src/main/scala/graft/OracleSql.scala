@@ -532,6 +532,31 @@ object OracleSql {
     * share an nPlanes-bit slice of the SRP bit string in >= 1 of nTables
     * tables (an OR chain over bit slices), then exact cosine >= threshold.
     * The index is approximate; the SQL replay is exact. */
+  /** Symmetric int8 quantization summary — mirrors
+    * `SimilaritySearch.quantizeInt8`: same absmax/127 scale, same
+    * floor-plus-half code rule (never the engine's round()), same
+    * base-31 polynomial checksum of the code sequence. */
+  def quantizeInt8(dim: Int): String = {
+    val absmax = (1 to dim).map(i => s"abs(embedding[$i]::DOUBLE)").mkString("greatest(", ", ", ")")
+    val qDefs = (1 to dim).map(i =>
+      s"CASE WHEN scale = 0 THEN 0 ELSE floor(embedding[$i]::DOUBLE / scale + 0.5)::BIGINT END AS q$i")
+      .mkString(",\n    ")
+    // Flat list_reduce, not a nested fold expression: 64 nested steps
+    // exceed DuckDB's 128-deep binder recursion limit. Reduce-without-
+    // seed starts from the first element, so the items are pre-shifted
+    // (q+128) — the first fold step (0*31 + (q1+128)) % P == q1+128.
+    val shifted = (1 to dim).map(i => s"q$i + 128").mkString("[", ", ", "]")
+    val hash = s"list_reduce($shifted, (h, x) -> (h * 31 + x) % $P)"
+    val qList = (1 to dim).map(i => s"q$i").mkString(", ")
+    s"""WITH s AS (SELECT vec_id, embedding, $absmax / 127.0 AS scale FROM embeddings),
+       |q AS (SELECT vec_id, scale,
+       |    $qDefs
+       |  FROM s)
+       |SELECT vec_id, scale, least($qList) AS q_min, greatest($qList) AS q_max,
+       |  $hash AS q_hash
+       |FROM q""".stripMargin
+  }
+
   /** Corpus-scale approximate kNN join: per vector, the top-k among its
     * SRP bucket-collision candidates (same bit replay as
     * [[embedNearDupLsh]]); the per-vector cut is a rank window over the

@@ -190,6 +190,12 @@ object SparkEntry {
     "q58_knn_join_lsh" -> ((s, dir) =>
       SimilaritySearch.knnJoinLsh(t(s, dir, "embeddings"), k = 5)),
 
+    // Symmetric int8 embedding quantization (4x ANN storage/IO), summary
+    // form: per-vector scale + code min/max + polynomial checksum of the
+    // full code sequence (content-exact without array output).
+    "q59_quantize_int8" -> ((s, dir) =>
+      SimilaritySearch.quantizeInt8(t(s, dir, "embeddings"))),
+
     // Multimodal plumbing: opaque binary payloads → typed metadata via the
     // batch-iterated codec (stub decode, real Spark contract).
     "q20_multimodal_meta" -> ((s, dir) =>
@@ -532,6 +538,7 @@ object SparkEntry {
     "q17_embed_topk" -> OracleSql.embedTopK(queryId = 0, k = 10, dim = 64),
     "q57_knn_join" -> OracleSql.knnJoin(queryMax = 5, k = 5, dim = 64),
     "q58_knn_join_lsh" -> OracleSql.knnJoinLsh(k = 5, dim = 64, nPlanes = 4, nTables = 8),
+    "q59_quantize_int8" -> OracleSql.quantizeInt8(dim = 64),
     "q18_embed_neardup" -> OracleSql.embedNearDup(threshold = 0.4, dim = 64),
     // q19_ann_lsh: intentionally no oracle — approximate ANN (rows-only check).
     "q20_multimodal_meta" -> OracleSql.multimodalMeta,

@@ -84,6 +84,43 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Symmetric int8 quantization summary per embedding: `scale =
+   * absmax/127`, `q_i = floor(v_i/scale + 0.5)` (identical floor-plus-
+   * half spelling on both engines — never the engine's `round()`, whose
+   * half-way tie rule is an implementation detail), reported as
+   * (scale, q_min, q_max, q_hash) where q_hash is the base-31 polynomial
+   * fold of the q_i sequence — a full-content checksum of the quantized
+   * vector without an array-typed output column. Zero vectors quantize
+   * to all-zero codes (scale 0 guard).
+   *
+   * This is the storage/IO face of ANN at 100 TB: int8 codes are 4×
+   * smaller than float32, and the per-vector scale is what the re-rank
+   * needs to dequantize. Pure per-row projection — no shuffle; the q_i
+   * are projected into real columns FIRST and the summary reads them,
+   * so each code is computed once, not once per consumer (Catalyst
+   * keeps multiply-referenced projections split).
+   */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    import graft.functions.TextFunctions.HashPrime
+    val absmax = greatest((1 to dim).map(i =>
+      abs(element_at(col(vecCol), i).cast("double"))): _*)
+    val base = df.select(col(idCol), col(vecCol), (absmax / 127.0).as("scale"))
+    val qCols = (1 to dim).map(i =>
+      when(col("scale") === 0.0, lit(0L))
+        .otherwise(floor(element_at(col(vecCol), i).cast("double") / col("scale") + 0.5))
+        .as(s"__q$i"))
+    val q = base.select(col(idCol) +: col("scale") +: qCols: _*)
+    val hash = (1 to dim).foldLeft(lit(0L)) { (h, i) =>
+      (h * 31 + (col(s"__q$i") + 128)) % HashPrime
+    }
+    q.select(col(idCol), col("scale"),
+      least((1 to dim).map(i => col(s"__q$i")): _*).as("q_min"),
+      greatest((1 to dim).map(i => col(s"__q$i")): _*).as("q_max"),
+      hash.as("q_hash"))
+  }
+
   /** IVF-style ANN top-k: a small centroid table partitions the corpus
     * into `nlist` cells; the query probes its `nprobe` nearest cells and
     * re-ranks candidates by exact cosine.

@@ -190,6 +190,58 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("int8 quantization: codes bounded, absmax hits ±127, checksum content-exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val e = emb.cache()
+    val out = SimilaritySearch.quantizeInt8(e).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.size == e.count())
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().toMap
+    out.foreach { case (id, (scale, qmin, qmax, qhash)) =>
+      val v = vecs(id)
+      val absmax = v.map(x => math.abs(x.toDouble)).max
+      assert(scale == absmax / 127.0)
+      assert(qmin >= -127 && qmax <= 127, s"codes out of int8 range for $id")
+      // the absmax component must map to ±127 (the symmetric contract)
+      assert(qmax == 127 || qmin == -127, s"no full-scale code for $id")
+      // driver-side replay of the same floor-plus-half rule and checksum
+      val qs = v.map(x => if (scale == 0) 0L
+        else math.floor(x.toDouble / scale + 0.5).toLong)
+      assert(qmin == qs.min && qmax == qs.max)
+      val h = qs.foldLeft(0L)((h, q) => (h * 31 + (q + 128)) % 1000000007L)
+      assert(qhash == h, s"checksum drifted for $id")
+    }
+    // zero vectors quantize to all-zero codes, not NaN
+    val z = Seq((999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val zr = SimilaritySearch.quantizeInt8(z).collect().head
+    assert(zr.getDouble(1) == 0.0 && zr.getLong(2) == 0L && zr.getLong(3) == 0L)
+  }
+
+  test("dequantized int8 cosine stays within 2% of the float cosine") {
+    val spark0 = spark
+    import spark0.implicits._
+    val e = emb.cache()
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().take(50)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def deq(v: Array[Float]): Array[Double] = {
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      v.map(x => math.floor(x.toDouble / scale + 0.5) * scale)
+    }
+    for (Seq((_, a), (_, b)) <- vecs.toSeq.combinations(2).take(200)) {
+      val exact = cos(a.map(_.toDouble), b.map(_.toDouble))
+      val approx = cos(deq(a), deq(b))
+      assert(math.abs(exact - approx) < 0.02,
+        f"quantization error ${math.abs(exact - approx)}%.4f too large")
+    }
+  }
+
   test("ANN LSH is deterministic for multi-row queries: score = max over query rows") {
     val e = emb.cache()
     val q2 = e.filter(col("vec_id") === 0 || col("vec_id") === 1)
