@@ -325,6 +325,17 @@ object OracleSql {
        |WHERE ${sampleBucket(idCol)} < (CASE $strataCol $cases ELSE $defaultPct END)""".stripMargin
   }
 
+  /** Mirror of Sampling.temperatureSample: per-stratum rates
+    * floor(100·sqrt(c_min/c_s)) — sqrt is IEEE-correctly-rounded, so the
+    * rates (and membership) match Spark bit-for-bit. */
+  def temperatureSample(strataCol: String, idCol: String): String =
+    s"""WITH c AS (SELECT $strataCol, count(*) AS cnt FROM documents GROUP BY $strataCol),
+       |r AS (SELECT $strataCol,
+       |        CAST(floor(100.0 * sqrt((SELECT min(cnt) FROM c)::DOUBLE / cnt)) AS BIGINT) AS rate
+       |      FROM c)
+       |SELECT d.* FROM documents d JOIN r USING ($strataCol)
+       |WHERE ${sampleBucket(s"d.$idCol")} < r.rate""".stripMargin
+
   def trainTestSplit(testPct: Int, idCol: String): String =
     s"""SELECT *, CASE WHEN ${sampleBucket(idCol)} < $testPct
        |THEN 'test' ELSE 'train' END AS split FROM documents""".stripMargin
@@ -532,6 +543,29 @@ object OracleSql {
     * share an nPlanes-bit slice of the SRP bit string in >= 1 of nTables
     * tables (an OR chain over bit slices), then exact cosine >= threshold.
     * The index is approximate; the SQL replay is exact. */
+  /** Mirror of TextAnalysis.redact over PII-injected documents (the
+    * fixture corpus contains no emails/numbers, so the declared query
+    * injects them deterministically — q53's pattern). DuckDB
+    * regexp_replace needs the 'g' flag for Spark's global-by-default
+    * semantics. */
+  def redactPii(emailPct: Int, numPct: Int, idCol: String): String = {
+    val email = graft.operators.TextAnalysis.EmailRegex
+    val num = graft.operators.TextAnalysis.LongNumberRegex
+    s"""WITH injected AS (
+       |  SELECT $idCol,
+       |    CASE WHEN ${sampleBucket(idCol)} < $emailPct
+       |           THEN text || ' contact bob' || ($idCol % 50)::VARCHAR || '@example.com now'
+       |         WHEN ${sampleBucket(idCol)} < ${emailPct + numPct}
+       |           THEN text || ' call 5551234' || ($idCol % 1000)::VARCHAR
+       |         ELSE text END AS text
+       |  FROM documents)
+       |SELECT $idCol,
+       |  len(regexp_extract_all(text, '$email')) AS n_emails,
+       |  len(regexp_extract_all(text, '$num')) AS n_numbers,
+       |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num', '<NUM>', 'g') AS text_redacted
+       |FROM injected""".stripMargin
+  }
+
   /** Symmetric int8 quantization summary — mirrors
     * `SimilaritySearch.quantizeInt8`: same absmax/127 scale, same
     * floor-plus-half code rule (never the engine's round()), same

@@ -302,6 +302,28 @@ object SparkEntry {
     "q32_train_test_split" -> ((s, dir) =>
       Sampling.trainTestSplit(t(s, dir, "documents"), testPct = 20)),
 
+    // PII redaction over deterministically injected fixtures (the corpus
+    // has no emails/numbers — q53's injection pattern): emails and long
+    // digit runs replaced with placeholders, per-doc audit counts.
+    "q61_redact_pii" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val b = Sampling.bucket(col("doc_id"))
+      val injected = d.select(col("doc_id"),
+        when(b < 15, concat(col("text"), lit(" contact bob"),
+          (col("doc_id") % 50).cast("string"), lit("@example.com now")))
+          .when(b < 30, concat(col("text"), lit(" call 5551234"),
+            (col("doc_id") % 1000).cast("string")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.redact(injected)
+    }),
+
+    // Temperature-style (T=2, mC4/XLM-R) language rebalancing: keep-rates
+    // proportional to 1/sqrt(count), smallest language kept whole —
+    // bounded driver-side rate table (codebook pattern), pure narrow
+    // membership filter.
+    "q60_temperature_sample" -> ((s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents"))),
+
     // Eval-set decontamination: drop docs whose md5 appears in a
     // (deterministically sampled) stand-in eval set; broadcast anti-join.
     "q33_decontaminate" -> ((s, dir) => {
@@ -571,6 +593,10 @@ object SparkEntry {
       rates = Seq("en" -> 20, "de" -> 50), defaultPct = 80,
       strataCol = "lang", idCol = "doc_id"),
     "q32_train_test_split" -> OracleSql.trainTestSplit(testPct = 20, idCol = "doc_id"),
+    "q60_temperature_sample" -> OracleSql.temperatureSample(
+      strataCol = "lang", idCol = "doc_id"),
+    "q61_redact_pii" -> OracleSql.redactPii(emailPct = 15, numPct = 15,
+      idCol = "doc_id"),
     "q33_decontaminate" -> OracleSql.decontaminate(evalPct = 5, idCol = "doc_id"),
     "q34_pack_sequences" -> OracleSql.packSequences(budget = 1024,
       groupCol = "lang", idCol = "doc_id"),

@@ -76,6 +76,42 @@ object Sampling {
   def contentSample(df: DataFrame, pct: Int, keyCol: String = "text"): DataFrame =
     df.filter(contentBucket(col(keyCol)) < pct)
 
+  /**
+   * Temperature-style language rebalancing (the mC4/XLM-R recipe at
+   * T=2): expected kept rows per stratum proportional to `sqrt(count)`,
+   * with the SMALLEST stratum kept at 100% — downsamples dominant
+   * languages toward a flatter distribution while never upsampling. The
+   * rate is `floor(100·sqrt(c_min/c_s))`, so expected kept =
+   * `c_s·rate/100 ≈ sqrt(c_min·c_s) ∝ sqrt(c_s)`.
+   *
+   * Determinism: `sqrt` is IEEE-correctly-rounded and the rest is one
+   * divide + floor, so the rates — and therefore membership — replay
+   * bit-identically in the SQL oracle. The exponent is fixed at 1/2
+   * (not a free `pow(x, alpha)`) deliberately: `pow` is a libm call
+   * with engine-varying last-ulp behavior, exactly the kind of silent
+   * cross-engine drift the oracle gate exists to catch.
+   *
+   * Spark shape: the per-stratum counts are a bounded driver-side model
+   * artifact (≤ |strata| rows — the codebook pattern, same as IVF);
+   * membership is then the usual pure narrow codegen'd
+   * bucket-vs-CASE-rate filter, pushed against the scan. Two jobs, no
+   * extra shuffle on the corpus.
+   */
+  def temperatureSample(df: DataFrame, strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureSample needs a non-empty corpus")
+    val cMin = counts.values.min.toDouble
+    val rates = counts.map { case (s, c) =>
+      s -> math.floor(100.0 * math.sqrt(cMin / c)).toLong
+    }
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, r)) => when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < rate)
+  }
+
   /** EXACT per-stratum quotas: the `n` rows of each stratum with the
     * lowest (bucket, id) rank — rate-based [[stratifiedSample]] yields
     * ~pct%, this yields exactly min(n, |stratum|) rows (the "10k docs per

@@ -93,6 +93,29 @@ object TextAnalysis {
         regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
         " +", " ")).as("text_norm"))
 
+  /** Email pattern shared with the SQL oracle — syntax restricted to the
+    * subset with identical semantics in Java regex and RE2 (character
+    * classes, +, bounded repetition; no lookaround). */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (phone/account-number shaped). */
+  val LongNumberRegex = "[0-9]{7,}"
+
+  /** PII redaction for training corpora: emails → `<EMAIL>`, 7+-digit
+    * runs → `<NUM>`, with per-doc match counts for audit rollups. Emails
+    * are replaced FIRST so a number embedded in an address cannot leak
+    * through as a digit run. Pure per-row codegen'd projection (regex
+    * passes, no shuffle); both patterns live in the Java-regex∩RE2
+    * subset, so the operator replays exactly in the oracle. */
+  def redact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRegex), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(LongNumberRegex), lit(0))).as("n_numbers"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRegex, "<EMAIL>"),
+        LongNumberRegex, "<NUM>").as("text_redacted"))
+
   /** Top-k rows per group by a ranking column (descending), deterministic
     * via the id tiebreak — the distributed "best n per key" pattern.
     * Spark plans this as WindowGroupLimit: the top-k is taken partially

@@ -73,6 +73,28 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() == docs.count())
   }
 
+  test("temperatureSample: sqrt-scaled rates, smallest stratum kept whole") {
+    val spark0 = spark
+    import spark0.implicits._
+    // counts 400/100/25 → rates floor(100·sqrt(25/c)) = 25 / 50 / 100
+    val rows = (0 until 400).map(i => (i.toLong, "a")) ++
+      (0 until 100).map(i => (1000L + i, "b")) ++
+      (0 until 25).map(i => (2000L + i, "c"))
+    val df = rows.toDF("doc_id", "lang")
+    val kept = Sampling.temperatureSample(df)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expectedRates = Map("a" -> 25L, "b" -> 50L, "c" -> 100L)
+    // membership must be exactly bucket < rate (not just approximate counts)
+    val expect = rows.filter { case (id, lang) =>
+      ((id % 2147483648L) * 2654435761L % 4294967296L % 100) < expectedRates(lang)
+    }.toSet
+    assert(kept.toSet == expect)
+    // the smallest stratum survives in full
+    assert(kept.count(_._2 == "c") == 25)
+    // dominant strata actually downsampled toward sqrt scaling
+    assert(kept.count(_._2 == "a") < 150)
+  }
+
   test("bucket never overflows 64-bit math, even for ids beyond 2^32") {
     import spark.implicits._
     // Ids at the scale where the unreduced Knuth product would exceed

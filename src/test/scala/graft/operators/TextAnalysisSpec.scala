@@ -66,6 +66,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == "zh" && out(2L) == "zh" && out(3L) == "en")
   }
 
+  test("redact replaces emails then digit runs, counts match, clean text untouched") {
+    val df = docs(
+      (1L, "en", "mail bob.smith+x@corp.example.org and jo@ex.co today"),
+      (2L, "en", "call 5551234567 or 12345678901 now"),
+      (3L, "en", "digits 123456 stay short"), // 6 digits: below the run floor
+      (4L, "en", "email inside num bob5551234567@ex.com kept whole"))
+    val out = TextAnalysis.redact(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((2, 0, "mail <EMAIL> and <EMAIL> today")))
+    assert(out(2L) == ((0, 2, "call <NUM> or <NUM> now")))
+    assert(out(3L) == ((0, 0, "digits 123456 stay short")))
+    // email-first ordering: the digits inside the address never leak as a run
+    assert(out(4L) == ((1, 1, "email inside num <EMAIL> kept whole")))
+  }
+
   test("q53 Han injection flips exactly the sampled slice to zh") {
     // the declared q53 query must actually exercise the zh branch: every
     // doc in the injected 20% slice votes zh, every other doc keeps its
