@@ -80,7 +80,7 @@ object SparkUtil {
       leftKey: String, rightKey: String,
       salt: Int, joinType: String = "inner"): DataFrame = {
     def scatter(df: DataFrame): DataFrame = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col(_)): _*)), lit(salt)).cast("int"))
+      pmod(xxhash64(struct(df.columns.toSeq.map(col(_)): _*)), lit(salt)).cast("int"))
     def replicate(df: DataFrame): DataFrame = df.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     def salted(l: DataFrame, r: DataFrame, jt: String): DataFrame =

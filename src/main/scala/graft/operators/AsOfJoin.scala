@@ -70,7 +70,7 @@ object AsOfJoin {
     joined
       .withColumn("__rn", row_number().over(pick))
       .filter(col("__rn") === 1)
-      .select(left.columns.map(c => col(s"l.$c")) ++
+      .select(left.columns.toSeq.map(c => col(s"l.$c")) ++
         rightCols.map { case (rc, alias) => col(s"r.$rc").as(alias) }: _*)
   }
 
@@ -124,7 +124,7 @@ object AsOfJoin {
     rSide.unionByName(lSide)
       .withColumn("__fill", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toSeq.map(col) ++
         rightCols.map { case (_, alias) => col("__fill").getField(alias).as(alias) }: _*)
   }
 }

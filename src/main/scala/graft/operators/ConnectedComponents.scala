@@ -83,7 +83,7 @@ object ConnectedComponents {
     // first round instead of NPE-ing in the compare.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("component").cast("decimal(38,0)")))
-        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
 
     var labels = ckpt(edgeVerts.select(col("id"), col("id").as("component")))
     // Labels are per-vertex monotone non-increasing, so the total is
@@ -164,7 +164,7 @@ object ConnectedComponents {
     // as exact integers (decimal sum — no 64-bit overflow at scale).
     def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
       (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
     var cur = ckpt(sym.filter(col("a") > col("b")))

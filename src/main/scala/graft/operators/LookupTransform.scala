@@ -188,7 +188,7 @@ object LookupTransform {
         coalesce(joined(ValCol), lit(d).cast(valType))
       case None => joined(ValCol)
     }
-    joined.select(input.columns.map(input(_)) :+ valueCol.as(cfg.resolvedOutputField): _*)
+    joined.select(input.columns.toSeq.map(input(_)) :+ valueCol.as(cfg.resolvedOutputField): _*)
   }
 
   /**

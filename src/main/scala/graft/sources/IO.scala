@@ -48,7 +48,7 @@ object IO {
           case _ => reader.load(path)
         }
         assertCompatible(df.schema, expected)
-        df.select(expected.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        df.select(expected.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
     }
   }
 
@@ -96,7 +96,7 @@ object IO {
     // spread preserves results — salt by input partition id instead.
     val salt =
       if (dataCols.isEmpty) pmod(spark_partition_id(), lit(filesPerPartition))
-      else pmod(hash(dataCols.map(col): _*), lit(filesPerPartition))
+      else pmod(hash(dataCols.toSeq.map(col): _*), lit(filesPerPartition))
     // Explicit partition count: with a bare `repartition(exprs)` AQE is
     // free to coalesce the whole shuffle into one partition on small
     // inputs, silently re-creating the single-writer bottleneck this salt
