@@ -615,6 +615,137 @@ object OracleSql {
        |FROM c QUALIFY rank <= $k""".stripMargin
   }
 
+  /** Mirror of Dedup.boilerplateSpans over a corpus with a deterministic
+    * boilerplate suffix injected into a hash-sampled slice (the fixture
+    * has no templated chrome; q53's injection pattern): distinct n-token
+    * span hashes per doc, span document frequency, per-doc boilerplate
+    * counts with a LEFT JOIN so span-less docs keep ratio 0. */
+  def boilerplateSpans(injectPct: Int, suffix: String, n: Int,
+      minDocs: Int, idCol: String): String =
+    s"""WITH injected AS (
+       |  SELECT $idCol, CASE WHEN ${sampleBucket(idCol)} < $injectPct
+       |    THEN text || ' $suffix' ELSE text END AS text
+       |  FROM documents),
+       |sets AS (SELECT $idCol, ${shingleHashesN(n)} AS hs FROM injected),
+       |s2 AS (SELECT $idCol, len(hs) AS n_spans, hs FROM sets),
+       |inv AS (SELECT $idCol, unnest(hs) AS h FROM s2),
+       |boiler AS (SELECT h FROM inv GROUP BY h HAVING count(*) >= $minDocs),
+       |pd AS (SELECT $idCol, count(*) AS nb FROM inv JOIN boiler USING (h) GROUP BY 1)
+       |SELECT s2.$idCol, s2.n_spans,
+       |  CAST(COALESCE(pd.nb, 0) AS BIGINT) AS n_boiler_spans,
+       |  CASE WHEN s2.n_spans > 0
+       |       THEN CAST(COALESCE(pd.nb, 0) AS DOUBLE) / s2.n_spans
+       |       ELSE 0.0 END AS boiler_ratio
+       |FROM s2 LEFT JOIN pd USING ($idCol)""".stripMargin
+
+  /** Mirror of TextAnalysis.qualityFilter over a corpus with the
+    * blacklist phrase injected into a hash-sampled slice (the fixture
+    * contains no boilerplate chrome, so the blacklist branch needs
+    * injected rows to fire under the oracle). The max-term-frequency
+    * signal is computed relationally (textRepetition's tc/top CTEs). */
+  def qualityFilter(injectPct: Int, injectSuffix: String,
+      minTokens: Int, maxTokens: Int, minMeanTokLen: Double,
+      maxMeanTokLen: Double, maxTopTokRatio: Double, minStopwords: Int,
+      idCol: String): String = {
+    val stops = markerLen(TextFunctions.LangMarkers.head._2)
+    val black = graft.operators.TextAnalysis.BlacklistPhrases
+      .map(p => s"NOT contains(text, '$p')").mkString("(", " AND ", ")")
+    val okN = s"(len($toks) >= $minTokens AND len($toks) <= $maxTokens)"
+    val mtl = s"(CAST(length(text) - (len($toks) - 1) AS DOUBLE) / len($toks))"
+    val okLen = s"($mtl >= $minMeanTokLen AND $mtl <= $maxMeanTokLen)"
+    val okRep = s"(CAST(t.top AS DOUBLE) / len($toks) <= $maxTopTokRatio)"
+    val okStop = s"($stops >= $minStopwords)"
+    val rules = Seq(okN, okLen, okRep, okStop, black)
+    val nFailed = rules.map(r => s"(CASE WHEN $r THEN 0 ELSE 1 END)").mkString(" + ")
+    s"""WITH injected AS (
+       |  SELECT $idCol, CASE WHEN ${sampleBucket(idCol)} < $injectPct
+       |    THEN text || ' $injectSuffix' ELSE text END AS text
+       |  FROM documents),
+       |tk AS (SELECT $idCol, unnest($toks) AS tok FROM injected),
+       |tc AS (SELECT $idCol, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       |top AS (SELECT $idCol, MAX(c) AS top FROM tc GROUP BY 1)
+       |SELECT d.$idCol,
+       |  len($toks) AS n_tokens,
+       |  $mtl AS mean_token_len,
+       |  CAST(t.top AS DOUBLE) / len($toks) AS top_tok_ratio,
+       |  $stops AS n_stopwords,
+       |  $okN AS ok_n_tokens,
+       |  $okLen AS ok_tok_len,
+       |  $okRep AS ok_repetition,
+       |  $okStop AS ok_stopwords,
+       |  $black AS ok_blacklist,
+       |  $nFailed AS n_failed,
+       |  ($nFailed) = 0 AS keep
+       |FROM injected d JOIN top t USING ($idCol)""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.chunk: chunk starts via range(0, n, stride)
+    * (= Spark's sequence(0, n-1, stride) for n >= 1), 1-based inclusive
+    * list_slice (clamped at the list end like Spark's slice), and the
+    * shared rolling hash over the space-joined chunk text. */
+  def chunk(chunkTokens: Int, stride: Int, idCol: String): String =
+    s"""WITH t AS (SELECT $idCol, $toks AS tk, len($toks) AS n FROM documents),
+       |s AS (SELECT $idCol, tk, n, unnest(range(0, n, $stride)) AS chunk_start FROM t)
+       |SELECT $idCol,
+       |  CAST(chunk_start // $stride AS BIGINT) AS chunk_id,
+       |  chunk_start,
+       |  least($chunkTokens, n - chunk_start) AS n_chunk_tokens,
+       |  ${rh(s"array_to_string(list_slice(tk, chunk_start + 1, chunk_start + $chunkTokens), ' ')")} AS chunk_hash
+       |FROM s""".stripMargin
+
+  /** Mirror of TextAnalysis.featureHash: token → dimension via the same
+    * mix32(rollingHash) arithmetic, per-(doc, dim) counts, and the
+    * order-insensitive mod-p checksum (terms reduced mod p BEFORE the
+    * sum — DuckDB traps BIGINT overflow where Spark would wrap). */
+  def featureHash(d: Int, idCol: String): String = {
+    val pows = Seq.iterate(1L, d)(x => x * 31 % P).mkString("[", ", ", "]")
+    s"""WITH tk AS (SELECT $idCol, unnest($toks) AS tok FROM documents),
+       |dm AS (SELECT $idCol,
+       |         ((${rh("tok")} * $Mix) % ${TextFunctions.TwoPow32}) % $d AS dim FROM tk),
+       |c AS (SELECT $idCol, dim, count(*) AS cnt FROM dm GROUP BY 1, 2)
+       |SELECT $idCol, count(*) AS nnz, CAST(sum(cnt) AS BIGINT) AS l1,
+       |  CAST(sum(((cnt % $P) * ($pows[CAST(dim + 1 AS INT)])) % $P) % $P AS BIGINT) AS fh_checksum
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.rareTokenScore over a corpus with unique
+    * tokens injected into a hash-sampled slice (every fixture token is
+    * corpus-frequent, so without injection the rare branch would verify
+    * 0 == 0 — the q36 lesson). */
+  def rareTokenScore(injectPct: Int, rareMaxDf: Int, idCol: String): String =
+    s"""WITH injected AS (
+       |  SELECT $idCol, CASE WHEN ${sampleBucket(idCol)} < $injectPct
+       |    THEN text || ' xrare' || $idCol::VARCHAR ELSE text END AS text
+       |  FROM documents),
+       |occ AS (SELECT $idCol, unnest($toks) AS tok FROM injected),
+       |dfreq AS (SELECT tok, count(DISTINCT $idCol) AS df FROM occ GROUP BY 1)
+       |SELECT o.$idCol, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN f.df <= $rareMaxDf THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_tokens,
+       |  CAST(sum(CASE WHEN f.df <= $rareMaxDf THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_ratio
+       |FROM occ o JOIN dfreq f USING (tok) GROUP BY 1""".stripMargin
+
+  /** Mirror of SimilaritySearch.semanticDedup: the q30 assign CTE
+    * (nearest seed centroid by cosine, cid tiebreak), within-cell
+    * smaller-id near-dup pairs at >= threshold, and the anti-joined
+    * keep set. */
+  def semanticDedup(threshold: Double, dim: Int, nlist: Int): String = {
+    val n2c = dotTerms("c.cv", "c.cv", dim)
+    val n2e = dotTerms("e.embedding", "e.embedding", dim)
+    val dotEC = dotTerms("e.embedding", "c.cv", dim)
+    val dotXY = dotTerms("x.v", "y.v", dim)
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $nlist),
+       |assign AS (SELECT vec_id, v, n2, cid FROM (
+       |    SELECT e.vec_id, e.embedding AS v, ($n2e) AS n2, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ($dotEC) / (sqrt($n2e) * sqrt($n2c)) DESC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |drops AS (SELECT DISTINCT y.vec_id AS id
+       |          FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |          WHERE ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) >= $threshold)
+       |SELECT a.vec_id, a.cid AS cell FROM assign a
+       |WHERE a.vec_id NOT IN (SELECT id FROM drops)""".stripMargin
+  }
+
   def embedNearDupLsh(threshold: Double, dim: Int,
       nPlanes: Int, nTables: Int): String = {
     val n2 = dotTerms("embedding", "embedding", dim)

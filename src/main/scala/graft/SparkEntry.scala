@@ -501,7 +501,67 @@ object SparkEntry {
           salt = 8, joinType = "full")
         .select("event_id", "user_id", "c_custkey", "c_name")
     }),
+
+    // Boilerplate-span scoring (RefinedWeb-style sub-document dedup
+    // signal) over a corpus with a deterministic boilerplate suffix
+    // injected into a hash-sampled slice (q53's pattern — the fixture
+    // has no templated chrome, so without injection the boilerplate
+    // branch would be near-vacuous).
+    "q62_boilerplate_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val injected = d.select(col("doc_id"),
+        when(Sampling.bucket(col("doc_id")) < 15,
+          concat(col("text"), lit(" " + BoilerplateSuffix)))
+          .otherwise(col("text")).as("text"))
+      Dedup.boilerplateSpans(injected, n = 8, minDocs = 2)
+    }),
+
+    // C4/Gopher composite quality-rule filter; the blacklist phrase is
+    // injected into a hash-sampled slice so that rule actually fires
+    // under the oracle.
+    "q63_quality_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val injected = d.select(col("doc_id"),
+        when(Sampling.bucket(col("doc_id")) < 10,
+          concat(col("text"), lit(" lorem ipsum dolor sit amet")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.qualityFilter(injected)
+    }),
+
+    // Overlapping token-window chunking (RAG / fixed-context-window
+    // preprocessing): narrow row expansion, rolling-hash fingerprint per
+    // chunk.
+    "q64_chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), chunkTokens = 64, stride = 48)),
+
+    // Feature-hashing document vectors (the hashing trick): per-dim
+    // counts fingerprinted by an order-insensitive mod-p checksum.
+    "q65_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(t(s, dir, "documents"), d = 32)),
+
+    // Rare-token (OOV) scoring against the corpus vocabulary; unique
+    // tokens injected into a hash-sampled slice so the rare branch is
+    // non-vacuous (every natural fixture token is corpus-frequent).
+    "q66_rare_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val injected = d.select(col("doc_id"),
+        when(Sampling.bucket(col("doc_id")) < 20,
+          concat(col("text"), lit(" xrare"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.rareTokenScore(injected, rareMaxDf = 3)
+    }),
+
+    // Semantic dedup (SemDeDup-style): IVF cells + within-cell
+    // smaller-id near-dup pruning at cosine >= 0.4 — the embedding-space
+    // end-to-end dedup (q51's sibling), cell-bounded pair space.
+    "q67_semantic_dedup" -> ((s, dir) =>
+      SimilaritySearch.semanticDedup(t(s, dir, "embeddings"), threshold = 0.4)),
   )
+
+  /** Injected boilerplate sentence for q62 — 10 tokens, so injected docs
+    * share the suffix-internal 8-token spans. Shared with the oracle. */
+  private val BoilerplateSuffix =
+    "cookie policy accept continue reading subscribe to our newsletter now"
 
   private val intervalJoinOracle: String =
     """SELECT e.event_id, e.ts, e.user_id,
@@ -638,5 +698,20 @@ object SparkEntry {
     "q52_content_sample" ->
       """SELECT * FROM documents
         |WHERE (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) % 100 < 30""".stripMargin,
+    "q62_boilerplate_spans" -> OracleSql.boilerplateSpans(
+      injectPct = 15, suffix = BoilerplateSuffix, n = 8, minDocs = 2,
+      idCol = "doc_id"),
+    "q63_quality_filter" -> OracleSql.qualityFilter(
+      injectPct = 10, injectSuffix = "lorem ipsum dolor sit amet",
+      minTokens = 15, maxTokens = 100000, minMeanTokLen = 4.0,
+      maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,
+      idCol = "doc_id"),
+    "q64_chunk_documents" -> OracleSql.chunk(chunkTokens = 64, stride = 48,
+      idCol = "doc_id"),
+    "q65_feature_hash" -> OracleSql.featureHash(d = 32, idCol = "doc_id"),
+    "q66_rare_tokens" -> OracleSql.rareTokenScore(injectPct = 20,
+      rareMaxDf = 3, idCol = "doc_id"),
+    "q67_semantic_dedup" -> OracleSql.semanticDedup(threshold = 0.4,
+      dim = 64, nlist = 16),
   )
 }

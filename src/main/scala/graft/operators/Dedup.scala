@@ -296,6 +296,43 @@ object Dedup {
   }
 
   /**
+   * Boilerplate-span scoring — the span-level (sub-document) face of
+   * exact dedup, RefinedWeb/Falcon style: an `n`-token span that appears
+   * in at least `minDocs` distinct documents is boilerplate (cookie
+   * banners, navigation chrome, license headers — content document-level
+   * dedup cannot see because the surrounding text differs). Reports, per
+   * document, its distinct span count, how many of those spans are
+   * boilerplate, and the ratio — the signal a pipeline thresholds to drop
+   * or strip templated documents.
+   *
+   * Spark shape (100 TB posture): distinct span hashes per doc (one
+   * native codegen'd pass), explode to an inverted index, one hash agg
+   * for span document-frequency (map-side partial counts), equi-join the
+   * boilerplate subset back, and a left join onto the per-doc span counts
+   * so span-less short documents survive with ratio 0. Never all-pairs;
+   * every join is an equi-join on the span hash or the doc id.
+   */
+  def boilerplateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val sets = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(docs)
+        .select(col(idCol).as("__id"), shingleHashes(col(textCol), n).as("__hs"))
+        .select(col("__id"), size(col("__hs")).as("n_spans"), col("__hs")))
+    val inv = sets.select(col("__id"), explode(col("__hs")).as("__h"))
+    val boiler = inv.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs).select("__h")
+    val perDoc = inv.join(boiler, "__h")
+      .groupBy(col("__id")).agg(count(lit(1)).as("__nb"))
+    sets.select(col("__id"), col("n_spans"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_spans"),
+        coalesce(col("__nb"), lit(0L)).as("n_boiler_spans"),
+        when(col("n_spans") > 0,
+          coalesce(col("__nb"), lit(0L)).cast("double") / col("n_spans"))
+          .otherwise(lit(0.0)).as("boiler_ratio"))
+  }
+
+  /**
    * SimHash near-dup pairs: 32-bit term-frequency SimHash per doc, then all
    * pairs within `maxHamming` bit flips. Candidate generation uses the
    * 4-byte pigeonhole blocks (TextFunctions.simhashBlocks): for

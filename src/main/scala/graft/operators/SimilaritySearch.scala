@@ -165,6 +165,58 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /**
+   * Semantic deduplication (SemDeDup-style): partition the corpus into
+   * IVF cells (nearest centroid by cosine, literal codebook — the q30
+   * index), then within each cell drop every vector that has a
+   * SMALLER-ID near-duplicate at cosine >= `threshold`. Keeps exactly
+   * one representative (the least id) of each within-cell near-dup
+   * clique chain — the embedding-space analog of the text pipeline's
+   * LSH-pairs → components → representatives, at a fraction of the cost
+   * because candidate pairs never leave their cell.
+   *
+   * Keep rule semantics: a vector is dropped iff SOME smaller-id
+   * neighbor (dropped or kept) sits within `threshold` in its cell —
+   * "exists" semantics, not sequential greedy. Deterministic, one
+   * relational pass, and exactly what the paper's per-cluster
+   * keep-lowest-index variant computes.
+   *
+   * Scale design (100 TB posture): the pair join is an equi-join on the
+   * cell id — never a cross join; with `nlist` scaled ~sqrt(corpus) (the
+   * SemDeDup recipe, codebook from [[trainIvfCentroids]]) expected cell
+   * sizes stay bounded, so the within-cell compare space is n²/nlist.
+   * Cell assignment is the same zero-shuffle codegen'd projection as the
+   * q30 query path; the approximation (near-dups straddling a cell
+   * boundary are missed) lives in the INDEX, the execution is exact and
+   * SQL-replayable.
+   */
+  def semanticDedup(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, nlist: Int = 16,
+      codebook: Option[Seq[Array[Float]]] = None): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val cents: Seq[(Long, Array[Float])] = codebook match {
+      case Some(cs) => cs.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+      case None => df.filter(col(idCol) < nlist)
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    }
+    require(cents.size >= 2, s"semanticDedup needs >= 2 centroids, found ${cents.size}")
+    val base = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(df)
+        .select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm2(col(vecCol), dim).as("n2"),
+          cellAssign(col(vecCol), cents, dim).as("cell")))
+    val drops = base.as("x").join(base.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .filter(cosineWithNorms(dot(col("x.v"), col("y.v"), dim),
+        col("x.n2"), col("y.n2")) >= threshold)
+      .select(col("y.id").as("__drop")).distinct()
+    base.join(drops, col("id") === col("__drop"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
+
   /** Nearest-cell id for a vector against a literal codebook: ONE
     * codegen'd `greatest` over per-centroid (cosine, -cid) structs — max
     * cosine, ties to the lowest cid. No join, no shuffle. */

@@ -233,4 +233,157 @@ object TextAnalysis {
       md5(col(textCol)).as("md5_hex"),
       rollingHash(col(textCol)).as("rolling_hash"),
       simhash(tokens(col(textCol))).as("simhash"))
+
+  /** Boilerplate phrases whose presence alone fails a document — the
+    * C4-style blacklist (placeholder text, cookie-wall fragments). Fixed
+    * and public so the SQL oracle replays the rule. */
+  val BlacklistPhrases: Seq[String] = Seq("lorem ipsum", "enable javascript")
+
+  /**
+   * C4/Gopher-style composite quality filter: the rule battery a web-scale
+   * pretraining pipeline applies before any expensive processing. Each
+   * rule is a named boolean (so rejection reasons roll up per-rule), plus
+   * `n_failed` and the final `keep` verdict:
+   *
+   *   - `ok_n_tokens`: token count within [minTokens, maxTokens]
+   *     (C4 drops pages with < 5 sentences; Gopher keeps 50..100k words);
+   *   - `ok_tok_len`: mean token length within [minMeanTokLen,
+   *     maxMeanTokLen] (Gopher's 3..10 — gibberish and DNA strings fail);
+   *   - `ok_repetition`: most-frequent-token share <= maxTopTokRatio
+   *     (Gopher's repetition gate, shared signal with [[repetition]]);
+   *   - `ok_stopwords`: at least minStopwords stopword hits (Gopher's
+   *     "has >= 2 stop words" natural-language check);
+   *   - `ok_blacklist`: contains no [[BlacklistPhrases]] substring.
+   *
+   * Pure per-row codegen'd projection — no shuffle, no UDF; every signal
+   * is integer counting or a single exact-integer division, so the whole
+   * battery SQL-replays bit-identically. At 100 TB this runs pushed
+   * against the scan, and downstream operators see only survivors.
+   */
+  def qualityFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minTokens: Int = 15, maxTokens: Int = 100000,
+      minMeanTokLen: Double = 4.0, maxMeanTokLen: Double = 12.0,
+      maxTopTokRatio: Double = 0.2, minStopwords: Int = 2): DataFrame = {
+    val nToks = size(tokens(col(textCol)))
+    val meanTokLen = (length(col(textCol)) - (nToks - 1)).cast("double") / nToks
+    val topRatio = topTokenCount(col(textCol)).cast("double") / nToks
+    val stops = markerCount(col(textCol), LangMarkers.head._2)
+    val okN = nToks >= minTokens && nToks <= maxTokens
+    val okLen = meanTokLen >= minMeanTokLen && meanTokLen <= maxMeanTokLen
+    val okRep = topRatio <= maxTopTokRatio
+    val okStop = stops >= minStopwords
+    val okBlack = BlacklistPhrases
+      .map(p => !col(textCol).contains(p)).reduce(_ && _)
+    val rules = Seq(okN, okLen, okRep, okStop, okBlack)
+    val nFailed = rules.map(r => when(r, 0).otherwise(1)).reduce(_ + _)
+    docs.select(col(idCol),
+      nToks.as("n_tokens"),
+      meanTokLen.as("mean_token_len"),
+      topRatio.as("top_tok_ratio"),
+      stops.as("n_stopwords"),
+      okN.as("ok_n_tokens"),
+      okLen.as("ok_tok_len"),
+      okRep.as("ok_repetition"),
+      okStop.as("ok_stopwords"),
+      okBlack.as("ok_blacklist"),
+      nFailed.as("n_failed"),
+      (nFailed === 0).as("keep"))
+  }
+
+  /**
+   * Overlapping token-window chunking: each document becomes
+   * `ceil(n / stride)` chunks of up to `chunkTokens` tokens, with
+   * consecutive chunks overlapping by `chunkTokens - stride` tokens — the
+   * RAG-indexing / fixed-context-window preprocessing step. Emits
+   * (doc, chunk_id, chunk_start, n_chunk_tokens, chunk_hash), where
+   * `chunk_hash` is the base-31 rolling hash of the chunk text — a
+   * content-exact fingerprint of every chunk without an array-typed (or
+   * giant string) output column.
+   *
+   * Pure narrow row expansion (one explode over the chunk starts) — no
+   * shuffle, no UDF; integer arithmetic plus the shared rolling hash, so
+   * the layout and fingerprints SQL-replay exactly. A short document
+   * (fewer than `chunkTokens` tokens) yields one truncated chunk.
+   */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride=$stride must be in (0, chunkTokens=$chunkTokens]")
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
+          lit(stride))).as("chunk_start"))
+      .select(col(idCol),
+        (col("chunk_start") / stride).cast("long").as("chunk_id"),
+        col("chunk_start"),
+        least(lit(chunkTokens), col("__n") - col("chunk_start")).as("n_chunk_tokens"),
+        rollingHash(concat_ws(" ",
+          slice(col("__toks"), col("chunk_start") + 1, lit(chunkTokens))))
+          .as("chunk_hash"))
+  }
+
+  /**
+   * Feature-hashing document vectors (the "hashing trick"): each token is
+   * hashed to one of `d` dimensions (`mix32(rollingHash(tok)) mod d` — the
+   * same public mix as SimHash bit sampling), and the document's vector is
+   * the per-dimension occurrence count. Reported as (nnz, l1, checksum)
+   * where `fh_checksum = Σ_dim (count_dim · 31^dim) mod p` — an
+   * order-insensitive content-exact fingerprint of the sparse vector, so
+   * no array-typed output column is needed (q59's checksum pattern).
+   *
+   * This is the cheap text→vector bridge: it feeds clustering and
+   * similarity operators when no trained embedding exists. Spark shape:
+   * explode → two hash aggregations with map-side partial counts (at most
+   * `d` rows per doc cross the second shuffle). The checksum terms are
+   * reduced mod p BEFORE the sum, so the aggregate stays far below 2^63
+   * in both engines (DuckDB traps BIGINT overflow).
+   */
+  def featureHash(docs: DataFrame, d: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(d > 0, s"d=$d must be positive")
+    val p = HashPrime
+    val pow31 = Seq.iterate(1L, d)(x => x * 31 % p)
+    val dims = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        pmod(mix32(rollingHash(col("__tok"))), lit(d.toLong)).as("__dim"))
+    dims.groupBy(col(idCol), col("__dim")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("nnz"),
+        sum(col("__cnt")).as("l1"),
+        (sum(pmod(pmod(col("__cnt"), lit(p)) *
+          element_at(typedLit(pow31), (col("__dim") + 1).cast("int")), lit(p)))
+          % p).as("fh_checksum"))
+  }
+
+  /**
+   * Rare-token scoring: per document, the share of token occurrences
+   * whose corpus-wide document frequency is at most `rareMaxDf` — a cheap
+   * perplexity surrogate (OOV/typo/gibberish density) used both as a
+   * quality signal (high rare share ⇒ noise) and a diversity signal
+   * (zero rare share ⇒ boilerplate). Two-pass relational shape: the
+   * document-frequency table is one explode + distinct + hash agg (the
+   * [[vocabulary]] aggregation), then token occurrences equi-join it with
+   * map-side partial counts on both sides; every ratio is one division of
+   * exact integers. At 100 TB the df table is vocabulary-bounded — orders
+   * of magnitude smaller than the corpus — and AQE broadcasts it when it
+   * fits.
+   */
+  def rareTokenScore(docs: DataFrame, rareMaxDf: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val occ = graft.SparkUtil.trackCache(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok")))
+    val dfreq = occ.distinct().groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__df"))
+    val nRare = sum(when(col("__df") <= rareMaxDf, 1L).otherwise(0L))
+    occ.join(dfreq, "__tok")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        nRare.as("n_rare_tokens"),
+        (nRare.cast("double") / count(lit(1))).as("rare_ratio"))
+  }
 }

@@ -155,4 +155,31 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == brute)
   }
+
+  test("boilerplateSpans: shared spans flagged, unique spans not, short docs ratio 0") {
+    val df = docs(
+      (1L, "a b c d e"),   // spans: "a b c","b c d","c d e"
+      (2L, "z z a b c"),   // shares exactly "a b c" with doc 1
+      (3L, "p q"),         // < n tokens: no spans at all
+      (4L, "m n o p"),     // exact dup of doc 5: both spans boilerplate
+      (5L, "m n o p"))
+    val out = Dedup.boilerplateSpans(df, n = 3, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3, 1L, 1.0 / 3)))
+    assert(out(2L) == ((3, 1L, 1.0 / 3)))
+    assert(out(3L) == ((0, 0L, 0.0)))
+    assert(out(4L) == ((2, 2L, 1.0)))
+    assert(out(5L) == ((2, 2L, 1.0)))
+  }
+
+  test("boilerplateSpans counts DISTINCT spans: an in-doc repeat is one span") {
+    // "a b a b a b": distinct 2-gram spans are "a b" and "b a" — both
+    // appear once in the df count even though they repeat inside the doc,
+    // so a single doc never makes its own spans boilerplate
+    val df = docs((1L, "a b a b a b"), (2L, "x y"))
+    val out = Dedup.boilerplateSpans(df, n = 2, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2, 0L)))
+    assert(out(2L) == ((1, 0L)))
+  }
 }

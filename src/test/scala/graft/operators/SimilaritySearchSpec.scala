@@ -258,4 +258,47 @@ class SimilaritySearchSpec extends SparkSpec {
       assert(score == math.max(exact0(id), exact1(id)))
     }
   }
+
+  test("semanticDedup: within-cell smaller-id near-dups dropped, exists semantics") {
+    import spark.implicits._
+    // codebook: two axis-aligned centroids; 4-dim vectors
+    val codebook = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    // cell 0 chain: 1 ~ 2 (cos .95+), 2 ~ 3 (cos .95+), but 1 !~ 3 (cos .81)
+    // cell 1: 4 kept; 5 its near-dup; 6 lands in cell 1 (cos to c0 is -1)
+    // but is no near-dup of anything
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.95f, 0.312f, 0f, 0f)),
+      (3L, Array(0.81f, 0.59f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0f, 0.9f, 0.05f, 0f)),
+      (6L, Array(-1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.semanticDedup(vecs, threshold = 0.9, dim = 4,
+      nlist = 2, codebook = Some(codebook)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 dropped (near-dup of 1); 3 dropped via EXISTS semantics — its only
+    // sub-threshold neighbor is 2, which was itself dropped (sequential
+    // greedy would keep 3; this operator pins the exists rule)
+    assert(out.keySet == Set(1L, 4L, 6L))
+    assert(out(1L) == 0L && out(4L) == 1L && out(6L) == 1L)
+  }
+
+  test("semanticDedup equals brute-force exists-smaller-neighbor within cells") {
+    val e = emb.cache()
+    val kept = SimilaritySearch.semanticDedup(e, threshold = 0.4).collect()
+      .map(_.getLong(0)).toSet
+    // brute force: same seed codebook via annTopKIvf's convention
+    // (centroids = vec_id < nlist); reuse the operator's own cell output
+    // for assignment, then check the drop rule against exact pairs
+    val cells = SimilaritySearch.semanticDedup(e, threshold = 2.0) // no drops
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SimilaritySearch.cosineNearDupPairs(e, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDrops = pairs.collect {
+      case (a, b) if cells(a) == cells(b) => b
+    }.toSet
+    assert(kept == cells.keySet.diff(expectedDrops))
+    assert(kept.size < cells.size, "threshold 0.4 must drop something on the fixture")
+  }
 }

@@ -210,4 +210,90 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(out(0) == out(1)) // simhash is a bag-of-tokens function
   }
+
+  test("qualityFilter: each rule fails exactly the doc built to fail it") {
+    val df = docs(
+      (1L, "en", "the big cat sat here"),      // passes all rules
+      (2L, "en", "a b"),                       // fails minTokens AND minMeanTokLen
+      (3L, "en", "the the the cat mat"),       // fails maxTopTokRatio (3/5)
+      (4L, "en", "the cat likes lorem ipsum today yes"), // fails blacklist
+      (5L, "en", "big cats run far away"))     // fails minStopwords
+    val out = TextAnalysis.qualityFilter(df, minTokens = 3, maxTokens = 10,
+      minMeanTokLen = 2.0, maxMeanTokLen = 5.0, maxTopTokRatio = 0.5,
+      minStopwords = 1).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def rules(r: org.apache.spark.sql.Row) =
+      (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))
+    assert(rules(out(1L)) == ((true, true, true, true, true)) && out(1L).getBoolean(11))
+    assert(rules(out(2L)) == ((false, false, true, true, true)) && out(2L).getInt(10) == 2)
+    assert(rules(out(3L)) == ((true, true, false, true, true)) && !out(3L).getBoolean(11))
+    assert(rules(out(4L)) == ((true, true, true, true, false)))
+    assert(rules(out(5L)) == ((true, true, true, false, true)))
+  }
+
+  test("chunk: overlapping windows cover the doc, truncated tail, exact hashes") {
+    import org.apache.spark.sql.functions._
+    val text = (0 until 10).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunk(docs((1L, "en", text)), chunkTokens = 4,
+      stride = 3).collect().sortBy(_.getLong(1))
+    // starts 0,3,6,9: three full chunks + a 1-token tail
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getInt(2)).toSeq == Seq(0, 3, 6, 9))
+    assert(out.map(_.getInt(3)).toSeq == Seq(4, 4, 4, 1))
+    val expected = Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9")
+      .map(s => spark.range(1)
+        .select(TextFunctions.rollingHash(lit(s))).head().getLong(0))
+    assert(out.map(_.getLong(4)).toSeq == expected)
+  }
+
+  test("chunk: dense chunk ids, 48-token starts, lengths shrink only at the tail") {
+    val df = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = TextAnalysis.chunk(df, chunkTokens = 64, stride = 48)
+    // layout invariants: ids dense from 0, start = id * stride, and
+    // n_chunk_tokens = min(64, n - start) is non-increasing in the chunk
+    // id (a full prefix, then a shrinking overlapped tail)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_id"))
+    val bad = out
+      .withColumn("prev_len", lag(col("n_chunk_tokens"), 1).over(w))
+      .withColumn("prev_id", lag(col("chunk_id"), 1).over(w))
+      .filter(
+        col("chunk_start") =!= col("chunk_id") * 48 ||
+        (col("prev_id").isNull && col("chunk_id") =!= 0) ||
+        (col("prev_id").isNotNull && col("chunk_id") =!= col("prev_id") + 1) ||
+        (col("prev_len").isNotNull && col("n_chunk_tokens") > col("prev_len")))
+    assert(bad.isEmpty,
+      "chunk ids must be dense, starts stride-aligned, lengths non-increasing")
+  }
+
+  test("featureHash: l1 equals token count, checksum replays the public arithmetic") {
+    val out = TextAnalysis.featureHash(docs((1L, "en", "a a b")), d = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p = TextFunctions.HashPrime
+    def dim(tok: String): Int = {
+      val rh = tok.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + b) % p)
+      ((rh * TextFunctions.Mix) % TextFunctions.TwoPow32 % 8).toInt
+    }
+    val pow31 = Seq.iterate(1L, 8)(x => x * 31 % p)
+    val counts = Map(dim("a") -> 2L, dim("b") -> 1L) // a,b land on distinct dims of 8
+    val checksum = counts.map { case (d0, c) => c * pow31(d0) % p }.sum % p
+    val r = out(1L)
+    assert(r.getLong(1) == counts.size)  // nnz
+    assert(r.getLong(2) == 3L)           // l1 = token occurrences
+    assert(r.getLong(3) == checksum)
+  }
+
+  test("rareTokenScore: df threshold picks exactly the corpus-rare occurrences") {
+    val df = docs((1L, "en", "x y z"), (2L, "en", "x y q"), (3L, "en", "x w w"))
+    // doc frequencies: x=3, y=2, z=1, q=1, w=1
+    val byDoc = TextAnalysis.rareTokenScore(df, rareMaxDf = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byDoc(1L) == ((3L, 1L))) // z
+    assert(byDoc(2L) == ((3L, 1L))) // q
+    assert(byDoc(3L) == ((3L, 2L))) // w twice — occurrences, not distinct tokens
+    val byDoc2 = TextAnalysis.rareTokenScore(df, rareMaxDf = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byDoc2(1L) == 2L) // y joins the rare set at df <= 2
+  }
 }
