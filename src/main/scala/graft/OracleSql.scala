@@ -724,6 +724,48 @@ object OracleSql {
        |  CAST(sum(CASE WHEN f.df <= $rareMaxDf THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_ratio
        |FROM occ o JOIN dfreq f USING (tok) GROUP BY 1""".stripMargin
 
+  /** Mirror of TextAnalysis.keywords: per-doc top-k by the integer
+    * (tf desc, df asc, token asc) TF-IDF ordering — no float log, so the
+    * rank replays exactly. */
+  def keywords(k: Int, idCol: String): String =
+    s"""WITH occ AS (SELECT $idCol, unnest($toks) AS token FROM documents),
+       |tf AS (SELECT $idCol, token, count(*) AS tf FROM occ GROUP BY 1, 2),
+       |dfreq AS (SELECT token, count(DISTINCT $idCol) AS df FROM occ GROUP BY 1)
+       |SELECT t.$idCol, t.token, t.tf, f.df,
+       |  row_number() OVER (PARTITION BY t.$idCol
+       |    ORDER BY t.tf DESC, f.df ASC, t.token ASC) AS rank
+       |FROM tf t JOIN dfreq f USING (token)
+       |QUALIFY rank <= $k""".stripMargin
+
+  /** Mirror of TextAnalysis.robustScale: per-group quantile_cont (the
+    * shared linear-interpolation definition) and the IEEE-exact
+    * (v - median) / IQR over those shared doubles. */
+  def robustScale(groupCol: String, valueCol: String, idCol: String): String =
+    s"""WITH s AS (SELECT $groupCol,
+       |    quantile_cont($valueCol, 0.25) AS q1,
+       |    quantile_cont($valueCol, 0.5) AS med,
+       |    quantile_cont($valueCol, 0.75) AS q3
+       |  FROM documents GROUP BY $groupCol)
+       |SELECT d.$idCol, d.$groupCol, d.$valueCol,
+       |  CASE WHEN s.q3 = s.q1 THEN 0.0
+       |       ELSE (d.$valueCol - s.med) / (s.q3 - s.q1) END AS scaled
+       |FROM documents d JOIN s USING ($groupCol)""".stripMargin
+
+  /** The raw HLL register table over the WHOLE corpus — the oracle for
+    * the merge query (sketch the two halves, merge by element-wise max):
+    * mergeability means the merged halves must equal this exactly. */
+  def hllRegisters(p: Int, keyCol: String = "lang",
+      valueCol: String = "text"): String = {
+    val m = 1 << p
+    val maxRank = 60 - p + 1
+    s"""WITH h AS (SELECT $keyCol,
+       |    CAST(concat('0x', substr(md5($valueCol), 1, 15)) AS BIGINT) AS h FROM documents),
+       |b AS (SELECT $keyCol, h & ${m - 1} AS bucket,
+       |        CASE WHEN (h >> $p) = 0 THEN $maxRank
+       |             ELSE $maxRank - length(bin(h >> $p)) END AS r FROM h)
+       |SELECT $keyCol, bucket, MAX(r) AS register FROM b GROUP BY 1, 2""".stripMargin
+  }
+
   /** Mirror of SimilaritySearch.semanticDedup: the q30 assign CTE
     * (nearest seed centroid by cosine, cid tiebreak), within-cell
     * smaller-id near-dup pairs at >= threshold, and the anti-joined

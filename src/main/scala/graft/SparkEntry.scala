@@ -556,6 +556,30 @@ object SparkEntry {
     // end-to-end dedup (q51's sibling), cell-bounded pair space.
     "q67_semantic_dedup" -> ((s, dir) =>
       SimilaritySearch.semanticDedup(t(s, dir, "embeddings"), threshold = 0.4)),
+
+    // Per-doc keyword extraction by integer TF-IDF ordering (tf desc,
+    // df asc, token asc) — WindowGroupLimit cut, no float log.
+    "q68_doc_keywords" -> ((s, dir) =>
+      TextAnalysis.keywords(t(s, dir, "documents"), k = 3)),
+
+    // Per-language robust scaling (median/IQR) of document length — the
+    // outlier-insensitive normalization for quality-signal fusion.
+    "q69_robust_scale" -> ((s, dir) =>
+      TextAnalysis.robustScale(t(s, dir, "documents"))),
+
+    // Mergeable-sketch contract UNDER THE ORACLE GATE: HLL register
+    // tables sketched independently over two disjoint corpus halves,
+    // merged by element-wise max — must equal the whole-corpus register
+    // table bit-for-bit (the property that lets a fleet sketch shards
+    // independently and combine without rescans).
+    "q70_hll_merge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = Sketches.hllRegisters(
+        d.filter(Sampling.bucket(col("doc_id")) < 50), Seq("lang"), "text", p = 4)
+      val b = Sketches.hllRegisters(
+        d.filter(Sampling.bucket(col("doc_id")) >= 50), Seq("lang"), "text", p = 4)
+      Sketches.mergeRegisters(a, b, Seq("lang"))
+    }),
   )
 
   /** Injected boilerplate sentence for q62 — 10 tokens, so injected docs
@@ -713,5 +737,10 @@ object SparkEntry {
       rareMaxDf = 3, idCol = "doc_id"),
     "q67_semantic_dedup" -> OracleSql.semanticDedup(threshold = 0.4,
       dim = 64, nlist = 16),
+    "q68_doc_keywords" -> OracleSql.keywords(k = 3, idCol = "doc_id"),
+    "q69_robust_scale" -> OracleSql.robustScale(groupCol = "lang",
+      valueCol = "n_chars", idCol = "doc_id"),
+    // the merged halves must equal the whole-corpus register table
+    "q70_hll_merge" -> OracleSql.hllRegisters(p = 4),
   )
 }

@@ -386,4 +386,63 @@ object TextAnalysis {
         nRare.as("n_rare_tokens"),
         (nRare.cast("double") / count(lit(1))).as("rare_ratio"))
   }
+
+  /**
+   * Per-document keyword extraction by TF-IDF ORDERING: each document's
+   * top-`k` tokens ranked by (term frequency desc, document frequency
+   * asc, token asc) — frequent-in-this-doc but rare-in-the-corpus wins.
+   * Ranking by the integer (tf, df) pair instead of a float `tf·log(N/df)`
+   * score is deliberate: the order is the same monotone preference and
+   * the whole operator stays integer-exact (a free `log` is a libm call
+   * with engine-varying last-ulp behavior — exactly the cross-engine
+   * drift the oracle gate exists to catch).
+   *
+   * Spark shape: token occurrences aggregate to per-doc term frequencies
+   * and a vocabulary-bounded document-frequency table (both with map-side
+   * partial counts), equi-join on the token, and the per-doc cut is a
+   * rank window planned as `WindowGroupLimit` — at most `k` rows per doc
+   * leave each map task. The (tf desc, df asc, token asc) order is total
+   * per document, so the cut is deterministic.
+   */
+  def keywords(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = graft.SparkUtil.trackCache(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("token")))
+    val tf = occ.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = occ.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("rank"))
+  }
+
+  /**
+   * Per-group robust scaling (median/IQR normalization) of a numeric
+   * column — the outlier-insensitive feature scaling for curriculum
+   * scheduling and quality-signal fusion: `(v - median) / (q3 - q1)`,
+   * 0 when the IQR collapses. The per-group quantile row is a bounded
+   * model artifact (≤ |groups| rows) broadcast back onto the corpus, so
+   * the scan side never shuffles. Exact percentiles share the
+   * linear-interpolation definition with the oracle's `quantile_cont`,
+   * and the scale arithmetic is plain IEEE subtraction/division of those
+   * shared doubles — bit-identical in both engines. At 100 TB swap
+   * `percentile` for `approx_percentile` when the rank-error budget
+   * allows (the scaling join is unchanged).
+   */
+  def robustScale(docs: DataFrame, groupCol: String = "lang",
+      valueCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    val stats = docs.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(0.25)).as("__q1"),
+      percentile(col(valueCol), lit(0.5)).as("__med"),
+      percentile(col(valueCol), lit(0.75)).as("__q3"))
+    docs.select(col(idCol), col(groupCol), col(valueCol))
+      .join(broadcast(stats), groupCol)
+      .select(col(idCol), col(groupCol), col(valueCol),
+        when(col("__q3") === col("__q1"), lit(0.0))
+          .otherwise((col(valueCol) - col("__med")) / (col("__q3") - col("__q1")))
+          .as("scaled"))
+  }
 }

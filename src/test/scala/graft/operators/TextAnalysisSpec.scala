@@ -284,6 +284,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(3) == checksum)
   }
 
+  test("keywords: integer TF-IDF ordering, corpus-common tokens lose, WindowGroupLimit cut") {
+    val df = docs(
+      (1L, "en", "apple apple banana the the the"), // tf: apple 2, banana 1, the 3
+      (2L, "en", "the cherry"),
+      (3L, "en", "the plum"))
+    // df: apple 1, banana 1, the 3, cherry 1, plum 1
+    val out = TextAnalysis.keywords(df, k = 2)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getInt(4)) -> r.getString(1)).toMap
+    // doc 1: "the" wins rank 1 on tf=3; apple (tf 2) beats banana on tf
+    assert(rows((1L, 1)) == "the" && rows((1L, 2)) == "apple")
+    // doc 2: tf ties at 1 — cherry (df 1) beats the (df 3)
+    assert(rows((2L, 1)) == "cherry" && rows((2L, 2)) == "the")
+    assert(rows((3L, 1)) == "plum")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc keyword cut should plan as WindowGroupLimit:\n$plan")
+  }
+
+  test("robustScale: median/IQR per group, collapsed IQR scales to zero") {
+    val schema2 = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    val df = spark.createDataFrame(Seq(
+      Row(1L, "en", 10L), Row(2L, "en", 20L), Row(3L, "en", 30L),
+      Row(4L, "en", 40L), Row(5L, "en", 50L),
+      Row(6L, "de", 7L), Row(7L, "de", 7L)).asJava, schema2)
+    val out = TextAnalysis.robustScale(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // en: q1=20, med=30, q3=40 → IQR 20; 10 → -1.0, 30 → 0.0, 50 → 1.0
+    assert(out(1L) == -1.0 && out(3L) == 0.0 && out(5L) == 1.0)
+    // de: all equal → IQR 0 → scaled 0 by the guard
+    assert(out(6L) == 0.0 && out(7L) == 0.0)
+  }
+
   test("rareTokenScore: df threshold picks exactly the corpus-rare occurrences") {
     val df = docs((1L, "en", "x y z"), (2L, "en", "x y q"), (3L, "en", "x w w"))
     // doc frequencies: x=3, y=2, z=1, q=1, w=1
