@@ -751,6 +751,29 @@ object OracleSql {
        |       ELSE (d.$valueCol - s.med) / (s.q3 - s.q1) END AS scaled
        |FROM documents d JOIN s USING ($groupCol)""".stripMargin
 
+  /** Mirror of the q71 curated-corpus composition: the q63 rule battery
+    * (injectPct = 0 → the CASE never fires and the corpus is untouched),
+    * the q62 boilerplate ratio, and the md5 exact-dup representative,
+    * intersected on the id. Each ingredient SQL is reused verbatim as a
+    * parenthesized CTE subquery, so the composition cannot drift from
+    * the independently-oracled parts. */
+  def curatedCorpus(minTokens: Int, maxTokens: Int, minMeanTokLen: Double,
+      maxMeanTokLen: Double, maxTopTokRatio: Double, minStopwords: Int,
+      boilerN: Int, boilerMinDocs: Int, maxBoilerRatio: Double,
+      idCol: String): String = {
+    val qf = qualityFilter(injectPct = 0, injectSuffix = "unused",
+      minTokens, maxTokens, minMeanTokLen, maxMeanTokLen, maxTopTokRatio,
+      minStopwords, idCol)
+    val bp = boilerplateSpans(injectPct = 0, suffix = "unused",
+      boilerN, boilerMinDocs, idCol)
+    s"""SELECT d.* FROM documents d
+       |WHERE d.$idCol IN (SELECT $idCol FROM ($qf) WHERE keep)
+       |  AND d.$idCol IN (SELECT $idCol FROM ($bp) WHERE boiler_ratio < $maxBoilerRatio)
+       |  AND d.$idCol IN (SELECT $idCol FROM (
+       |      SELECT $idCol, row_number() OVER (PARTITION BY md5(text)
+       |        ORDER BY $idCol) AS rn FROM documents) WHERE rn = 1)""".stripMargin
+  }
+
   /** The raw HLL register table over the WHOLE corpus — the oracle for
     * the merge query (sketch the two halves, merge by element-wise max):
     * mergeability means the merged halves must equal this exactly. */

@@ -580,6 +580,26 @@ object SparkEntry {
         d.filter(Sampling.bucket(col("doc_id")) >= 50), Seq("lang"), "text", p = 4)
       Sketches.mergeRegisters(a, b, Seq("lang"))
     }),
+
+    // End-to-end CURATED corpus — the quality-side composition sibling
+    // of q51's dedup-side pipeline: keep documents that (a) pass the
+    // C4/Gopher rule battery, (b) are under 50% boilerplate spans, and
+    // (c) are their exact-dup group's min-id representative. Three
+    // semi-joins on the id; each ingredient is independently oracled
+    // (q63/q62/q13 shapes), this query pins their composition.
+    "q71_curated_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val keepQ = TextAnalysis.qualityFilter(d)
+        .filter(col("keep")).select("doc_id")
+      val keepB = Dedup.boilerplateSpans(d)
+        .filter(col("boiler_ratio") < 0.5).select("doc_id")
+      val reps = Dedup.exact(
+        d.select(col("doc_id"), md5(col("text")).as("__sig")),
+        Seq("__sig"), "doc_id").select("doc_id")
+      d.join(keepQ, Seq("doc_id"), "left_semi")
+        .join(keepB, Seq("doc_id"), "left_semi")
+        .join(reps, Seq("doc_id"), "left_semi")
+    }),
   )
 
   /** Injected boilerplate sentence for q62 — 10 tokens, so injected docs
@@ -742,5 +762,10 @@ object SparkEntry {
       valueCol = "n_chars", idCol = "doc_id"),
     // the merged halves must equal the whole-corpus register table
     "q70_hll_merge" -> OracleSql.hllRegisters(p = 4),
+    "q71_curated_corpus" -> OracleSql.curatedCorpus(
+      minTokens = 15, maxTokens = 100000, minMeanTokLen = 4.0,
+      maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,
+      boilerN = 8, boilerMinDocs = 2, maxBoilerRatio = 0.5,
+      idCol = "doc_id"),
   )
 }

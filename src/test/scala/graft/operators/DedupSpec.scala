@@ -182,4 +182,19 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((2, 0L)))
     assert(out(2L) == ((1, 0L)))
   }
+
+  test("q71 curated corpus == intersection of its three ingredient filters") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet").cache()
+    val curated = graft.SparkEntry.queries("q71_curated_corpus")(
+      spark, sf()).collect().map(_.getLong(0)).toSet
+    val quality = TextAnalysis.qualityFilter(d).filter(col("keep"))
+      .collect().map(_.getLong(0)).toSet
+    val lowBoiler = Dedup.boilerplateSpans(d)
+      .filter(col("boiler_ratio") < 0.5).collect().map(_.getLong(0)).toSet
+    val reps = Dedup.exact(d.select(col("doc_id"), md5(col("text")).as("s")),
+      Seq("s"), "doc_id").collect().map(_.getLong(0)).toSet
+    assert(curated == quality.intersect(lowBoiler).intersect(reps))
+    assert(curated.nonEmpty && curated.size < d.count(),
+      "curation must keep some docs and drop some docs")
+  }
 }

@@ -221,4 +221,39 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows(3L).isEmpty) // E1: unmatched stream row survives with null
     } finally q.stop()
   }
+
+  test("qualityFilter and chunk run unchanged under Structured Streaming") {
+    // both are stateless narrow transformations (per-row projection /
+    // per-row explode), so the same operator code runs append-mode on a
+    // stream and must produce exactly the batch rows
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val rows = Seq(
+      (1L, "the cat sat on the mat with a hat"),
+      (2L, "a b"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"))
+    val batch = rows.toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val streamDocs = input.toDF().toDF("doc_id", "text")
+    val q1 = graft.operators.TextAnalysis.qualityFilter(streamDocs, minTokens = 3)
+      .writeStream.format("memory").queryName("qf_stream")
+      .outputMode("append").start()
+    val q2 = graft.operators.TextAnalysis.chunk(streamDocs, chunkTokens = 4, stride = 3)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      val sQf = spark.table("qf_stream").collect().map(_.toSeq).toSet
+      val bQf = graft.operators.TextAnalysis.qualityFilter(batch, minTokens = 3)
+        .collect().map(_.toSeq).toSet
+      assert(sQf == bQf, "streaming qualityFilter differs from batch")
+      val sCh = spark.table("chunk_stream").collect().map(_.toSeq).toSet
+      val bCh = graft.operators.TextAnalysis.chunk(batch, chunkTokens = 4, stride = 3)
+        .collect().map(_.toSeq).toSet
+      assert(sCh == bCh, "streaming chunk differs from batch")
+    } finally { q1.stop(); q2.stop() }
+  }
 }
