@@ -774,6 +774,28 @@ object OracleSql {
        |        ORDER BY $idCol) AS rn FROM documents) WHERE rn = 1)""".stripMargin
   }
 
+  /** Mirror of Sampling.tokenBudgetSample: power-of-two value tiers,
+    * best-first cumulative token sums over the (≤ 63-row) tier table,
+    * boundary tier rate-sampled by the shared id bucket. The engine
+    * computes the boundary driver-side and burns it into the plan; the
+    * oracle recomputes the identical integer arithmetic relationally. */
+  def tokenBudgetSample(budgetTokens: Long, valueCol: String,
+      idCol: String): String =
+    s"""WITH tok AS (SELECT $idCol, length(bin($valueCol)) AS tier,
+       |               len($toks)::BIGINT AS nt FROM documents),
+       |ts AS (SELECT tier, CAST(sum(nt) AS BIGINT) AS s FROM tok GROUP BY tier),
+       |c AS (SELECT tier, s,
+       |        CAST(SUM(s) OVER (ORDER BY tier DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |      FROM ts),
+       |b AS (SELECT tier, (100 * ($budgetTokens - (cum - s))) // s AS rate
+       |      FROM c WHERE cum > $budgetTokens ORDER BY tier DESC LIMIT 1)
+       |SELECT d.* FROM documents d
+       |WHERE (SELECT count(*) FROM b) = 0
+       |   OR length(bin(d.$valueCol)) > (SELECT tier FROM b)
+       |   OR (length(bin(d.$valueCol)) = (SELECT tier FROM b)
+       |       AND ${sampleBucket(s"d.$idCol")} < (SELECT rate FROM b))""".stripMargin
+
   /** The raw HLL register table over the WHOLE corpus — the oracle for
     * the merge query (sketch the two halves, merge by element-wise max):
     * mergeability means the merged halves must equal this exactly. */

@@ -600,6 +600,14 @@ object SparkEntry {
         .join(keepB, Seq("doc_id"), "left_semi")
         .join(reps, Seq("doc_id"), "left_semi")
     }),
+
+    // Budget-constrained quality-first snapshot: fill a 15k-token budget
+    // from the best (longest) tiers first; the boundary tier is
+    // rate-sampled so expected kept tokens land on the budget. Tier sums
+    // are a bounded driver-side artifact; membership is a pure narrow
+    // filter.
+    "q72_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSample(t(s, dir, "documents"), budgetTokens = 15000)),
   )
 
   /** Injected boilerplate sentence for q62 — 10 tokens, so injected docs
@@ -767,5 +775,7 @@ object SparkEntry {
       maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,
       boilerN = 8, boilerMinDocs = 2, maxBoilerRatio = 0.5,
       idCol = "doc_id"),
+    "q72_token_budget" -> OracleSql.tokenBudgetSample(budgetTokens = 15000,
+      valueCol = "n_chars", idCol = "doc_id"),
   )
 }

@@ -131,4 +131,50 @@ object Sampling {
       .filter(col("__rank") <= n)
       .drop("__rank")
   }
+
+  /**
+   * Budget-constrained quality-first corpus snapshot: fill a training
+   * token budget from the best documents first. Documents are tiered by
+   * the DATA-INDEPENDENT power-of-two bucket of a quality proxy
+   * (`tier = length(bin(value))` — the histogram-sketch bucketing, so no
+   * global sort or single-partition window is ever needed); whole tiers
+   * are kept best-first while they fit, and the boundary tier — the
+   * first that would overflow the budget — is rate-sampled by the
+   * content-addressed id bucket at `floor(100·remaining/tierTokens)` so
+   * expected kept tokens land on the budget. Tiers below the boundary
+   * are dropped.
+   *
+   * Spark shape (100 TB posture): the per-tier token sums are a bounded
+   * driver-side model artifact (≤ 63 rows — the codebook pattern);
+   * membership is then a pure narrow codegen'd filter on (tier, bucket),
+   * pushed against the scan. All boundary math is exact integer
+   * arithmetic (sums, cumulative sums over ≤ 63 tiers, one integer
+   * division), so the snapshot — like every sampler here — is
+   * deterministic, rerun-stable, and exactly SQL-replayable.
+   */
+  def tokenBudgetSample(df: DataFrame, budgetTokens: Long,
+      valueCol: String = "n_chars", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens must be >= 0")
+    val tier = length(bin(col(valueCol)))
+    val sums = df
+      .select(tier.as("__tier"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt"))
+      .groupBy(col("__tier")).agg(sum(col("__nt")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(-_._1) // best (largest value tier) first
+    var cum = 0L
+    var boundary: Option[(Int, Long)] = None // (tier, rate)
+    sums.foreach { case (t, s) =>
+      if (boundary.isEmpty && cum + s > budgetTokens) {
+        boundary = Some((t, 100L * (budgetTokens - cum) / s))
+      }
+      cum += s
+    }
+    boundary match {
+      case None => df // the whole corpus fits the budget
+      case Some((bt, rate)) =>
+        df.filter(tier > bt || (tier === bt && bucket(col(idCol)) < rate))
+    }
+  }
 }

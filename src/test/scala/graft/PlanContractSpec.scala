@@ -101,6 +101,35 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("quality filter and chunking are pure narrow plans: zero exchange") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val pq = plan(TextAnalysis.qualityFilter(docs))
+    assert(!hasShuffle(pq), s"unexpected shuffle in qualityFilter plan:\n$pq")
+    val pc = plan(TextAnalysis.chunk(docs))
+    assert(!hasShuffle(pc), s"unexpected shuffle in chunk plan:\n$pc")
+  }
+
+  test("robust scaling broadcasts the quantile row — the corpus never sort-merges") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(TextAnalysis.robustScale(docs))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("keyword extraction cuts per doc with WindowGroupLimit") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(TextAnalysis.keywords(docs, k = 3))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("token-budget membership is a pure narrow filter over the scan") {
+    // the tier sums are collected driver-side (bounded artifact); the
+    // returned plan must be scan -> filter with no exchange
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(graft.operators.Sampling.tokenBudgetSample(docs, budgetTokens = 15000))
+    assert(!hasShuffle(p), s"unexpected shuffle in tokenBudgetSample plan:\n$p")
+  }
+
   test("fuzzy decontamination joins broadcast — the corpus is never sort-merged") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val p = plan(graft.operators.Dedup.decontaminateFuzzy(

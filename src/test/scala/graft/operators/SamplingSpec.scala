@@ -129,4 +129,34 @@ class SamplingSpec extends SparkSpec {
       .filter(col("split") === "test").select("doc_id").collect().map(_.getLong(0)).sorted
     assert(t1.sameElements(t2))
   }
+
+  test("tokenBudgetSample: full best tiers, rate-sampled boundary, dropped tail") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // three tiers by n_chars: 8-15 (tier 4), 4-7 (tier 3), 2-3 (tier 2);
+    // every doc has exactly 10 tokens, 10 docs per tier → 100 tokens/tier
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_chars", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val rows = (0 until 30).map { i =>
+      val v = i / 10 match { case 0 => 8L; case 1 => 4L; case _ => 2L }
+      R(i.toLong, v, text)
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    // budget 150: tier 4 kept whole (100), tier 3 boundary at rate
+    // floor(100*50/100) = 50, tier 2 dropped
+    val kept = Sampling.tokenBudgetSample(df, budgetTokens = 150)
+      .collect().map(_.getLong(0)).toSet
+    val tier4 = (0L until 10L).toSet
+    val boundaryExpected = df.filter(col("n_chars") === 4 &&
+      Sampling.bucket(col("doc_id")) < 50).collect().map(_.getLong(0)).toSet
+    assert(kept == tier4 ++ boundaryExpected)
+    assert(boundaryExpected.nonEmpty && boundaryExpected.size < 10)
+    // budget covers everything → identity; budget 0 → empty
+    assert(Sampling.tokenBudgetSample(df, budgetTokens = 1000).count() == 30)
+    assert(Sampling.tokenBudgetSample(df, budgetTokens = 0).count() == 0)
+  }
 }
