@@ -774,6 +774,24 @@ object OracleSql {
        |        ORDER BY $idCol) AS rn FROM documents) WHERE rn = 1)""".stripMargin
   }
 
+  /** Mirror of the q73 media→similarity bridge: the stub encoder's
+    * feature vector replayed relationally (checksum = the shared rolling
+    * hash of the payload bytes == chars on the ASCII corpus; components
+    * computed as DOUBLE divisions rounded to FLOAT — the exact two-step
+    * the Scala stub performs), then the standard exact cosine top-k. */
+  def mediaEmbedTopK(queryId: Long, k: Int, dim: Int): String = {
+    val featList = s"""list_transform(range(0, $dim),
+       |      j -> ((((${rh("text")} * (2*j+1) + j) % $P) % 1000) / 1000.0)::FLOAT)""".stripMargin
+    val dotQ = dotTerms("f.features", "q.qv", dim)
+    val n2f = dotTerms("f.features", "f.features", dim)
+    val n2q = dotTerms("q.qv", "q.qv", dim)
+    s"""WITH f AS (SELECT doc_id AS media_id, $featList AS features FROM documents),
+       |q AS (SELECT features AS qv FROM f WHERE media_id = $queryId)
+       |SELECT f.media_id, ($dotQ) / (sqrt($n2f) * sqrt($n2q)) AS score
+       |FROM f, q
+       |ORDER BY score DESC, f.media_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Mirror of Sampling.tokenBudgetSample: power-of-two value tiers,
     * best-first cumulative token sums over the (≤ 63-row) tier table,
     * boundary tier rate-sampled by the shared id bucket. The engine

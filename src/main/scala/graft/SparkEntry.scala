@@ -608,6 +608,18 @@ object SparkEntry {
     // filter.
     "q72_token_budget" -> ((s, dir) =>
       Sampling.tokenBudgetSample(t(s, dir, "documents"), budgetTokens = 15000)),
+
+    // The media→similarity bridge END TO END behind the oracle: stub
+    // feature extraction through the batch codec (mapPartitions — the
+    // designated imperative escape hatch), then exact cosine top-10 over
+    // the extracted vectors. Deterministic stub arithmetic means even
+    // the codec's output is exactly SQL-replayable.
+    "q73_media_embed_topk" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      val feats = Multimodal.extractFeatures(media).toDF()
+      SimilaritySearch.topKCosine(feats, feats.filter(col("media_id") === 0),
+        k = 10, idCol = "media_id", vecCol = "features", dim = 8)
+    }),
   )
 
   /** Injected boilerplate sentence for q62 — 10 tokens, so injected docs
@@ -777,5 +789,7 @@ object SparkEntry {
       idCol = "doc_id"),
     "q72_token_budget" -> OracleSql.tokenBudgetSample(budgetTokens = 15000,
       valueCol = "n_chars", idCol = "doc_id"),
+    "q73_media_embed_topk" -> OracleSql.mediaEmbedTopK(queryId = 0, k = 10,
+      dim = 8),
   )
 }

@@ -131,6 +131,12 @@ object Multimodal {
    * STUB features (deterministic functions of the checksum standing in for
    * a real vision/audio encoder); the output schema and batch shape are
    * the real contract — the result feeds SimilaritySearch directly.
+   *
+   * Each component is `(checksum·(2j+1)+j) mod p mod 1000 / 1000`,
+   * computed as a DOUBLE division then rounded to float — the same
+   * two-step the SQL oracle's `(x / 1000.0)::FLOAT` performs, so the
+   * bridge into the similarity operators is exactly cross-engine
+   * replayable (a direct float division could double-round differently).
    */
   def extractFeatures(df: DataFrame, dim: Int = 8,
       codec: MediaCodec = StubCodec, idCol: String = "media_id",
@@ -147,7 +153,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap(_.iterator.map { rec =>
         val meta = codec.decode(rec)
         val fs = Array.tabulate(dim) { j =>
-          (((meta.checksum * (2 * j + 1) + j) % HashPrime) % 1000L).toFloat / 1000f
+          ((((meta.checksum * (2 * j + 1) + j) % HashPrime) % 1000L) / 1000.0).toFloat
         }
         MediaFeatures(meta.media_id, fs)
       })
