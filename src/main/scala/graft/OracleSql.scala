@@ -774,6 +774,32 @@ object OracleSql {
        |        ORDER BY $idCol) AS rn FROM documents) WHERE rn = 1)""".stripMargin
   }
 
+  /** Mirror of EventAnalytics.activitySpikes: hourly counts, per-user
+    * quantile_cont median (shared interpolation), integer-vs-double
+    * spike compare. */
+  def activitySpikes(factor: Int): String =
+    s"""WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+       |             count(*) AS n_events FROM events GROUP BY 1, 2),
+       |m AS (SELECT user_id, quantile_cont(n_events, 0.5) AS median_hourly
+       |      FROM h GROUP BY 1)
+       |SELECT h.user_id, h.hour, h.n_events, m.median_hourly,
+       |  h.n_events >= $factor * m.median_hourly AS spike
+       |FROM h JOIN m USING (user_id)""".stripMargin
+
+  /** Mirror of EventAnalytics.eventTransitions: per-user lead over the
+    * total (ts, event_id) order, counts over the (type, type) key space,
+    * deterministic top-k cut. */
+  def eventTransitions(k: Int): String =
+    s"""WITH t AS (SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS next_type
+       |  FROM events)
+       |SELECT event_type AS from_type, next_type AS to_type,
+       |  count(*) AS n_transitions
+       |FROM t WHERE next_type IS NOT NULL
+       |GROUP BY 1, 2
+       |ORDER BY n_transitions DESC, from_type ASC, to_type ASC LIMIT $k""".stripMargin
+
   /** Mirror of the q73 media→similarity bridge: the stub encoder's
     * feature vector replayed relationally (checksum = the shared rolling
     * hash of the payload bytes == chars on the ASCII corpus; components

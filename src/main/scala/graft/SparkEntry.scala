@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, IntervalJoin, LookupTransform, Multimodal, Sampling, SimilaritySearch, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, EventAnalytics, IntervalJoin, LookupTransform, Multimodal, Sampling, SimilaritySearch, Sketches, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -620,6 +620,16 @@ object SparkEntry {
       SimilaritySearch.topKCosine(feats, feats.filter(col("media_id") === 0),
         k = 10, idCol = "media_id", vecCol = "features", dim = 8)
     }),
+
+    // Self-calibrating burst detection: hours where a user's event count
+    // reaches 3x their own median hourly count.
+    "q74_activity_spikes" -> ((s, dir) =>
+      EventAnalytics.activitySpikes(Tables.loadEvents(s, dir))),
+
+    // First-order Markov summary of the event stream: the 20 most
+    // frequent (type -> next type) transitions per-user-ordered by time.
+    "q75_event_transitions" -> ((s, dir) =>
+      EventAnalytics.eventTransitions(Tables.loadEvents(s, dir))),
   )
 
   /** Injected boilerplate sentence for q62 — 10 tokens, so injected docs
@@ -791,5 +801,7 @@ object SparkEntry {
       valueCol = "n_chars", idCol = "doc_id"),
     "q73_media_embed_topk" -> OracleSql.mediaEmbedTopK(queryId = 0, k = 10,
       dim = 8),
+    "q74_activity_spikes" -> OracleSql.activitySpikes(factor = 3),
+    "q75_event_transitions" -> OracleSql.eventTransitions(k = 20),
   )
 }
