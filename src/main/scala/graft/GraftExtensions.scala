@@ -18,6 +18,7 @@ import graft.functions.catalyst._
  *   graft_shingle_hashes(str, n), graft_minhash_sig(array<long>, k),
  *   graft_dot_f32(array<float>, array<float>),
  *   graft_token_mode_count(str),
+ *   graft_feature_hash_summary(str, d),
  *   graft_srp_bucket(array<float>, dim, nPlanes).
  * Integer parameters must be foldable literals (resolved at plan time).
  */
@@ -47,6 +48,8 @@ object GraftExtensions {
       MinHashSig(es.head, litInt(es(1), "signature width k"))),
     "graft_dot_f32" -> ((es: Seq[Expression]) => DotProductF32(es.head, es(1))),
     "graft_token_mode_count" -> ((es: Seq[Expression]) => TokenModeCount(es.head)),
+    "graft_feature_hash_summary" -> ((es: Seq[Expression]) =>
+      FeatureHashSummary(es.head, litInt(es(1), "dimension count d"))),
     "graft_srp_bucket" -> ((es: Seq[Expression]) =>
       SrpBucketF32(es.head, litInt(es(1), "dim"), litInt(es(2), "nPlanes"))))
 

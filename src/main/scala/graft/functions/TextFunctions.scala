@@ -123,6 +123,13 @@ object TextFunctions {
   def topTokenCount(text: Column): Column =
     native(catalyst.TokenModeCount(expr(text)))
 
+  /** One-pass feature-hash summary `[nnz, l1, checksum]` of the text's
+    * d-dimensional hashing-trick count vector — the per-row shuffle-free
+    * face of `TextAnalysis.featureHash` (the relational explode-agg twin
+    * is spec-pinned identical). */
+  def featureHashSummary(text: Column, d: Int): Column =
+    native(catalyst.FeatureHashSummary(expr(text), d))
+
   /** Reference HOF formulation of [[topTokenCount]] (interpreted). */
   def topTokenCountHof(toks: Column): Column =
     array_max(transform(array_distinct(toks),

@@ -275,6 +275,104 @@ case class MarkerCounts(child: Expression, markerLists: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** One-pass feature-hash summary of a text's tokens: `[nnz, l1, checksum]`
+  * of the d-dimensional hashing-trick count vector (dimension =
+  * `mix32(rollingHash(token)) mod d`, checksum = `Σ count_dim·31^dim mod p`).
+  * Semantically identical to the relational explode → count → agg
+  * formulation (`TextAnalysis.featureHashAgg`, the parity twin the spec
+  * pins), but per-row and shuffle-free: at 100 TB the document vectorizer
+  * becomes a pure narrow projection pushed against the scan.
+  *
+  * Full `doGenCode`: one local `long[d]` per row, the same byte-level
+  * rolling hash as [[RollingHashBytes]]; the power table rides the
+  * generated code as a reference object. */
+case class FeatureHashSummary(child: Expression, d: Int)
+    extends UnaryExpression {
+  require(d >= 1, s"d=$d must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_feature_hash_summary"
+
+  @transient private lazy val pow31: Array[Long] = {
+    val a = new Array[Long](d)
+    a(0) = 1L
+    var i = 1
+    while (i < d) { a(i) = a(i - 1) * 31 % HashPrime; i += 1 }
+    a
+  }
+  private val Space = UTF8String.fromString(" ")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(Space, -1)
+    val counts = new Array[Long](d)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes
+      var h = 0L
+      var j = 0
+      while (j < b.length) { h = (h * HashBase + (b(j) & 0xff)) % HashPrime; j += 1 }
+      counts(((h * Mix) % TwoPow32 % d).toInt) += 1
+      i += 1
+    }
+    var nnz = 0L
+    var l1 = 0L
+    var ck = 0L
+    var k = 0
+    while (k < d) {
+      if (counts(k) > 0) {
+        nnz += 1
+        l1 += counts(k)
+        ck = (ck + counts(k) % HashPrime * pow31(k) % HashPrime) % HashPrime
+      }
+      k += 1
+    }
+    new GenericArrayData(Array(nnz, l1, ck))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val utf8 = classOf[UTF8String].getName
+      val gad = classOf[GenericArrayData].getName
+      val powRef = ctx.addReferenceObj("pow31", pow31, "long[]")
+      val spaceRef = ctx.addReferenceObj("space", Space, utf8)
+      val toks = ctx.freshName("toks")
+      val counts = ctx.freshName("counts")
+      val b = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val nnz = ctx.freshName("nnz")
+      val l1 = ctx.freshName("l1")
+      val ck = ctx.freshName("ck")
+      val out = ctx.freshName("out")
+      s"""
+         |$utf8[] $toks = $c.split($spaceRef, -1);
+         |long[] $counts = new long[$d];
+         |for (int $i = 0; $i < $toks.length; $i++) {
+         |  byte[] $b = $toks[$i].getBytes();
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $b.length; $j++) {
+         |    $h = ($h * ${HashBase}L + ($b[$j] & 0xff)) % ${HashPrime}L;
+         |  }
+         |  $counts[(int) (($h * ${Mix}L) % ${TwoPow32}L % $d)] += 1L;
+         |}
+         |long $nnz = 0L; long $l1 = 0L; long $ck = 0L;
+         |for (int $k = 0; $k < $d; $k++) {
+         |  if ($counts[$k] > 0) {
+         |    $nnz += 1L;
+         |    $l1 += $counts[$k];
+         |    $ck = ($ck + $counts[$k] % ${HashPrime}L * $powRef[$k] % ${HashPrime}L) % ${HashPrime}L;
+         |  }
+         |}
+         |long[] $out = new long[]{$nnz, $l1, $ck};
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashSummary =
+    copy(child = newChild)
+}
+
 /** MinHash signature: sig_i = min over hashes h of ((2i+1)*h + 7919i + 1)
   * mod p, i in [0, k). Null (empty-set) semantics follow the HOF version:
   * empty input yields a null signature — callers filter empty shingle sets.

@@ -335,12 +335,26 @@ object TextAnalysis {
    *
    * This is the cheap text→vector bridge: it feeds clustering and
    * similarity operators when no trained embedding exists. Spark shape:
-   * explode → two hash aggregations with map-side partial counts (at most
-   * `d` rows per doc cross the second shuffle). The checksum terms are
-   * reduced mod p BEFORE the sum, so the aggregate stays far below 2^63
-   * in both engines (DuckDB traps BIGINT overflow).
+   * ONE native codegen'd expression per row (`FeatureHashSummary` — a
+   * local `long[d]` histogram, no explode, no shuffle), so at 100 TB the
+   * vectorizer is a pure narrow projection pushed against the scan.
+   * [[featureHashAgg]] is the relational twin, spec-pinned identical.
    */
   def featureHash(docs: DataFrame, d: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), featureHashSummary(col(textCol), d).as("__s"))
+      .select(col(idCol),
+        element_at(col("__s"), 1).as("nnz"),
+        element_at(col("__s"), 2).as("l1"),
+        element_at(col("__s"), 3).as("fh_checksum"))
+
+  /** Relational (explode → count → agg) twin of [[featureHash]]: two hash
+    * aggregations with map-side partial counts, at most `d` rows per doc
+    * crossing the second shuffle. Kept as the cross-formulation parity
+    * check (and the shape the SQL oracle replays); checksum terms are
+    * reduced mod p BEFORE the sum so DuckDB's trapping BIGINT arithmetic
+    * never overflows. */
+  def featureHashAgg(docs: DataFrame, d: Int = 32, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(d > 0, s"d=$d must be positive")
     val p = HashPrime

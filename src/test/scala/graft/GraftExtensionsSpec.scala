@@ -15,7 +15,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |       size(graft_minhash_sig(array(5L, 9L), 16)) AS nk,
         |       graft_dot_f32(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
         |       graft_srp_bucket(array(1.0F, 2.0F), 2, 8) AS b,
-        |       graft_token_mode_count('spam spam ham') AS m
+        |       graft_token_mode_count('spam spam ham') AS m,
+        |       graft_feature_hash_summary('spam spam ham', 8) AS f
         |""".stripMargin).collect().head
     assert(r.getLong(0) == 3105L)                 // 97*31+98
     assert(r.getLong(1) != 0L)
@@ -24,6 +25,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0 * 3.0 + 2.0 * 4.0)
     assert(r.getLong(5) >= 0L && r.getLong(5) < 256L) // 8-plane bucket range
     assert(r.getLong(6) == 2L)                    // "spam" twice
+    assert(r.getSeq[Long](7)(1) == 3L)            // feature-hash l1 = 3 tokens
   }
 
   test("non-literal width parameters are rejected with a clear error") {

@@ -101,12 +101,14 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("quality filter and chunking are pure narrow plans: zero exchange") {
+  test("quality filter, chunking, and feature hashing are pure narrow plans: zero exchange") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val pq = plan(TextAnalysis.qualityFilter(docs))
     assert(!hasShuffle(pq), s"unexpected shuffle in qualityFilter plan:\n$pq")
     val pc = plan(TextAnalysis.chunk(docs))
     assert(!hasShuffle(pc), s"unexpected shuffle in chunk plan:\n$pc")
+    val pf = plan(TextAnalysis.featureHash(docs))
+    assert(!hasShuffle(pf), s"unexpected shuffle in featureHash plan:\n$pf")
   }
 
   test("robust scaling broadcasts the quantile row — the corpus never sort-merges") {

@@ -108,4 +108,28 @@ class HashExpressionsSpec extends SparkSpec {
       assert(r1 == r2)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
+
+  test("native feature-hash summary == relational explode-agg twin on the corpus") {
+    import graft.operators.TextAnalysis
+    val native = TextAnalysis.featureHash(docs, d = 32)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val agg = TextAnalysis.featureHashAgg(docs, d = 32)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(native == agg)
+  }
+
+  test("native feature-hash summary agrees across codegen and interpreted paths") {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val r1 = docs.limit(20)
+        .select(TextFunctions.featureHashSummary(col("text"), 16).as("s"))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val r2 = docs.limit(20)
+        .select(TextFunctions.featureHashSummary(col("text"), 16).as("s"))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      assert(r1 == r2)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
 }
