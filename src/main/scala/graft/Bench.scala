@@ -69,7 +69,16 @@ object Bench {
     val failed = results.collect { case (k, s) if s.isEmpty => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, s) if s.nonEmpty => s(s.size / 2) }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread_min_max":$spread,"runs_per_query":$runs,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread_min_max":$spread,"runs_per_query":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the driver's stdout tail-capture truncated
+    // round 3's JSON line mid-object (BENCH_r03.json shipped parsed:null),
+    // so the artifact must survive independently of pipe buffering.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case NonFatal(e) => System.err.println(s"bench: file write failed: $e") }
     spark.stop()
   }
 }

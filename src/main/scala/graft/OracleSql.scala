@@ -28,6 +28,13 @@ object OracleSql {
 
   private val toks = "string_split(text, ' ')"
 
+  /** Escape a free-text parameter for interpolation inside a
+    * single-quoted SQL literal. Every builder that splices
+    * caller-supplied text (inject suffixes, blacklist phrases) must
+    * route through this — an unescaped quote would otherwise produce
+    * broken or silently wrong oracle SQL. */
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
   /** Distinct word-n-gram shingle hashes of `text` (empty if < n tokens). */
   private def shingleHashesN(n: Int): String = {
     val joined = (0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
@@ -624,7 +631,7 @@ object OracleSql {
       minDocs: Int, idCol: String): String =
     s"""WITH injected AS (
        |  SELECT $idCol, CASE WHEN ${sampleBucket(idCol)} < $injectPct
-       |    THEN text || ' $suffix' ELSE text END AS text
+       |    THEN text || ' ${sqlLit(suffix)}' ELSE text END AS text
        |  FROM documents),
        |sets AS (SELECT $idCol, ${shingleHashesN(n)} AS hs FROM injected),
        |s2 AS (SELECT $idCol, len(hs) AS n_spans, hs FROM sets),
@@ -638,6 +645,41 @@ object OracleSql {
        |       ELSE 0.0 END AS boiler_ratio
        |FROM s2 LEFT JOIN pd USING ($idCol)""".stripMargin
 
+  /** Mirror of Dedup.dedupSubstringRuns over a corpus with a
+    * deterministic duplicated paragraph appended to a hash-sampled slice
+    * (q53's injection pattern — natural 8-token spans in the fixture are
+    * unique, so without injection the remover would be near-vacuous).
+    * Span starts / removal positions are 0-based integer arithmetic;
+    * DuckDB's list_filter index is 1-based where Spark's filter index is
+    * 0-based, hence the `i - 1`. The occurrence key packs
+    * (id mod 2^31, pos) exactly like the Scala side. */
+  def dedupSubstringRuns(injectPct: Int, suffix: String, n: Int,
+      idCol: String): String = {
+    val idFold = graft.operators.Sampling.IdFold
+    s"""WITH injected AS (
+       |  SELECT $idCol AS id, CASE WHEN ${sampleBucket(idCol)} < $injectPct
+       |    THEN text || ' ${sqlLit(suffix)}' ELSE text END AS text
+       |  FROM documents),
+       |t AS (SELECT id, $toks AS tk, len($toks) AS nt FROM injected),
+       |s AS (SELECT id, tk, unnest(range(0, nt - ${n - 1})) AS pos FROM t),
+       |sh AS (SELECT id, pos,
+       |         ${rh(s"array_to_string(list_slice(tk, pos + 1, pos + $n), ' ')")} AS h,
+       |         (id % $idFold) * 1048576 + pos AS ok
+       |       FROM s),
+       |dup AS (SELECT h, min(ok) AS keeper FROM sh GROUP BY h HAVING count(*) >= 2),
+       |rem AS (SELECT DISTINCT id, tp FROM (
+       |          SELECT sh.id, unnest(range(sh.pos, sh.pos + $n)) AS tp
+       |          FROM sh JOIN dup USING (h) WHERE sh.ok <> dup.keeper)),
+       |ragg AS (SELECT id, count(*) AS nr, list(tp) AS rl FROM rem GROUP BY id)
+       |SELECT t.id AS $idCol, CAST(t.nt AS INT) AS n_tokens,
+       |  CAST(COALESCE(r.nr, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(CASE WHEN r.id IS NULL THEN array_to_string(t.tk, ' ')
+       |       ELSE array_to_string(list_filter(t.tk,
+       |              (x, i) -> NOT list_contains(r.rl, i - 1)), ' ')
+       |       END, '') AS text_deduped
+       |FROM t LEFT JOIN ragg r USING (id)""".stripMargin
+  }
+
   /** Mirror of TextAnalysis.qualityFilter over a corpus with the
     * blacklist phrase injected into a hash-sampled slice (the fixture
     * contains no boilerplate chrome, so the blacklist branch needs
@@ -649,7 +691,7 @@ object OracleSql {
       idCol: String): String = {
     val stops = markerLen(TextFunctions.LangMarkers.head._2)
     val black = graft.operators.TextAnalysis.BlacklistPhrases
-      .map(p => s"NOT contains(text, '$p')").mkString("(", " AND ", ")")
+      .map(p => s"NOT contains(text, '${sqlLit(p)}')").mkString("(", " AND ", ")")
     val okN = s"(len($toks) >= $minTokens AND len($toks) <= $maxTokens)"
     val mtl = s"(CAST(length(text) - (len($toks) - 1) AS DOUBLE) / len($toks))"
     val okLen = s"($mtl >= $minMeanTokLen AND $mtl <= $maxMeanTokLen)"
@@ -659,7 +701,7 @@ object OracleSql {
     val nFailed = rules.map(r => s"(CASE WHEN $r THEN 0 ELSE 1 END)").mkString(" + ")
     s"""WITH injected AS (
        |  SELECT $idCol, CASE WHEN ${sampleBucket(idCol)} < $injectPct
-       |    THEN text || ' $injectSuffix' ELSE text END AS text
+       |    THEN text || ' ${sqlLit(injectSuffix)}' ELSE text END AS text
        |  FROM documents),
        |tk AS (SELECT $idCol, unnest($toks) AS tok FROM injected),
        |tc AS (SELECT $idCol, tok, count(*) AS c FROM tk GROUP BY 1, 2),

@@ -630,12 +630,32 @@ object SparkEntry {
     // frequent (type -> next type) transitions per-user-ordered by time.
     "q75_event_transitions" -> ((s, dir) =>
       EventAnalytics.eventTransitions(Tables.loadEvents(s, dir))),
+
+    // Exact substring-run dedup as a REMOVER (Lee et al.): a duplicated
+    // paragraph is injected into a hash-sampled slice (the fixture's
+    // natural 8-token spans are unique), and the operator excises every
+    // duplicated run from all-but-one occurrence while the docs survive.
+    "q76_dedup_substring_runs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val injected = d.select(col("doc_id"),
+        when(Sampling.bucket(col("doc_id")) < 20,
+          concat(col("text"), lit(" " + DupRunParagraph)))
+          .otherwise(col("text")).as("text"))
+      Dedup.dedupSubstringRuns(injected, n = 8)
+    }),
   )
 
   /** Injected boilerplate sentence for q62 — 10 tokens, so injected docs
     * share the suffix-internal 8-token spans. Shared with the oracle. */
   private val BoilerplateSuffix =
     "cookie policy accept continue reading subscribe to our newsletter now"
+
+  /** Injected duplicated paragraph for q76 — 13 ASCII tokens (> the
+    * 8-token span width), so injected docs share 6 overlapping
+    * suffix-internal spans whose non-keeper position sets union to the
+    * whole run. Shared with the oracle. */
+  private val DupRunParagraph =
+    "this article is distributed under a creative commons attribution license terms apply everywhere"
 
   private val intervalJoinOracle: String =
     """SELECT e.event_id, e.ts, e.user_id,
@@ -803,5 +823,7 @@ object SparkEntry {
       dim = 8),
     "q74_activity_spikes" -> OracleSql.activitySpikes(factor = 3),
     "q75_event_transitions" -> OracleSql.eventTransitions(k = 20),
+    "q76_dedup_substring_runs" -> OracleSql.dedupSubstringRuns(
+      injectPct = 20, suffix = DupRunParagraph, n = 8, idCol = "doc_id"),
   )
 }

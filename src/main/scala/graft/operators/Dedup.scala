@@ -356,4 +356,75 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /**
+   * Exact substring-run dedup as a REMOVER — the Lee et al. "Deduplicating
+   * Training Data Makes Language Models Better" operation, the strongest
+   * known anti-memorization transform: every duplicated token run is
+   * excised from every occurrence EXCEPT one canonical keeper, and the
+   * document survives with the run cut out (unlike document-level dedup,
+   * which can only drop or keep whole docs).
+   *
+   * Semantics: an `n`-token span is duplicated when its content hash
+   * occurs >= 2 times corpus-wide (across docs OR repeated within one
+   * doc). The canonical keeper of a span hash is its occurrence with the
+   * minimal (docId mod 2^31, position) key; a token is removed when any
+   * covering duplicated-span occurrence is a non-keeper. Overlapping
+   * duplicated spans merge naturally into maximal runs: a shared L-token
+   * paragraph (L >= n) is L-n+1 overlapping duplicated spans whose
+   * non-keeper position sets union to the whole run.
+   *
+   * Spark shape (100 TB posture): per-doc span hashes via the narrow
+   * chunking machinery (explode over span starts, native rolling hash);
+   * ONE hash agg over span hashes for (count, min-occurrence) — map-side
+   * partial min/count, shuffle bounded by distinct-span cardinality; one
+   * equi-join of spans against the duplicated subset (df >= 2 spans only,
+   * a tiny fraction of any real corpus); the n× position explode happens
+   * ONLY on non-keeper duplicated spans; removal membership joins back on
+   * the doc id. Never all-pairs, no driver-side state, every step an
+   * equi-join or hash agg on a well-distributed key. All arithmetic is
+   * integer-exact (the occurrence key packs id mod 2^31 and position into
+   * 51 bits — DuckDB traps BIGINT overflow where Spark wraps), so the
+   * whole transform SQL-replays bit-for-bit.
+   *
+   * Returns (idCol, n_tokens, n_removed, text_deduped). Documents shorter
+   * than `n` tokens can hold no span and pass through untouched.
+   */
+  def dedupSubstringRuns(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    require(n >= 2, s"span length n=$n must be >= 2")
+    val base = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(docs)
+        .select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"))
+        .withColumn("__n", size(col("__tk"))))
+    // (doc, start, span hash, packed occurrence key); 0-based starts
+    val spans = base.filter(col("__n") >= n)
+      .select(col("__id"), col("__tk"),
+        explode(sequence(lit(0), col("__n") - n)).as("__pos"))
+      .select(col("__id"), col("__pos"),
+        rollingHash(concat_ws(" ", slice(col("__tk"), col("__pos") + 1, lit(n))))
+          .as("__h"),
+        (pmod(col("__id").cast("long"), lit(graft.operators.Sampling.IdFold)) *
+          lit(1048576L) + col("__pos")).as("__ok"))
+    val dup = spans.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"), min(col("__ok")).as("__keeper"))
+      .filter(col("__c") >= 2)
+      .select(col("__h"), col("__keeper"))
+    // token positions covered by a non-keeper duplicated span occurrence
+    val removed = spans.join(dup, "__h")
+      .filter(col("__ok") =!= col("__keeper"))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + n - 1)).as("__tp"))
+      .distinct()
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nr"), collect_set(col("__tp")).as("__rl"))
+    base.join(removed, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        col("__n").as("n_tokens"),
+        coalesce(col("__nr"), lit(0L)).as("n_removed"),
+        concat_ws(" ", filter(col("__tk"),
+          (_, i) => !array_contains(
+            coalesce(col("__rl"), typedLit(Array.empty[Int])), i)))
+          .as("text_deduped"))
+  }
 }

@@ -151,11 +151,21 @@ object Sampling {
    * arithmetic (sums, cumulative sums over ≤ 63 tiers, one integer
    * division), so the snapshot — like every sampler here — is
    * deterministic, rerun-stable, and exactly SQL-replayable.
+   *
+   * Precondition: `valueCol` must be non-null and non-negative. A null
+   * value would make the tier group null (`getInt` below throws); a
+   * negative one hits Spark `bin()`'s 64-bit two's-complement rendering
+   * where DuckDB's `bin()` renders at the declared integer width —
+   * silent cross-engine divergence. Rows violating it are dropped up
+   * front so both failure modes are unreachable, and the drop is part of
+   * the operator's contract (a doc with no usable quality proxy cannot
+   * be tiered).
    */
-  def tokenBudgetSample(df: DataFrame, budgetTokens: Long,
+  def tokenBudgetSample(df0: DataFrame, budgetTokens: Long,
       valueCol: String = "n_chars", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens=$budgetTokens must be >= 0")
+    val df = df0.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
     val tier = length(bin(col(valueCol)))
     val sums = df
       .select(tier.as("__tier"),

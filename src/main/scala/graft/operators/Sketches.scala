@@ -284,7 +284,7 @@ object Sketches {
         (sum(term) + (lit(m.toLong) - count(lit(1))) * lit(1L << maxRank)).as("s_int"),
         (lit(m.toLong) - count(lit(1))).as("v_zero"))
       .select((keys.map(col) :+ col("s_int") :+ col("v_zero") :+
-        (lit(alpha(p) * m * m) * lit(math.pow(2.0, maxRank)) / col("s_int").cast("double"))
+        (lit(alpha(p) * m * m) * lit((1L << maxRank).toDouble) / col("s_int").cast("double"))
           .as("hll_estimate")): _*)
   }
 }

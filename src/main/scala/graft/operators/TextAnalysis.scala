@@ -304,6 +304,15 @@ object TextAnalysis {
    * shuffle, no UDF; integer arithmetic plus the shared rolling hash, so
    * the layout and fingerprints SQL-replay exactly. A short document
    * (fewer than `chunkTokens` tokens) yields one truncated chunk.
+   *
+   * Relies on the tokenizer invariant `n >= 1`: `split` of ANY string —
+   * including the empty string — returns at least one (possibly empty)
+   * token in both Spark and DuckDB, so `sequence(0, n-1, stride)` here
+   * and the oracle's `range(0, n, stride)` emit the same >= 1 chunk
+   * starts. (An earlier `greatest(n-1, 0)` guard pinned a one-chunk
+   * answer for an unreachable n=0 case the oracle pinned as zero
+   * chunks; the guard is gone so the two contracts cannot disagree
+   * even in the degenerate case.)
    */
   def chunk(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -313,8 +322,8 @@ object TextAnalysis {
     docs
       .select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
       .select(col(idCol), col("__toks"), col("__n"),
-        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
-          lit(stride))).as("chunk_start"))
+        explode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as("chunk_start"))
       .select(col(idCol),
         (col("chunk_start") / stride).cast("long").as("chunk_id"),
         col("chunk_start"),
