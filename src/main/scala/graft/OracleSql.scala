@@ -645,6 +645,83 @@ object OracleSql {
        |       ELSE 0.0 END AS boiler_ratio
        |FROM s2 LEFT JOIN pd USING ($idCol)""".stripMargin
 
+  /** Shared CTE chain for the URL family: synthesize the deterministic
+    * messy URL (mirror of UrlOps.syntheticUrl — the corpus has no URL
+    * column), parse it, normalize it, and extract the registered domain.
+    * Suffix table and tracking prefixes interpolate from UrlOps so the
+    * two sides cannot drift. Ends with CTE `n`(id, n_chars, url,
+    * url_norm, reg_domain). */
+  private def urlCtes(idCol: String): String = {
+    val regDomain = graft.operators.UrlOps.PublicSuffixes
+      .map { s =>
+        val pat = "([^.]+[.]" + s.replace(".", "[.]") + ")$"
+        s"WHEN regexp_extract(host, '$pat', 1) <> '' THEN regexp_extract(host, '$pat', 1)"
+      }
+      .mkString("CASE ", " ", " ELSE host END")
+    val keepParam = graft.operators.UrlOps.TrackingPrefixes
+      .map(t => s"substr(x, 1, ${t.length}) <> '${sqlLit(t)}'")
+      .mkString("x <> '' AND ", " AND ", "")
+    s"""WITH u AS (
+       |  SELECT $idCol AS id, n_chars,
+       |    CASE WHEN $idCol % 7 = 2 THEN 'http'
+       |         WHEN $idCol % 11 = 0 THEN 'HTTPS' ELSE 'https' END AS sch,
+       |    (CASE WHEN $idCol % 2 = 0 THEN 'www.' ELSE '' END ||
+       |     CASE WHEN $idCol % 4 = 0 THEN 'example'
+       |          WHEN $idCol % 4 = 1 THEN 'openweb'
+       |          WHEN $idCol % 4 = 2 THEN 'corpus' ELSE 'mirror' END || '.' ||
+       |     CASE WHEN $idCol % 3 = 0 THEN 'com'
+       |          WHEN $idCol % 3 = 1 THEN 'co.uk' ELSE 'org' END) AS hb,
+       |    CASE WHEN $idCol % 7 = 0 THEN ':443'
+       |         WHEN $idCol % 7 = 1 THEN ':8080'
+       |         WHEN $idCol % 7 = 2 THEN ':80' ELSE '' END AS prt,
+       |    CASE WHEN $idCol % 13 = 0 THEN '?utm_source=only'
+       |         WHEN $idCol % 2 = 0
+       |           THEN '?utm_source=feed&q=' || ($idCol % 10) || '&utm_campaign=x'
+       |         ELSE '?q=' || ($idCol % 10) || '&ref=home' END AS qry,
+       |    CASE WHEN $idCol % 3 = 0 THEN '#section2' ELSE '' END AS frg
+       |  FROM documents),
+       |u2 AS (SELECT id, n_chars,
+       |    sch || '://' || (CASE WHEN id % 5 = 0 THEN upper(hb) ELSE hb END) ||
+       |    prt || '/docs/' || id || qry || frg AS url
+       |  FROM u),
+       |p AS (SELECT id, n_chars, url,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hp,
+       |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+       |    regexp_extract(url, '[?]([^#]*)', 1) AS q
+       |  FROM u2),
+       |p2 AS (SELECT *, regexp_replace(hp, ':[0-9]+$$', '') AS host,
+       |    regexp_extract(hp, ':([0-9]+)$$', 1) AS prt2,
+       |    COALESCE(array_to_string(list_filter(string_split(q, '&'),
+       |      x -> $keepParam), '&'), '') AS qn
+       |  FROM p),
+       |n AS (SELECT id, n_chars, url,
+       |    scheme || '://' || host ||
+       |    (CASE WHEN prt2 = '' OR (scheme = 'http' AND prt2 = '80')
+       |          OR (scheme = 'https' AND prt2 = '443')
+       |          THEN '' ELSE ':' || prt2 END) ||
+       |    path || (CASE WHEN qn <> '' THEN '?' || qn ELSE '' END) AS url_norm,
+       |    $regDomain AS reg_domain
+       |  FROM p2)""".stripMargin
+  }
+
+  /** Mirror of the q77 per-doc URL pipeline: normalize + registered
+    * domain + domain-level hash sampling (the sample hash is the rolling
+    * hash of the registered domain through the shared Knuth bucket). */
+  def urlNormalize(samplePct: Int, idCol: String): String =
+    s"""${urlCtes(idCol)}
+       |SELECT id AS $idCol, url, url_norm, reg_domain,
+       |  ${sampleBucket(rh("reg_domain"))} < $samplePct AS domain_kept
+       |FROM n""".stripMargin
+
+  /** Mirror of the q79 per-domain rollup over normalized URLs. */
+  def domainRollup(idCol: String): String =
+    s"""${urlCtes(idCol)}
+       |SELECT reg_domain, count(*) AS n_docs,
+       |  count(DISTINCT url_norm) AS n_urls,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM n GROUP BY 1""".stripMargin
+
   /** Mirror of Dedup.dedupSubstringRuns over a corpus with a
     * deterministic duplicated paragraph appended to a hash-sampled slice
     * (q53's injection pattern — natural 8-token spans in the fixture are

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, EventAnalytics, IntervalJoin, LookupTransform, Multimodal, Sampling, SimilaritySearch, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, EventAnalytics, IntervalJoin, LookupTransform, Multimodal, Sampling, SimilaritySearch, Sketches, TextAnalysis, UrlOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -643,6 +643,37 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Dedup.dedupSubstringRuns(injected, n = 8)
     }),
+
+    // URL canonicalization + registered-domain extraction + domain-level
+    // hash sampling over deterministic synthetic URLs (the corpus has no
+    // URL column — the injection pattern). All narrow codegen'd string
+    // expressions; the public-suffix table rides the plan as a literal
+    // CASE chain.
+    "q77_url_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), UrlOps.syntheticUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.normalizeUrl(col("url")).as("url_norm"),
+          UrlOps.registeredDomain(UrlOps.hostOf(col("url"))).as("reg_domain"))
+        .withColumn("domain_kept",
+          Sampling.bucket(
+            graft.functions.TextFunctions.rollingHash(col("reg_domain"))) < 40)
+    }),
+
+    // Per-registered-domain rollup of the normalized URL space — the
+    // web-corpus "group by domain before quality filtering" step.
+    "q79_domain_rollup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("n_chars"),
+          UrlOps.syntheticUrl(col("doc_id")).as("url"))
+        .select(col("n_chars"),
+          UrlOps.normalizeUrl(col("url")).as("url_norm"),
+          UrlOps.registeredDomain(UrlOps.hostOf(col("url"))).as("reg_domain"))
+        .groupBy(col("reg_domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_norm")).as("n_urls"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
   )
 
   /** Injected boilerplate sentence for q62 — 10 tokens, so injected docs
@@ -825,5 +856,8 @@ object SparkEntry {
     "q75_event_transitions" -> OracleSql.eventTransitions(k = 20),
     "q76_dedup_substring_runs" -> OracleSql.dedupSubstringRuns(
       injectPct = 20, suffix = DupRunParagraph, n = 8, idCol = "doc_id"),
+    "q77_url_normalize" -> OracleSql.urlNormalize(samplePct = 40,
+      idCol = "doc_id"),
+    "q79_domain_rollup" -> OracleSql.domainRollup(idCol = "doc_id"),
   )
 }

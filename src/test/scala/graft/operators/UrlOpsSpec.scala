@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Hand-picked URL canonicalization / registered-domain cases — one per
+  * normalization rule (case, default ports, tracking params, fragments,
+  * multi-label public suffixes, no-match fallthrough). */
+class UrlOpsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def one(url: String): (String, String) = {
+    val df = spark.createDataFrame(
+      Seq(Row(url)).asJava,
+      StructType(Seq(StructField("url", StringType, nullable = false))))
+    val r = df.select(
+      UrlOps.normalizeUrl(col("url")),
+      UrlOps.registeredDomain(UrlOps.hostOf(col("url")))).head()
+    (r.getString(0), r.getString(1))
+  }
+
+  test("normalizeUrl lowercases, strips default port, fragment, and tracking params") {
+    assert(one("HTTPS://WWW.Example.COM:443/a/b?utm_source=x&q=1&ref=h#frag") ==
+      (("https://www.example.com/a/b?q=1", "example.com")))
+  }
+
+  test("normalizeUrl keeps non-default ports and non-tracking params in order") {
+    assert(one("https://shop.corpus.io:8080/p?b=2&a=1") ==
+      (("https://shop.corpus.io:8080/p?b=2&a=1", "corpus.io")))
+  }
+
+  test("normalizeUrl drops the '?' when every param was tracking") {
+    assert(one("http://mirror.org:80/x?utm_campaign=only&gclid=1&fbclid=2") ==
+      (("http://mirror.org/x", "mirror.org")))
+  }
+
+  test("registeredDomain matches the longest public suffix first") {
+    assert(one("https://a.b.openweb.co.uk/")._2 == "openweb.co.uk")
+    assert(one("https://example.co.uk/")._2 == "example.co.uk")
+  }
+
+  test("registeredDomain passes unknown suffixes through unchanged") {
+    assert(one("https://intranet.local/x")._2 == "intranet.local")
+  }
+
+  test("syntheticUrl round-trips through the normalizer non-vacuously") {
+    // every generator arm appears in 0..1000 and the normalizer output
+    // must be stable: normalizing twice changes nothing (idempotence)
+    val df = spark.range(0, 1000)
+      .select(UrlOps.syntheticUrl(col("id")).as("url"))
+      .select(col("url"), UrlOps.normalizeUrl(col("url")).as("n1"))
+      .select(col("url"), col("n1"), UrlOps.normalizeUrl(col("n1")).as("n2"))
+    assert(df.filter(col("n1") =!= col("n2")).count() == 0)
+    assert(df.filter(col("url") =!= col("n1")).count() > 0,
+      "the generator must emit URLs the normalizer actually changes")
+  }
+}
