@@ -645,6 +645,45 @@ object OracleSql {
        |       ELSE 0.0 END AS boiler_ratio
        |FROM s2 LEFT JOIN pd USING ($idCol)""".stripMargin
 
+  /** Mirror of BpeTrain.train at fixed k: the iterative driver loop
+    * unrolls into k chained CTE stages — stage i computes pair counts
+    * over vocab s_i, picks the best pair b_i by the shared total order
+    * (count DESC, left ASC, right ASC), and rewrites s_(i+1) via the
+    * same literal wrapped-symbol replace ("|l||r|" → "|lr|") the Scala
+    * side uses; both engines scan replace() left-to-right over
+    * non-overlapping matches, which IS BPE's greedy merge. */
+  def bpeMergeTable(k: Int): String = {
+    // every stage CTE is MATERIALIZED: each s_(i+1) references s_i and
+    // b_i several times, so DuckDB's default per-reference inlining
+    // would expand the k-stage chain exponentially (observed as "too
+    // many open files" from 2^k parquet scans at k = 10)
+    val head =
+      s"""WITH w0 AS MATERIALIZED (SELECT tok AS word, count(*) AS cnt
+         |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
+         |s1 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS s, cnt FROM w0)""".stripMargin
+    val stages = (1 to k).map { i =>
+      val next =
+        if (i == k) ""
+        else
+          s""",
+             |s${i + 1} AS MATERIALIZED (SELECT replace(s,
+             |    '|' || (SELECT l FROM b$i) || '||' || (SELECT r FROM b$i) || '|',
+             |    '|' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || '|') AS s, cnt
+             |  FROM s$i)""".stripMargin
+      s""",
+         |p$i AS MATERIALIZED (SELECT l, r, sum(cnt) AS c FROM (
+         |    SELECT cnt, a[i] AS l, a[i+1] AS r FROM (
+         |      SELECT cnt, a, unnest(range(1, len(a))) AS i FROM (
+         |        SELECT cnt, string_split(trim(s, '|'), '||') AS a FROM s$i)))
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1)""".stripMargin + next
+    }.mkString
+    val union = (1 to k).map { i =>
+      s"SELECT CAST($i AS INT) AS merge_round, l AS left_sym, r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"$head$stages\n$union"
+  }
+
   /** Shared CTE chain for the URL family: synthesize the deterministic
     * messy URL (mirror of UrlOps.syntheticUrl — the corpus has no URL
     * column), parse it, normalize it, and extract the registered domain.

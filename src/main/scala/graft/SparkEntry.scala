@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{AsOfJoin, ConnectedComponents, Dedup, EventAnalytics, IntervalJoin, LookupTransform, Multimodal, Sampling, SimilaritySearch, Sketches, TextAnalysis, UrlOps}
+import graft.operators.{AsOfJoin, BpeTrain, ConnectedComponents, Dedup, EventAnalytics, IntervalJoin, LookupTransform, Multimodal, Sampling, SimilaritySearch, Sketches, TextAnalysis, UrlOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -660,6 +660,14 @@ object SparkEntry {
             graft.functions.TextFunctions.rollingHash(col("reg_domain"))) < 40)
     }),
 
+    // BPE merge-table training (Sennrich et al.): 10 rounds of
+    // most-frequent-adjacent-pair merging over the corpus vocabulary.
+    // Each round is one distributed pair-count agg + a LIMIT-1 collect;
+    // the merge rewrite is a literal wrapped-symbol string replace whose
+    // greedy left-to-right semantics both engines share.
+    "q78_bpe_merges" -> ((s, dir) =>
+      BpeTrain.train(t(s, dir, "documents"), k = 10)),
+
     // Per-registered-domain rollup of the normalized URL space — the
     // web-corpus "group by domain before quality filtering" step.
     "q79_domain_rollup" -> ((s, dir) => {
@@ -858,6 +866,7 @@ object SparkEntry {
       injectPct = 20, suffix = DupRunParagraph, n = 8, idCol = "doc_id"),
     "q77_url_normalize" -> OracleSql.urlNormalize(samplePct = 40,
       idCol = "doc_id"),
+    "q78_bpe_merges" -> OracleSql.bpeMergeTable(k = 10),
     "q79_domain_rollup" -> OracleSql.domainRollup(idCol = "doc_id"),
   )
 }
