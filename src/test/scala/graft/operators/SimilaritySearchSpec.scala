@@ -139,6 +139,36 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(annAll == exact)
   }
 
+  test("mean ANN recall@10 over 20 query vectors stays above the pinned floor") {
+    // The single-query recall gate (above) can be lucky: one query vector
+    // exercises one bucket path. This aggregate gate runs 20 queries so a
+    // plane-set or probe-logic regression cannot hide behind one good
+    // query. The fixture is deterministic, so the mean is a constant; the
+    // floor is pinned just below the measured value.
+    val spark0 = spark
+    import spark0.implicits._
+    val e = emb.cache()
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val recalls = (0L until 20L).map { qid =>
+      val qv = vecs.find(_._1 == qid).get._2
+      val exact = vecs.map { case (id, v) => (-cos(qv, v), id) }
+        .sorted.take(10).map(_._2).toSet
+      val ann = SimilaritySearch.annTopKLsh(e, e.filter(col("vec_id") === qid), k = 10)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(ann).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@10 over 20 queries = $mean%.3f (min ${recalls.min}%.2f)")
+    assert(mean >= 0.95, f"mean recall@10 dropped to $mean%.3f")
+    assert(recalls.min >= 0.85, f"worst-query recall@10 dropped to ${recalls.min}%.2f")
+  }
+
   test("knnJoin == per-query topKCosine, and plans the per-query cut as WindowGroupLimit") {
     val e = emb.cache()
     val knn = SimilaritySearch.knnJoin(e, e.filter(col("vec_id") < 5), k = 5)
@@ -184,7 +214,9 @@ class SimilaritySearchSpec extends SparkSpec {
     val hits = exactTop.count { case (q, c) => gotTop.get(q).contains(c) }
     val recall = hits.toDouble / exactTop.size
     info(f"kNN-graph recall@1 = $recall%.2f ($hits/${exactTop.size})")
-    assert(recall >= 0.3, f"recall@1 collapsed to $recall%.2f")
+    // measured 0.67 on the full 500-vector corpus; pinned just below so a
+    // plane-set or bucket-key regression is a test failure, not a shrug
+    assert(recall >= 0.6, f"recall@1 collapsed to $recall%.2f")
     val p = knn.queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
