@@ -142,6 +142,15 @@ object Dedup {
    * approximate): any pair with Jaccard > 0 shares at least one shingle,
    * so no qualifying pair is missed (given threshold > 0 and shingles
    * under the document-frequency cap).
+   *
+   * Skew posture (spec-pinned in DedupSpec "hot-shingle skew"): the
+   * candidate self-join reuses the df-cap join's partitioning on h (zero
+   * extra Exchange), which also means AQE's skew split can never apply to
+   * it — its children are not bare shuffle stages. A hot shingle is
+   * bounded structurally by `maxDocFreq` (each surviving shingle
+   * contributes at most maxDocFreq² candidate rows); past that, the
+   * fallback is a salted index join ([[graft.SparkUtil.saltedJoin]],
+   * drop-in equal — also spec-pinned).
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, threshold: Double = 0.6,

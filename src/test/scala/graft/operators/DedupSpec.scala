@@ -183,6 +183,149 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((1, 0L)))
   }
 
+  test("hot-shingle skew: q14 stays exact; candidate join reuses partitioning (no AQE split)") {
+    // The one open scale watch-item from SURVEY/VERDICT: a hot shingle (or
+    // duplicated hot doc pair) concentrates the candidate join on one
+    // reducer. This pins two facts about q14's behavior under that skew.
+    //
+    // 1. CORRECTNESS: a df=1200 hot shingle (719 400 candidate pairs
+    //    through one reducer's key range) changes nothing — the planted
+    //    clone pairs surface, nothing else does.
+    // 2. PLAN SHAPE: the candidate self-join REUSES the df-cap join's hash
+    //    partitioning on h — zero extra Exchange, the efficient
+    //    steady-state plan. The flip side, verified here by the pinned
+    //    Exchange count: AQE's skew split pattern-matches only joins whose
+    //    children are bare shuffle stages, so it can NEVER engage on this
+    //    candidate join (at any scale). The operative remedies are
+    //    therefore structural — the df cap bounds any shingle's candidate
+    //    contribution — and the salted fallback (next test), with the AQE
+    //    split covering the bare-join shapes it does match (test after).
+    //
+    // Fixture: 1200 docs sharing the hot 3-gram "alpha beta gamma" with
+    // unique tails (pairwise jaccard 1/3, far below threshold), unique
+    // filler docs, and two planted exact clone pairs that must survive.
+    val hot = (0 until 1200).map(i => (i.toLong, s"alpha beta gamma tail$i"))
+    val filler = (100000 until 100400).map(i => (i.toLong,
+      s"filler$i word${i * 3} item${i * 7} token${i * 11} gap${i * 13} tail${i * 17} end${i * 19}"))
+    val clones = Seq(
+      900001L -> "first planted duplicate paragraph with enough words to shingle",
+      900002L -> "first planted duplicate paragraph with enough words to shingle",
+      900003L -> "second planted duplicate paragraph of clearly distinct content",
+      900004L -> "second planted duplicate paragraph of clearly distinct content")
+    val df = docs((hot ++ filler ++ clones): _*)
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // mimic the at-scale plan: the df table is corpus-sized, never a broadcast
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = Dedup.ngramJaccardPairs(df, threshold = 0.9)
+      val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.sorted.toSeq ==
+        Seq((900001L, 900002L, 1.0), (900003L, 900004L, 1.0)),
+        "hot-key skew must not change the join's output")
+      // 5 Exchanges: inv + df-cap agg per self-join side, plus the final
+      // candidate aggregation — and none BETWEEN the two joins (the
+      // candidate join consumes the df-cap join's partitioning directly).
+      // Counted as distinct materialized ShuffleQueryStages backed by a
+      // hash-partitioning Exchange — stage ids appear only in the final
+      // adaptive plan, so the initial-plan listing can't double-count.
+      val plan = pairs.queryExecution.executedPlan.toString
+      val stages = """ShuffleQueryStage (\d+)[^\n]*\n[^\n]*Exchange hashpartitioning""".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(stages.size == 5, plan)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("AQE skew split engages on the bare hot-key equi-join shape saltedJoin addresses") {
+    // The complement of the plan-shape fact above: where a join's children
+    // ARE bare shuffle stages — the fact-to-dimension enrichment shape that
+    // q40/q55's saltedJoin exists for — AQE's automatic split must engage
+    // on a hot probe key, and the result must be exactly the plain join's.
+    val spark0 = spark
+    import spark0.implicits._
+    val facts = ((0 until 50000).map(i => (42L, i)) ++          // one hot key
+      (0 until 2000).map(i => ((i % 200).toLong + 100, i)))     // 200 cold keys
+      .toDF("k", "payload")
+    val dim = (0L until 400L).map(k => (k, s"dim_$k")).toDF("dk", "attr")
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = facts.join(dim, col("k") === col("dk"))
+      // collect (not count) so THIS query execution is the one that runs
+      val n = joined.collect().length
+      assert(n == 50000 + 2000, "skew split must not change the join's output")
+      // inspected AFTER the action: the adaptive plan is final by now
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join split did not engage on the hot key partition:\n$plan")
+      // and the salted formulation of the same join is a drop-in equal
+      val salted = graft.SparkUtil.saltedJoin(facts, dim, "k", "dk", salt = 8)
+      assert(salted.count() == n)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("salted fallback on the skewed shingle join equals the plain join") {
+    // When a single key exceeds what AQE partition-splitting can balance,
+    // the documented fallback is SparkUtil.saltedJoin on the inverted
+    // index. Pin that the salted candidate join is a drop-in: identical
+    // (id_a, id_b) candidate multiset on the hot-shingle fixture.
+    val spark0 = spark
+    import spark0.implicits._
+    val hot = (0 until 300).map(i => (i.toLong, s"alpha beta gamma tail$i close$i"))
+    val df = docs(hot: _*)
+    val inv = graft.SparkUtil.ensureParallelism(df)
+      .select(col("doc_id").as("id"),
+        explode(graft.functions.TextFunctions.shingleHashes(col("text"), 3)).as("h"))
+      .cache()
+    val plain = inv.as("x").join(inv.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id").as("id_b"))
+    val salted = graft.SparkUtil.saltedJoin(
+        inv, inv.select(col("id").as("id_b"), col("h").as("h_b")),
+        "h", "h_b", salt = 8)
+      .filter(col("id") < col("id_b"))
+      .select(col("id"), col("id_b"))
+    def counts(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    assert(counts(salted) == counts(plain))
+    inv.unpersist()
+  }
+
+  test("hot band bucket: minhash LSH stays exact and equi-join-planned under clone skew") {
+    // q15's skew face: N identical docs put N ids in the SAME band bucket
+    // in every band — the candidate self-join's worst case. Pin that the
+    // output is still exactly C(N,2) pairs at jaccard 1.0 and the plan
+    // never degrades to a cartesian product.
+    val clones = (0 until 120).map(i =>
+      (i.toLong, "the very same paragraph repeated across every single clone here"))
+    val singles = (200 until 240).map(i =>
+      (i.toLong, s"unique filler document $i with words ${i * 7} ${i * 13} ${i * 29}"))
+    val df = docs((clones ++ singles): _*)
+    val pairs = Dedup.minhashLshPairs(df, threshold = 0.9)
+    val rows = pairs.collect()
+    assert(rows.length == 120 * 119 / 2)
+    assert(rows.forall(_.getDouble(2) == 1.0))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q71 curated corpus == intersection of its three ingredient filters") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet").cache()
     val curated = graft.SparkEntry.queries("q71_curated_corpus")(
