@@ -124,6 +124,83 @@ object IO {
     df.sparkSession.read.format(format).load(path)
   }
 
+  /** The partition-id function Spark's `repartition(n, expr)` applies to an
+    * INT column — `pmod(murmur3(value, seed=42), n)` (Catalyst
+    * `HashPartitioning.partitionIdExpression`) — replayed driver-side so
+    * [[writeShardsByTokens]] can choose labels that land each shard in its
+    * own partition. */
+  private def partitionIdOfInt(label: Int, n: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(label, 42)
+    ((h % n) + n) % n
+  }
+
+  /** Smallest non-negative INT labels l_0..l_{n-1} with
+    * `partitionIdOfInt(l_i, n) == i` — a bijection from shard ids onto
+    * shuffle partitions, so `repartition(n, label)` yields EXACTLY one
+    * output partition (hence one file) per shard. */
+  private def shardLabels(n: Int): Array[Int] = {
+    val labels = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var candidate = 0
+    while (remaining > 0) {
+      val p = partitionIdOfInt(candidate, n)
+      if (!found(p)) { found(p) = true; labels(p) = candidate; remaining -= 1 }
+      candidate += 1
+    }
+    labels
+  }
+
+  /** Token-balanced training-shard write: exactly `nShards` files whose
+    * TOKEN sums (not row counts — [[writeShards]]' contract) are
+    * near-equal, so downstream data loaders doing one-file-per-worker see
+    * balanced work. Training shards with equal row counts can be wildly
+    * token-skewed when document lengths are heavy-tailed.
+    *
+    * Mechanics (all deterministic, rerun-stable, content-addressed):
+    *   1. rows map to cells `(tier, bucket)` — the power-of-two tier of
+    *      `tokenCol` (q72's tier machinery) × the Knuth id-bucket — at
+    *      most 63·100 cells regardless of input size;
+    *   2. per-cell token sums collect driver-side (the bounded codebook
+    *      pattern) and LPT greedy packing assigns cells to shards,
+    *      heaviest cell first onto the lightest shard (≤ 4/3·OPT
+    *      makespan, near-perfect with many small cells);
+    *   3. each shard id is mapped to a label whose murmur3 partition id
+    *      IS that shard ([[shardLabels]]), so the single
+    *      `repartition(nShards, label)` shuffle routes every cell to its
+    *      own output partition/file — no range sampling, no second pass.
+    *
+    * Rows with a null or negative `tokenCol` are dropped up front (same
+    * contract as `tokenBudgetSample`: a doc with no usable token count
+    * cannot be tiered). */
+  def writeShardsByTokens(df: DataFrame, path: String, nShards: Int,
+      tokenCol: String, idCol: String = "doc_id", format: String = "parquet",
+      mode: String = "overwrite"): DataFrame = {
+    import org.apache.spark.sql.functions.{bin, col, element_at, length, sum, typedLit}
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    val spark = df.sparkSession
+    val clean = df.filter(col(tokenCol).isNotNull && col(tokenCol) >= 0)
+    val cell = (length(bin(col(tokenCol))) * 100 +
+      graft.operators.Sampling.bucket(col(idCol))).cast("int")
+    val sums = clean.select(cell.as("__cell"), col(tokenCol).cast("long").as("__t"))
+      .groupBy(col("__cell")).agg(sum(col("__t")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val load = new Array[Long](nShards)
+    val labels = shardLabels(nShards)
+    val cellToLabel = sums.sortBy { case (c, s) => (-s, c) }.map { case (c, s) =>
+      var best = 0
+      var i = 1
+      while (i < nShards) { if (load(i) < load(best)) best = i; i += 1 }
+      load(best) += s
+      c -> labels(best)
+    }.toMap
+    clean.withColumn("__label", element_at(typedLit(cellToLabel), cell))
+      .repartition(nShards, col("__label"))
+      .drop("__label")
+      .write.format(format).mode(mode).save(path)
+    spark.read.format(format).load(path)
+  }
+
   /** Bucketed + sorted managed table: equi-joins/aggregations on
     * `bucketCols` between tables with matching bucketing read without a
     * shuffle (and merge without a sort when `sortCols` match). */

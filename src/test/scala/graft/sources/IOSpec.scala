@@ -122,6 +122,38 @@ class IOSpec extends SparkSpec {
     assert(membership(out1) == membership(out2))
   }
 
+  test("token-balanced shards: exactly nShards files, token ratio <= 1.1, rerun-stable") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .withColumn("n_tok", size(split(col("text"), " ")))
+    val out1 = java.nio.file.Files.createTempDirectory("graft_tokshards1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_tokshards2").toString
+    val r1 = IO.writeShardsByTokens(docs, out1, nShards = 8, tokenCol = "n_tok")
+    assert(r1.count() == docs.count())
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files(out1).length == 8)
+    // the contract: per-FILE token mass is near-equal (row counts may not be)
+    val masses = files(out1).map(f =>
+      spark.read.parquet(f.getPath).agg(sum("n_tok")).collect().head.getLong(0))
+    info(s"shard token masses: ${masses.mkString(", ")} " +
+      f"(ratio ${masses.max.toDouble / masses.min}%.3f)")
+    assert(masses.max.toDouble / masses.min <= 1.1,
+      s"token imbalance ${masses.max}/${masses.min}")
+    // content-addressed: a rerun from a different input layout yields the
+    // same doc -> shard-file-index membership
+    IO.writeShardsByTokens(docs.repartition(7), out2, nShards = 8, tokenCol = "n_tok")
+    def membership(p: String) = files(p).zipWithIndex.flatMap { case (f, i) =>
+      spark.read.parquet(f.getPath).select("doc_id").collect().map(_.getLong(0) -> i)
+    }.toMap
+    assert(membership(out1) == membership(out2))
+    // null/negative token counts are dropped, not crashed on or mis-tiered
+    val dirty = docs.unionByName(docs.limit(2)
+      .withColumn("n_tok", lit(null).cast("int")))
+    val out3 = java.nio.file.Files.createTempDirectory("graft_tokshards3").toString
+    assert(IO.writeShardsByTokens(dirty, out3, nShards = 4, tokenCol = "n_tok")
+      .count() == docs.count())
+  }
+
   test("salted join == plain join on a skewed dataset (all four join types)") {
     val spark0 = spark
     import spark0.implicits._
