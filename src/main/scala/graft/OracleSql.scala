@@ -1050,4 +1050,113 @@ object OracleSql {
        |FROM n x JOIN n y ON x.id < y.id AND ($anyTable)
        |WHERE ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) >= $threshold""".stripMargin
   }
+
+  /** Adjacent-token bigram CTEs — DuckDB's lockstep multi-unnest over two
+    * 1-based slices mirrors TextAnalysis.bigramPairs' index transform. */
+  private val bigramCtes: String =
+    s"""tkb AS (SELECT doc_id, $toks AS t FROM documents),
+       |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS ctx, unnest(t[2:len(t)]) AS nxt
+       |       FROM tkb WHERE len(t) >= 2)""".stripMargin
+
+  /** Mirror of TextAnalysis.bigramLm: (ctx, nxt) counts, context totals
+    * and the top-k cut from one window pair, integer-exact throughout. */
+  def bigramLm(k: Int, minContextCount: Int): String =
+    s"""WITH $bigramCtes,
+       |pc AS (SELECT ctx, nxt, count(*) AS pair_n FROM bg GROUP BY 1, 2),
+       |wn AS (SELECT ctx, nxt, pair_n,
+       |         CAST(sum(pair_n) OVER (PARTITION BY ctx) AS BIGINT) AS ctx_n,
+       |         row_number() OVER (PARTITION BY ctx
+       |           ORDER BY pair_n DESC, nxt ASC) AS rnk
+       |       FROM pc)
+       |SELECT ctx, nxt, pair_n, ctx_n, CAST(rnk AS INT) AS rnk FROM wn
+       |WHERE rnk <= $k AND ctx_n >= $minContextCount""".stripMargin
+
+  /** Mirror of TextAnalysis.bigramNovelty: distinct doc-bigrams feed the
+    * document-frequency table and join back; one exact division. */
+  def bigramNovelty(minDocs: Int, idCol: String): String =
+    s"""WITH $bigramCtes,
+       |dbg AS (SELECT DISTINCT doc_id AS $idCol, ctx, nxt FROM bg),
+       |dfreq AS (SELECT ctx, nxt, count(*) AS df FROM dbg GROUP BY 1, 2)
+       |SELECT d.$idCol, count(*) AS n_bigrams,
+       |  CAST(sum(CASE WHEN f.df >= $minDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  CAST(sum(CASE WHEN f.df >= $minDocs THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS shared_rate
+       |FROM dbg d JOIN dfreq f USING (ctx, nxt) GROUP BY 1""".stripMargin
+
+  /** Mirror of SimilaritySearch.embedOutliers: integer micro-sum centroid
+    * (order-insensitive), one exact division per component, and the
+    * shared left-assoc cosine chain. */
+  def embedOutliers(threshold: Double, dim: Int): String = {
+    val sums = (1 to dim).map(d =>
+      s"sum(CAST(floor(e.embedding[$d]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS s$d")
+      .mkString(", ")
+    def cd(d: Int) = s"(c.s$d::DOUBLE / (c.n::DOUBLE * 1000000.0))"
+    val dotC = (1 to dim).map(d => s"e.embedding[$d]::DOUBLE * ${cd(d)}").mkString(" + ")
+    val n2x = dotTerms("e.embedding", "e.embedding", dim)
+    val n2c = (1 to dim).map(d => s"${cd(d)} * ${cd(d)}").mkString(" + ")
+    val score = s"($dotC) / (sqrt($n2x) * sqrt($n2c))"
+    s"""WITH j AS (SELECT e.vec_id, e.embedding, d.lang
+       |           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |c AS (SELECT lang, count(*) AS n, $sums FROM j e GROUP BY lang)
+       |SELECT e.vec_id, e.lang, $score AS cos_centroid,
+       |  $score < $threshold AS is_outlier
+       |FROM j e JOIN c ON e.lang = c.lang""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.linearScore: integer features x literal
+    * integer weights, integer threshold — exact end to end. */
+  def linearScore(wTok: Long, wStop: Long, wDigit: Long, wUpper: Long,
+      threshold: Long, idCol: String): String = {
+    val stopList = TextFunctions.LangMarkers.head._2
+      .map("'" + _ + "'").mkString("[", ", ", "]")
+    s"""WITH f AS (SELECT $idCol,
+       |  len($toks) AS n_tok,
+       |  len(list_filter($toks, x -> list_contains($stopList, x))) AS n_stop,
+       |  len(list_filter($toks, x -> regexp_full_match(x, '[0-9]+'))) AS n_digit,
+       |  len(list_filter($toks, x -> regexp_matches(x, '^[A-Z]'))) AS n_upper
+       |  FROM documents)
+       |SELECT $idCol, n_tok, n_stop, n_digit, n_upper,
+       |  $wTok*n_tok + $wStop*n_stop + ($wDigit)*n_digit + ($wUpper)*n_upper AS score,
+       |  ($wTok*n_tok + $wStop*n_stop + ($wDigit)*n_digit + ($wUpper)*n_upper)
+       |    >= $threshold AS keep
+       |FROM f""".stripMargin
+  }
+
+  /** Mirror of Sampling.epochShuffle: the epoch-salted rolling hash
+    * buckets the corpus; position ranks by (hash, id) within the bucket. */
+  def epochShuffle(epoch: Int, nBuckets: Int, idCol: String): String =
+    s"""WITH h AS (SELECT $idCol,
+       |  ${rh(s"$idCol::VARCHAR || ':$epoch'")} AS hh FROM documents)
+       |SELECT $idCol, CAST(hh % $nBuckets AS INT) AS bucket,
+       |  CAST(row_number() OVER (PARTITION BY hh % $nBuckets
+       |    ORDER BY hh ASC, $idCol ASC) AS INT) AS pos
+       |FROM h""".stripMargin
+
+  /** Mirror of the q85 composition: the q28 component graph (recursive
+    * CTE) joined back to documents, keeping each component's longest
+    * member (n_chars desc, id asc — a total order). */
+  def clusterBest(threshold: Double, maxDocFreq: Int): String =
+    s"""SELECT component, doc_id AS best_doc_id, n_chars FROM (
+       |  SELECT f.component, f.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY f.component
+       |      ORDER BY d.n_chars DESC, f.doc_id ASC) AS rn
+       |  FROM (${dedupComponents(threshold, maxDocFreq)}) f
+       |  JOIN documents d ON f.doc_id = d.doc_id)
+       |WHERE rn = 1""".stripMargin
+
+  /** Mirror of Dedup.containmentPairs: the ngramJaccardPairs inverted
+    * index with both orientations kept and the inner-set normalizer. */
+  def containmentPairs(threshold: Double, maxDocFreq: Int): String =
+    s"""WITH sets AS (SELECT doc_id AS id, $shingleHashes AS hs FROM documents),
+       |sets2 AS (SELECT id, hs, len(hs) AS sz FROM sets WHERE len(hs) > 0),
+       |inv AS (SELECT id, unnest(hs) AS h FROM sets2),
+       |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= $maxDocFreq),
+       |invf AS (SELECT inv.id, inv.h FROM inv JOIN rare USING (h)),
+       |inter AS (SELECT x.id AS inner_id, y.id AS outer_id, count(*) AS inter
+       |          FROM invf x JOIN invf y ON x.h = y.h AND x.id <> y.id
+       |          GROUP BY 1, 2)
+       |SELECT i.inner_id, i.outer_id,
+       |       CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+       |FROM inter i JOIN sets2 sa ON i.inner_id = sa.id
+       |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= $threshold""".stripMargin
 }

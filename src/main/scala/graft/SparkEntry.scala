@@ -682,6 +682,65 @@ object SparkEntry {
           countDistinct(col("url_norm")).as("n_urls"),
           sum(col("n_chars")).as("total_chars"))
     }),
+
+    // Count-based bigram LM: top-3 next tokens per >= 20-occurrence
+    // context — the mergeable count state a perplexity filter trains on.
+    // One (ctx, nxt) hash agg, one window (sum + WindowGroupLimit cut).
+    "q80_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(t(s, dir, "documents"), k = 3, minContextCount = 20)),
+
+    // Per-doc bigram novelty: the share of a doc's distinct bigrams that
+    // other documents also use — templated docs score high, novel prose
+    // low. Inverted-index join, never pairwise.
+    "q81_bigram_novelty" -> ((s, dir) =>
+      TextAnalysis.bigramNovelty(t(s, dir, "documents"), minDocs = 2)),
+
+    // Semantic outliers vs the per-language embedding centroid (catches
+    // misfiled docs). Centroid = integer micro-sums / (n * 1e6) — the
+    // order-insensitive formulation; one broadcast of <= |langs| rows.
+    "q82_embed_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      SimilaritySearch.embedOutliers(
+        emb.join(langs, emb("vec_id") === langs("doc_id")).drop("doc_id"),
+        threshold = -0.05)
+    }),
+
+    // Linear quality scorer with a literal integer weight vector — the
+    // serving-time face of a trained fastText/logistic classifier; pure
+    // narrow codegen'd projection, model rides the plan as literals.
+    "q83_linear_score" -> ((s, dir) =>
+      TextAnalysis.linearScore(t(s, dir, "documents"))),
+
+    // Deterministic epoch-2 training shuffle: content-addressed (bucket,
+    // pos) order, no rand(), no global sort; windows parallelize across
+    // the 32 buckets.
+    "q84_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(t(s, dir, "documents"), epoch = 2)),
+
+    // Best-of-cluster survivor selection: near-dup clusters (same pair
+    // graph as q28/q51) keep their LONGEST member, not the min-id one —
+    // what production dedup actually ships. Rank window over the
+    // component key.
+    "q85_cluster_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs).select("id_a", "id_b")
+      val comp = ConnectedComponents(pairs, vertices = Some(docs.select("doc_id")))
+      val sizes = docs.select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("id").asc)
+      comp.join(sizes, comp("id") === sizes("doc_id"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("component"), col("id").as("best_doc_id"), col("n_chars"))
+    }),
+
+    // Directional containment (quote/excerpt detection): the asymmetric
+    // near-superset relation symmetric Jaccard dedup can't see. Same
+    // exact inverted-index candidates, normalized by the inner set size.
+    "q86_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), threshold = 0.8)),
   )
 
   /** Injected boilerplate sentence for q62 — 10 tokens, so injected docs
@@ -868,5 +927,15 @@ object SparkEntry {
       idCol = "doc_id"),
     "q78_bpe_merges" -> OracleSql.bpeMergeTable(k = 10),
     "q79_domain_rollup" -> OracleSql.domainRollup(idCol = "doc_id"),
+    "q80_bigram_lm" -> OracleSql.bigramLm(k = 3, minContextCount = 20),
+    "q81_bigram_novelty" -> OracleSql.bigramNovelty(minDocs = 2, idCol = "doc_id"),
+    "q82_embed_outliers" -> OracleSql.embedOutliers(threshold = -0.05, dim = 64),
+    "q83_linear_score" -> OracleSql.linearScore(wTok = 2, wStop = 5,
+      wDigit = -3, wUpper = -1, threshold = 120, idCol = "doc_id"),
+    "q84_epoch_shuffle" -> OracleSql.epochShuffle(epoch = 2, nBuckets = 32,
+      idCol = "doc_id"),
+    "q85_cluster_best" -> OracleSql.clusterBest(threshold = 0.6, maxDocFreq = 10000),
+    "q86_containment_pairs" -> OracleSql.containmentPairs(threshold = 0.8,
+      maxDocFreq = 10000),
   )
 }

@@ -305,6 +305,37 @@ object Dedup {
   }
 
   /**
+   * Directional containment pairs: every ordered (inner, outer) pair,
+   * inner != outer, with `|shingles(inner) ∩ shingles(outer)| /
+   * |shingles(inner)| >= threshold` — the ASYMMETRIC face of
+   * [[ngramJaccardPairs]]: quote, excerpt, and near-superset detection. A
+   * short document quoted verbatim inside a long one scores ~1.0 here
+   * while its Jaccard (normalized by the union) stays far below any
+   * dedup threshold, so symmetric near-dup passes never see it.
+   *
+   * Same exact inverted-index candidate generation as the Jaccard
+   * operators (any pair with containment > 0 shares a shingle under the
+   * df cap); both orientations are emitted independently, so an
+   * identical pair appears twice (A⊆B and B⊆A), which is the
+   * intended reading of a directional relation.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Int = 10000): DataFrame = {
+    val sets = graft.SparkUtil.trackCache(withShingleSets(docs, idCol, textCol, n))
+    val inv = invertedIndex(sets, maxDocFreq)
+    inv.as("x").join(inv.as("y"),
+        col("x.h") === col("y.h") && col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("inner_id"), col("x.sz").as("sz_in"),
+        col("y.id").as("outer_id"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("inner_id"), col("outer_id"),
+        (col("inter").cast("double") / col("sz_in").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /**
    * Boilerplate-span scoring — the span-level (sub-document) face of
    * exact dedup, RefinedWeb/Falcon style: an `n`-token span that appears
    * in at least `minDocs` distinct documents is boilerplate (cookie

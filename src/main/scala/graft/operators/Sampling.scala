@@ -133,6 +133,34 @@ object Sampling {
   }
 
   /**
+   * Deterministic epoch shuffle: a rerun-stable pseudorandom training
+   * order per epoch with no global sort and no `rand()`. Each row hashes
+   * — with the epoch baked into the hash input — to one of `nBuckets`
+   * buckets; its within-bucket position ranks by (hash, id). A reader
+   * streaming buckets 0..nBuckets-1, each in position order, sees a
+   * different deterministic permutation every epoch.
+   *
+   * Spark shape: the bucket is a narrow codegen'd projection; the only
+   * shuffle is the per-bucket rank window, which parallelizes across
+   * buckets (each window partition is ~corpus/nBuckets — size nBuckets
+   * so that fits an executor; there is never a single-partition global
+   * window). Content-addressed like every sampler here: membership and
+   * order survive reruns and input re-layout.
+   */
+  def epochShuffle(df: DataFrame, epoch: Int, nBuckets: Int = 32,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextFunctions.rollingHash(
+      concat(col(idCol).cast("string"), lit(s":$epoch")))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.select(col(idCol), h.as("__h"))
+      .withColumn("bucket", pmod(col("__h"), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("bucket"), col("pos"))
+  }
+
+  /**
    * Budget-constrained quality-first corpus snapshot: fill a training
    * token budget from the best documents first. Documents are tiered by
    * the DATA-INDEPENDENT power-of-two bucket of a quality proxy

@@ -456,4 +456,48 @@ object SimilaritySearch {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /**
+   * Semantic outlier scoring against the per-group embedding centroid —
+   * the curation step that catches mislabeled/misfiled documents (a
+   * French doc in the English bucket, spam in a code corpus): each
+   * vector's cosine to its group's mean vector, plus an outlier flag at
+   * `threshold`.
+   *
+   * Determinism of the centroid (the interesting part): a naive
+   * per-dimension `avg(x_d)` is an order-dependent float sum — a
+   * different partitioning would change low bits and break rerun
+   * stability and the oracle hash. Instead each element is micro-scaled
+   * to an exact integer (`floor(x·10⁶ + 0.5)` — float→double is exact,
+   * one IEEE multiply and add shared by both engines), the per-dim SUMS
+   * are 64-bit integer aggregations (order-insensitive), and the
+   * centroid component is ONE double division `s_d / (n·10⁶)` applied to
+   * exact integers. Cosine against the centroid is then the same
+   * left-associated term chain as every other cosine here.
+   *
+   * Spark shape: one hash aggregation to ≤ |groups| centroid rows (the
+   * bounded model artifact), broadcast back onto the corpus, and a
+   * narrow codegen'd projection computes the score — the scan side never
+   * shuffles.
+   */
+  def embedOutliers(df: DataFrame, groupCol: String = "lang",
+      threshold: Double = 0.5, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val micro = (1 to dim).map(d =>
+      sum(floor(element_at(col(vecCol), d).cast("double") * lit(1000000.0) +
+        lit(0.5)).cast("long")).as(s"__s$d"))
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), micro: _*)
+    def centroid(d: Int): Column =
+      col(s"__s$d").cast("double") /
+        (col("__n").cast("double") * lit(1000000.0))
+    val x = (d: Int) => element_at(col(vecCol), d).cast("double")
+    val dotC = (1 to dim).map(d => x(d) * centroid(d)).reduce(_ + _)
+    val n2x = (1 to dim).map(d => x(d) * x(d)).reduce(_ + _)
+    val n2c = (1 to dim).map(d => centroid(d) * centroid(d)).reduce(_ + _)
+    df.join(broadcast(stats), groupCol)
+      .select(col(idCol), col(groupCol),
+        (dotC / (sqrt(n2x) * sqrt(n2c))).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < threshold)
+  }
 }

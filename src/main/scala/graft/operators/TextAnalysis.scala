@@ -468,4 +468,115 @@ object TextAnalysis {
           .otherwise((col(valueCol) - col("__med")) / (col("__q3") - col("__q1")))
           .as("scaled"))
   }
+
+  /** The (context, next) adjacent-token pairs of `textCol`, one row per
+    * position — shared by [[bigramLm]] and [[bigramNovelty]]. */
+  private def bigramPairs(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      // the filter guards sub-2-token docs (they have no bigrams; and
+      // Spark's sequence(1, 0) would DESCEND, not yield empty) — the
+      // oracle's WHERE len(t) >= 2
+      .filter(size(col("__t")) >= 2)
+      .select(col("id"), explode(expr(
+        """transform(sequence(1, size(__t) - 1),
+          |  i -> struct(element_at(__t, i) AS ctx,
+          |              element_at(__t, i + 1) AS nxt))""".stripMargin)).as("bg"))
+      .select(col("id"), col("bg.ctx").as("ctx"), col("bg.nxt").as("nxt"))
+
+  /**
+   * Count-based bigram language model: for each context token with at
+   * least `minContextCount` corpus occurrences (as a bigram left side),
+   * the top-`k` next tokens with their pair and context counts — the
+   * mergeable count state a CCNet-style perplexity filter trains on.
+   * Probabilities are left as exact integer (pair_n, ctx_n) pairs rather
+   * than a float division at rank time: the ranking by (pair_n desc,
+   * nxt asc) is the same monotone order and the operator stays
+   * integer-exact (the repo's no-libm rule — same reasoning as
+   * [[keywords]]).
+   *
+   * Spark shape: one hash aggregation over (ctx, nxt) with map-side
+   * partials (bounded by vocabulary², in practice by corpus bigram
+   * diversity), then ONE window over ctx computes both the context total
+   * (sum) and the per-context cut (row_number → `WindowGroupLimit`, at
+   * most k rows per context leave each map task). No joins, two
+   * shuffles total.
+   */
+  def bigramLm(docs: DataFrame, k: Int = 3, minContextCount: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = bigramPairs(docs, idCol, textCol)
+      .groupBy(col("ctx"), col("nxt")).agg(count(lit(1)).as("pair_n"))
+    val w = Window.partitionBy(col("ctx"))
+    val rank = Window.partitionBy(col("ctx"))
+      .orderBy(col("pair_n").desc, col("nxt").asc)
+    pairs
+      .withColumn("ctx_n", sum(col("pair_n")).over(w))
+      .withColumn("rnk", row_number().over(rank))
+      .filter(col("rnk") <= k && col("ctx_n") >= minContextCount)
+  }
+
+  /**
+   * Per-document bigram novelty: of a document's DISTINCT adjacent-token
+   * bigrams, how many also occur in at least `minDocs - 1` OTHER
+   * documents (document frequency >= minDocs) — the "how much of this
+   * doc is phrasing the corpus already has" signal that separates
+   * templated/boilerplate-heavy docs (high shared rate) from novel prose
+   * (low), without an LM or a float in sight. The rate is one division
+   * of exact integers.
+   *
+   * Spark shape: distinct (doc, bigram) pairs feed both a bounded
+   * document-frequency aggregation and an equi-join back on the bigram —
+   * the inverted-index pattern (never pairwise), so a hot bigram costs
+   * df rows, not df². Documents shorter than 2 tokens yield no bigrams
+   * and drop out (same contract as the shingle operators).
+   */
+  def bigramNovelty(docs: DataFrame, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val distinctBg = graft.SparkUtil.trackCache(
+      bigramPairs(docs, idCol, textCol).distinct())
+    val dfreq = distinctBg.groupBy(col("ctx"), col("nxt"))
+      .agg(count(lit(1)).as("__df"))
+    distinctBg.join(dfreq, Seq("ctx", "nxt"))
+      .groupBy(col("id").as(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_bigrams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_bigrams").cast("double"))
+          .as("shared_rate"))
+  }
+
+  /**
+   * Linear quality scorer with a literal weight vector — the inference
+   * face of a trained fastText/logistic quality classifier, reduced to
+   * what it is at serving time: a dot product of integer features with
+   * fixed weights and a threshold. Features are quality-proxy integers
+   * (token count, stopword hits, all-digit token count,
+   * capitalized-token count); weights are integers, so the score and the
+   * keep decision are integer-exact end to end (no sigmoid — monotone in
+   * the logit, so thresholding the linear score IS thresholding the
+   * probability).
+   *
+   * Spark shape: a pure per-row codegen'd projection — zero shuffle, the
+   * model rides the plan as literals (the codebook pattern at its
+   * smallest).
+   */
+  def linearScore(docs: DataFrame,
+      weights: Map[String, Long] = Map("n_tok" -> 2L, "n_stop" -> 5L,
+        "n_digit" -> -3L, "n_upper" -> -1L),
+      threshold: Long = 120L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks,
+      t => t.isin(graft.functions.TextFunctions.LangMarkers.head._2: _*))).cast("long")
+    val nDigit = size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("long")
+    val nUpper = size(filter(toks, t => t.rlike("^[A-Z]"))).cast("long")
+    val score = lit(weights("n_tok")) * nTok + lit(weights("n_stop")) * nStop +
+      lit(weights("n_digit")) * nDigit + lit(weights("n_upper")) * nUpper
+    docs.select(col(idCol), nTok.as("n_tok"), nStop.as("n_stop"),
+      nDigit.as("n_digit"), nUpper.as("n_upper"), score.as("score"),
+      (score >= threshold).as("keep"))
+  }
 }

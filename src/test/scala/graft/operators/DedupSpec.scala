@@ -326,6 +326,28 @@ class DedupSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("containmentPairs: a quoted doc scores 1.0 into its host, not backwards") {
+    // doc 2 = doc 1 quoted inside extra prose. Every shingle of doc 1 is
+    // in doc 2 → containment(1 ⊆ 2) = 1.0; the reverse direction is
+    // diluted by doc 2's extra shingles and stays below the threshold.
+    val host = "intro words before the quick brown fox jumps over the lazy dog and trailing commentary after"
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> host,
+      3L -> "entirely unrelated content about other things altogether now")
+    val out = Dedup.containmentPairs(df, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == 1.0)
+    // identical docs contain each other: both orientations emitted
+    val clones = docs(
+      10L -> "same exact paragraph of text right here",
+      11L -> "same exact paragraph of text right here")
+    val both = Dedup.containmentPairs(clones, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(both == Map((10L, 11L) -> 1.0, (11L, 10L) -> 1.0))
+  }
+
   test("q71 curated corpus == intersection of its three ingredient filters") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet").cache()
     val curated = graft.SparkEntry.queries("q71_curated_corpus")(

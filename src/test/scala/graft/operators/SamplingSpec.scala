@@ -159,4 +159,29 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.tokenBudgetSample(df, budgetTokens = 1000).count() == 30)
     assert(Sampling.tokenBudgetSample(df, budgetTokens = 0).count() == 0)
   }
+
+  test("epochShuffle: a bijective order per epoch, different across epochs, rerun-stable") {
+    val e1 = Sampling.epochShuffle(docs, epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e1.length == docs.count())
+    // every doc appears once; within each bucket positions are 1..size
+    assert(e1.map(_._1).distinct.length == e1.length)
+    e1.groupBy(_._2).foreach { case (b, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq,
+        s"bucket $b positions are not a contiguous rank")
+    }
+    // buckets actually spread (no accidental single-bucket degeneracy)
+    assert(e1.map(_._2).distinct.length > 16)
+    // a different epoch is a genuinely different permutation
+    val e2 = Sampling.epochShuffle(docs, epoch = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val order1 = e1.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    val order2 = e2.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(order1 != order2)
+    assert(order1.toSet == order2.toSet)
+    // content-addressed: input re-layout changes nothing
+    val relaid = Sampling.epochShuffle(docs.repartition(7), epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(relaid.sortBy(_._1).toSeq == e1.sortBy(_._1).toSeq)
+  }
 }

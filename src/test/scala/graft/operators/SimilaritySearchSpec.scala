@@ -316,6 +316,31 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(out(1L) == 0L && out(4L) == 1L && out(6L) == 1L)
   }
 
+  test("embedOutliers: centroid cosine flags the misfiled vector, order-invariant") {
+    val spark0 = spark
+    import spark0.implicits._
+    // group "en" clusters near +x (with one vector pointing -x: the
+    // misfiled outlier); group "de" clusters near +y
+    val vecs = Seq(
+      (1L, "en", Array(1f, 0.1f, 0f, 0f)),
+      (2L, "en", Array(0.9f, -0.1f, 0f, 0f)),
+      (3L, "en", Array(-1f, 0f, 0f, 0f)),
+      (4L, "de", Array(0.05f, 1f, 0f, 0f)),
+      (5L, "de", Array(-0.05f, 0.9f, 0f, 0f))
+    ).toDF("vec_id", "lang", "embedding")
+    val out = SimilaritySearch.embedOutliers(vecs, threshold = 0.0, dim = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size == 5)
+    assert(out(3L)._2, "the -x vector in the +x group must flag as outlier")
+    Seq(1L, 2L, 4L, 5L).foreach(id => assert(!out(id)._2, s"vec $id wrongly flagged"))
+    // the centroid is an integer-sum artifact: input order/partitioning
+    // cannot move it by even an ulp
+    val shuffled = SimilaritySearch.embedOutliers(
+      vecs.orderBy(col("vec_id").desc).repartition(5), threshold = 0.0, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach { case (id, (c, _)) => assert(shuffled(id) == c) }
+  }
+
   test("semanticDedup equals brute-force exists-smaller-neighbor within cells") {
     val e = emb.cache()
     val kept = SimilaritySearch.semanticDedup(e, threshold = 0.4).collect()

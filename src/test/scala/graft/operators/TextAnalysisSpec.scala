@@ -332,4 +332,63 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(byDoc2(1L) == 2L) // y joins the rare set at df <= 2
   }
+
+  test("bigramLm: counts, context totals, top-k cut, and the min-count gate") {
+    // context "the": the->cat x3, the->dog x2, the->ant x1 (ctx_n = 6);
+    // every other context stays below the min-count gate
+    val df = docs(
+      (1L, "en", "the cat the cat the cat"),
+      (2L, "en", "the dog the dog"),
+      (3L, "en", "the ant a b"))
+    val out = TextAnalysis.bigramLm(df, k = 2, minContextCount = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(out.forall(_._1 == "the"))
+    assert(out.toSet == Set(("the", "cat", 3L, 6L, 1), ("the", "dog", 2L, 6L, 2)))
+  }
+
+  test("bigramLm tie-break: equal pair counts rank by next token ascending") {
+    val df = docs((1L, "en", "x a x b x a x b"))
+    // x->a x2, x->b x2 (tie broken by token), ctx_n("x") = 4
+    val out = TextAnalysis.bigramLm(df, k = 2, minContextCount = 4).collect()
+      .map(r => (r.getString(1), r.getInt(4))).sortBy(_._2)
+    assert(out.toSeq == Seq(("a", 1), ("b", 2)))
+  }
+
+  test("bigramNovelty: clones share all bigrams, unique docs none, short docs drop") {
+    val df = docs(
+      (1L, "en", "the quick brown fox"),
+      (2L, "en", "the quick brown fox"),
+      (3L, "en", "completely different words here"),
+      (4L, "en", "solo"))
+    val out = TextAnalysis.bigramNovelty(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 3L, 1.0)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    assert(!out.contains(4L), "a 1-token doc has no bigrams and must drop out")
+  }
+
+  test("bigramNovelty counts DISTINCT bigrams: in-doc repetition is not shared phrasing") {
+    // "a b a b a b": distinct bigrams {a b, b a}; no other doc has them
+    val df = docs((1L, "en", "a b a b a b"), (2L, "en", "x y z"))
+    val out = TextAnalysis.bigramNovelty(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 0L)))
+  }
+
+  test("linearScore: hand-computed features, score, and threshold flag") {
+    val df = docs(
+      (1L, "en", "the cat is A1 99 Big deal"),  // n_tok=7 stop=2 digit=1 upper=2
+      (2L, "en", "tiny"))                        // n_tok=1, everything else 0
+    val out = TextAnalysis.linearScore(df,
+      weights = Map("n_tok" -> 2L, "n_stop" -> 5L, "n_digit" -> -3L, "n_upper" -> -1L),
+      threshold = 19L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    // "A1" starts uppercase but is not all-digits; "99" is all-digits;
+    // "Big" starts uppercase; stopword hits: the, is
+    assert(out(1L) == ((7L, 2L, 1L, 2L, 2 * 7 + 5 * 2 - 3 * 1 - 1 * 2, true)))
+    assert(out(2L) == ((1L, 0L, 0L, 0L, 2L, false)))
+  }
 }
