@@ -560,19 +560,24 @@ object TextAnalysis {
    *
    * Spark shape: a pure per-row codegen'd projection — zero shuffle, the
    * model rides the plan as literals (the codebook pattern at its
-   * smallest).
+   * smallest). Features are regex passes, not array-lambda filters: a
+   * `filter(tokens, λ)` HOF drops the projection out of whole-stage
+   * codegen (plan-pinned), while `regexp_extract_all` stays inside it.
+   * Token-boundary patterns are whole-token-equivalent to the oracle's
+   * `list_filter` under the single-space corpus contract — the same
+   * argument [[languageId]]'s marker counting rests on.
    */
   def linearScore(docs: DataFrame,
       weights: Map[String, Long] = Map("n_tok" -> 2L, "n_stop" -> 5L,
         "n_digit" -> -3L, "n_upper" -> -1L),
       threshold: Long = 120L, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks,
-      t => t.isin(graft.functions.TextFunctions.LangMarkers.head._2: _*))).cast("long")
-    val nDigit = size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("long")
-    val nUpper = size(filter(toks, t => t.rlike("^[A-Z]"))).cast("long")
+    val nTok = size(tokens(col(textCol))).cast("long")
+    val nStop = markerCount(col(textCol), LangMarkers.head._2).cast("long")
+    val nDigit = size(regexp_extract_all(col(textCol),
+      lit("(?:^| )[0-9]+(?= |$)"), lit(0))).cast("long")
+    val nUpper = size(regexp_extract_all(col(textCol),
+      lit("(?:^| )[A-Z]"), lit(0))).cast("long")
     val score = lit(weights("n_tok")) * nTok + lit(weights("n_stop")) * nStop +
       lit(weights("n_digit")) * nDigit + lit(weights("n_upper")) * nUpper
     docs.select(col(idCol), nTok.as("n_tok"), nStop.as("n_stop"),

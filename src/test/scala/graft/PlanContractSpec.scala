@@ -217,6 +217,46 @@ class PlanContractSpec extends SparkSpec {
       graft.operators.Dedup.exact(docs, Seq("source"), "doc_id").count())
   }
 
+  test("bigram LM: one pair agg with map-side partials, WindowGroupLimit top-k cut") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(TextAnalysis.bigramLm(docs, k = 3, minContextCount = 20))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("embed outliers: centroid agg is the ONLY shuffle; the corpus side broadcasts") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val langs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val joined = emb.join(langs, emb("vec_id") === langs("doc_id")).drop("doc_id")
+    val p = plan(SimilaritySearch.embedOutliers(joined, threshold = -0.05))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"$exchanges hash exchanges in embedOutliers plan:\n$p")
+  }
+
+  test("linear scorer is a pure narrow codegen'd projection: zero exchange") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(TextAnalysis.linearScore(docs))
+    assert(!hasShuffle(p), s"unexpected shuffle in linearScore plan:\n$p")
+    assert(p.contains("*(1) Project"), p)
+  }
+
+  test("epoch shuffle: exactly one exchange (the bucket rank window), no global sort") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(graft.operators.Sampling.epochShuffle(docs, epoch = 1))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"$exchanges exchanges in epochShuffle plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort leaked into epochShuffle:\n$p")
+  }
+
+  test("cluster-best survivor cut plans with WindowGroupLimit") {
+    val p = plan(SparkEntry.queries("q85_cluster_best")(spark, sf()))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("no declared query ever plans a CartesianProduct") {
     // Sweeping regression net over the whole inventory: a dropped join
     // key or a broken equi-condition shows up as a cartesian. q18 is the
