@@ -1144,6 +1144,51 @@ object OracleSql {
        |  JOIN documents d ON f.doc_id = d.doc_id)
        |WHERE rn = 1""".stripMargin
 
+  /** Mirror of Sampling.mixToTarget: integer-exact achievable scale
+    * (`min(100·n/pct)`) and per-stratum rates, replayed relationally. */
+  def mixToTarget(targets: Seq[(String, Int)], strataCol: String,
+      idCol: String): String = {
+    val vals = targets.map { case (s, p) => s"('${sqlLit(s)}', $p)" }.mkString(", ")
+    s"""WITH cnt AS (SELECT $strataCol AS s, count(*) AS n FROM documents GROUP BY 1),
+       |tgt AS (SELECT * FROM (VALUES $vals) AS t(s, pct)),
+       |tm AS (SELECT min(n * 100 // pct) AS tmax FROM cnt JOIN tgt USING (s)),
+       |rates AS (SELECT c.s, (g.pct * tm.tmax) // c.n AS rate
+       |          FROM cnt c JOIN tgt g USING (s) CROSS JOIN tm)
+       |SELECT d.* FROM documents d JOIN rates r ON d.$strataCol = r.s
+       |WHERE ${sampleBucket("d." + idCol)} < r.rate""".stripMargin
+  }
+
+  /** Mirror of the q88 train-then-infer pair: per-lang marker suffixes
+    * injected (doubled — the fixture-repair), per-language top-m char
+    * trigram profiles (count desc, trigram asc), then per-doc
+    * profile-overlap argmax (score desc, lang asc). Character-semantics
+    * substr in both engines. */
+  def langProfile(m: Int, idCol: String,
+      marks: Seq[(String, String)]): String = {
+    val cases = marks.map { case (l, mk) =>
+      s"WHEN lang = '${sqlLit(l)}' THEN text || ' ${sqlLit(mk)} ${sqlLit(mk)}'"
+    }.mkString(" ")
+    s"""WITH dm AS (SELECT $idCol, lang,
+       |             CASE $cases ELSE text END AS text FROM documents),
+       |tri AS (SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+       |               i -> substr(text, i, 3))) AS tri
+       |             FROM dm WHERE length(text) >= 3),
+       |cnt AS (SELECT lang, tri, count(*) AS n FROM tri GROUP BY 1, 2),
+       |prof AS (SELECT lang, tri FROM (
+       |           SELECT lang, tri, row_number() OVER (PARTITION BY lang
+       |             ORDER BY n DESC, tri ASC) AS r FROM cnt) WHERE r <= $m),
+       |dtri AS (SELECT DISTINCT $idCol, tri FROM (
+       |           SELECT $idCol, unnest(list_transform(range(1, length(text) - 1),
+       |             i -> substr(text, i, 3))) AS tri
+       |           FROM dm WHERE length(text) >= 3)),
+       |sc AS (SELECT d.$idCol, p.lang, count(*) AS score
+       |       FROM dtri d JOIN prof p USING (tri) GROUP BY 1, 2)
+       |SELECT $idCol, lang AS pred_lang, score FROM (
+       |  SELECT $idCol, lang, score, row_number() OVER (PARTITION BY $idCol
+       |    ORDER BY score DESC, lang ASC) AS rn FROM sc)
+       |WHERE rn = 1""".stripMargin
+  }
+
   /** Mirror of Dedup.containmentPairs: the ngramJaccardPairs inverted
     * index with both orientations kept and the inner-set normalizer. */
   def containmentPairs(threshold: Double, maxDocFreq: Int): String =

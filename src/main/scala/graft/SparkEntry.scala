@@ -741,7 +741,47 @@ object SparkEntry {
     // exact inverted-index candidates, normalized by the inner set size.
     "q86_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(t(s, dir, "documents"), threshold = 0.8)),
+
+    // Rebalance the corpus to a target language mix (en-heavy fixture →
+    // 40/15/15/15/15): integer-exact per-stratum rates from bounded
+    // driver-side counts, membership a narrow content-addressed filter.
+    "q87_mix_to_target" -> ((s, dir) =>
+      Sampling.mixToTarget(t(s, dir, "documents"), MixTargets)),
+
+    // Train-then-infer in one query: learn per-language char-trigram
+    // profiles from the labelled corpus, then classify every doc by
+    // profile-overlap argmax (Cavnar-Trenkle-style n-gram language ID).
+    // The fixture's lang labels sit over one shared word pool (no real
+    // signal), so per-lang marker suffixes are injected first — the
+    // q53/q61 fixture-repair pattern — making the learned profiles
+    // genuinely discriminative (accuracy spec-pinned).
+    "q88_lang_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val marked = d.select(col("doc_id"), col("lang"),
+        LangProfileMarks.foldLeft(col("text")) { case (acc, (l, m)) =>
+          when(col("lang") === l, concat(col("text"), lit(s" $m $m")))
+            .otherwise(acc)
+        }.as("text"))
+      TextAnalysis.classifyByProfile(marked,
+        TextAnalysis.trainLangProfiles(marked, m = 120))
+    }),
   )
+
+  /** q87 target output mix (percent, sums to 100) — shared with the
+    * oracle builder. */
+  private val MixTargets: Map[String, Int] =
+    Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
+
+  /** q88 per-language marker suffixes (injected doubled) — the fixture
+    * corpus has no real language signal, so these provide it; shared
+    * with the oracle builder. Ordered so the injection CASE chain is
+    * deterministic. */
+  val LangProfileMarks: Seq[(String, String)] = Seq(
+    "en" -> "the and is of with",
+    "de" -> "der und ist straße über",
+    "es" -> "el que es niño según",
+    "fr" -> "le est très être déjà",
+    "zh" -> "的 是 了 在 不")
 
   /** Injected boilerplate sentence for q62 — 10 tokens, so injected docs
     * share the suffix-internal 8-token spans. Shared with the oracle. */
@@ -937,5 +977,9 @@ object SparkEntry {
     "q85_cluster_best" -> OracleSql.clusterBest(threshold = 0.6, maxDocFreq = 10000),
     "q86_containment_pairs" -> OracleSql.containmentPairs(threshold = 0.8,
       maxDocFreq = 10000),
+    "q87_mix_to_target" -> OracleSql.mixToTarget(MixTargets.toSeq.sorted,
+      strataCol = "lang", idCol = "doc_id"),
+    "q88_lang_profile" -> OracleSql.langProfile(m = 120, idCol = "doc_id",
+      marks = LangProfileMarks),
   )
 }

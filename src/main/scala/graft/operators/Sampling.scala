@@ -133,6 +133,48 @@ object Sampling {
   }
 
   /**
+   * Downsample to a TARGET corpus mix: given target output proportions
+   * per stratum (percent, summing to 100), keep the largest corpus the
+   * existing data can serve at that mix (never upsampling), by
+   * per-stratum rate filters. The binding stratum — the one whose data
+   * runs out first at the target mix — keeps (almost) everything;
+   * overrepresented strata downsample. This is the "rebalance the
+   * language/source mix" step every multilingual pretraining corpus
+   * goes through.
+   *
+   * All arithmetic is exact integer: the achievable output scale is
+   * `T = min_s floor(100·n_s / pct_s)` and each stratum's keep rate is
+   * `floor(pct_s · T / n_s)` ∈ [0, 100] — so membership (the shared
+   * content-addressed id bucket vs the rate) is deterministic and
+   * SQL-replayable. Per-stratum counts are the usual bounded driver
+   * artifact. Strata absent from `targetPct` are dropped; a target
+   * stratum absent from the data contributes nothing (the mix is then
+   * unattainable as specified — same expected-rate semantics as
+   * [[stratifiedSample]], not an exact-quota guarantee).
+   */
+  def mixToTarget(df: DataFrame, targetPct: Map[String, Int],
+      strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    require(targetPct.nonEmpty && targetPct.values.forall(_ > 0),
+      "target percentages must be positive")
+    require(targetPct.values.sum == 100,
+      s"target mix sums to ${targetPct.values.sum}, must be 100")
+    val counts = df.filter(col(strataCol).isin(targetPct.keys.toSeq: _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.filter(lit(false))
+    val tMax = targetPct.flatMap { case (s, pct) =>
+      counts.get(s).map(_ * 100L / pct)
+    }.min
+    val rate = targetPct.map { case (s, pct) =>
+      s -> counts.get(s).map(n => pct * tMax / n).getOrElse(0L)
+    }
+    val rateCol = targetPct.keys.toSeq.sorted.foldLeft(lit(-1L)) {
+      case (acc, s) => when(col(strataCol) === s, lit(rate(s))).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < rateCol)
+  }
+
+  /**
    * Deterministic epoch shuffle: a rerun-stable pseudorandom training
    * order per epoch with no global sort and no `rand()`. Each row hashes
    * — with the epoch baked into the hash input — to one of `nBuckets`

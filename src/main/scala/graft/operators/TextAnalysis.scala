@@ -469,6 +469,66 @@ object TextAnalysis {
           .as("scaled"))
   }
 
+  /** One row per char trigram position of `textCol` (labelled by
+    * `keyCol`) — shared by the language-profile train and infer stages.
+    * Character semantics (not bytes) in both engines, so CJK text
+    * trigram-izes identically. */
+  private def charTrigrams(docs: DataFrame, keyCol: String,
+      textCol: String): DataFrame =
+    graft.SparkUtil.ensureParallelism(docs)
+      .filter(length(col(textCol)) >= 3)
+      .select(col(keyCol).as("k"), explode(expr(
+        s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3))"))
+        .as("tri"))
+
+  /**
+   * TRAIN a character-trigram language profile: per language, the top-`m`
+   * trigrams by corpus count — the classic n-gram-profile language
+   * identifier (Cavnar & Trenkle), here as the train half of a
+   * train-then-infer pair (see [[classifyByProfile]]). Unlike the
+   * marker-list heuristic ([[languageId]]), the profile is LEARNED from
+   * the labelled corpus — the model-artifact pattern with a trained
+   * artifact instead of a literal one.
+   *
+   * Integer counts with a total (count desc, trigram asc) tiebreak make
+   * the learned profile — not just its scores — exactly reproducible and
+   * SQL-replayable. One hash agg (map-side partials over the bounded
+   * trigram space) + a WindowGroupLimit cut.
+   */
+  def trainLangProfiles(docs: DataFrame, m: Int = 50, langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = charTrigrams(docs, langCol, textCol)
+      .groupBy(col("k").as(langCol), col("tri")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(langCol)).orderBy(col("n").desc, col("tri").asc)
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= m)
+  }
+
+  /**
+   * INFER with a trained trigram profile: each document is scored per
+   * language by how many of its DISTINCT char trigrams appear in that
+   * language's profile, and labelled with the argmax (score desc, lang
+   * asc — total order). Documents sharing no trigram with any profile
+   * drop out (no evidence, no verdict — the inner-join contract).
+   *
+   * Spark shape: the profile is a ≤ langs·m-row broadcast artifact; doc
+   * trigrams dedupe with one hash agg and equi-join the profile — the
+   * corpus never shuffles whole rows, only (doc, trigram) pairs, and the
+   * argmax is a WindowGroupLimit cut.
+   */
+  def classifyByProfile(docs: DataFrame, profiles: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docTri = charTrigrams(docs, idCol, textCol).distinct()
+    val scores = docTri
+      .join(broadcast(profiles.select(col(langCol), col("tri"))), "tri")
+      .groupBy(col("k").as(idCol), col(langCol)).agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col(langCol).asc)
+    scores.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col(langCol).as("pred_lang"), col("score"))
+  }
+
   /** The (context, next) adjacent-token pairs of `textCol`, one row per
     * position — shared by [[bigramLm]] and [[bigramNovelty]]. */
   private def bigramPairs(docs: DataFrame, idCol: String, textCol: String)

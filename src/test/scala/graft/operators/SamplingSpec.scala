@@ -160,6 +160,35 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.tokenBudgetSample(df, budgetTokens = 0).count() == 0)
   }
 
+  test("mixToTarget: binding stratum keeps ~all, others downsample by exact rates") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a: 60 rows, b: 40 rows; target 50/50 → achievable scale
+    // T = min(60*100/50, 40*100/50) = 80, rate_a = 50*80/60 = 66,
+    // rate_b = 50*80/40 = 100 (b is the binding stratum)
+    val df = ((0 until 60).map(i => (i.toLong, "a")) ++
+      (100 until 140).map(i => (i.toLong, "b")) ++
+      (200 until 220).map(i => (i.toLong, "c"))) // not in targets → dropped
+      .toDF("doc_id", "lang")
+    val out = Sampling.mixToTarget(df, Map("a" -> 50, "b" -> 50))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.forall(_._2 != "c"), "unlisted strata must be dropped")
+    // membership replays exactly: bucket(id) < rate per stratum
+    val expected = df.filter(
+      (col("lang") === "a" && Sampling.bucket(col("doc_id")) < 66) ||
+      (col("lang") === "b" && Sampling.bucket(col("doc_id")) < 100))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sorted.toSeq == expected.sorted.toSeq)
+    assert(out.count(_._2 == "b") == 40, "the binding stratum keeps everything")
+    // guards: mix must sum to 100, percentages positive
+    intercept[IllegalArgumentException](
+      Sampling.mixToTarget(df, Map("a" -> 50, "b" -> 40)))
+    intercept[IllegalArgumentException](
+      Sampling.mixToTarget(df, Map("a" -> 100, "b" -> 0)))
+    // no target stratum present in the data → empty, not a crash
+    assert(Sampling.mixToTarget(df, Map("x" -> 100)).count() == 0)
+  }
+
   test("epochShuffle: a bijective order per epoch, different across epochs, rerun-stable") {
     val e1 = Sampling.epochShuffle(docs, epoch = 1).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))

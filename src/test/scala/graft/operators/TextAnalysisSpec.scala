@@ -376,6 +376,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == ((2L, 0L)))
   }
 
+  test("language profiles: learned trigrams separate langs, classification is argmax") {
+    // two "languages" with disjoint character content
+    val df = docs(
+      (1L, "aa", "abcabcabcabc"), (2L, "aa", "abcabc abcab"),
+      (3L, "zz", "xyzxyzxyzxyz"), (4L, "zz", "xyzxy zxyzxy"))
+    val prof = TextAnalysis.trainLangProfiles(df, m = 3)
+    val rows = prof.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(rows.count(_._1 == "aa") == 3 && rows.count(_._1 == "zz") == 3)
+    // profiles rank by (count desc, trigram asc) — a total order
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(r => (-r._3, r._2)).toSeq ==
+        sorted.map(r => (-r._3, r._2)).sorted.toSeq)
+    }
+    val pred = TextAnalysis.classifyByProfile(df, prof).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "aa", 2L -> "aa", 3L -> "zz", 4L -> "zz"))
+    // a doc with no profile overlap drops out (no evidence, no verdict)
+    val stranger = docs((9L, "aa", "qqq"))
+    assert(TextAnalysis.classifyByProfile(stranger, prof).count() == 0)
+  }
+
+  test("q88 lang profiles recover the injected labels above the pinned floor") {
+    // The raw fixture's lang labels carry no content signal (one shared
+    // word pool), so q88 injects per-lang marker suffixes — this gate
+    // pins that the TRAINED profiles actually recover those labels,
+    // which a profile-ranking or scoring regression would break even
+    // while the oracle (which replays the same regression) stays green.
+    val pred = graft.SparkEntry.queries("q88_lang_profile")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = spark.read.parquet(s"${sf()}/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val hits = truth.count { case (id, l) => pred.get(id).contains(l) }
+    val acc = hits.toDouble / truth.size
+    info(f"profile-classifier accuracy on the injected corpus = $acc%.3f")
+    assert(acc >= 0.95, f"accuracy collapsed to $acc%.3f")
+  }
+
   test("linearScore: hand-computed features, score, and threshold flag") {
     val df = docs(
       (1L, "en", "the cat is A1 99 Big deal"),  // n_tok=7 stop=2 digit=1 upper=2
