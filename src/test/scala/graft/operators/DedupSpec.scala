@@ -348,6 +348,23 @@ class DedupSpec extends SparkSpec {
     assert(both == Map((10L, 11L) -> 1.0, (11L, 10L) -> 1.0))
   }
 
+  test("containment dominates jaccard on the fixture: both directions, every pair") {
+    // inter/sz_a >= inter/(sz_a + sz_b - inter) always, so every Jaccard
+    // pair must reappear in the containment output (threshold 0) with a
+    // containment >= its jaccard in BOTH orientations — a cross-operator
+    // consistency net over the shared inverted-index machinery.
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val jac = Dedup.ngramJaccardPairs(d, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.nonEmpty)
+    val cont = Dedup.containmentPairs(d, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    jac.foreach { case ((a, b), j) =>
+      assert(cont((a, b)) >= j, s"containment($a->$b) < jaccard")
+      assert(cont((b, a)) >= j, s"containment($b->$a) < jaccard")
+    }
+  }
+
   test("q71 curated corpus == intersection of its three ingredient filters") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet").cache()
     val curated = graft.SparkEntry.queries("q71_curated_corpus")(

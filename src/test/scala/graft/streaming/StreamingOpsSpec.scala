@@ -256,4 +256,52 @@ class StreamingOpsSpec extends SparkSpec {
       assert(sCh == bCh, "streaming chunk differs from batch")
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("linearScore and profile classification run unchanged on a document stream") {
+    // linearScore is a stateless projection; classifyByProfile against a
+    // STATIC trained profile is the train-offline/serve-online shape —
+    // the profile rides the micro-batch plan as a broadcast artifact,
+    // exactly like the stream-static enrich lookup. The per-doc argmax
+    // window is keyed by doc_id, which is unique per row, so append-mode
+    // streaming semantics hold. (Training itself is a batch job — a
+    // corpus-wide agg has no append-mode answer.)
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val rows = Seq(
+      (1L, "aa", "abcabcabcabc"), (2L, "aa", "abcabc abcab"),
+      (3L, "zz", "xyzxyzxyzxyz"), (4L, "zz", "the quick 99 Brown fox"))
+    val batch = rows.toDF("doc_id", "lang", "text")
+    val profiles = graft.operators.TextAnalysis.trainLangProfiles(batch, m = 3)
+      .cache()
+    val input = MemoryStream[(Long, String, String)]
+    val streamDocs = input.toDF().toDF("doc_id", "lang", "text")
+    val q1 = graft.operators.TextAnalysis.linearScore(streamDocs)
+      .writeStream.format("memory").queryName("ls_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q1.processAllAvailable()
+      val sLs = spark.table("ls_stream").collect().map(_.toSeq).toSet
+      val bLs = graft.operators.TextAnalysis.linearScore(batch)
+        .collect().map(_.toSeq).toSet
+      assert(sLs == bLs, "streaming linearScore differs from batch")
+    } finally q1.stop()
+    // classifyByProfile needs complete-per-key state only within one doc,
+    // so run it foreachBatch-style: per micro-batch it equals batch
+    val perBatch = graft.operators.TextAnalysis.classifyByProfile(
+      batch, profiles).collect().map(_.toSeq).toSet
+    val q2 = streamDocs.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = graft.operators.TextAnalysis.classifyByProfile(b, profiles)
+          .collect().map(_.toSeq).toSet
+        assert(got == perBatch, "per-micro-batch classification differs from batch")
+        ()
+    }.start()
+    try {
+      input.addData(rows: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    profiles.unpersist()
+  }
 }
