@@ -21,6 +21,9 @@ object OracleSql {
 
   private val P = TextFunctions.HashPrime
   private val Mix = TextFunctions.Mix
+  /** MinHash per-index coefficient (TextFunctions.minhashSignature's
+    * `7919*i` term — HashExpressions.MinHashSig hardcodes the same). */
+  private val SigB = 7919L
 
   /** Rolling hash of a string-valued SQL expression (chars, base 31 mod p). */
   private def rh(expr: String): String =
@@ -1188,6 +1191,47 @@ object OracleSql {
        |    ORDER BY score DESC, lang ASC) AS rn FROM sc)
        |WHERE rn = 1""".stripMargin
   }
+
+  /** Mirror of Dedup.dedupAgainstSignatures: MinHash signatures from the
+    * public coefficient family, LSH band-key collisions between the new
+    * batch (bucket < newPct) and the stored rest, and the exact integer
+    * signature-Jaccard estimator. */
+  def sigStoreDedup(newPct: Int, k: Int, bands: Int, threshold: Double,
+      idCol: String): String = {
+    val r = k / bands
+    val sig =
+      s"""list_transform(range(0, $k), i ->
+         |  list_min(list_transform(hs, h -> ((2*i + 1)*h + $SigB*i + 1) % $P)))""".stripMargin
+    s"""WITH sets AS (SELECT $idCol AS id, ${sampleBucket(idCol)} AS b,
+       |                $shingleHashes AS hs FROM documents),
+       |sigs AS (SELECT id, b, $sig AS sig FROM sets WHERE len(hs) > 0),
+       |bd AS (SELECT unnest(range(0, $bands)) AS band),
+       |bn AS (SELECT s.id, bd.band,
+       |         array_to_string(s.sig[bd.band*$r + 1 : bd.band*$r + $r], '_') AS key
+       |       FROM sigs s CROSS JOIN bd WHERE s.b < $newPct),
+       |bo AS (SELECT s.id, bd.band,
+       |         array_to_string(s.sig[bd.band*$r + 1 : bd.band*$r + $r], '_') AS key
+       |       FROM sigs s CROSS JOIN bd WHERE s.b >= $newPct),
+       |cand AS (SELECT DISTINCT bn.id AS new_id, bo.id AS old_id
+       |         FROM bn JOIN bo ON bn.band = bo.band AND bn.key = bo.key)
+       |SELECT c.new_id, c.old_id,
+       |  CAST(len(list_filter(range(1, $k + 1), i -> sa.sig[i] = sb.sig[i]))
+       |    AS DOUBLE) / ${k.toDouble} AS sig_jaccard
+       |FROM cand c
+       |JOIN sigs sa ON c.new_id = sa.id
+       |JOIN sigs sb ON c.old_id = sb.id
+       |WHERE CAST(len(list_filter(range(1, $k + 1), i -> sa.sig[i] = sb.sig[i]))
+       |    AS DOUBLE) / ${k.toDouble} >= $threshold""".stripMargin
+  }
+
+  /** Mirror of the q90 composition: the q28 component graph aggregated to
+    * a cluster-size histogram. */
+  def clusterHistogram(threshold: Double, maxDocFreq: Int): String =
+    s"""SELECT sz AS cluster_size, count(*) AS n_clusters FROM (
+       |  SELECT component, count(*) AS sz
+       |  FROM (${dedupComponents(threshold, maxDocFreq)})
+       |  GROUP BY component)
+       |GROUP BY sz""".stripMargin
 
   /** Mirror of Dedup.containmentPairs: the ngramJaccardPairs inverted
     * index with both orientations kept and the inner-set normalizer. */

@@ -748,6 +748,31 @@ object SparkEntry {
     "q87_mix_to_target" -> ((s, dir) =>
       Sampling.mixToTarget(t(s, dir, "documents"), MixTargets)),
 
+    // Incremental dedup against a persisted SIGNATURE STORE (no old
+    // texts): the new batch (bucket < 50) collides with the stored
+    // signatures of the rest via LSH bands; pairs verified by the exact
+    // integer MinHash Jaccard estimator. At 100 TB the store is
+    // ~1 KB/doc — dedup tomorrow's crawl without rereading the corpus.
+    "q89_sig_store_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = Dedup.minhashSignatures(
+        docs.filter(Sampling.bucket(col("doc_id")) >= 50))
+      Dedup.dedupAgainstSignatures(
+        docs.filter(Sampling.bucket(col("doc_id")) < 50), store)
+    }),
+
+    // Dedup REPORT: near-dup cluster size histogram (how much of the
+    // corpus is duplicated, at what multiplicity) — the number a data
+    // lead actually asks for after a dedup run.
+    "q90_cluster_histogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs).select("id_a", "id_b")
+      ConnectedComponents(pairs, vertices = Some(docs.select("doc_id")))
+        .groupBy(col("component")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // Train-then-infer in one query: learn per-language char-trigram
     // profiles from the labelled corpus, then classify every doc by
     // profile-overlap argmax (Cavnar-Trenkle-style n-gram language ID).
@@ -981,5 +1006,9 @@ object SparkEntry {
       strataCol = "lang", idCol = "doc_id"),
     "q88_lang_profile" -> OracleSql.langProfile(m = 120, idCol = "doc_id",
       marks = LangProfileMarks),
+    "q89_sig_store_dedup" -> OracleSql.sigStoreDedup(newPct = 50, k = 128,
+      bands = 32, threshold = 0.6, idCol = "doc_id"),
+    "q90_cluster_histogram" -> OracleSql.clusterHistogram(threshold = 0.6,
+      maxDocFreq = 10000),
   )
 }

@@ -277,12 +277,7 @@ object Dedup {
     val sets = graft.SparkUtil.trackCache(withShingleSets(docs, idCol, textCol, n))
 
     val sigs = sets.select(col("id"), minhashSignature(col("hs"), k).as("sig"))
-    val banded = sigs.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band_id"),
-          concat_ws("_", slice(col("sig"), b * r + 1, lit(r))).as("band_key"))))
-        .as("band"))
-      .select(col("id"), col("band.band_id"), col("band.band_key"))
+    val banded = bandKeys(sigs, r, bands)
 
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -302,6 +297,71 @@ object Dedup {
         (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
           .as("jaccard"))
     verified.filter(col("jaccard") >= threshold)
+  }
+
+  /** (id, band_id, band_key) rows of a (id, sig) signature table —
+    * the LSH banding shared by [[minhashLshPairs]] and
+    * [[dedupAgainstSignatures]]. */
+  private def bandKeys(sigs: DataFrame, r: Int, bands: Int): DataFrame =
+    sigs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_id"),
+          concat_ws("_", slice(col("sig"), b * r + 1, lit(r))).as("band_key"))))
+        .as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_key"))
+
+  /**
+   * The persisted MinHash SIGNATURE STORE of a corpus: one (id, sig)
+   * row per document, `sig` a k-long array. At 100 TB this is the whole
+   * point: the store is ~1 KB/doc regardless of document size, so
+   * incremental dedup of tomorrow's crawl batch needs yesterday's
+   * SIGNATURES, not yesterday's 100 TB of text. Signatures are the
+   * public fixed-coefficient family (`TextFunctions.minhashSignature`),
+   * so a store written by one job is readable — and exactly
+   * reproducible — by any other.
+   */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 128): DataFrame =
+    withShingleSets(docs, idCol, textCol, n)
+      .select(col("id").as(idCol), minhashSignature(col("hs"), k).as("sig"))
+
+  /**
+   * Incremental dedup of a new batch against a persisted signature
+   * store — WITHOUT the old texts: candidates are band-bucket collisions
+   * between the batch's fresh signatures and the stored ones (equi-join,
+   * never all-pairs), verified by the signature Jaccard ESTIMATE
+   * `|{i : sig_a[i] = sig_b[i]}| / k` — the standard unbiased MinHash
+   * estimator, here an exact integer count over the two signatures, so
+   * the output is deterministic and exactly SQL-replayable even though
+   * the estimate only approximates true Jaccard (E[est] = J, sd ≈
+   * sqrt(J(1-J)/k) ≈ 0.043 at k=128, J=0.6 — spec-pinned against exact
+   * Jaccard on the fixture).
+   */
+  def dedupAgainstSignatures(newDocs: DataFrame, sigStore: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      k: Int = 128, bands: Int = 32, threshold: Double = 0.6): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val r = k / bands
+    val newSigs = graft.SparkUtil.trackCache(
+      minhashSignatures(newDocs, idCol, textCol, n, k)
+        .select(col(idCol).as("id"), col("sig")))
+    val store = sigStore.select(col(idCol).as("id"), col("sig"))
+    val candidates = bandKeys(newSigs, r, bands).as("x")
+      .join(bandKeys(store, r, bands).as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("x.id").as("new_id"), col("y.id").as("old_id"))
+      .distinct()
+    val matches = size(filter(sequence(lit(1), lit(k)),
+      i => element_at(col("sig_a"), i) === element_at(col("sig_b"), i)))
+    candidates
+      .join(newSigs.select(col("id"), col("sig").as("sig_a")),
+        col("new_id") === col("id")).drop("id")
+      .join(store.select(col("id"), col("sig").as("sig_b")),
+        col("old_id") === col("id")).drop("id")
+      .select(col("new_id"), col("old_id"),
+        (matches.cast("double") / lit(k.toDouble)).as("sig_jaccard"))
+      .filter(col("sig_jaccard") >= threshold)
   }
 
   /**

@@ -348,6 +348,47 @@ class DedupSpec extends SparkSpec {
     assert(both == Map((10L, 11L) -> 1.0, (11L, 10L) -> 1.0))
   }
 
+  test("signature store: clone across batch/store found at 1.0; estimator tracks jaccard") {
+    val batch = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "totally unrelated new content about something else entirely")
+    val corpus = docs(
+      10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "other old corpus document with its own words here")
+    val store = Dedup.minhashSignatures(corpus)
+    assert(store.columns.toSeq == Seq("doc_id", "sig"))
+    assert(store.collect().forall(_.getSeq[Long](1).length == 128))
+    val out = Dedup.dedupAgainstSignatures(batch, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the clone pair is found at estimate 1.0; nothing else collides
+    assert(out == Map((1L, 10L) -> 1.0))
+    // estimator quality on the real fixture: for every cross-side pair the
+    // signature estimate stays close to the exact n-gram Jaccard
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val newSide = d.filter(graft.operators.Sampling.bucket(col("doc_id")) < 50)
+    val oldSide = d.filter(graft.operators.Sampling.bucket(col("doc_id")) >= 50)
+    val est = Dedup.dedupAgainstSignatures(newSide,
+      Dedup.minhashSignatures(oldSide), threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty)
+    val exact = Dedup.crossCorpusPairs(newSide, oldSide, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val errs = est.collect { case (pair, e) if exact.contains(pair) =>
+      math.abs(e - exact(pair)) }
+    assert(errs.nonEmpty)
+    info(f"max |sig_est - exact_jaccard| over ${errs.size} pairs = ${errs.max}%.3f")
+    assert(errs.max <= 0.15, f"estimator drifted ${errs.max}%.3f from exact jaccard")
+  }
+
+  test("cluster histogram: sizes sum back to the corpus, multiplicities sane") {
+    val hist = graft.SparkEntry.queries("q90_cluster_histogram")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    assert(hist.map { case (sz, n) => sz * n }.sum == d.count())
+    assert(hist.keySet.exists(_ >= 2), "fixture has planted near-dup clusters")
+    assert(hist(1L) > 0, "most docs are their own singleton cluster")
+  }
+
   test("containment dominates jaccard on the fixture: both directions, every pair") {
     // inter/sz_a >= inter/(sz_a + sz_b - inter) always, so every Jaccard
     // pair must reappear in the containment output (threshold 0) with a
