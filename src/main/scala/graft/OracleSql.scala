@@ -415,6 +415,40 @@ object OracleSql {
        |FROM agg""".stripMargin
   }
 
+  /** Mirror of the q91 HLL set algebra: per-side register tables over the
+    * token space, element-wise-max merge for the union, the shared
+    * estimate formula, and inclusion-exclusion over the three doubles. */
+  def vocabOverlap(newPct: Int, p: Int, idCol: String): String = {
+    val m = 1 << p
+    val maxRank = 60 - p + 1
+    val c1 = graft.operators.Sketches.alpha(p) * m * m
+    val c2 = (1L << maxRank).toDouble
+    def regs(name: String, cond: String) =
+      s"""t_$name AS (SELECT unnest($shingleHashes)::VARCHAR AS tok FROM documents
+         |            WHERE ${sampleBucket(idCol)} $cond),
+         |h_$name AS (SELECT CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+         |            FROM t_$name),
+         |reg_$name AS (SELECT h & ${m - 1} AS bucket,
+         |                MAX(CASE WHEN (h >> $p) = 0 THEN $maxRank
+         |                         ELSE $maxRank - length(bin(h >> $p)) END) AS register
+         |              FROM h_$name GROUP BY 1)""".stripMargin
+    def est(src: String, as: String) =
+      s"""$as AS (SELECT ($c1 * $c2) / CAST(
+         |    CAST(SUM((1::BIGINT) << ($maxRank - register)) AS BIGINT)
+         |      + ($m - count(*)) * ((1::BIGINT) << $maxRank) AS DOUBLE) AS e
+         |  FROM $src)""".stripMargin
+    s"""WITH ${regs("a", s"< $newPct")},
+       |${regs("b", s">= $newPct")},
+       |reg_u AS (SELECT bucket, MAX(register) AS register FROM
+       |            (SELECT * FROM reg_a UNION ALL SELECT * FROM reg_b)
+       |          GROUP BY 1),
+       |${est("reg_a", "ea")}, ${est("reg_b", "eb")}, ${est("reg_u", "eu")}
+       |SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+       |  ea.e + eb.e - eu.e AS est_overlap,
+       |  (ea.e + eb.e - eu.e) / eu.e AS overlap_ratio
+       |FROM ea, eb, eu""".stripMargin
+  }
+
   /** Mirror of Dedup.decontaminateFuzzy over a hashSample(evalPct) eval
     * set: integer cross-multiplied shingle containment vs the eval side. */
   def decontaminateFuzzy(evalPct: Int, containPct: Int, idCol: String): String =

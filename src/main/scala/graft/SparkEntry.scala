@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
@@ -773,6 +773,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // HLL set algebra: PHRASE-space (3-gram shingle) overlap between two
+    // corpus halves via inclusion-exclusion over MERGED register tables —
+    // corpus-similarity estimation that never co-scans the sides (each
+    // half could live in a different datacenter; only 2^p-row sketches
+    // travel). The shingle space (~10k/side on the fixture) keeps the
+    // raw estimator in its valid n >> 2.5m regime — the fixture's 31-word
+    // token vocabulary would not.
+    "q91_vocab_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def toks(pred: Column) = d.filter(pred)
+        .select(explode(
+          graft.functions.TextFunctions.shingleHashes(col("text"), 3)).as("h"))
+        .select(col("h").cast("string").as("tok"))
+      val ra = Sketches.hllRegisters(
+        toks(Sampling.bucket(col("doc_id")) < 50), Nil, "tok", p = 6)
+      val rb = Sketches.hllRegisters(
+        toks(Sampling.bucket(col("doc_id")) >= 50), Nil, "tok", p = 6)
+      def est(regs: DataFrame, as: String) =
+        Sketches.estimateFromRegisters(regs, Nil, p = 6)
+          .select(col("hll_estimate").as(as))
+      est(ra, "est_a")
+        .crossJoin(est(rb, "est_b"))
+        .crossJoin(est(Sketches.mergeRegisters(ra, rb, Nil), "est_union"))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"),
+          ((col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
+            .as("overlap_ratio"))
+    }),
+
     // Train-then-infer in one query: learn per-language char-trigram
     // profiles from the labelled corpus, then classify every doc by
     // profile-overlap argmax (Cavnar-Trenkle-style n-gram language ID).
@@ -1010,5 +1039,7 @@ object SparkEntry {
       bands = 32, threshold = 0.6, idCol = "doc_id"),
     "q90_cluster_histogram" -> OracleSql.clusterHistogram(threshold = 0.6,
       maxDocFreq = 10000),
+    "q91_vocab_overlap" -> OracleSql.vocabOverlap(newPct = 50, p = 6,
+      idCol = "doc_id"),
   )
 }

@@ -271,15 +271,20 @@ object Sketches {
     case _ => 0.7213 / (1.0 + 1.079 / (1 << p))
   }
 
-  def approxDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
-      p: Int = 4): DataFrame = {
+  /** Distinct-count estimate from a REGISTER TABLE — [[approxDistinct]]'s
+    * math exposed for externally built or [[mergeRegisters]]-merged
+    * state, which is what enables HLL SET ALGEBRA: estimates of A, B and
+    * the merged A∪B give `|A∩B| ≈ est(A) + est(B) - est(A∪B)` without
+    * ever co-scanning the two sides (q91). */
+  def estimateFromRegisters(regs: DataFrame, keys: Seq[String],
+      p: Int): DataFrame = {
     val m = 1 << p
     val maxRank = 60 - p + 1
     // shiftleft by a column needs the SQL spelling (the Scala DSL only
     // accepts a literal shift amount)
     val term = expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank - register)")
-    hllRegisters(df, keys, valueCol, p)
-      .groupBy(keys.map(col): _*)
+    val grouped = if (keys.isEmpty) regs.groupBy() else regs.groupBy(keys.map(col): _*)
+    grouped
       .agg(
         (sum(term) + (lit(m.toLong) - count(lit(1))) * lit(1L << maxRank)).as("s_int"),
         (lit(m.toLong) - count(lit(1))).as("v_zero"))
@@ -287,4 +292,8 @@ object Sketches {
         (lit(alpha(p) * m * m) * lit((1L << maxRank).toDouble) / col("s_int").cast("double"))
           .as("hll_estimate")): _*)
   }
+
+  def approxDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
+      p: Int = 4): DataFrame =
+    estimateFromRegisters(hllRegisters(df, keys, valueCol, p), keys, p)
 }

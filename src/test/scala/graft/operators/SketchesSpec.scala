@@ -132,4 +132,27 @@ class SketchesSpec extends SparkSpec {
     // md5("a") = 0cc175b9c0f1b6a8..., first 15 hex chars as integer
     assert(got == java.lang.Long.parseLong("0cc175b9c0f1b6a", 16))
   }
+
+  test("phrase overlap via HLL inclusion-exclusion tracks the exact set sizes") {
+    val r = graft.SparkEntry.queries("q91_vocab_overlap")(spark, sf()).collect().head
+    val (ea, eb, eu, eo) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // exact shingle sets per side via the exact (non-sketch) pipeline
+    def shingles(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+      .select(explode(graft.functions.TextFunctions
+        .shingleHashes(col("text"), 3)).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val va = shingles(graft.operators.Sampling.bucket(col("doc_id")) < 50)
+    val vb = shingles(graft.operators.Sampling.bucket(col("doc_id")) >= 50)
+    def relErr(est: Double, exact: Int) = math.abs(est - exact) / exact
+    info(f"est_a=$ea%.1f (exact ${va.size}), est_b=$eb%.1f (exact ${vb.size}), " +
+      f"est_union=$eu%.1f (exact ${va.union(vb).size}), " +
+      f"est_overlap=$eo%.1f (exact ${va.intersect(vb).size})")
+    // p=6: sigma ~ 13%; pin 3-sigma-ish ceilings on the direct estimates
+    assert(relErr(ea, va.size) <= 0.3)
+    assert(relErr(eb, vb.size) <= 0.3)
+    assert(relErr(eu, va.union(vb).size) <= 0.3)
+    // the intersection compounds three errors — pin a looser ceiling
+    assert(relErr(eo, va.intersect(vb).size) <= 0.5)
+  }
 }
