@@ -449,6 +449,22 @@ object OracleSql {
        |FROM ea, eb, eu""".stripMargin
   }
 
+  /** Mirror of TextAnalysis.coverageCurve: top-maxRank vocab under the
+    * total (count desc, token asc) order, rank-ordered cumulative sums,
+    * one exact division. */
+  def coverageCurve(maxRank: Int): String =
+    s"""WITH c AS (SELECT tok AS token, count(*) AS n FROM
+       |             (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+       |top AS (SELECT token, n,
+       |          row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+       |        FROM c QUALIFY rank <= $maxRank)
+       |SELECT rank, token, n,
+       |  CAST(sum(n) OVER (ORDER BY rank) AS BIGINT) AS cum_n,
+       |  CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE) / CAST(total AS DOUBLE)
+       |    AS coverage
+       |FROM top, tot""".stripMargin
+
   /** Mirror of Dedup.decontaminateFuzzy over a hashSample(evalPct) eval
     * set: integer cross-multiplied shingle containment vs the eval side. */
   def decontaminateFuzzy(evalPct: Int, containPct: Int, idCol: String): String =

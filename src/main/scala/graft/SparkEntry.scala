@@ -773,6 +773,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // Tokenizer-budget coverage curve: cumulative share of token
+    // occurrences covered by the top-k vocabulary — the "how big must V
+    // be" curve. Distributed TakeOrdered cut; the cumsum window sees
+    // only maxRank rows.
+    "q92_coverage_curve" -> ((s, dir) =>
+      TextAnalysis.coverageCurve(t(s, dir, "documents"), maxRank = 25)),
+
     // HLL set algebra: PHRASE-space (3-gram shingle) overlap between two
     // corpus halves via inclusion-exclusion over MERGED register tables —
     // corpus-similarity estimation that never co-scans the sides (each
@@ -1041,5 +1048,6 @@ object SparkEntry {
       maxDocFreq = 10000),
     "q91_vocab_overlap" -> OracleSql.vocabOverlap(newPct = 50, p = 6,
       idCol = "doc_id"),
+    "q92_coverage_curve" -> OracleSql.coverageCurve(maxRank = 25),
   )
 }

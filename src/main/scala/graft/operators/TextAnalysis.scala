@@ -469,6 +469,38 @@ object TextAnalysis {
           .as("scaled"))
   }
 
+  /**
+   * Vocabulary coverage curve: for each rank k ≤ `maxRank` of the corpus
+   * vocabulary (by occurrence count), the cumulative share of all token
+   * OCCURRENCES the top-k tokens cover — the curve that sizes a
+   * tokenizer vocabulary budget ("how big must V be for 95% coverage").
+   *
+   * Spark shape: token counts aggregate with map-side partials; the
+   * top-`maxRank` cut is a distributed `TakeOrderedAndProject` under the
+   * total (count desc, token asc) order, so the ONLY single-partition
+   * work — the cumulative-sum window — runs over ≤ maxRank rows, never
+   * the full vocabulary. The denominator is one scalar aggregate
+   * broadcast back; coverage is a single division of exact integers.
+   */
+  def coverageCurve(docs: DataFrame, maxRank: Int = 30,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.SparkUtil.trackCache(
+      docs.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n")))
+    val top = counts.orderBy(col("n").desc, col("token").asc).limit(maxRank)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token").asc)))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    top.crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("n"),
+        sum(col("n")).over(Window.orderBy(col("rank"))).as("cum_n"),
+        col("__total"))
+      .select(col("rank"), col("token"), col("n"), col("cum_n"),
+        (col("cum_n").cast("double") / col("__total").cast("double"))
+          .as("coverage"))
+  }
+
   /** One row per char trigram position of `textCol` (labelled by
     * `keyCol`) — shared by the language-profile train and infer stages.
     * Character semantics (not bytes) in both engines, so CJK text
