@@ -705,11 +705,13 @@ object OracleSql {
     * same literal wrapped-symbol replace ("|l||r|" → "|lr|") the Scala
     * side uses; both engines scan replace() left-to-right over
     * non-overlapping matches, which IS BPE's greedy merge. */
-  def bpeMergeTable(k: Int): String = {
-    // every stage CTE is MATERIALIZED: each s_(i+1) references s_i and
-    // b_i several times, so DuckDB's default per-reference inlining
-    // would expand the k-stage chain exponentially (observed as "too
-    // many open files" from 2^k parquet scans at k = 10)
+  /** Shared CTE chain for the BPE family: k training stages ending with
+    * best-pair CTEs b1..bk. Every stage CTE is MATERIALIZED: each
+    * s_(i+1) references s_i and b_i several times, so DuckDB's default
+    * per-reference inlining would expand the k-stage chain exponentially
+    * (observed as "too many open files" from 2^k parquet scans at
+    * k = 10). */
+  private def bpeCtes(k: Int): String = {
     val head =
       s"""WITH w0 AS MATERIALIZED (SELECT tok AS word, count(*) AS cnt
          |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
@@ -731,10 +733,45 @@ object OracleSql {
          |  GROUP BY 1, 2),
          |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1)""".stripMargin + next
     }.mkString
+    head + stages
+  }
+
+  def bpeMergeTable(k: Int): String = {
     val union = (1 to k).map { i =>
       s"SELECT CAST($i AS INT) AS merge_round, l AS left_sym, r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM b$i"
     }.mkString("\nUNION ALL ")
-    s"$head$stages\n$union"
+    s"${bpeCtes(k)}\n$union"
+  }
+
+  /** Mirror of BpeTrain.bpeTokenCount → TextAnalysis.packSequencesBy:
+    * re-derive the k-round merge table (shared [[bpeCtes]] chain), apply
+    * the merges to every document token with the same literal
+    * wrapped-symbol replaces, sum post-merge symbol counts per doc, and
+    * replay the contiguous per-group packing layout with integer-exact
+    * offsets. */
+  def bpePack(k: Int, budget: Int): String = {
+    val docStages = (1 to k).map { i =>
+      s""",
+         |d${i + 1} AS MATERIALIZED (SELECT doc_id, replace(s,
+         |    '|' || (SELECT l FROM b$i) || '||' || (SELECT r FROM b$i) || '|',
+         |    '|' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || '|') AS s
+         |  FROM d$i)""".stripMargin
+    }.mkString
+    s"""${bpeCtes(k)},
+       |d1 AS MATERIALIZED (SELECT doc_id,
+       |    regexp_replace(tok, '(.)', '|\\1|', 'g') AS s
+       |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents))$docStages,
+       |dn AS (SELECT doc_id,
+       |    sum(len(string_split(trim(s, '|'), '||')))::BIGINT AS n_tokens
+       |  FROM d${k + 1} GROUP BY doc_id),
+       |lay AS (SELECT d.doc_id, d.lang, dn.n_tokens,
+       |    (SUM(dn.n_tokens) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |      - dn.n_tokens AS start_off
+       |  FROM documents d JOIN dn ON d.doc_id = dn.doc_id)
+       |SELECT doc_id, lang, n_tokens,
+       |  start_off // $budget AS seq_id, start_off % $budget AS seq_offset
+       |FROM lay""".stripMargin
   }
 
   /** Shared CTE chain for the URL family: synthesize the deterministic

@@ -780,6 +780,20 @@ object SparkEntry {
     "q92_coverage_curve" -> ((s, dir) =>
       TextAnalysis.coverageCurve(t(s, dir, "documents"), maxRank = 25)),
 
+    // Trained-tokenizer pack: train 6 BPE merges, tokenize every doc
+    // with the learned table (merges ride the plan as literal replaces —
+    // narrow, codegen'd), pack into 1024-token sequences by the EMITTED
+    // token count. Closes the q78 → q34 loop end-to-end: the packing a
+    // trainer actually sees uses tokenizer lengths, not whitespace
+    // counts.
+    "q93_bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = BpeTrain.train(docs, k = 6).collect()
+        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.packSequencesBy(docs, budgetTokens = 1024,
+        BpeTrain.bpeTokenCount(col("text"), merges))
+    }),
+
     // HLL set algebra: PHRASE-space (3-gram shingle) overlap between two
     // corpus halves via inclusion-exclusion over MERGED register tables —
     // corpus-similarity estimation that never co-scans the sides (each
@@ -1049,5 +1063,6 @@ object SparkEntry {
     "q91_vocab_overlap" -> OracleSql.vocabOverlap(newPct = 50, p = 6,
       idCol = "doc_id"),
     "q92_coverage_curve" -> OracleSql.coverageCurve(maxRank = 25),
+    "q93_bpe_pack" -> OracleSql.bpePack(k = 6, budget = 1024),
   )
 }

@@ -97,6 +97,28 @@ object BpeTrain {
         lit("|" + l + r + "|")).as("s"), col("cnt"))
     }
 
+  /** Wrapped-symbol BPE length of one whitespace token after applying
+    * `merges` in training order — a pure chain of literal replaces, so
+    * the whole thing stays inside whole-stage codegen. */
+  private def bpeSymbols(tok: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val wrapped = regexp_replace(tok, "(.)", "|$1|")
+    val merged = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+      replace(c, lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|"))
+    }
+    size(split(trim(merged, "|"), "\\|\\|")).cast("long")
+  }
+
+  /** Per-document BPE token count under a trained merge list: the sum
+    * over whitespace tokens of the post-merge symbol count — "how many
+    * tokens will the tokenizer emit for this doc". The merge table rides
+    * the plan as literals (the codebook pattern): a narrow, zero-shuffle
+    * per-row projection regardless of corpus size. */
+  def bpeTokenCount(text: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    aggregate(transform(TextFunctions.tokens(text), t => bpeSymbols(t, merges)),
+      lit(0L), (acc, x) => acc + x)
+
   /** Pair count of (l, r) in a wrapped-symbol vocab — spec helper. */
   def countPair(vocab: DataFrame, l: String, r: String): Long =
     pairCounts(vocab).filter(col("l") === l && col("r") === r)

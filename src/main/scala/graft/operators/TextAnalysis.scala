@@ -158,12 +158,21 @@ object TextAnalysis {
     * packing quality is unaffected since sequences never span groups. */
   def packSequences(docs: DataFrame, budgetTokens: Int,
       groupCol: String = "lang", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    packSequencesBy(docs, budgetTokens,
+      size(tokens(col(textCol))).cast("long"), groupCol, idCol)
+
+  /** [[packSequences]] with an arbitrary per-document token-weight
+    * column (e.g. a trained tokenizer's emitted-token count) instead of
+    * the whitespace count. Same layout contract and scale shape: one
+    * shuffle on `groupCol`, integer-exact offsets. */
+  def packSequencesBy(docs: DataFrame, budgetTokens: Int,
+      weight: Column, groupCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nToks = size(tokens(col(textCol))).cast("long")
-    docs.select(col(idCol), col(groupCol), nToks.as("n_tokens"))
+    docs.select(col(idCol), col(groupCol), weight.cast("long").as("n_tokens"))
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col(idCol), col(groupCol), col("n_tokens"),
         expr(s"start_off div $budgetTokens").as("seq_id"),

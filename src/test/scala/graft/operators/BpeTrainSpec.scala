@@ -52,4 +52,28 @@ class BpeTrainSpec extends SparkSpec {
     }
     vocab0.unpersist()
   }
+
+  test("bpeTokenCount counts emitted tokens under the learned merges") {
+    // no merges → one symbol per character: "aa aa ab" = 6 symbols
+    val d = docs("aa aa ab")
+    val none = d.select(BpeTrain.bpeTokenCount(col("text"), Nil).as("n"))
+      .head().getLong(0)
+    assert(none == 6L)
+    // after (a,a) then (a,b): "aa"→1 symbol ×2, "ab"→1 symbol → 3
+    val merged = d.select(BpeTrain.bpeTokenCount(col("text"),
+      Seq(("a", "a"), ("a", "b"))).as("n")).head().getLong(0)
+    assert(merged == 3L)
+    // greedy left-to-right: "aaa" under (a,a) → ["aa","a"] = 2 symbols
+    val greedy = docs("aaa").select(BpeTrain.bpeTokenCount(col("text"),
+      Seq(("a", "a"))).as("n")).head().getLong(0)
+    assert(greedy == 2L)
+  }
+
+  test("bpeTokenCount stays a narrow zero-exchange projection") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = d.select(col("doc_id"),
+        BpeTrain.bpeTokenCount(col("text"), Seq(("e", "s"), ("t", "h"))).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+  }
 }
