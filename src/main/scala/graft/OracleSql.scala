@@ -210,6 +210,22 @@ object OracleSql {
        |  CAST(1 + length(text) % 30 AS INTEGER) AS n_frames
        |FROM m""".stripMargin
 
+  /** Mirror of Multimodal.phashPairs: 32-bit sign-bit signature over the
+    * stub checksum, popcount-verified pairs. The oracle uses the plain n²
+    * join — equal to the operator's blocked candidates' verified subset
+    * because byte-pigeonhole blocking is lossless for maxHamming <= 3. */
+  def phashPairs(maxHamming: Int): String = {
+    val sig = (0 until 32).map(j =>
+      s"(CASE WHEN (h * ${2 * j + 1} + $j) % $P % 1000 >= 500 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val pop = (0 until 32).map(i => s"(((xor(x.ph, y.ph)) >> $i) & 1)").mkString(" + ")
+    s"""WITH m AS (SELECT doc_id AS id, ${rh("text")} AS h FROM documents),
+       |p AS (SELECT id, CAST($sig AS BIGINT) AS ph FROM m)
+       |SELECT x.id AS media_id_a, y.id AS media_id_b, CAST($pop AS INTEGER) AS hamming
+       |FROM p x JOIN p y ON x.id < y.id
+       |WHERE $pop <= $maxHamming""".stripMargin
+  }
+
   /** Frame expansion mirror: the stub codec emits `1 + byte_len % 30`
     * frames with checksum `(doc_checksum*31 + frame_id) % p`. */
   def multimodalFrames: String =
@@ -477,6 +493,24 @@ object OracleSql {
        |         FROM cinv c JOIN einv e USING (h) GROUP BY 1, 2, 3),
        |bad AS (SELECT DISTINCT cid FROM hits WHERE hits * 100 >= $containPct * esz)
        |SELECT d.* FROM documents d WHERE d.$idCol NOT IN (SELECT cid FROM bad)""".stripMargin
+
+  /** Mirror of Dedup.contaminationReport over the hashSample(evalPct)
+    * eval split vs its complement: distinct-hit counting, exact-integer
+    * fraction, cross-multiplied verdict. */
+  def contaminationReport(evalPct: Int, containPct: Int, idCol: String): String =
+    s"""WITH ev AS (SELECT $idCol AS eval_id, ${shingleHashesN(3)} AS hs FROM documents
+       |            WHERE ${sampleBucket(idCol)} < $evalPct),
+       |ev2 AS (SELECT eval_id, len(hs)::BIGINT AS n_shingles, hs FROM ev
+       |        WHERE len(hs) > 0),
+       |einv AS (SELECT eval_id, unnest(hs) AS h FROM ev2),
+       |cinv AS (SELECT unnest(${shingleHashesN(3)}) AS h FROM documents
+       |         WHERE ${sampleBucket(idCol)} >= $evalPct),
+       |hits AS (SELECT e.eval_id, count(DISTINCT e.h) AS nh
+       |         FROM cinv c JOIN einv e USING (h) GROUP BY 1)
+       |SELECT e.eval_id, e.n_shingles, COALESCE(h.nh, 0)::BIGINT AS n_hit,
+       |  CAST(COALESCE(h.nh, 0) AS DOUBLE) / e.n_shingles AS contamination,
+       |  COALESCE(h.nh, 0) * 100 >= $containPct * e.n_shingles AS contaminated
+       |FROM ev2 e LEFT JOIN hits h USING (eval_id)""".stripMargin
 
   def embedNearDup(threshold: Double, dim: Int): String = {
     val n2 = dotTerms("embedding", "embedding", dim)
@@ -850,6 +884,43 @@ object OracleSql {
        |  count(DISTINCT url_norm) AS n_urls,
        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
        |FROM n GROUP BY 1""".stripMargin
+
+  /** Mirror of UrlOps.domainReputationFilter: the synthetic URL space
+    * supplies registered domains, the q63 blacklist injection supplies
+    * failing docs, and the per-doc verdict replays qualityKeep's default
+    * rule battery (kept textually in sync with [[qualityFilter]]'s
+    * builder). Domain verdict is integer cross-multiplied; the
+    * broadcast-back replays as a plain join. */
+  def domainReputation(injectPct: Int, injectSuffix: String,
+      minPassPct: Int, idCol: String): String = {
+    val stops = markerLen(TextFunctions.LangMarkers.head._2)
+    val black = graft.operators.TextAnalysis.BlacklistPhrases
+      .map(p => s"NOT contains(text, '${sqlLit(p)}')").mkString("(", " AND ", ")")
+    val okN = s"(len($toks) >= 15 AND len($toks) <= 100000)"
+    val mtl = s"(CAST(length(text) - (len($toks) - 1) AS DOUBLE) / len($toks))"
+    val okLen = s"($mtl >= 4.0 AND $mtl <= 12.0)"
+    val okRep = s"(CAST(t.top AS DOUBLE) / len($toks) <= 0.2)"
+    val okStop = s"($stops >= 2)"
+    val keep = Seq(okN, okLen, okRep, okStop, black).mkString("(", " AND ", ")")
+    s"""${urlCtes(idCol)},
+       |injected AS (
+       |  SELECT $idCol, CASE WHEN ${sampleBucket(idCol)} < $injectPct
+       |    THEN text || ' ${sqlLit(injectSuffix)}' ELSE text END AS text
+       |  FROM documents),
+       |tk AS (SELECT $idCol, unnest($toks) AS tok FROM injected),
+       |tc AS (SELECT $idCol, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       |top AS (SELECT $idCol, MAX(c) AS top FROM tc GROUP BY 1),
+       |k AS (SELECT d.$idCol AS id, $keep AS ok
+       |      FROM injected d JOIN top t USING ($idCol)),
+       |j AS (SELECT n.id, n.reg_domain, k.ok FROM n JOIN k USING (id)),
+       |dom AS (SELECT reg_domain, count(*) AS n_domain_docs,
+       |          sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_domain_ok
+       |        FROM j GROUP BY 1)
+       |SELECT j.id AS $idCol, j.reg_domain, j.ok AS doc_keep,
+       |  dom.n_domain_docs, dom.n_domain_ok
+       |FROM j JOIN dom USING (reg_domain)
+       |WHERE dom.n_domain_ok * 100 >= $minPassPct * dom.n_domain_docs""".stripMargin
+  }
 
   /** Mirror of Dedup.dedupSubstringRuns over a corpus with a
     * deterministic duplicated paragraph appended to a hash-sampled slice

@@ -780,6 +780,38 @@ object SparkEntry {
     "q92_coverage_curve" -> ((s, dir) =>
       TextAnalysis.coverageCurve(t(s, dir, "documents"), maxRank = 25)),
 
+    // Domain-reputation filter — the web-corpus two-pass: per-domain
+    // quality pass rate (q63's injection makes docs fail), then keep
+    // whole domains clearing 90%. Spam farms fail wholesale even where
+    // individual pages slip past per-doc rules.
+    "q96_domain_reputation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val injected = d.select(col("doc_id"),
+        when(Sampling.bucket(col("doc_id")) < 10,
+          concat(col("text"), lit(" lorem ipsum dolor sit amet")))
+          .otherwise(col("text")).as("text"))
+      UrlOps.domainReputationFilter(injected,
+        UrlOps.syntheticUrl(col("doc_id")),
+        TextAnalysis.qualityKeep(col("text")), minPassPct = 68)
+    }),
+
+    // Media perceptual-hash near-dup — the multimodal member of the
+    // dedup family: decode → 32-bit pHash (sign bits of the stub
+    // embedding) → byte-pigeonhole candidates → exact Hamming verify.
+    "q95_media_phash_dedup" -> ((s, dir) =>
+      Multimodal.phashPairs(
+        Multimodal.mediaFromDocuments(t(s, dir, "documents")))),
+
+    // Per-eval-doc contamination report — the measuring side of q39:
+    // what fraction of each held-out eval doc's shingles leak from the
+    // training split, published before anyone trusts a benchmark score.
+    "q94_contamination_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contaminationReport(
+        d.filter(Sampling.bucket(col("doc_id")) >= 5),
+        Sampling.hashSample(d, pct = 5), containPct = 80)
+    }),
+
     // Trained-tokenizer pack: train 6 BPE merges, tokenize every doc
     // with the learned table (merges ride the plan as literal replaces —
     // narrow, codegen'd), pack into 1024-token sequences by the EMITTED
@@ -1064,5 +1096,11 @@ object SparkEntry {
       idCol = "doc_id"),
     "q92_coverage_curve" -> OracleSql.coverageCurve(maxRank = 25),
     "q93_bpe_pack" -> OracleSql.bpePack(k = 6, budget = 1024),
+    "q94_contamination_report" -> OracleSql.contaminationReport(
+      evalPct = 5, containPct = 80, idCol = "doc_id"),
+    "q95_media_phash_dedup" -> OracleSql.phashPairs(maxHamming = 3),
+    "q96_domain_reputation" -> OracleSql.domainReputation(injectPct = 10,
+      injectSuffix = "lorem ipsum dolor sit amet", minPassPct = 68,
+      idCol = "doc_id"),
   )
 }

@@ -113,6 +113,40 @@ object Dedup {
     docs.join(broadcast(contaminated), docs(idCol) === col("__cid"), "left_anti")
   }
 
+  /**
+   * Per-eval-doc contamination REPORT — the measuring side of
+   * decontamination: for each eval document, the fraction of its
+   * distinct token n-gram shingles present anywhere in the training
+   * corpus, with the `containPct` verdict. What an eval-suite audit
+   * publishes before anyone trusts a benchmark number.
+   *
+   * Same index shape as [[decontaminateFuzzy]]: the big `train` side
+   * explodes narrowly into the broadcast join with the small eval
+   * shingle index — it never shuffles — and only matched survivors
+   * (bounded by eval-set size × shingles) reach the distinct-hit
+   * aggregation. Fractions are one exact-integer division; the verdict
+   * is integer cross-multiplication, float-free.
+   */
+  def contaminationReport(train: DataFrame, evalSet: DataFrame,
+      containPct: Int = 80, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val evalIdx = evalSet
+      .select(col(idCol).as("eval_id"), shingleHashes(col(textCol), n).as("__ehs"))
+      .filter(size(col("__ehs")) > 0)
+      .select(col("eval_id"), size(col("__ehs")).cast("long").as("n_shingles"),
+        explode(col("__ehs")).as("__h"))
+    val corpusShingles = train
+      .select(explode(shingleHashes(col(textCol), n)).as("__h"))
+    val hits = corpusShingles.join(broadcast(evalIdx), "__h")
+      .groupBy(col("eval_id")).agg(count_distinct(col("__h")).as("__nh"))
+    val nHit = coalesce(col("__nh"), lit(0L))
+    evalIdx.select(col("eval_id"), col("n_shingles")).distinct()
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_shingles"), nHit.as("n_hit"),
+        (nHit.cast("double") / col("n_shingles")).as("contamination"),
+        (nHit * 100 >= lit(containPct) * col("n_shingles")).as("contaminated"))
+  }
+
   /** Per-doc distinct shingle-hash sets with set size; docs with fewer
     * than `n` tokens (empty shingle set) are dropped — they cannot reach
     * any positive Jaccard threshold. */

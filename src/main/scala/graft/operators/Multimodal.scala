@@ -198,6 +198,54 @@ object Multimodal {
     }
   }
 
+  /** 32-bit perceptual-hash signature of a decoded payload: the sign
+    * bits of the stub feature components — bit j is set iff
+    * `(checksum·(2j+1)+j) mod p mod 1000 >= 500`, i.e. iff stub
+    * feature_j >= 0.5 — an SRP-style binarized embedding, which is
+    * exactly what a production pHash is (sign bits of a frequency-domain
+    * projection). Pure integer arithmetic on the checksum: narrow,
+    * codegen'd, SQL-replayable. */
+  def perceptualHash(checksum: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.TextFunctions.HashPrime
+    (0 until 32).map { j =>
+      when((checksum * (2 * j + 1) + j) % HashPrime % 1000 >= 500,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /**
+   * Perceptual-hash near-dup pairs over a media table — the multimodal
+   * member of the dedup family: decode (partition-local codec batch) →
+   * 32-bit pHash → byte-pigeonhole blocking → exact Hamming verify.
+   * Identical candidate shape to Dedup.simhashPairs (4 blocks are
+   * lossless for maxHamming <= 3): equi-join on (block_id, block_val),
+   * never all-pairs, so the compare space at 100 TB is bounded by block
+   * bucket sizes (256 values × 4 blocks over near-uniform sign bits),
+   * not n².
+   */
+  def phashPairs(df: DataFrame, maxHamming: Int = 3,
+      codec: MediaCodec = StubCodec, idCol: String = "media_id",
+      typeCol: String = "media_type", binCol: String = "content"): DataFrame = {
+    require(maxHamming <= 3,
+      "pigeonhole blocking over 4 bytes is only lossless for maxHamming <= 3")
+    import graft.functions.TextFunctions.simhashBlocks
+    val hashed = graft.SparkUtil.trackCache(
+      decodeMeta(df, codec, idCol, typeCol, binCol).toDF()
+        .select(col("media_id"), perceptualHash(col("checksum")).as("ph")))
+    val blocked = hashed
+      .select(col("media_id").as("id"), col("ph"),
+        explode(simhashBlocks(col("ph"))).as("b"))
+      .select(col("id"), col("ph"), col("b.block_id"), col("b.block_val"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.block_id") === col("y.block_id") &&
+          col("x.block_val") === col("y.block_val") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("media_id_a"), col("y.id").as("media_id_b"),
+        bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Test/demo adapter: derive an opaque media table from the `documents`
     * corpus (payload = UTF-8 text bytes, modality round-robined by id).
     * Real pipelines read payloads from object-store parquet/binaryFile. */

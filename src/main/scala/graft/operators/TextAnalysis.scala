@@ -269,6 +269,26 @@ object TextAnalysis {
    * battery SQL-replays bit-identically. At 100 TB this runs pushed
    * against the scan, and downstream operators see only survivors.
    */
+  /** The [[qualityFilter]] rule battery reduced to one boolean verdict —
+    * for callers that only need pass/fail (e.g. domain reputation).
+    * MUST stay in sync with qualityFilter's rules; both sides share the
+    * same building blocks (tokens / topTokenCount / markerCount /
+    * BlacklistPhrases), so a rule change edits both or neither. */
+  def qualityKeep(text: Column, minTokens: Int = 15, maxTokens: Int = 100000,
+      minMeanTokLen: Double = 4.0, maxMeanTokLen: Double = 12.0,
+      maxTopTokRatio: Double = 0.2, minStopwords: Int = 2): Column = {
+    val nToks = size(tokens(text))
+    val meanTokLen = (length(text) - (nToks - 1)).cast("double") / nToks
+    val topRatio = topTokenCount(text).cast("double") / nToks
+    val stops = markerCount(text, LangMarkers.head._2)
+    Seq(nToks >= minTokens && nToks <= maxTokens,
+      meanTokLen >= minMeanTokLen && meanTokLen <= maxMeanTokLen,
+      topRatio <= maxTopTokRatio,
+      stops >= minStopwords,
+      BlacklistPhrases.map(p => !text.contains(p)).reduce(_ && _))
+      .reduce(_ && _)
+  }
+
   def qualityFilter(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minTokens: Int = 15, maxTokens: Int = 100000,
       minMeanTokLen: Double = 4.0, maxMeanTokLen: Double = 12.0,

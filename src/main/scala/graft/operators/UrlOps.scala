@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -115,5 +115,38 @@ object UrlOps {
       .otherwise(concat(lit("?q="), id % 10, lit("&ref=home")))
     val frag = when(id % 3 === 0, lit("#section2")).otherwise(lit(""))
     concat(scheme, lit("://"), host, port, lit("/docs/"), id, query, frag)
+  }
+
+  /**
+   * Domain-reputation filter — the web-corpus two-pass: pass 1
+   * aggregates each registered domain's per-document quality pass rate;
+   * pass 2 keeps every document of a domain clearing `minPassPct`.
+   * Spam/SEO farms fail wholesale even where individual pages slip past
+   * per-doc rules; each surviving doc still carries its own verdict
+   * (`doc_keep`) plus the domain stats for downstream weighting.
+   *
+   * Scale shape: pass 1 is ONE hash agg keyed on the domain (map-side
+   * partial count/sum over an int flag); the good-domain table is
+   * bounded by distinct-domain cardinality and broadcast back, so the
+   * corpus itself never shuffles. (A web-scale domain table beyond
+   * broadcast reach degrades gracefully: drop the hint and the join-back
+   * becomes a standard equi-join on a high-cardinality key.) The verdict
+   * is integer cross-multiplication — float-free.
+   */
+  def domainReputationFilter(docs: DataFrame, url: Column, keep: Column,
+      minPassPct: Int = 90, idCol: String = "doc_id"): DataFrame = {
+    // cache the 3-column projection: the two passes (domain agg +
+    // join-back) would otherwise each re-evaluate `keep`, which is the
+    // expensive part (rule batteries over full text)
+    val d = graft.SparkUtil.trackCache(docs.select(col(idCol),
+      registeredDomain(hostOf(url)).as("reg_domain"),
+      keep.cast("int").as("__ok")))
+    val domains = d.groupBy(col("reg_domain"))
+      .agg(count(lit(1)).as("n_domain_docs"),
+        sum(col("__ok")).as("n_domain_ok"))
+      .filter(col("n_domain_ok") * 100 >= lit(minPassPct) * col("n_domain_docs"))
+    d.join(broadcast(domains), "reg_domain")
+      .select(col(idCol), col("reg_domain"), (col("__ok") === 1).as("doc_keep"),
+        col("n_domain_docs"), col("n_domain_ok"))
   }
 }

@@ -91,6 +91,23 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("contamination report measures per-eval-doc shingle leakage") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog again and again"
+    val train = docs(
+      1L -> ("prefix words here " + evalDoc + " suffix words there"), // full leak
+      2L -> "completely unrelated text about spark catalyst optimizer rules")
+    val eval = docs(
+      100L -> evalDoc,                    // every shingle leaked
+      101L -> "nothing here overlaps the training corpus at all today")
+    val out = Dedup.contaminationReport(train, eval, containPct = 80)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val (leakHit, leakFrac, leakFlag) = out(100L)
+    assert(leakFrac == 1.0 && leakFlag && leakHit > 0)
+    val (cleanHit, cleanFrac, cleanFlag) = out(101L)
+    assert(cleanHit == 0L && cleanFrac == 0.0 && !cleanFlag)
+  }
+
   test("cross-corpus pairs = the between-sides subset of the self-join pairs") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
     val newSide = d.filter(Sampling.bucket(col("doc_id")) < 50)

@@ -87,4 +87,30 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaCodec == viaExpr)
   }
+
+  test("phashPairs finds identical payloads at hamming 0, respects the cutoff") {
+    val spark0 = spark
+    import spark0.implicits._
+    val payload = "the very same bytes in two different records".getBytes("UTF-8")
+    val df = Seq(
+      (1L, "image", payload),
+      (2L, "image", payload),
+      (3L, "audio", "completely different payload content here".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "content")
+    val pairs = Multimodal.phashPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    pairs.foreach { case (a, b, h) => assert(a < b && h <= 3) }
+  }
+
+  test("perceptualHash is a 32-bit value derived only from the checksum") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(100)
+    val phs = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs)).toDF()
+      .select(Multimodal.perceptualHash(col("checksum")).as("ph"))
+      .collect().map(_.getLong(0))
+    phs.foreach(ph => assert(ph >= 0L && ph < (1L << 32)))
+    // sign bits should be roughly balanced, not degenerate
+    assert(phs.distinct.length > 50)
+  }
 }

@@ -57,4 +57,36 @@ class UrlOpsSpec extends SparkSpec {
     assert(df.filter(col("url") =!= col("n1")).count() > 0,
       "the generator must emit URLs the normalizer actually changes")
   }
+
+  test("qualityKeep agrees with qualityFilter's keep verdict") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val viaFilter = TextAnalysis.qualityFilter(d)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaKeep = d.select(col("doc_id"),
+        TextAnalysis.qualityKeep(col("text")).as("k")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaFilter == viaKeep)
+    assert(viaKeep.values.exists(identity) && viaKeep.values.exists(!_),
+      "fixture must exercise both verdicts")
+  }
+
+  test("domainReputationFilter keeps whole domains by pass rate, tags each doc") {
+    val spark0 = spark
+    import spark0.implicits._
+    // good.com: 2/2 pass; bad.org: 1/3 pass (33% < 50%)
+    val rows = Seq(
+      (1L, "https://good.com/a", true), (2L, "https://good.com/b", true),
+      (3L, "https://bad.org/a", true), (4L, "https://bad.org/b", false),
+      (5L, "https://bad.org/c", false))
+      .toDF("doc_id", "url", "ok")
+    val out = UrlOps.domainReputationFilter(rows, col("url"), col("ok"),
+      minPassPct = 50).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).sorted.sameElements(Array(1L, 2L)))
+    out.foreach { case (_, dom, keep, nDocs, nOk) =>
+      assert(dom == "good.com" && keep && nDocs == 2L && nOk == 2L)
+    }
+  }
 }
