@@ -885,6 +885,90 @@ object OracleSql {
        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
        |FROM n GROUP BY 1""".stripMargin
 
+  /** Mirror of Profiler.profile over a named table: one UNION ALL branch
+    * per column, identical string casts for min/max. */
+  def profile(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($c))::BIGINT AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Mirror of the q99 multi-signal composition: SimHash text pairs and
+    * pHash media pairs union into one graph; components via the same
+    * transitive-closure replay as [[dedupComponents]]. */
+  def multiSignalComponents(maxHamming: Int): String =
+    s"""WITH RECURSIVE tp AS (${simhashPairs(maxHamming)}),
+       |mp AS (${phashPairs(maxHamming)}),
+       |pairs AS (SELECT id_a, id_b FROM tp
+       |          UNION SELECT media_id_a, media_id_b FROM mp),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
+
+  /** Mirror of the q98 PII-by-domain rollup: q61's injection, q79's
+    * registered-domain key, one grouped aggregation. */
+  def piiByDomain(emailPct: Int, numPct: Int, idCol: String): String = {
+    val email = graft.operators.TextAnalysis.EmailRegex
+    val num = graft.operators.TextAnalysis.LongNumberRegex
+    s"""${urlCtes(idCol)},
+       |injected AS (
+       |  SELECT $idCol,
+       |    CASE WHEN ${sampleBucket(idCol)} < $emailPct
+       |           THEN text || ' contact bob' || ($idCol % 50)::VARCHAR || '@example.com now'
+       |         WHEN ${sampleBucket(idCol)} < ${emailPct + numPct}
+       |           THEN text || ' call 5551234' || ($idCol % 1000)::VARCHAR
+       |         ELSE text END AS text
+       |  FROM documents),
+       |r AS (SELECT $idCol AS id,
+       |    len(regexp_extract_all(text, '$email')) AS n_emails,
+       |    len(regexp_extract_all(text, '$num')) AS n_numbers
+       |  FROM injected),
+       |j AS (SELECT n.reg_domain, r.n_emails, r.n_numbers FROM n JOIN r USING (id))
+       |SELECT reg_domain, count(*) AS n_docs,
+       |  sum(CASE WHEN n_emails + n_numbers > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pii_docs,
+       |  sum(n_emails)::BIGINT AS total_emails,
+       |  sum(n_numbers)::BIGINT AS total_numbers,
+       |  CAST(sum(CASE WHEN n_emails + n_numbers > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS pii_rate
+       |FROM j GROUP BY 1""".stripMargin
+  }
+
+  /** Mirror of Dedup.stitchCandidates over the seam-injected corpus: a
+    * hash-sampled slice splits in half with a k-token overlap, then
+    * suffix-hash joins against prefix-hash. */
+  def docStitching(splitPct: Int, minTokens: Int, k: Int, idCol: String): String =
+    s"""WITH d0 AS (SELECT $idCol, text, $toks AS tk, len($toks) AS n FROM documents),
+       |d AS (SELECT *, (${sampleBucket(idCol)} < $splitPct AND n >= $minTokens) AS can_split,
+       |        n // 2 AS half FROM d0),
+       |corpus AS (
+       |  SELECT $idCol * 2 AS id,
+       |    CASE WHEN can_split
+       |      THEN array_to_string(list_slice(tk, 1, half + $k), ' ')
+       |      ELSE text END AS text
+       |  FROM d
+       |  UNION ALL
+       |  SELECT $idCol * 2 + 1,
+       |    array_to_string(list_slice(tk, half + 1, n), ' ')
+       |  FROM d WHERE can_split),
+       |c2 AS (SELECT id, string_split(text, ' ') AS tk2,
+       |         len(string_split(text, ' ')) AS n2 FROM corpus),
+       |h AS (SELECT id,
+       |    ${rh(s"array_to_string(list_slice(tk2, 1, $k), ' ')")} AS pref,
+       |    ${rh(s"array_to_string(list_slice(tk2, n2 - $k + 1, n2), ' ')")} AS suf
+       |  FROM c2 WHERE n2 >= $k)
+       |SELECT x.id AS id_a, y.id AS id_b
+       |FROM h x JOIN h y ON x.suf = y.pref AND x.id <> y.id""".stripMargin
+
   /** Mirror of UrlOps.domainReputationFilter: the synthetic URL space
     * supplies registered domains, the q63 blacklist injection supplies
     * failing docs, and the per-doc verdict replays qualityKeep's default

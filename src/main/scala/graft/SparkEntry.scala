@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{AsOfJoin, BpeTrain, ConnectedComponents, Dedup, EventAnalytics, IntervalJoin, LookupTransform, Multimodal, Sampling, SimilaritySearch, Sketches, TextAnalysis, UrlOps}
+import graft.operators.{AsOfJoin, BpeTrain, ConnectedComponents, Dedup, EventAnalytics, IntervalJoin, LookupTransform, Multimodal, Profiler, Sampling, SimilaritySearch, Sketches, TextAnalysis, UrlOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -780,6 +780,78 @@ object SparkEntry {
     "q92_coverage_curve" -> ((s, dir) =>
       TextAnalysis.coverageCurve(t(s, dir, "documents"), maxRank = 25)),
 
+    // Generic table profiler — the per-column data-quality fact sheet
+    // (rows, nulls, exact distincts, min/max) every ingestion step
+    // publishes; one aggregation pass, long-form output.
+    "q100_profile" -> ((s, dir) =>
+      Profiler.profile(t(s, dir, "lineitem"), ProfileCols)),
+
+    // Multi-signal dedup: text SimHash pairs (q16) and media pHash pairs
+    // (q95) union into ONE evidence graph, components span both signals
+    // — the cross-modal dedup a mixed text+media corpus needs (a doc and
+    // its rendering dedup together even when each signal alone misses).
+    "q99_multisignal_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val textPairs = Dedup.simhashPairs(docs).select("id_a", "id_b")
+      val mediaPairs = Multimodal
+        .phashPairs(Multimodal.mediaFromDocuments(docs))
+        .select(col("media_id_a").as("id_a"), col("media_id_b").as("id_b"))
+      ConnectedComponents(textPairs.union(mediaPairs).distinct(),
+          vertices = Some(docs.select("doc_id")))
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
+    // PII incidence by registered domain — the audit rollup a compliance
+    // review asks for: which domains leak emails/numbers, at what rate
+    // (q61's injection × q79's domain key, zero joins: the domain is a
+    // narrow function of the id).
+    "q98_pii_by_domain" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val b = Sampling.bucket(col("doc_id"))
+      val injected = d.select(col("doc_id"),
+        when(b < 15, concat(col("text"), lit(" contact bob"),
+          (col("doc_id") % 50).cast("string"), lit("@example.com now")))
+          .when(b < 30, concat(col("text"), lit(" call 5551234"),
+            (col("doc_id") % 1000).cast("string")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.redact(injected)
+        .select(UrlOps.registeredDomain(UrlOps.hostOf(
+            UrlOps.syntheticUrl(col("doc_id")))).as("reg_domain"),
+          col("n_emails"), col("n_numbers"))
+        .groupBy(col("reg_domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") + col("n_numbers") > 0, 1L).otherwise(0L))
+            .as("n_pii_docs"),
+          sum(col("n_emails")).as("total_emails"),
+          sum(col("n_numbers")).as("total_numbers"))
+        .withColumn("pii_rate", col("n_pii_docs").cast("double") / col("n_docs"))
+    }),
+
+    // Doc stitching: find documents split across shard/crawl boundaries
+    // (last-k tokens of one piece == first-k of the next). A hash-
+    // sampled slice is split in half with a k-token overlap — the
+    // injection — and the operator re-finds every seam from boundary
+    // hashes alone.
+    "q97_doc_stitching" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = 8
+      val tks = split(col("text"), " ")
+      val n = size(tks)
+      val canSplit = Sampling.bucket(col("doc_id")) < 20 && n >= 24
+      val half = floor(n / 2).cast("int")
+      val part1 = array_join(slice(tks, lit(1), half + lit(k)), " ")
+      val part2 = array_join(slice(tks, half + lit(1), n - half), " ")
+      val corpus = d.select(explode(when(canSplit,
+          array(
+            struct((col("doc_id") * 2).as("doc_id"), part1.as("text")),
+            struct((col("doc_id") * 2 + 1).as("doc_id"), part2.as("text"))))
+        .otherwise(array(
+          struct((col("doc_id") * 2).as("doc_id"), col("text").as("text")))))
+        .as("r"))
+        .select(col("r.doc_id"), col("r.text"))
+      Dedup.stitchCandidates(corpus, k = k)
+    }),
+
     // Domain-reputation filter — the web-corpus two-pass: per-domain
     // quality pass rate (q63's injection makes docs fail), then keep
     // whole domains clearing 90%. Spam farms fail wholesale even where
@@ -873,6 +945,11 @@ object SparkEntry {
         TextAnalysis.trainLangProfiles(marked, m = 120))
     }),
   )
+
+  /** q100 profiled lineitem columns — one of each physical type (int64,
+    * int32, double, string, timestamp); shared with the oracle builder. */
+  private val ProfileCols: Seq[String] = Seq(
+    "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
 
   /** q87 target output mix (percent, sums to 100) — shared with the
     * oracle builder. */
@@ -1102,5 +1179,12 @@ object SparkEntry {
     "q96_domain_reputation" -> OracleSql.domainReputation(injectPct = 10,
       injectSuffix = "lorem ipsum dolor sit amet", minPassPct = 68,
       idCol = "doc_id"),
+    "q97_doc_stitching" -> OracleSql.docStitching(splitPct = 20,
+      minTokens = 24, k = 8, idCol = "doc_id"),
+    "q98_pii_by_domain" -> OracleSql.piiByDomain(emailPct = 15, numPct = 15,
+      idCol = "doc_id"),
+    "q99_multisignal_components" -> OracleSql.multiSignalComponents(
+      maxHamming = 3),
+    "q100_profile" -> OracleSql.profile("lineitem", ProfileCols),
   )
 }

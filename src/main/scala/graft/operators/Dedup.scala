@@ -561,4 +561,30 @@ object Dedup {
             coalesce(col("__rl"), typedLit(Array.empty[Int])), i)))
           .as("text_deduped"))
   }
+
+  /**
+   * Document-stitching candidates: ordered pairs (id_a, id_b) where the
+   * LAST `k` tokens of doc a equal the FIRST `k` tokens of doc b — the
+   * signature of one document split across shard/crawl boundaries
+   * (the reassembly problem every multi-source web corpus has).
+   *
+   * One narrow projection computes both boundary hashes per doc;
+   * candidates come from ONE equi-join of suffix-hash against
+   * prefix-hash — never all-pairs, and the join key is near-unique for
+   * any reasonable `k`, so bucket sizes stay bounded at corpus scale.
+   * Boundary equality is rolling-hash equality on BOTH engines, so a
+   * (cosmically rare) collision cannot cause oracle drift.
+   */
+  def stitchCandidates(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tks = tokens(col(textCol))
+    val base = graft.SparkUtil.ensureParallelism(docs)
+      .filter(size(tks) >= k)
+      .select(col(idCol).as("id"),
+        rollingHash(array_join(slice(tks, 1, k), " ")).as("pref"),
+        rollingHash(array_join(slice(tks, -k, k), " ")).as("suf"))
+    base.as("x").join(base.as("y"),
+        col("x.suf") === col("y.pref") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+  }
 }

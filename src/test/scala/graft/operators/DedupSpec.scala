@@ -108,6 +108,19 @@ class DedupSpec extends SparkSpec {
     assert(cleanHit == 0L && cleanFrac == 0.0 && !cleanFlag)
   }
 
+  test("stitchCandidates finds split-document seams, directionally") {
+    val df = docs(
+      1L -> "a b c d e f",
+      2L -> "e f g h i j",   // prefix(2) == suffix(1) at k=2
+      3L -> "x y z w v u")
+    val pairs = Dedup.stitchCandidates(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // docs shorter than k don't participate
+    val short = docs(1L -> "a", 2L -> "a b c")
+    assert(Dedup.stitchCandidates(short, k = 2).collect().isEmpty)
+  }
+
   test("cross-corpus pairs = the between-sides subset of the self-join pairs") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
     val newSide = d.filter(Sampling.bucket(col("doc_id")) < 50)

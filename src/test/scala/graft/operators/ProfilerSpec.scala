@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class ProfilerSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  test("profile counts rows, nulls, distincts and casts min/max to string") {
+    val df = spark.createDataFrame(
+      Seq(Row(1L, "a"), Row(2L, null), Row(2L, "b"), Row(null, "a")).asJava,
+      StructType(Seq(
+        StructField("k", LongType, nullable = true),
+        StructField("v", StringType, nullable = true))))
+    val out = Profiler.profile(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getLong(1) == 4L && k.getLong(2) == 1L && k.getLong(3) == 2L)
+    assert(k.getString(4) == "1" && k.getString(5) == "2")
+    val v = out("v")
+    assert(v.getLong(2) == 1L && v.getLong(3) == 2L)
+    assert(v.getString(4) == "a" && v.getString(5) == "b")
+  }
+
+  test("profile plans one single-column pruned scan per branch, no join, no Expand") {
+    val d = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val plan = Profiler.profile(d, Seq("l_orderkey", "l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected no join:\n$plan")
+    // one branch per column, each scanning ONLY its column — and no
+    // multi-distinct Expand (whose partial agg would key on the full
+    // column tuple and blow up on high-cardinality columns)
+    assert(!plan.contains("Expand"), s"expected no Expand:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 2, s"expected 2 scans:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint>"), s"$plan")
+    assert(plan.contains("ReadSchema: struct<l_quantity:double>"), s"$plan")
+  }
+}
