@@ -885,6 +885,42 @@ object OracleSql {
        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
        |FROM n GROUP BY 1""".stripMargin
 
+  /** Mirror of TextAnalysis.corpusDrift over the hash-split halves:
+    * per-token chi-square contributions with the identical left-assoc
+    * double chains (expected counts inlined, not pre-bound — same IEEE
+    * value either way). */
+  def corpusDrift(newPct: Int, k: Int, idCol: String): String = {
+    val eA = "(CAST((ca + cb) * ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))"
+    val eB = "(CAST((ca + cb) * tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))"
+    s"""WITH ca_t AS (SELECT tok AS token, count(*) AS ca FROM (
+       |    SELECT unnest($toks) AS tok FROM documents
+       |    WHERE ${sampleBucket(idCol)} < $newPct) GROUP BY 1),
+       |cb_t AS (SELECT tok AS token, count(*) AS cb FROM (
+       |    SELECT unnest($toks) AS tok FROM documents
+       |    WHERE ${sampleBucket(idCol)} >= $newPct) GROUP BY 1),
+       |j AS (SELECT token, COALESCE(ca, 0)::BIGINT AS ca,
+       |        COALESCE(cb, 0)::BIGINT AS cb
+       |      FROM ca_t FULL OUTER JOIN cb_t USING (token)),
+       |tot AS (SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb FROM j),
+       |top AS (SELECT * FROM j ORDER BY ca + cb DESC, token ASC LIMIT $k)
+       |SELECT token, ca AS cnt_a, cb AS cnt_b,
+       |  CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) AS share_a,
+       |  CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE) AS share_b,
+       |  ((CAST(ca AS DOUBLE) - $eA) * (CAST(ca AS DOUBLE) - $eA) / $eA)
+       |    + ((CAST(cb AS DOUBLE) - $eB) * (CAST(cb AS DOUBLE) - $eB) / $eB)
+       |    AS chi2
+       |FROM top, tot""".stripMargin
+  }
+
+  /** Mirror of IO.shardManifest over documents: shared bucket mod
+    * nShards, bit-XOR of the rolling text hash. */
+  def shardManifest(nShards: Int, idCol: String): String =
+    s"""SELECT (${sampleBucket(idCol)}) % $nShards AS shard_id,
+       |  count(*)::BIGINT AS n_rows,
+       |  min($idCol) AS min_id, max($idCol) AS max_id,
+       |  bit_xor(${rh("text")}) AS checksum
+       |FROM documents GROUP BY 1""".stripMargin
+
   /** Mirror of Profiler.profile over a named table: one UNION ALL branch
     * per column, identical string casts for min/max. */
   def profile(table: String, cols: Seq[String]): String =

@@ -780,6 +780,24 @@ object SparkEntry {
     "q92_coverage_curve" -> ((s, dir) =>
       TextAnalysis.coverageCurve(t(s, dir, "documents"), maxRank = 25)),
 
+    // Shard manifest — the exactly-once export-validation artifact:
+    // per-shard row count, id range, and order-insensitive content
+    // checksum; recompute after any copy and diff to prove integrity.
+    "q102_shard_manifest" -> ((s, dir) =>
+      graft.sources.IO.shardManifest(t(s, dir, "documents"), nShards = 8,
+        graft.functions.TextFunctions.rollingHash(col("text")))),
+
+    // Corpus drift report: per-token chi-square contributions between
+    // the two hash-split corpus halves over the pooled top-30 vocab —
+    // the audit run before swapping a corpus version into a training
+    // mix. Rational arithmetic only (no logs, no global float sum).
+    "q101_corpus_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.corpusDrift(
+        d.filter(Sampling.bucket(col("doc_id")) < 50),
+        d.filter(Sampling.bucket(col("doc_id")) >= 50), k = 30)
+    }),
+
     // Generic table profiler — the per-column data-quality fact sheet
     // (rows, nulls, exact distincts, min/max) every ingestion step
     // publishes; one aggregation pass, long-form output.
@@ -1186,5 +1204,9 @@ object SparkEntry {
     "q99_multisignal_components" -> OracleSql.multiSignalComponents(
       maxHamming = 3),
     "q100_profile" -> OracleSql.profile("lineitem", ProfileCols),
+    "q101_corpus_drift" -> OracleSql.corpusDrift(newPct = 50, k = 30,
+      idCol = "doc_id"),
+    "q102_shard_manifest" -> OracleSql.shardManifest(nShards = 8,
+      idCol = "doc_id"),
   )
 }

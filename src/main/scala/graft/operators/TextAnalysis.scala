@@ -530,6 +530,46 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /**
+   * Corpus drift report — per-token chi-square contributions between two
+   * corpus versions over the pooled top-`k` vocabulary: which tokens'
+   * frequencies shifted, by how much, with the standard 2×N contingency
+   * statistic. The drift audit run before swapping a corpus version into
+   * a training mix (a global KL would need transcendentals and an
+   * order-dependent float sum; per-token chi-square contributions are
+   * pure rational arithmetic on exact counts, so every row replays
+   * bit-identically — rank and sum downstream however you like).
+   *
+   * Spark shape: one token agg per side (map-side partials), one
+   * full-outer equi-join on the token, a distributed top-k cut under the
+   * (pooled count desc, token asc) total order, and the two scalar
+   * totals broadcast back. Expected counts and contributions are
+   * left-assoc double chains mirrored exactly in the oracle.
+   */
+  def corpusDrift(docsA: DataFrame, docsB: DataFrame, k: Int = 30,
+      textCol: String = "text"): DataFrame = {
+    def counts(d: DataFrame, as: String) =
+      d.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(as))
+    val j = graft.SparkUtil.trackCache(
+      counts(docsA, "ca").join(counts(docsB, "cb"), Seq("token"), "full_outer")
+        .select(col("token"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb")))
+    val tot = j.agg(sum(col("ca")).as("__ta"), sum(col("cb")).as("__tb"))
+    val top = j.orderBy((col("ca") + col("cb")).desc, col("token").asc).limit(k)
+    val caD = col("ca").cast("double")
+    val cbD = col("cb").cast("double")
+    val grand = (col("__ta") + col("__tb")).cast("double")
+    val eA = ((col("ca") + col("cb")) * col("__ta")).cast("double") / grand
+    val eB = ((col("ca") + col("cb")) * col("__tb")).cast("double") / grand
+    top.crossJoin(broadcast(tot))
+      .select(col("token"), col("ca").as("cnt_a"), col("cb").as("cnt_b"),
+        (caD / col("__ta").cast("double")).as("share_a"),
+        (cbD / col("__tb").cast("double")).as("share_b"),
+        ((caD - eA) * (caD - eA) / eA + (cbD - eB) * (cbD - eB) / eB)
+          .as("chi2"))
+  }
+
   /** One row per char trigram position of `textCol` (labelled by
     * `keyCol`) — shared by the language-profile train and infer stages.
     * Character semantics (not bytes) in both engines, so CJK text

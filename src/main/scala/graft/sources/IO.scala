@@ -213,4 +213,25 @@ object IO {
       .saveAsTable(table)
     df.sparkSession.table(table)
   }
+
+  /** Deterministic shard manifest — the exactly-once export-validation
+    * artifact: per content-addressed shard (shared hash bucket of
+    * `idCol`, mod `nShards`), the row count, id range, and an
+    * order-insensitive content checksum (bit-XOR of a caller-supplied
+    * per-row hash). Recompute after any copy/import and diff against the
+    * stored manifest to prove integrity without caring about row order
+    * or file layout. ONE hash agg with map-side partials — the shuffle
+    * is `nShards` scalar rows. */
+  def shardManifest(df: DataFrame, nShards: Int,
+      contentHash: org.apache.spark.sql.Column,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    df.select((graft.operators.Sampling.bucket(col(idCol)) % nShards)
+          .as("shard_id"),
+        col(idCol).as("__id"), contentHash.as("__h"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_rows"), min(col("__id")).as("min_id"),
+        max(col("__id")).as("max_id"), expr("bit_xor(__h)").as("checksum"))
+  }
 }

@@ -172,4 +172,23 @@ class IOSpec extends SparkSpec {
       assert(plain.toSeq == salted.toSeq, s"joinType=$jt diverged from plain join")
     }
   }
+
+  test("shard manifest is invariant to row order and layout, sensitive to content") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val h = graft.functions.TextFunctions.rollingHash(col("text"))
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      IO.shardManifest(df, nShards = 4, h).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    val base = manifest(d)
+    assert(base.size == 4)
+    // reorder + repartition → identical manifest
+    assert(manifest(d.orderBy(col("n_chars")).repartition(13)) == base)
+    // a single corrupted row flips exactly its shard's checksum
+    val corrupted = manifest(d.withColumn("text",
+      when(col("doc_id") === 0, lit("corrupted payload")).otherwise(col("text"))))
+    val changed = base.keySet.filter(k => base(k) != corrupted(k))
+    assert(changed.size == 1)
+  }
 }
