@@ -257,6 +257,30 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("contamination report: the corpus side joins broadcast, never sort-merged against eval") {
+    val p = plan(SparkEntry.queries("q94_contamination_report")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("domain reputation: the good-domain table joins back broadcast") {
+    val p = plan(SparkEntry.queries("q96_domain_reputation")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("doc stitching: boundary-hash candidates come from an equi-join, not a nested loop") {
+    val p = plan(SparkEntry.queries("q97_doc_stitching")(spark, sf()))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("shard manifest: one aggregation exchange, no join") {
+    val p = plan(SparkEntry.queries("q102_shard_manifest")(spark, sf()))
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("no declared query ever plans a CartesianProduct") {
     // Sweeping regression net over the whole inventory: a dropped join
     // key or a broken equi-condition shows up as a cartesian. q18 is the
