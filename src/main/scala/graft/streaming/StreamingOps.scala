@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
@@ -115,6 +115,34 @@ object StreamingOps {
    * Input contract: (`idCol`: long, `keyCol`: string) — key on a content
    * hash (e.g. `TextFunctions.rollingHash`/md5) for text dedup.
    */
+  /**
+   * Watermarked windowed shard manifest — the streaming face of
+   * `graft.sources.IO.shardManifest`: per (event-time window,
+   * content-addressed shard), the row count and order-insensitive XOR
+   * content checksum. Count and XOR are associative/commutative, so
+   * late-but-in-watermark rows fold in correctly and a window's manifest
+   * is FINAL once the watermark passes — the integrity artifact a
+   * continuous exporter publishes alongside each window's files, diffed
+   * by the importer exactly like the batch manifest. State per key is
+   * two longs regardless of row volume. On a batch frame the watermark
+   * is a no-op and the output equals the same grouped aggregation over
+   * window buckets (the property the spec pins).
+   */
+  def windowedManifest(rows: DataFrame, contentHash: Column,
+      nShards: Int = 8, tsCol: String = "ts", idCol: String = "event_id",
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (rows.isStreaming) rows.withWatermark(tsCol, watermark) else rows
+    withWm.select(window(col(tsCol), windowDuration).as("w"),
+        (graft.operators.Sampling.bucket(col(idCol)) % nShards).as("shard_id"),
+        contentHash.as("__h"))
+      .groupBy(col("w"), col("shard_id"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("checksum"))
+      .select(col("w.start").as("window_start"), col("shard_id"),
+        col("n_rows"), col("checksum"))
+  }
+
   def streamingDedup(stream: DataFrame, idCol: String = "doc_id",
       keyCol: String = "content_key",
       stateTimeout: Option[String] = None): DataFrame = {

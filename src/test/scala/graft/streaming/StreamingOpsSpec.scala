@@ -304,4 +304,63 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q2.stop()
     profiles.unpersist()
   }
+
+  test("windowedManifest: stream output equals the batch manifest on the same rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    import org.apache.spark.sql.functions._
+    val h = graft.functions.TextFunctions.rollingHash(col("event_type"))
+    val evs = Seq(
+      Ev(t("2024-01-01 10:05:00"), "click", 1L, 2.0),
+      Ev(t("2024-01-01 10:55:00"), "view", 2L, 8.0),
+      Ev(t("2024-01-01 11:05:00"), "click", 3L, 5.0),
+      Ev(t("2024-01-01 10:30:00"), "buy", 4L, 1.0))
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.windowedManifest(input.toDF(), h, nShards = 2,
+        idCol = "user_id")
+      .writeStream.format("memory").queryName("manifest_stream")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches in arbitrary order: count and XOR are
+      // commutative, so the final manifest must equal batch exactly
+      input.addData(evs(2), evs(0))
+      q.processAllAvailable()
+      input.addData(evs(3), evs(1))
+      q.processAllAvailable()
+      val stream = spark.table("manifest_stream").collect().map(_.toSeq).toSet
+      val batch = StreamingOps.windowedManifest(evs.toDF(), h, nShards = 2,
+        idCol = "user_id").collect().map(_.toSeq).toSet
+      assert(stream == batch, "streaming manifest differs from batch")
+      assert(stream.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("media pHash signatures and stitch boundary hashes run unchanged on streams") {
+    // both are stateless per-row work (mapPartitions decode + narrow
+    // projection), so append-mode streaming must reproduce batch exactly
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different payload content right here today"))
+    val batch = rows.toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal
+        .decodeMeta(graft.operators.Multimodal.mediaFromDocuments(df)).toDF()
+        .select(col("media_id"),
+          graft.operators.Multimodal.perceptualHash(col("checksum")).as("ph"))
+    val input = MemoryStream[(Long, String)]
+    val q = sigs(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("phash_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val s = spark.table("phash_stream").collect().map(_.toSeq).toSet
+      val b = sigs(batch).collect().map(_.toSeq).toSet
+      assert(s == b, "streaming pHash signatures differ from batch")
+    } finally q.stop()
+  }
 }
