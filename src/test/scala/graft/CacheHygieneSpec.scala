@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
 
 /**
  * The caching operators (shingle sets in the Jaccard/MinHash family, the
@@ -27,6 +27,13 @@ class CacheHygieneSpec extends SparkSpec {
     Dedup.minhashLshPairs(docs).count()
     Dedup.simhashPairs(docs).count()
     SimilaritySearch.cosineNearDupPairsLsh(emb, threshold = 0.3).count()
+    TextAnalysis.coverageCurve(docs, maxRank = 5).count()
+    TextAnalysis.corpusDrift(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), k = 5).count()
+    operators.UrlOps.domainReputationFilter(docs,
+      operators.UrlOps.syntheticUrl(col("doc_id")), lit(true)).count()
+    operators.Multimodal.phashPairs(
+      operators.Multimodal.mediaFromDocuments(docs)).count()
     assert(!spark.sharedState.cacheManager.isEmpty,
       "expected operator-internal caches to be registered while in use")
     SparkUtil.unpersistTrackedCaches()

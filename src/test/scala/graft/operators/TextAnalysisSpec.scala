@@ -430,4 +430,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == ((7L, 2L, 1L, 2L, 2 * 7 + 5 * 2 - 3 * 1 - 1 * 2, true)))
     assert(out(2L) == ((1L, 0L, 0L, 0L, 2L, false)))
   }
+
+  test("corpusDrift: identical halves score exactly zero, a shifted token dominates") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    // identical sides: every expected count equals the observed count, so
+    // every chi2 contribution is exactly 0.0 (rational arithmetic, no eps)
+    val same = TextAnalysis.corpusDrift(d, d, k = 10).collect()
+    assert(same.length == 10)
+    same.foreach { r =>
+      assert(r.getDouble(5) == 0.0, s"chi2 must be exactly 0: $r")
+      assert(r.getDouble(3) == r.getDouble(4), "shares must match")
+    }
+    graft.SparkUtil.unpersistTrackedCaches()
+    // inject a token burst into side B only: that token must rank top-1
+    // by chi2 among the pooled top-k
+    val burst = d.select(col("doc_id"),
+      concat_ws(" ", col("text"),
+        lit(Seq.fill(20)("graftburst").mkString(" "))).as("text"))
+    val drift = TextAnalysis.corpusDrift(d, burst, k = 10).collect()
+      .sortBy(-_.getDouble(5))
+    assert(drift.head.getString(0) == "graftburst", s"got ${drift.head}")
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
 }
