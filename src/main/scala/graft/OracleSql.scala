@@ -1332,6 +1332,27 @@ object OracleSql {
        |WHERE ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) >= $threshold""".stripMargin
   }
 
+  /** Mirror of SimilaritySearch.crossCorpusNearDupLsh over the
+    * hash-split embedding sides: same SRP bits, any-table bucket match,
+    * cross-side orientation instead of id ordering. */
+  def crossCorpusEmbedLsh(newPct: Int, threshold: Double, dim: Int,
+      nPlanes: Int, nTables: Int, idCol: String): String = {
+    val n2 = dotTerms("embedding", "embedding", dim)
+    val dotXY = dotTerms("x.v", "y.v", dim)
+    val mask = (1L << nPlanes) - 1
+    val anyTable = (0 until nTables).map { t =>
+      s"((x.bits >> ${t * nPlanes}) & $mask) = ((y.bits >> ${t * nPlanes}) & $mask)"
+    }.mkString(" OR ")
+    s"""WITH n AS (SELECT $idCol AS id, embedding AS v, ($n2) AS n2,
+       |             ${srpBits("embedding", dim, nPlanes * nTables)} AS bits,
+       |             ${sampleBucket(idCol)} AS bk
+       |           FROM embeddings)
+       |SELECT x.id AS id_new, y.id AS id_old,
+       |  ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) AS cosine
+       |FROM n x JOIN n y ON x.bk < $newPct AND y.bk >= $newPct AND ($anyTable)
+       |WHERE ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) >= $threshold""".stripMargin
+  }
+
   /** Adjacent-token bigram CTEs — DuckDB's lockstep multi-unnest over two
     * 1-based slices mirrors TextAnalysis.bigramPairs' index transform. */
   private val bigramCtes: String =

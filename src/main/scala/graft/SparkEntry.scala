@@ -780,6 +780,17 @@ object SparkEntry {
     "q92_coverage_curve" -> ((s, dir) =>
       TextAnalysis.coverageCurve(t(s, dir, "documents"), maxRank = 25)),
 
+    // Cross-corpus SEMANTIC dedup — the embedding face of the signature
+    // store (q89): old corpus reduces to SRP (table, bucket) keys, new
+    // vectors check in against the store, exact cosine verify only on
+    // collisions. Daily-ingest shape: never re-compares old × old.
+    "q103_cross_corpus_embed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.crossCorpusNearDupLsh(
+        e.filter(Sampling.bucket(col("vec_id")) < 50),
+        e.filter(Sampling.bucket(col("vec_id")) >= 50), threshold = 0.4)
+    }),
+
     // Shard manifest — the exactly-once export-validation artifact:
     // per-shard row count, id range, and order-insensitive content
     // checksum; recompute after any copy and diff to prove integrity.
@@ -1208,5 +1219,7 @@ object SparkEntry {
       idCol = "doc_id"),
     "q102_shard_manifest" -> OracleSql.shardManifest(nShards = 8,
       idCol = "doc_id"),
+    "q103_cross_corpus_embed" -> OracleSql.crossCorpusEmbedLsh(newPct = 50,
+      threshold = 0.4, dim = 64, nPlanes = 4, nTables = 8, idCol = "vec_id"),
   )
 }

@@ -458,6 +458,46 @@ object SimilaritySearch {
   }
 
   /**
+   * Cross-corpus embedding near-dup pairs — the semantic sibling of
+   * Dedup.crossCorpusPairs and the embedding face of the q89 signature
+   * store: the OLD corpus reduces to its SRP (table, bucket) key table
+   * (exactly what a persisted semantic signature store holds), NEW
+   * vectors bucket narrowly, candidates come from the store equi-join,
+   * and the exact cosine verify touches old vectors only for matched
+   * survivors. Incremental-ingest shape: the old side is never
+   * re-compared against itself, so daily ingests pay |new| × bucket
+   * collisions, not |corpus|².
+   */
+  def crossCorpusNearDupLsh(newEmb: DataFrame, oldEmb: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64, nPlanes: Int = 4,
+      nTables: Int = 8): DataFrame = {
+    require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
+    def side(df: DataFrame) = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(df)
+        .select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm2(col(vecCol), dim).as("n2"),
+          lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits")))
+    val nb = side(newEmb)
+    val ob = side(oldEmb)
+    def keys(b: DataFrame) = b.select(col("id"),
+      srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
+    val candidates = keys(nb).as("x").join(keys(ob).as("y"),
+        col("x.__tb") === col("y.__tb"))
+      .select(col("x.id").as("id_new"), col("y.id").as("id_old"))
+      .distinct()
+    candidates
+      .join(nb.select(col("id"), col("v").as("va"), col("n2").as("na2")),
+        col("id_new") === col("id")).drop("id")
+      .join(ob.select(col("id"), col("v").as("vb"), col("n2").as("nb2")),
+        col("id_old") === col("id")).drop("id")
+      .select(col("id_new"), col("id_old"),
+        cosineWithNorms(dot(col("va"), col("vb"), dim), col("na2"), col("nb2"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
    * Semantic outlier scoring against the per-group embedding centroid —
    * the curation step that catches mislabeled/misfiled documents (a
    * French doc in the English bucket, spam in a code corpus): each

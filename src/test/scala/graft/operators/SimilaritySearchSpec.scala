@@ -358,4 +358,25 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(kept == cells.keySet.diff(expectedDrops))
     assert(kept.size < cells.size, "threshold 0.4 must drop something on the fixture")
   }
+
+  test("cross-corpus LSH pairs = the cross-side subset of the self-join LSH pairs") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val newSide = e.filter(graft.operators.Sampling.bucket(col("vec_id")) < 50)
+    val oldSide = e.filter(graft.operators.Sampling.bucket(col("vec_id")) >= 50)
+    val newIds = newSide.select("vec_id").collect().map(_.getLong(0)).toSet
+    val cross = SimilaritySearch.crossCorpusNearDupLsh(newSide, oldSide,
+        threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cross.nonEmpty)
+    cross.foreach { case (n, o, _) => assert(newIds(n) && !newIds(o)) }
+    // the SRP bits depend only on the vector, so the self-join operator
+    // restricted to cross-side orientation must agree exactly
+    val self = SimilaritySearch.cosineNearDupPairsLsh(e, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .filter { case (x, y, _) => newIds(x) && !newIds(y) }.toSet
+    assert(cross == self)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
 }
