@@ -912,6 +912,39 @@ object OracleSql {
        |FROM top, tot""".stripMargin
   }
 
+  /** Mirror of Profiler.corpusDiff over the fixture's snapshot
+    * derivation: old = bucket < oldMax, new = bucket >= newMin with
+    * every revEvery-th id's text suffixed, md5 compare, full-outer CASE
+    * verdict (DuckDB's USING coalesces the join key exactly as Spark's
+    * Seq-key full outer does). */
+  def corpusDiff(oldMax: Int, newMin: Int, revEvery: Int,
+      idCol: String): String =
+    s"""WITH a AS (SELECT $idCol, md5(text) AS ha FROM documents
+       |           WHERE ${sampleBucket(idCol)} < $oldMax),
+       |b AS (SELECT $idCol,
+       |        md5(CASE WHEN $idCol % $revEvery = 0 THEN text || ' rev2'
+       |                 ELSE text END) AS hb
+       |      FROM documents WHERE ${sampleBucket(idCol)} >= $newMin)
+       |SELECT $idCol,
+       |  CASE WHEN ha IS NULL THEN 'added'
+       |       WHEN hb IS NULL THEN 'removed'
+       |       WHEN ha = hb THEN 'unchanged'
+       |       ELSE 'changed' END AS status
+       |FROM a FULL OUTER JOIN b USING ($idCol)""".stripMargin
+
+  /** Mirror of Profiler.anonymityAudit over customer: one class agg, one
+    * scalar total, the identical double division. */
+  def anonymityAudit(quasiCols: Seq[String], k: Int, table: String): String = {
+    val qs = quasiCols.mkString(", ")
+    s"""WITH g AS (SELECT $qs, count(*)::BIGINT AS class_size
+       |           FROM $table GROUP BY $qs),
+       |t AS (SELECT count(*)::BIGINT AS n FROM $table)
+       |SELECT $qs, class_size,
+       |  CAST(class_size AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+       |  class_size < $k AS at_risk
+       |FROM g, t""".stripMargin
+  }
+
   /** Mirror of IO.shardManifest over documents: shared bucket mod
     * nShards, bit-XOR of the rolling text hash. */
   def shardManifest(nShards: Int, idCol: String): String =

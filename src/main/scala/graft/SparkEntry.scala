@@ -791,6 +791,29 @@ object SparkEntry {
         e.filter(Sampling.bucket(col("vec_id")) >= 50), threshold = 0.4)
     }),
 
+    // Corpus snapshot diff — the CDC audit between two corpus versions:
+    // per-doc added/removed/changed/unchanged verdicts from one
+    // full-outer join of (id, md5) projections. Old = bucket < 70,
+    // new = bucket >= 30 with every 7th id's text revised, so all four
+    // verdict classes are populated on the fixture.
+    "q104_corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val oldSnap = d.filter(Sampling.bucket(col("doc_id")) < 70)
+      val newSnap = d.filter(Sampling.bucket(col("doc_id")) >= 30)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      Profiler.corpusDiff(oldSnap, newSnap)
+    }),
+
+    // k-anonymity audit over the (nation, market segment) quasi-id
+    // tuple: every equivalence class with its size, table share, and
+    // re-identification verdict at k=10 — the compliance gate before
+    // releasing user-linked data.
+    "q107_anonymity_audit" -> ((s, dir) =>
+      Profiler.anonymityAudit(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10)),
+
     // Shard manifest — the exactly-once export-validation artifact:
     // per-shard row count, id range, and order-insensitive content
     // checksum; recompute after any copy and diff to prove integrity.
@@ -1221,5 +1244,9 @@ object SparkEntry {
       idCol = "doc_id"),
     "q103_cross_corpus_embed" -> OracleSql.crossCorpusEmbedLsh(newPct = 50,
       threshold = 0.4, dim = 64, nPlanes = 4, nTables = 8, idCol = "vec_id"),
+    "q104_corpus_diff" -> OracleSql.corpusDiff(oldMax = 70, newMin = 30,
+      revEvery = 7, idCol = "doc_id"),
+    "q107_anonymity_audit" -> OracleSql.anonymityAudit(
+      Seq("c_nationkey", "c_mktsegment"), k = 10, table = "customer"),
   )
 }

@@ -41,4 +41,59 @@ object Profiler {
           col("n_distinct"), col("min_value"), col("max_value"))
     }.reduce(_ unionAll _)
   }
+
+  /**
+   * Corpus snapshot diff — the CDC audit between two corpus versions:
+   * every id classified as `added` (new only), `removed` (old only),
+   * `changed` (both sides, content hash differs) or `unchanged`. The
+   * per-doc verdict table is what an incremental pipeline consumes
+   * (reprocess exactly the added+changed set); `GROUP BY status` of it
+   * is the one-line release note.
+   *
+   * Spark shape: each side reduces to (id, md5) — a narrow codegen'd
+   * projection, the text column never leaves the scan stage — then ONE
+   * full-outer equi-join on the id and a CASE verdict. At 100 TB the
+   * only shuffle is that join's hash partitioning on the id; snapshots
+   * written id-bucketed (`IO.writeBucketed`) join with zero Exchange.
+   * md5 (128-bit) makes a false "unchanged" astronomically unlikely and
+   * is exactly replayable by the SQL oracle.
+   */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val a = oldDf.select(col(idCol), md5(col(textCol)).as("__ha"))
+    val b = newDf.select(col(idCol), md5(col(textCol)).as("__hb"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /**
+   * k-anonymity audit over a quasi-identifier tuple — the re-identification
+   * risk report run before releasing any corpus with user-linked columns:
+   * each equivalence class (distinct quasi-id combination) with its size,
+   * its share of the table, and the `at_risk` verdict (size < k means a
+   * row in that class is re-identifiable among fewer than k candidates).
+   *
+   * Spark shape: ONE hash aggregation keyed on the quasi-id tuple (map-side
+   * partial counts — the table never shuffles raw), plus one scalar total
+   * broadcast back. Output cardinality is the quasi-id space, orders of
+   * magnitude under the row count; share is a single double division of
+   * exact integers so the oracle replays it bit-identically.
+   */
+  def anonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      k: Int = 5): DataFrame = {
+    require(quasiCols.nonEmpty, "anonymityAudit needs at least one quasi-id column")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    classes.crossJoin(broadcast(total))
+      .select(quasiCols.map(col) ++ Seq(
+        col("class_size"),
+        (col("class_size").cast("double") / col("__n").cast("double"))
+          .as("share"),
+        (col("class_size") < k).as("at_risk")): _*)
+  }
 }

@@ -38,4 +38,40 @@ class ProfilerSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint>"), s"$plan")
     assert(plan.contains("ReadSchema: struct<l_quantity:double>"), s"$plan")
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged by content hash") {
+    val mk = (rows: Seq[(Long, String)]) => {
+      import spark.implicits._
+      rows.toDF("doc_id", "text")
+    }
+    val oldSnap = mk(Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    val newSnap = mk(Seq(2L -> "b", 3L -> "c2", 4L -> "d"))
+    val out = Profiler.corpusDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("corpusDiff text columns never survive past the scan-side projection") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = Profiler.corpusDiff(d, d.withColumn("text", concat(col("text"), lit("x"))))
+      .queryExecution.executedPlan.toString
+    // the join operates on (id, md5) projections only — one SortMergeJoin
+    // or shuffled hash join on the id, no text column in the join schema
+    assert(plan.contains("FullOuter"), s"expected full outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"expected equi-join:\n$plan")
+  }
+
+  test("anonymityAudit flags classes under k with exact shares") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 1), ("b", 2))
+      .toDF("seg", "nat")
+    val out = Profiler.anonymityAudit(df, Seq("seg", "nat"), k = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(("a", 1)) == ((3L, 0.6, false)))
+    assert(out(("b", 1)) == ((1L, 0.2, true)))
+    assert(out(("b", 2)) == ((1L, 0.2, true)))
+  }
 }
