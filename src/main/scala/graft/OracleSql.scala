@@ -912,6 +912,46 @@ object OracleSql {
        |FROM top, tot""".stripMargin
   }
 
+  /** Mirror of EventAnalytics.funnel: stage 1 anchors at the earliest
+    * stage-1 event, each later stage at the earliest qualifying event
+    * (strictly after the previous stage, within the gap) — the greedy
+    * first-match CTE chain, one per stage. */
+  def funnel(stages: Seq[String], maxGapMinutes: Int): String = {
+    val ctes = stages.zipWithIndex.map { case (stage, i) =>
+      if (i == 0)
+        s"""s0 AS (SELECT user_id, min(ts) AS t FROM events
+           |  WHERE event_type = '${sqlLit(stage)}' GROUP BY 1)""".stripMargin
+      else
+        s"""s$i AS (SELECT e.user_id, min(e.ts) AS t
+           |  FROM events e JOIN s${i - 1} p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '${sqlLit(stage)}' AND e.ts > p.t
+           |    AND e.ts <= p.t + INTERVAL $maxGapMinutes MINUTES
+           |  GROUP BY 1)""".stripMargin
+    }
+    val rows = stages.zipWithIndex.map { case (stage, i) =>
+      s"""SELECT '${sqlLit(stage)}' AS stage, $i AS stage_index,
+         |  (SELECT count(*) FROM s$i) AS users_reached""".stripMargin
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${rows.mkString("\nUNION ALL ")}"
+  }
+
+  /** Mirror of EventAnalytics.coEngagement on the props.k JSON item:
+    * first-engagement agg, per-user rank cap, capped self-join, top-k
+    * under the total (count desc, item_a, item_b) order. */
+  def coEngagement(k: Int, maxItemsPerUser: Int): String =
+    s"""WITH it AS (SELECT user_id,
+       |    json_extract_string(props, '$$.k')::INTEGER AS item,
+       |    min(ts) AS f
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2),
+       |cap AS (SELECT user_id, item FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY f, item) AS rn FROM it) WHERE rn <= $maxItemsPerUser)
+       |SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+       |FROM cap a JOIN cap b ON a.user_id = b.user_id AND a.item < b.item
+       |GROUP BY 1, 2
+       |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT $k""".stripMargin
+
   /** Mirror of Profiler.corpusDiff over the fixture's snapshot
     * derivation: old = bucket < oldMax, new = bucket >= newMin with
     * every revEvery-th id's text suffixed, md5 compare, full-outer CASE

@@ -791,6 +791,23 @@ object SparkEntry {
         e.filter(Sampling.bucket(col("vec_id")) >= 50), threshold = 0.4)
     }),
 
+    // Windowed funnel: users progressing signup → view → click →
+    // purchase, each stage strictly after the previous and within one
+    // day of it (greedy first-match semantics — the standard funnel
+    // policy). Fixture declines 150 → 39 → 16 → 5.
+    "q105_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(Tables.loadEvents(s, dir),
+        Seq("signup", "view", "click", "purchase"), maxGapMinutes = 1440)),
+
+    // Co-engagement graph: the 20 item pairs (the props.k JSON property)
+    // most often engaged by the same user, per-user item fan-out capped
+    // at 30 by first-engagement order — the item-item co-occurrence edge
+    // list behind related-content linking and co-citation analysis.
+    "q106_coengagement" -> ((s, dir) =>
+      EventAnalytics.coEngagement(Tables.loadEvents(s, dir),
+        get_json_object(col("props"), "$.k").cast("int"), k = 20,
+        maxItemsPerUser = 30)),
+
     // Corpus snapshot diff — the CDC audit between two corpus versions:
     // per-doc added/removed/changed/unchanged verdicts from one
     // full-outer join of (id, md5) projections. Old = bucket < 70,
@@ -1246,6 +1263,9 @@ object SparkEntry {
       threshold = 0.4, dim = 64, nPlanes = 4, nTables = 8, idCol = "vec_id"),
     "q104_corpus_diff" -> OracleSql.corpusDiff(oldMax = 70, newMin = 30,
       revEvery = 7, idCol = "doc_id"),
+    "q105_funnel" -> OracleSql.funnel(
+      Seq("signup", "view", "click", "purchase"), maxGapMinutes = 1440),
+    "q106_coengagement" -> OracleSql.coEngagement(k = 20, maxItemsPerUser = 30),
     "q107_anonymity_audit" -> OracleSql.anonymityAudit(
       Seq("c_nationkey", "c_mktsegment"), k = 10, table = "customer"),
   )

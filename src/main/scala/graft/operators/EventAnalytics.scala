@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,88 @@ object EventAnalytics {
       .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
       .agg(count(lit(1)).as("n_transitions"))
       .orderBy(col("n_transitions").desc, col("from_type").asc, col("to_type").asc)
+      .limit(k)
+  }
+
+  /**
+   * Windowed funnel analysis: how many entities progress through the
+   * ordered `stages` sequence, where each stage must occur strictly
+   * after the previous one and within `maxGapMinutes` of it. Semantics
+   * are the standard greedy first-match funnel (Amplitude/GA style):
+   * stage 1 anchors at the entity's EARLIEST stage-1 event, stage i+1 at
+   * the earliest qualifying event after stage i — deterministic, and the
+   * policy every funnel tool documents. Output: one row per stage with
+   * the reached-entity count.
+   *
+   * Spark shape: stage 1 is one hash agg (min ts per entity); each later
+   * stage is one equi-join on the entity key against the (shrinking)
+   * reached set plus a min agg. All joins share the entity-key hash
+   * partitioning (Exchange reuse), the event side is filtered to one
+   * stage's type before joining (scan-side pushdown), and the reached
+   * set only ever shrinks — at 100 TB the funnel tail is broadcast-sized
+   * and AQE switches those joins to broadcast automatically. The final
+   * per-stage counts are k scalar aggs unioned (k = |stages|, tiny).
+   */
+  def funnel(events: DataFrame, stages: Seq[String], maxGapMinutes: Int = 60,
+      tsCol: String = "ts", userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, "funnel stages must be distinct")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.filter(col(typeCol) === stage).as("e")
+        .join(prev.as("p"), col(s"e.$userCol") === col(s"p.$userCol"))
+        .filter(col(s"e.$tsCol") > col("__t") &&
+          col(s"e.$tsCol") <= col("__t") +
+            expr(s"INTERVAL $maxGapMinutes MINUTES"))
+        .groupBy(col(s"e.$userCol").as(userCol))
+        .agg(min(col(s"e.$tsCol")).as("__t"))
+    }
+    reached.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("users_reached"))
+        .select(lit(stage).as("stage"), lit(i).as("stage_index"),
+          col("users_reached"))
+    }.reduce(_ unionAll _)
+  }
+
+  /**
+   * Co-engagement graph: the `k` most frequent item pairs engaged by the
+   * same entity — the item-item co-occurrence edge list behind
+   * collaborative filtering, related-content linking, and (in corpus
+   * curation) co-citation analysis. `itemExpr` extracts the item key
+   * from an event row (e.g. a JSON property).
+   *
+   * Skew posture (the classic failure is one power user generating
+   * |items|² pairs): each entity's DISTINCT items are capped at
+   * `maxItemsPerUser` by first-engagement order (min event time, item
+   * tiebreak — deterministic, keeps the entity's earliest interests), so
+   * the per-entity pair fan-out is structurally bounded at cap². Spark
+   * shape: one hash agg to (entity, item, first_ts), one entity-key
+   * window for the cap, one self-equi-join on the entity key (reusing
+   * that window's partitioning), and a map-side-partial count over the
+   * pair key space — then a distributed TakeOrdered top-k cut under the
+   * total (count desc, item_a, item_b) order. Raw events shuffle once.
+   */
+  def coEngagement(events: DataFrame, itemExpr: Column, k: Int = 20,
+      maxItemsPerUser: Int = 30, tsCol: String = "ts",
+      userCol: String = "user_id"): DataFrame = {
+    val firstSeen = events
+      .select(col(userCol), itemExpr.as("__item"), col(tsCol))
+      .filter(col("__item").isNotNull)
+      .groupBy(col(userCol), col("__item"))
+      .agg(min(col(tsCol)).as("__first"))
+    val capped = firstSeen
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(userCol))
+        .orderBy(col("__first").asc, col("__item").asc)))
+      .filter(col("__rn") <= maxItemsPerUser)
+      .select(col(userCol), col("__item"))
+    capped.as("a").join(capped.as("b"),
+        col(s"a.$userCol") === col(s"b.$userCol") &&
+          col("a.__item") < col("b.__item"))
+      .groupBy(col("a.__item").as("item_a"), col("b.__item").as("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("item_a").asc, col("item_b").asc)
       .limit(k)
   }
 }

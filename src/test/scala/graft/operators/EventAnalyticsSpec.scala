@@ -75,4 +75,63 @@ class EventAnalyticsSpec extends SparkSpec {
     // order is (ts, event_id): y (id 1) -> x (id 2) -> z
     assert(out == Set(("y", "x"), ("x", "z")))
   }
+
+  test("funnel: greedy first-match with strict order and gap window") {
+    val df = events(
+      // user 1 completes a -> b -> c inside the window
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 10:20:00", 1L, "b"),
+      (3L, "2024-01-01 10:40:00", 1L, "c"),
+      // user 2: b precedes its a anchor, so stage 2 never fires
+      (4L, "2024-01-01 09:00:00", 2L, "b"),
+      (5L, "2024-01-01 10:00:00", 2L, "a"),
+      // user 3: b arrives past the 60-minute gap
+      (6L, "2024-01-01 10:00:00", 3L, "a"),
+      (7L, "2024-01-01 11:30:00", 3L, "b"),
+      // user 4: anchor is the EARLIEST a (greedy), so the 10:30 b that
+      // only qualifies against the 10:15 a is still within 60min of 10:00
+      (8L, "2024-01-01 10:00:00", 4L, "a"),
+      (9L, "2024-01-01 10:15:00", 4L, "a"),
+      (10L, "2024-01-01 10:30:00", 4L, "b"))
+    val out = EventAnalytics.funnel(df, Seq("a", "b", "c"), maxGapMinutes = 60)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("funnel stage joins stay on the entity key (no cartesian)") {
+    val d = graft.Tables.loadEvents(spark, sf())
+    val plan = EventAnalytics.funnel(d, Seq("signup", "view", "click"),
+      maxGapMinutes = 1440).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"expected equi-joins:\n$plan")
+  }
+
+  test("coEngagement counts co-engaging users per item pair, capped per user") {
+    import org.apache.spark.sql.functions.col
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "x"),
+      (2L, "2024-01-01 10:01:00", 1L, "y"),
+      (3L, "2024-01-01 10:02:00", 1L, "z"),
+      (4L, "2024-01-01 11:00:00", 2L, "x"),
+      (5L, "2024-01-01 11:01:00", 2L, "y"),
+      // duplicate engagement: still ONE (x,y) edge for user 2
+      (6L, "2024-01-01 11:02:00", 2L, "x"))
+    val out = EventAnalytics.coEngagement(df, col("event_type"), k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("x", "y", 2L), ("x", "z", 1L), ("y", "z", 1L)))
+  }
+
+  test("coEngagement cap bounds a hot user's pair fan-out deterministically") {
+    import org.apache.spark.sql.functions.col
+    // user 1 engages items a,b,c,d in that order; cap 2 keeps {a,b} only
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 10:01:00", 1L, "b"),
+      (3L, "2024-01-01 10:02:00", 1L, "c"),
+      (4L, "2024-01-01 10:03:00", 1L, "d"))
+    val out = EventAnalytics.coEngagement(df, col("event_type"), k = 10,
+      maxItemsPerUser = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("a", "b")))
+  }
 }
