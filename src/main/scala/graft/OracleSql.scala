@@ -51,6 +51,18 @@ object OracleSql {
 
   private val shingleHashes: String = shingleHashesN(3)
 
+  /** ALL word-n-gram shingle hashes (duplicates kept) — the multiset twin
+    * of [[shingleHashesN]] for term-frequency-weighted operators. */
+  private def shingleHashesAllN(n: Int): String = {
+    val joined = (0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
+    s"""list_transform(
+       |  CASE WHEN len($toks) >= $n
+       |       THEN list_transform(range(1, len($toks) - ${n - 2}),
+       |              i -> $joined)
+       |       ELSE [] END,
+       |  s -> ${rh("s")})""".stripMargin
+  }
+
   /** Exact all-pairs n-gram Jaccard >= threshold — the oracle for BOTH the
     * exact inverted-index operator and the MinHash+LSH operator (at the
     * given banding, LSH misses a >=0.6 pair with probability < 1e-10). */
@@ -69,6 +81,33 @@ object OracleSql {
        |JOIN sets2 sa ON i.id_a = sa.id
        |JOIN sets2 sb ON i.id_b = sb.id
        |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= $threshold""".stripMargin
+
+  /** Mirror of Dedup.rarityWeightedPairs: shingle term frequencies,
+    * df-capped inverted index, quantized-idf integer coordinates
+    * `tf · (N // df)`, exact integer dot products and norms, one final
+    * double cosine per pair. */
+  def rarityWeightedPairs(n: Int, threshold: Double, maxDocFreq: Int): String =
+    s"""WITH sh AS (SELECT doc_id AS id, unnest(${shingleHashesAllN(n)}) AS h
+       |            FROM documents),
+       |tf AS (SELECT id, h, count(*)::BIGINT AS tf FROM sh GROUP BY 1, 2),
+       |dft AS (SELECT h, count(*)::BIGINT AS df FROM tf GROUP BY 1
+       |        HAVING count(*) <= $maxDocFreq),
+       |nd AS (SELECT count(DISTINCT id)::BIGINT AS n FROM tf),
+       |idx AS (SELECT tf.id, tf.h, tf.tf * (nd.n // dft.df) AS v
+       |        FROM tf JOIN dft USING (h), nd),
+       |norms AS (SELECT id, sum(v * v)::BIGINT AS n2 FROM idx GROUP BY 1),
+       |pairs AS (SELECT x.id AS id_a, y.id AS id_b,
+       |            sum(x.v * y.v)::BIGINT AS dot
+       |          FROM idx x JOIN idx y ON x.h = y.h AND x.id < y.id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+       |    AS cosine
+       |FROM pairs JOIN norms na ON id_a = na.id JOIN norms nb ON id_b = nb.id
+       |WHERE CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+       |    >= $threshold""".stripMargin
 
   /** Per-doc 32-bit SimHash as a CTE body (relational formulation of the
     * per-row fold the Spark side does with higher-order functions). */

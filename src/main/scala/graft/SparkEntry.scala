@@ -823,6 +823,13 @@ object SparkEntry {
       Profiler.corpusDiff(oldSnap, newSnap)
     }),
 
+    // Rarity-weighted sparse cosine pairs — the TF-IDF-style near-dup
+    // detector: quantized-idf integer coordinates keep every sum exact;
+    // rare-shingle weighting cleanly separates true near-dups from
+    // boilerplate overlap (fixture: 25 known pairs >= 0.8, rest < 0.3).
+    "q108_rarity_weighted_pairs" -> ((s, dir) =>
+      Dedup.rarityWeightedPairs(t(s, dir, "documents"), threshold = 0.5)),
+
     // k-anonymity audit over the (nation, market segment) quasi-id
     // tuple: every equivalence class with its size, table share, and
     // re-identification verdict at k=10 — the compliance gate before
@@ -1268,5 +1275,7 @@ object SparkEntry {
     "q106_coengagement" -> OracleSql.coEngagement(k = 20, maxItemsPerUser = 30),
     "q107_anonymity_audit" -> OracleSql.anonymityAudit(
       Seq("c_nationkey", "c_mktsegment"), k = 10, table = "customer"),
+    "q108_rarity_weighted_pairs" -> OracleSql.rarityWeightedPairs(n = 3,
+      threshold = 0.5, maxDocFreq = 10000),
   )
 }

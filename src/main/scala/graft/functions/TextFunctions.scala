@@ -84,6 +84,16 @@ object TextFunctions {
   def shingleHashesHof(text: Column, n: Int): Column =
     array_distinct(transform(shingles(tokens(text), n), rollingHash(_)))
 
+  /** ALL shingle hashes (duplicates kept, position order) — the multiset
+    * twin of [[shingleHashes]] for term-frequency-weighted operators.
+    * Native one-pass expression; HOF spelling kept for parity tests. */
+  def shingleHashesAll(text: Column, n: Int): Column =
+    native(catalyst.ShingleHashesAll(expr(text), n))
+
+  /** Reference HOF formulation of [[shingleHashesAll]]. */
+  def shingleHashesAllHof(text: Column, n: Int): Column =
+    transform(shingles(tokens(text), n), rollingHash(_))
+
   /** MinHash signature of a hash-set column: `k` signatures, where
     * `sig_i = min over h of ((2i+1)*h + 7919*i + 1) mod p`. The coefficient
     * family is fixed and public so the DuckDB oracle can replay it.

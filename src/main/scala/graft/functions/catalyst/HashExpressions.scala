@@ -167,6 +167,46 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** ALL word-n-gram shingle hashes of a text column in one pass — the
+  * multiset twin of [[ShingleHashes]] (duplicates kept, position order),
+  * for term-frequency-weighted operators: `explode` + `groupBy(id, h)`
+  * recovers per-document shingle term frequencies relationally. Matches
+  * `transform(shingles(tokens(text), n), rollingHash)` byte for byte.
+  *
+  * CodegenFallback for the same reason as [[ShingleHashes]]: the
+  * per-byte loop dominates; the surrounding stage stays codegen'd. */
+case class ShingleHashesAll(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes_all"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i < b.length) { if (b(i) == ' '.toByte) starts += i + 1; i += 1 }
+    val m = starts.length
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - n + 1)
+    var w = 0
+    while (w + n <= m) {
+      val from = starts(w)
+      val until = if (w + n < m) starts(w + n) - 1 else b.length
+      var h = 0L
+      var j = from
+      while (j < until) { h = (h * HashBase + (b(j) & 0xff)) % HashPrime; j += 1 }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesAll =
+    copy(child = newChild)
+}
+
 /** Maximum term frequency over the single-space-separated tokens of a
   * text — the core of Gopher-style repetition scoring (a doc whose most
   * frequent token dominates is boilerplate/spam-shaped). One pass, one

@@ -53,6 +53,22 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native multiset shingle hashes == HOF transform (duplicates, order)") {
+    val d = docs.select(
+      TextFunctions.shingleHashesAll(col("text"), 3).as("a"),
+      TextFunctions.shingleHashesAllHof(col("text"), 3).as("b"))
+    assert(d.filter(not(col("a") <=> col("b"))).count() == 0)
+    val spark0 = spark
+    import spark0.implicits._
+    val edge = Seq("one two", "a", "x x x x").toDF("text")
+      .select(TextFunctions.shingleHashesAll(col("text"), 3).as("a"),
+        TextFunctions.shingleHashesAllHof(col("text"), 3).as("b"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // the repeated-token doc keeps BOTH identical shingles (multiset)
+    assert(edge(2).getSeq[Long](0).size == 2)
+  }
+
   test("native float dot product == unrolled element_at chain, bit for bit") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(100).cache()
     val pairs = emb.as("x").crossJoin(emb.as("y")).select(

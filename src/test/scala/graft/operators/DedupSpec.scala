@@ -54,6 +54,35 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(df, threshold = 0.1).collect().isEmpty)
   }
 
+  test("rarityWeightedPairs: quantized-idf cosine, exact hand-computed values") {
+    // A/B share shingle "x y z" (df=2 → weight N//df = 2); their unique
+    // shingles get weight 4. A: v=[2,4] n2=20; B same; dot=4 → cos 0.2.
+    // C/D are identical (both shingles df=2, v=2 each) → cos 1.0.
+    val df = docs(
+      1L -> "x y z w", 2L -> "x y z q",
+      3L -> "a b c d", 4L -> "a b c d")
+    val all = Dedup.rarityWeightedPairs(df, threshold = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(all.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(math.abs(all((1L, 2L)) - 0.2) < 1e-12)
+    assert(math.abs(all((3L, 4L)) - 1.0) < 1e-12)
+    // default-ish threshold keeps only the true near-dup
+    val cut = Dedup.rarityWeightedPairs(df, threshold = 0.5).collect()
+    assert(cut.length == 1 && (cut.head.getLong(0), cut.head.getLong(1)) == ((3L, 4L)))
+  }
+
+  test("rarityWeightedPairs separates near-dups from boilerplate overlap on documents") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val sims = Dedup.rarityWeightedPairs(d, threshold = 0.0)
+    // exact same pair set as the Jaccard operator's >= 0.6 pairs at the
+    // 0.5 cosine cut (fixture-measured: those score >= 0.8, rest < 0.3)
+    val strong = sims.filter(col("cosine") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jacc = Dedup.ngramJaccardPairs(d, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong == jacc)
+  }
+
   test("fuzzy decontamination drops embedded/edited eval leakage, keeps the rest") {
     val evalDoc = "the quick brown fox jumps over the lazy dog again and again"
     val corpus = docs(
