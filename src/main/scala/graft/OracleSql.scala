@@ -1517,6 +1517,28 @@ object OracleSql {
        |FROM j e JOIN c ON e.lang = c.lang""".stripMargin
   }
 
+  /** Mirror of SimilaritySearch.centroidDrift over the hash-split halves
+    * of embeddings: per-(group, half) micro-scaled integer sums, identical
+    * centroid divisions and cosine chain. */
+  def centroidDrift(newPct: Int, threshold: Double, dim: Int,
+      idCol: String): String = {
+    val sums = (1 to dim).map(i =>
+      s"sum(CAST(floor(embedding[$i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    def cd(p: String, i: Int) = s"($p.s$i::DOUBLE / ($p.n::DOUBLE * 1000000.0))"
+    val dot = (1 to dim).map(i => s"${cd("a", i)} * ${cd("b", i)}").mkString(" + ")
+    val n2a = (1 to dim).map(i => s"${cd("a", i)} * ${cd("a", i)}").mkString(" + ")
+    val n2b = (1 to dim).map(i => s"${cd("b", i)} * ${cd("b", i)}").mkString(" + ")
+    val score = s"($dot) / (sqrt($n2a) * sqrt($n2b))"
+    s"""WITH a AS (SELECT label, count(*)::BIGINT AS n, $sums FROM embeddings
+       |           WHERE ${sampleBucket(idCol)} < $newPct GROUP BY label),
+       |b AS (SELECT label, count(*)::BIGINT AS n, $sums FROM embeddings
+       |      WHERE ${sampleBucket(idCol)} >= $newPct GROUP BY label)
+       |SELECT a.label, a.n AS n_old, b.n AS n_new,
+       |  $score AS centroid_cosine, $score < $threshold AS drifted
+       |FROM a JOIN b ON a.label = b.label""".stripMargin
+  }
+
   /** Mirror of TextAnalysis.linearScore: integer features x literal
     * integer weights, integer threshold — exact end to end. */
   def linearScore(wTok: Long, wStop: Long, wDigit: Long, wUpper: Long,

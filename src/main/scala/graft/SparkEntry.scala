@@ -823,6 +823,18 @@ object SparkEntry {
       Profiler.corpusDiff(oldSnap, newSnap)
     }),
 
+    // Embedding centroid drift — the embedding face of the q101 token
+    // drift audit: per-label cosine between old-half and new-half mean
+    // vectors (micro-scaled integer sums → exact), drift verdict at 0.5.
+    // The fixture's random vectors drift everywhere by construction; a
+    // real corpus's random halves would sit at ~1.0 (spec-pinned).
+    "q109_centroid_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.centroidDrift(
+        e.filter(Sampling.bucket(col("vec_id")) < 50),
+        e.filter(Sampling.bucket(col("vec_id")) >= 50), threshold = 0.5)
+    }),
+
     // Rarity-weighted sparse cosine pairs — the TF-IDF-style near-dup
     // detector: quantized-idf integer coordinates keep every sum exact;
     // rare-shingle weighting cleanly separates true near-dups from
@@ -1277,5 +1289,7 @@ object SparkEntry {
       Seq("c_nationkey", "c_mktsegment"), k = 10, table = "customer"),
     "q108_rarity_weighted_pairs" -> OracleSql.rarityWeightedPairs(n = 3,
       threshold = 0.5, maxDocFreq = 10000),
+    "q109_centroid_drift" -> OracleSql.centroidDrift(newPct = 50,
+      threshold = 0.5, dim = 64, idCol = "vec_id"),
   )
 }

@@ -540,4 +540,43 @@ object SimilaritySearch {
         (dotC / (sqrt(n2x) * sqrt(n2c))).as("cos_centroid"))
       .withColumn("is_outlier", col("cos_centroid") < threshold)
   }
+
+  /**
+   * Embedding centroid drift between two corpus versions: per group, the
+   * cosine between the old and new per-group mean vectors, plus both
+   * sample counts and a drift verdict at `threshold` — the embedding
+   * face of the q101 token-drift audit (run before swapping an encoder
+   * or corpus version into a training mix: a group whose centroid moved
+   * is the group whose data changed).
+   *
+   * Determinism: the same micro-scaled integer-sum centroid as
+   * [[embedOutliers]] — per-dimension sums of `floor(x·10⁶ + 0.5)` are
+   * exact order-insensitive integer aggregations, the centroid division
+   * and cosine are per-row double chains mirrored in the oracle.
+   *
+   * Spark shape: each side reduces to ≤ |groups| centroid rows in ONE
+   * map-side-partial hash agg (the 100 TB corpus never shuffles raw
+   * vectors — the shuffle is groups × dim integer sums), then one
+   * broadcast-sized equi-join of the two centroid tables.
+   */
+  def centroidDrift(oldDf: DataFrame, newDf: DataFrame,
+      groupCol: String = "label", threshold: Double = 0.5,
+      vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    def stats(d: DataFrame, pre: String) = {
+      val micro = (1 to dim).map(i =>
+        sum(floor(element_at(col(vecCol), i).cast("double") * lit(1000000.0) +
+          lit(0.5)).cast("long")).as(s"${pre}s$i"))
+      d.groupBy(col(groupCol)).agg(count(lit(1)).as(s"${pre}n"), micro: _*)
+    }
+    def cent(pre: String)(i: Int): Column =
+      col(s"${pre}s$i").cast("double") /
+        (col(s"${pre}n").cast("double") * lit(1000000.0))
+    val dot = (1 to dim).map(i => cent("__a")(i) * cent("__b")(i)).reduce(_ + _)
+    val n2a = (1 to dim).map(i => cent("__a")(i) * cent("__a")(i)).reduce(_ + _)
+    val n2b = (1 to dim).map(i => cent("__b")(i) * cent("__b")(i)).reduce(_ + _)
+    stats(oldDf, "__a").join(stats(newDf, "__b"), groupCol)
+      .select(col(groupCol), col("__an").as("n_old"), col("__bn").as("n_new"),
+        (dot / (sqrt(n2a) * sqrt(n2b))).as("centroid_cosine"))
+      .withColumn("drifted", col("centroid_cosine") < threshold)
+  }
 }

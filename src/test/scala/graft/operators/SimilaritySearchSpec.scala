@@ -341,6 +341,36 @@ class SimilaritySearchSpec extends SparkSpec {
     out.foreach { case (id, (c, _)) => assert(shuffled(id) == c) }
   }
 
+  test("centroidDrift: stable group near 1.0, rotated group drifts, order-invariant") {
+    val spark0 = spark
+    import spark0.implicits._
+    // group "a": same +x cluster in both halves -> cosine ~1, no drift;
+    // group "b": +y cluster rotated to +z in the new half -> cosine ~0
+    val oldH = Seq(
+      (1L, "a", Array(1f, 0.1f, 0f, 0f)),
+      (2L, "a", Array(0.9f, -0.1f, 0f, 0f)),
+      (3L, "b", Array(0f, 1f, 0.05f, 0f)),
+      (4L, "b", Array(0f, 0.9f, -0.05f, 0f))).toDF("vec_id", "label", "embedding")
+    val newH = Seq(
+      (5L, "a", Array(0.95f, 0f, 0f, 0f)),
+      (6L, "a", Array(1f, 0.05f, 0f, 0f)),
+      (7L, "b", Array(0f, 0.05f, 1f, 0f)),
+      (8L, "b", Array(0f, -0.05f, 0.9f, 0f))).toDF("vec_id", "label", "embedding")
+    val out = SimilaritySearch.centroidDrift(oldH, newH, groupCol = "label",
+      threshold = 0.5, dim = 4).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out("a")._1 == 2L && out("a")._2 == 2L)
+    assert(out("a")._3 > 0.99 && !out("a")._4)
+    assert(math.abs(out("b")._3) < 0.11 && out("b")._4)
+    // integer-sum centroids: partitioning cannot move the cosine an ulp
+    val shuffled = SimilaritySearch.centroidDrift(
+      oldH.repartition(4), newH.orderBy(col("vec_id").desc), groupCol = "label",
+      threshold = 0.5, dim = 4).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    out.foreach { case (g, (_, _, c, _)) => assert(shuffled(g) == c) }
+  }
+
   test("semanticDedup equals brute-force exists-smaller-neighbor within cells") {
     val e = emb.cache()
     val kept = SimilaritySearch.semanticDedup(e, threshold = 0.4).collect()
