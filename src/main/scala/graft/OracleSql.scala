@@ -991,6 +991,64 @@ object OracleSql {
        |GROUP BY 1, 2
        |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT $k""".stripMargin
 
+  /** Mirror of EventAnalytics.retentionCohorts: distinct weekly activity,
+    * min-week cohorts, integer-division periods, period-0 base join. */
+  def retentionCohorts: String =
+    s"""WITH wk AS (SELECT DISTINCT user_id,
+       |              date_trunc('week', ts)::TIMESTAMP AS wk
+       |            FROM events),
+       |coh AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1),
+       |cnt AS (SELECT cohort AS cohort_week,
+       |          (date_diff('day', cohort, wk) // 7)::INTEGER AS period,
+       |          count(*)::BIGINT AS n_active
+       |        FROM wk JOIN coh USING (user_id) GROUP BY 1, 2),
+       |base AS (SELECT cohort_week, n_active AS n0 FROM cnt WHERE period = 0)
+       |SELECT c.cohort_week, c.period, c.n_active,
+       |  CAST(c.n_active AS DOUBLE) / CAST(b.n0 AS DOUBLE) AS retention
+       |FROM cnt c JOIN base b USING (cohort_week)""".stripMargin
+
+  /** Mirror of Sampling.leakageSafeSplit over the q14 pair graph: the
+    * dedupComponents transitive closure plus the shared bucket filter on
+    * the COMPONENT id. */
+  def leakageSafeSplit(threshold: Double, maxDocFreq: Int,
+      testPct: Int): String =
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+       |  CASE WHEN ${sampleBucket("COALESCE(c.component, d.doc_id)")} < $testPct
+       |       THEN 'test' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
+
+  /** Mirror of Profiler.keySkewReport on the events entity key: one
+    * count agg, scalar total + shared-interpolation median, top-k cut. */
+  def keySkewReport(keyCol: String, topK: Int): String =
+    s"""WITH c AS (SELECT $keyCol::VARCHAR AS key, count(*)::BIGINT AS n
+       |           FROM events GROUP BY 1),
+       |s AS (SELECT sum(n)::BIGINT AS total, quantile_cont(n, 0.5) AS med
+       |      FROM c),
+       |top AS (SELECT * FROM c ORDER BY n DESC, key ASC LIMIT $topK)
+       |SELECT key, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       |  CAST(n AS DOUBLE) / med AS skew_vs_median
+       |FROM top, s""".stripMargin
+
+  /** Mirror of Dedup.pairSimilarityHistogram: candidate pairs at
+    * threshold 0, decile buckets, constant-size cumulative window. */
+  def pairSimilarityHistogram(maxDocFreq: Int): String =
+    s"""WITH p AS (${ngramJaccardPairs(0.0, maxDocFreq)}),
+       |h AS (SELECT floor(jaccard * 10)::INTEGER AS bucket,
+       |        count(*)::BIGINT AS n_pairs FROM p GROUP BY 1)
+       |SELECT CAST(bucket AS DOUBLE) / 10.0 AS threshold_lo, n_pairs,
+       |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_pairs_ge
+       |FROM h""".stripMargin
+
   /** Mirror of Profiler.corpusDiff over the fixture's snapshot
     * derivation: old = bucket < oldMax, new = bucket >= newMin with
     * every revEvery-th id's text suffixed, md5 compare, full-outer CASE

@@ -823,6 +823,35 @@ object SparkEntry {
       Profiler.corpusDiff(oldSnap, newSnap)
     }),
 
+    // Cohort retention triangle: users grouped by first-active week,
+    // per-(cohort, weeks-since) active counts and retention rates — the
+    // survival curve of contributors/sources in an ingestion stream.
+    "q110_retention" -> ((s, dir) =>
+      EventAnalytics.retentionCohorts(Tables.loadEvents(s, dir))),
+
+    // Leakage-safe train/test split: the split unit is the near-dup
+    // CLUSTER (connected components over the q14 pair graph), so a test
+    // doc's near-copy can never leak into train — the failure mode of a
+    // plain id-hash split on duplicated corpora.
+    "q111_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.6)
+        .select("id_a", "id_b")
+      Sampling.leakageSafeSplit(docs, pairs, testPct = 20)
+    }),
+
+    // Join-key skew report on the event entity key: hottest keys with
+    // share and skew-vs-median — the diagnostic behind the plain vs
+    // salted vs broadcast join decision.
+    "q112_key_skew" -> ((s, dir) =>
+      Profiler.keySkewReport(Tables.loadEvents(s, dir), "user_id", topK = 10)),
+
+    // Dedup threshold sweep: candidate pairs per similarity decile with
+    // at-or-above cumulative counts — the "how aggressive" curve read
+    // before fixing a Jaccard cut.
+    "q113_dedup_sweep" -> ((s, dir) =>
+      Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
+
     // Embedding centroid drift — the embedding face of the q101 token
     // drift audit: per-label cosine between old-half and new-half mean
     // vectors (micro-scaled integer sums → exact), drift verdict at 0.5.
@@ -1291,5 +1320,10 @@ object SparkEntry {
       threshold = 0.5, maxDocFreq = 10000),
     "q109_centroid_drift" -> OracleSql.centroidDrift(newPct = 50,
       threshold = 0.5, dim = 64, idCol = "vec_id"),
+    "q110_retention" -> OracleSql.retentionCohorts,
+    "q111_leakage_safe_split" -> OracleSql.leakageSafeSplit(threshold = 0.6,
+      maxDocFreq = 10000, testPct = 20),
+    "q112_key_skew" -> OracleSql.keySkewReport("user_id", topK = 10),
+    "q113_dedup_sweep" -> OracleSql.pairSimilarityHistogram(maxDocFreq = 10000),
   )
 }

@@ -203,6 +203,34 @@ object Dedup {
   }
 
   /**
+   * Dedup threshold sweep — the "how aggressive should the dedup be"
+   * curve a curator reads before picking a Jaccard cut: candidate pairs
+   * bucketed by similarity decile, with per-bucket counts and the
+   * cumulative count of pairs at-or-above each bucket (= how many pairs
+   * a threshold at that decile would act on).
+   *
+   * Spark shape: the same df-capped inverted-index candidate generation
+   * as [[ngramJaccardPairs]] at threshold 0 (exact — candidates are
+   * exactly the pairs with Jaccard > 0), reduced to ≤ 11 decile rows by
+   * one hash agg; the cumulative window runs over those ≤ 11 rows (the
+   * only single-partition step sees a constant-size input). `floor` of
+   * the shared double is bit-stable cross-engine.
+   */
+  def pairSimilarityHistogram(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3,
+      maxDocFreq: Int = 10000): DataFrame = {
+    val hist = ngramJaccardPairs(docs, idCol, textCol, n,
+        threshold = 0.0, maxDocFreq)
+      .select(floor(col("jaccard") * 10).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    hist.withColumn("n_pairs_ge",
+        sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((col("bucket").cast("double") / 10.0).as("threshold_lo"),
+        col("n_pairs"), col("n_pairs_ge"))
+  }
+
+  /**
    * Rarity-weighted sparse cosine pairs — the TF-IDF-style member of the
    * near-dup family: documents as sparse vectors over their n-gram
    * shingles, each coordinate `tf · (N div df)` (term frequency times a

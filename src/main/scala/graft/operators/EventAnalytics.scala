@@ -114,6 +114,41 @@ object EventAnalytics {
   }
 
   /**
+   * Cohort retention: entities grouped by first-active week (their
+   * cohort), then for each (cohort, periods-since-cohort) the number of
+   * still-active entities and the retention rate vs the cohort's size —
+   * the standard product-analytics retention triangle, and in corpus
+   * operations the contributor/source survival curve.
+   *
+   * Spark shape: events reduce to DISTINCT (entity, week) in one hash
+   * agg (map-side partial dedup — raw events never shuffle twice); the
+   * cohort is a second agg over that already-small activity table; one
+   * entity-key join back (reusing the activity table's partitioning) and
+   * one (cohort, period) count. Cohort sizes come from the period-0 rows
+   * themselves (every entity is active in its own cohort week, so
+   * period 0 always exists) — a broadcast-sized self-join, no extra
+   * pass. Rate is one double division of exact counts.
+   */
+  def retentionCohorts(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id"): DataFrame = {
+    val weekly = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__wk"))
+      .distinct()
+    val cohort = weekly.groupBy(col(userCol)).agg(min(col("__wk")).as("__cohort"))
+    val counts = weekly.join(cohort, userCol)
+      .select(col("__cohort").as("cohort_week"),
+        expr("datediff(__wk, __cohort) div 7").cast("int").as("period"))
+      .groupBy(col("cohort_week"), col("period"))
+      .agg(count(lit(1)).as("n_active"))
+    val base = counts.filter(col("period") === 0)
+      .select(col("cohort_week"), col("n_active").as("__n0"))
+    counts.join(broadcast(base), "cohort_week")
+      .select(col("cohort_week"), col("period"), col("n_active"),
+        (col("n_active").cast("double") / col("__n0").cast("double"))
+          .as("retention"))
+  }
+
+  /**
    * Co-engagement graph: the `k` most frequent item pairs engaged by the
    * same entity — the item-item co-occurrence edge list behind
    * collaborative filtering, related-content linking, and (in corpus

@@ -71,6 +71,33 @@ object Profiler {
   }
 
   /**
+   * Join-key skew report — the diagnostic run before choosing a join
+   * strategy (plain vs salted vs broadcast): the `topK` hottest keys
+   * with their frequency, share of the table, and ratio to the median
+   * key frequency. A `skew_vs_median` in the hundreds says the plain
+   * hash join will stall on one reducer and `SparkUtil.saltedJoin` (or
+   * AQE skew split) is warranted; ≈1 says the key is uniform.
+   *
+   * Spark shape: ONE hash agg to (key, count) with map-side partials,
+   * then two cheap passes over that already-reduced table — a scalar
+   * agg (total + median via the shared-interpolation percentile) and a
+   * distributed TakeOrdered top-k cut under the total (count desc, key
+   * asc) order. The raw table never shuffles; the shuffle is bounded by
+   * key cardinality.
+   */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum(col("n")).as("__total"),
+      percentile(col("n"), lit(0.5)).as("__median"))
+    counts.orderBy(col("n").desc, col("key").asc).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("n"),
+        (col("n").cast("double") / col("__total").cast("double")).as("share"),
+        (col("n").cast("double") / col("__median")).as("skew_vs_median"))
+  }
+
+  /**
    * k-anonymity audit over a quasi-identifier tuple — the re-identification
    * risk report run before releasing any corpus with user-linked columns:
    * each equivalence class (distinct quasi-id combination) with its size,

@@ -61,6 +61,32 @@ object Sampling {
     df.withColumn("split",
       when(bucket(col(idCol)) < testPct, lit("test")).otherwise(lit("train")))
 
+  /**
+   * Leakage-safe train/test split: the split unit is the NEAR-DUP
+   * CLUSTER, not the document — a doc and its near-duplicates always
+   * land in the same side, closing the classic eval-leakage hole where
+   * an id-hash split puts a test doc's near-copy into train (the
+   * [[trainTestSplit]] failure mode on duplicated corpora). `pairs` is
+   * any near-dup pair table (Jaccard, MinHash, SimHash, embedding —
+   * first two columns are the edge); docs absent from `pairs` form
+   * singleton clusters and split by their own id, so on a dedup'd corpus
+   * this degrades to exactly [[trainTestSplit]].
+   *
+   * Spark shape: connected components over the pair graph (the edge
+   * subgraph is tiny relative to the corpus; isolated docs are appended
+   * self-labeled without riding the iteration — see
+   * [[ConnectedComponents]]), then the same narrow content-addressed
+   * bucket filter on the COMPONENT id. Deterministic end to end: the
+   * component is the min doc id of the cluster, the bucket is public
+   * arithmetic, so the oracle replays membership exactly.
+   */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, testPct: Int,
+      idCol: String = "doc_id"): DataFrame =
+    ConnectedComponents(pairs, vertices = Some(docs.select(col(idCol))))
+      .select(col("id").as(idCol), col("component"),
+        when(bucket(col("component")) < testPct, lit("test"))
+          .otherwise(lit("train")).as("split"))
+
   /** Content-addressed bucket in [0, 100) for ARBITRARY values (strings,
     * composites cast to string) — the no-dense-id case: real corpora often
     * key on URLs or content hashes, not sequential longs. Uses the

@@ -54,6 +54,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(df, threshold = 0.1).collect().isEmpty)
   }
 
+  test("pairSimilarityHistogram buckets candidate pairs with at-or-above cumulatives") {
+    // identical pair -> jaccard 1.0 (bucket 10); half-overlap pair -> 0.5
+    // (bucket 5); disjoint docs share no shingle -> no candidate row
+    val df = docs(
+      1L -> "a b c d", 2L -> "a b c d",
+      3L -> "w1 w2 w3 w4 w5", 4L -> "w2 w3 w4 w5 w6",
+      5L -> "q r s t")
+    val out = Dedup.pairSimilarityHistogram(df).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1.0 -> ((1L, 1L)), 0.5 -> ((1L, 2L))))
+  }
+
   test("rarityWeightedPairs: quantized-idf cosine, exact hand-computed values") {
     // A/B share shingle "x y z" (df=2 → weight N//df = 2); their unique
     // shingles get weight 4. A: v=[2,4] n2=20; B same; dot=4 → cos 0.2.

@@ -106,6 +106,27 @@ class EventAnalyticsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), s"expected equi-joins:\n$plan")
   }
 
+  test("retentionCohorts: min-week cohorts, week periods, period-0 base rates") {
+    // cohort 2024-01-01 (Mon): users 1,2 active wk0; user 1 also wk1, wk2
+    // cohort 2024-01-08: user 3 active wk1 only (its own period 0)
+    val df = events(
+      (1L, "2024-01-02 10:00:00", 1L, "a"),
+      (2L, "2024-01-03 10:00:00", 2L, "a"),
+      (3L, "2024-01-09 10:00:00", 1L, "a"),
+      (4L, "2024-01-16 10:00:00", 1L, "a"),
+      (5L, "2024-01-09 12:00:00", 3L, "a"),
+      // duplicate activity in the same week: still one (user, week) row
+      (6L, "2024-01-09 13:00:00", 3L, "a"))
+    val out = EventAnalytics.retentionCohorts(df).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("2024-01-01 00:00:00.0", 0)) == ((2L, 1.0)))
+    assert(out(("2024-01-01 00:00:00.0", 1)) == ((1L, 0.5)))
+    assert(out(("2024-01-01 00:00:00.0", 2)) == ((1L, 0.5)))
+    assert(out(("2024-01-08 00:00:00.0", 0)) == ((1L, 1.0)))
+    assert(out.size == 4)
+  }
+
   test("coEngagement counts co-engaging users per item pair, capped per user") {
     import org.apache.spark.sql.functions.col
     val df = events(

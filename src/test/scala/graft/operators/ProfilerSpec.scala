@@ -63,6 +63,18 @@ class ProfilerSpec extends SparkSpec {
       s"expected equi-join:\n$plan")
   }
 
+  test("keySkewReport surfaces the hot key with share and skew ratio") {
+    import spark.implicits._
+    // key "hot" 6x, keys a..d 1x each -> median 1, total 10
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "b", "c", "d")).toDF("k")
+    val out = Profiler.keySkewReport(df, "k", topK = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    assert(out.head._1 == "hot")
+    assert(out.head._2 == ((6L, 0.6, 6.0)))
+    // remaining top rows tie at n=1 and cut by key order
+    assert(out.map(_._1).toSeq == Seq("hot", "a", "b"))
+  }
+
   test("anonymityAudit flags classes under k with exact shares") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 1), ("b", 2))

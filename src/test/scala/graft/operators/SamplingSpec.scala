@@ -130,6 +130,31 @@ class SamplingSpec extends SparkSpec {
     assert(t1.sameElements(t2))
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle the split") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.6)
+      .select("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, pairs, testPct = 20)
+    assert(out.count() == docs.count())
+    // every pair's two sides share a component AND a split
+    val splitById = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val prs = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(prs.nonEmpty)
+    prs.foreach { case (a, b) =>
+      assert(splitById(a) == splitById(b), s"pair ($a,$b) straddles the split")
+    }
+    // singletons (no pairs) split exactly like the plain id-hash split
+    val paired = prs.flatMap(p => Seq(p._1, p._2)).toSet
+    val plain = Sampling.trainTestSplit(docs, testPct = 20).collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    splitById.foreach { case (id, (comp, split)) =>
+      if (!paired.contains(id)) {
+        assert(comp == id)
+        assert(split == plain(id), s"singleton $id diverged from plain split")
+      }
+    }
+  }
+
   test("tokenBudgetSample: full best tiers, rate-sampled boundary, dropped tail") {
     import org.apache.spark.sql.{Row => R}
     import org.apache.spark.sql.types._
