@@ -991,6 +991,42 @@ object OracleSql {
        |GROUP BY 1, 2
        |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT $k""".stripMargin
 
+  /** Mirror of the q114 two-relationship referential-integrity audit:
+    * NOT-EXISTS orphan scan per relationship, identical rate division. */
+  def refIntegrityAudit(dropParentBelowPct: Int): String = {
+    def one(child: String, parent: String, fk: String, pk: String,
+        parentFilter: String, rel: String) =
+      s"""SELECT '${sqlLit(rel)}' AS relationship,
+         |  (SELECT count(*) FROM $child)::BIGINT AS n_child_rows,
+         |  count(*)::BIGINT AS n_orphan_rows,
+         |  count(DISTINCT $fk)::BIGINT AS n_orphan_keys,
+         |  CAST(count(*) AS DOUBLE)
+         |    / CAST((SELECT count(*) FROM $child) AS DOUBLE) AS orphan_rate
+         |FROM $child c WHERE $fk IS NOT NULL AND NOT EXISTS
+         |  (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk$parentFilter)""".stripMargin
+    one("orders", "customer", "o_custkey", "c_custkey", "",
+      "orders->customer") + "\nUNION ALL\n" +
+      one("lineitem", "orders", "l_orderkey", "o_orderkey",
+        s" AND ${sampleBucket("p.o_orderkey")} < $dropParentBelowPct",
+        "lineitem->orders[90pct]")
+  }
+
+  /** Mirror of the q115 join-size estimates: per-key counts joined on
+    * the key, decimal product sum, max single-key term. */
+  def joinSizeEstimate: String = {
+    def one(lt: String, lk: String, rt: String, rk: String, rel: String) =
+      s"""SELECT '${sqlLit(rel)}' AS relationship,
+         |  count(*)::BIGINT AS n_shared_keys,
+         |  CAST(sum(na * nb) AS DECIMAL(38,0)) AS predicted_rows,
+         |  max(na * nb)::BIGINT AS max_single_key_rows
+         |FROM (SELECT $lk AS k, count(*)::BIGINT AS na FROM $lt GROUP BY 1) a
+         |JOIN (SELECT $rk AS k, count(*)::BIGINT AS nb FROM $rt GROUP BY 1) b
+         |USING (k)""".stripMargin
+    one("lineitem", "l_orderkey", "orders", "o_orderkey",
+      "lineitem x orders") + "\nUNION ALL\n" +
+      one("events", "user_id", "events", "user_id", "events x events (self)")
+  }
+
   /** Mirror of EventAnalytics.retentionCohorts: distinct weekly activity,
     * min-week cohorts, integer-division periods, period-0 base join. */
   def retentionCohorts: String =

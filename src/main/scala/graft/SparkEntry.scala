@@ -852,6 +852,33 @@ object SparkEntry {
     "q113_dedup_sweep" -> ((s, dir) =>
       Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
 
+    // Referential-integrity audit: two child→parent relationships, one
+    // intact (orders→customer) and one with a simulated partial parent
+    // load (lineitem→orders with 10% of orders dropped by hash bucket)
+    // — the ingestion QA gate that catches lost partitions.
+    "q114_ref_integrity" -> ((s, dir) => {
+      val intact = Profiler.refIntegrityAudit(
+        t(s, dir, "orders"), t(s, dir, "customer"),
+        "o_custkey", "c_custkey", "orders->customer")
+      val partial = Profiler.refIntegrityAudit(
+        t(s, dir, "lineitem"),
+        t(s, dir, "orders").filter(Sampling.bucket(col("o_orderkey")) < 90),
+        "l_orderkey", "o_orderkey", "lineitem->orders[90pct]")
+      intact.unionAll(partial)
+    }),
+
+    // Exact join-cardinality prediction from per-key counts: the "will
+    // this join explode" check — shared keys, predicted output rows,
+    // and the largest single-key reducer, for a FK join and a skewed
+    // self-join, without running either join.
+    "q115_join_size_estimate" -> ((s, dir) => {
+      val e = Tables.loadEvents(s, dir)
+      Profiler.joinSizeEstimate(t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", "lineitem x orders")
+        .unionAll(Profiler.joinSizeEstimate(e, e, "user_id", "user_id",
+          "events x events (self)"))
+    }),
+
     // Embedding centroid drift — the embedding face of the q101 token
     // drift audit: per-label cosine between old-half and new-half mean
     // vectors (micro-scaled integer sums → exact), drift verdict at 0.5.
@@ -1325,5 +1352,7 @@ object SparkEntry {
       maxDocFreq = 10000, testPct = 20),
     "q112_key_skew" -> OracleSql.keySkewReport("user_id", topK = 10),
     "q113_dedup_sweep" -> OracleSql.pairSimilarityHistogram(maxDocFreq = 10000),
+    "q114_ref_integrity" -> OracleSql.refIntegrityAudit(dropParentBelowPct = 90),
+    "q115_join_size_estimate" -> OracleSql.joinSizeEstimate,
   )
 }

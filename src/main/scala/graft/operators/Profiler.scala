@@ -98,6 +98,59 @@ object Profiler {
   }
 
   /**
+   * Referential-integrity audit for one child→parent relationship: row
+   * and orphan counts plus the orphan rate — the ingestion QA gate that
+   * catches partial loads (a parent partition lost in transfer shows up
+   * as a nonzero orphan rate on every child table). Call once per
+   * relationship and union the one-row results into the release report.
+   *
+   * Spark shape: the child reduces to its non-null FK column (scan-side
+   * projection), the parent to its DISTINCT key; one LEFT ANTI equi-join
+   * finds orphans and one scalar agg counts them. At 100 TB the anti-join
+   * is the standard shuffled hash anti (or broadcast when the parent key
+   * set fits); nothing wider than the key column ever moves.
+   */
+  def refIntegrityAudit(child: DataFrame, parent: DataFrame,
+      fkCol: String, pkCol: String, relationship: String): DataFrame = {
+    val totals = child.agg(count(lit(1)).as("__n"))
+    val orphans = child.select(col(fkCol)).filter(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol)).distinct(),
+        col(fkCol) === col(pkCol), "left_anti")
+      .agg(count(lit(1)).as("__no"), count_distinct(col(fkCol)).as("__nok"))
+    totals.crossJoin(broadcast(orphans))
+      .select(lit(relationship).as("relationship"),
+        col("__n").as("n_child_rows"),
+        col("__no").as("n_orphan_rows"),
+        col("__nok").as("n_orphan_keys"),
+        (col("__no").cast("double") / col("__n").cast("double"))
+          .as("orphan_rate"))
+  }
+
+  /**
+   * Exact inner-join cardinality prediction from per-key counts — the
+   * "will this join explode" check run BEFORE a large join (the two-sided
+   * composition of [[keySkewReport]]): `Σ n_left(k) · n_right(k)` over
+   * shared keys is exactly the join's output size, and the max single-key
+   * term is the largest reducer a plain hash join would build. Orders of
+   * magnitude cheaper than the join itself: both sides reduce to per-key
+   * counts (map-side partials), the count tables join on the key, and
+   * three scalars come back. Sums are decimal(38,0) — at 100 TB a single
+   * hot key can push the product sum past 2^63.
+   */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, relationship: String): DataFrame = {
+    val ca = left.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__na"))
+    val cb = right.groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__nb"))
+    ca.join(cb, "__k")
+      .agg(count(lit(1)).as("n_shared_keys"),
+        sum((col("__na") * col("__nb")).cast("decimal(38,0)"))
+          .as("predicted_rows"),
+        max(col("__na") * col("__nb")).as("max_single_key_rows"))
+      .select(lit(relationship).as("relationship"), col("n_shared_keys"),
+        col("predicted_rows"), col("max_single_key_rows"))
+  }
+
+  /**
    * k-anonymity audit over a quasi-identifier tuple — the re-identification
    * risk report run before releasing any corpus with user-linked columns:
    * each equivalence class (distinct quasi-id combination) with its size,

@@ -75,6 +75,36 @@ class ProfilerSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq("hot", "a", "b"))
   }
 
+  test("refIntegrityAudit counts orphan rows and keys; intact FK reports zero") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val r = Profiler.refIntegrityAudit(child, parent, "fk", "pk", "c->p")
+      .collect().head
+    // 6 child rows; the two fk=9 rows orphan (1 distinct key); null fk
+    // is not an orphan (unknown, not broken)
+    assert(r.getString(0) == "c->p" && r.getLong(1) == 6L &&
+      r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(math.abs(r.getDouble(4) - 2.0 / 6.0) < 1e-15)
+    val ok = Profiler.refIntegrityAudit(
+      Seq(1L, 2L).toDF("fk"), parent, "fk", "pk", "ok").collect().head
+    assert(ok.getLong(2) == 0L && ok.getLong(3) == 0L && ok.getDouble(4) == 0.0)
+  }
+
+  test("joinSizeEstimate predicts the exact join cardinality and hot-key term") {
+    import spark.implicits._
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val r = Seq(1L, 1L, 2L, 4L).toDF("k")
+    val est = Profiler.joinSizeEstimate(l, r, "k", "k", "l x r").collect().head
+    // shared keys {1, 2}: 3*2 + 1*1 = 7 predicted rows, hot key term 6
+    assert(est.getLong(1) == 2L)
+    assert(est.getDecimal(2).longValueExact() == 7L)
+    assert(est.getLong(3) == 6L)
+    // the prediction IS the join size
+    assert(l.join(r, "k").count() == 7L)
+  }
+
   test("anonymityAudit flags classes under k with exact shares") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 1), ("b", 2))
