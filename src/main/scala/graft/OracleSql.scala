@@ -1027,6 +1027,48 @@ object OracleSql {
       one("events", "user_id", "events", "user_id", "events x events (self)")
   }
 
+  /** Mirror of TextAnalysis.sourceSimilarityMatrix: per-(group, token)
+    * integer counts, integer norms and dots, one double cosine per pair. */
+  def sourceSimilarityMatrix(groupCol: String): String =
+    s"""WITH c AS (SELECT g, t, count(*)::BIGINT AS n FROM (
+       |    SELECT $groupCol AS g, unnest($toks) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |nr AS (SELECT g, sum(n * n)::BIGINT AS n2 FROM c GROUP BY 1),
+       |p AS (SELECT a.g AS source_a, b.g AS source_b,
+       |        sum(a.n * b.n)::BIGINT AS dot
+       |      FROM c a JOIN c b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2)
+       |SELECT source_a, source_b,
+       |  CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+       |    AS cosine
+       |FROM p JOIN nr na ON source_a = na.g JOIN nr nb ON source_b = nb.g""".stripMargin
+
+  /** Mirror of IO.compactionPlan over the q102 shard manifest: cumsum
+    * window in shard order, integer-division bin assignment. */
+  def compactionPlan(nShards: Int, targetSize: Long, idCol: String): String =
+    s"""WITH m AS (SELECT (${sampleBucket(idCol)}) % $nShards AS shard_id,
+       |             count(*)::BIGINT AS size
+       |           FROM documents GROUP BY 1),
+       |w AS (SELECT shard_id, size,
+       |        CAST(sum(size) OVER (ORDER BY shard_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size
+       |          AS BIGINT) AS before
+       |      FROM m)
+       |SELECT shard_id, size, CAST(before // $targetSize AS BIGINT) AS bin_id
+       |FROM w""".stripMargin
+
+  /** Mirror of Dedup.crossSourceMatrix: the q14 pair CTE, source lookups
+    * on both sides, normalized-order rollup. */
+  def crossSourceMatrix(threshold: Double, maxDocFreq: Int,
+      groupCol: String): String =
+    s"""WITH p AS (${ngramJaccardPairs(threshold, maxDocFreq)})
+       |SELECT least(da.$groupCol, db.$groupCol) AS source_a,
+       |  greatest(da.$groupCol, db.$groupCol) AS source_b,
+       |  count(*)::BIGINT AS n_pairs
+       |FROM p JOIN documents da ON p.id_a = da.doc_id
+       |       JOIN documents db ON p.id_b = db.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   /** Mirror of EventAnalytics.retentionCohorts: distinct weekly activity,
     * min-week cohorts, integer-division periods, period-0 base join. */
   def retentionCohorts: String =

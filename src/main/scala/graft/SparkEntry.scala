@@ -852,6 +852,27 @@ object SparkEntry {
     "q113_dedup_sweep" -> ((s, dir) =>
       Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
 
+    // Source-similarity matrix: pairwise cosine between per-source token
+    // count vectors — which sources carry the same content mix (mirror
+    // detection before choosing mixture weights).
+    "q116_source_similarity" -> ((s, dir) =>
+      TextAnalysis.sourceSimilarityMatrix(t(s, dir, "documents"))),
+
+    // Small-file compaction plan: the q102 shard manifest bin-packed to
+    // a 150-row target by deterministic fractional next-fit — the
+    // storage-maintenance planner for shard consolidation.
+    "q117_compaction_plan" -> ((s, dir) =>
+      graft.sources.IO.compactionPlan(
+        graft.sources.IO.shardManifest(t(s, dir, "documents"), nShards = 8,
+          graft.functions.TextFunctions.rollingHash(col("text"))),
+        targetSize = 150)),
+
+    // Cross-source duplication matrix: q14's near-dup pairs rolled up to
+    // (source, source) cells — who is copying whom; diagonal = within-
+    // source duplication.
+    "q118_cross_source_matrix" -> ((s, dir) =>
+      Dedup.crossSourceMatrix(t(s, dir, "documents"), threshold = 0.6)),
+
     // Referential-integrity audit: two child→parent relationships, one
     // intact (orders→customer) and one with a simulated partial parent
     // load (lineitem→orders with 10% of orders dropped by hash bucket)
@@ -1354,5 +1375,10 @@ object SparkEntry {
     "q113_dedup_sweep" -> OracleSql.pairSimilarityHistogram(maxDocFreq = 10000),
     "q114_ref_integrity" -> OracleSql.refIntegrityAudit(dropParentBelowPct = 90),
     "q115_join_size_estimate" -> OracleSql.joinSizeEstimate,
+    "q116_source_similarity" -> OracleSql.sourceSimilarityMatrix("source"),
+    "q117_compaction_plan" -> OracleSql.compactionPlan(nShards = 8,
+      targetSize = 150, idCol = "doc_id"),
+    "q118_cross_source_matrix" -> OracleSql.crossSourceMatrix(threshold = 0.6,
+      maxDocFreq = 10000, groupCol = "source"),
   )
 }

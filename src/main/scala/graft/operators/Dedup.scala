@@ -203,6 +203,34 @@ object Dedup {
   }
 
   /**
+   * Cross-source duplication matrix — who is copying whom: near-dup
+   * pairs (from [[ngramJaccardPairs]]) rolled up to the (source, source)
+   * level, diagonal included (within-source duplication). The provenance
+   * report behind mirror detection and source-level mixture decisions
+   * (two mirrors of one crawl show up as a hot off-diagonal cell; a
+   * spammy source as a hot diagonal one).
+   *
+   * Spark shape: the pair table is dedup OUTPUT (orders of magnitude
+   * under the corpus); two id-key joins attach each side's source, then
+   * one tiny hash agg over the |sources|² key space. Source order is
+   * normalized (least/greatest) so each unordered source pair is one
+   * cell.
+   */
+  def crossSourceMatrix(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", groupCol: String = "source", n: Int = 3,
+      threshold: Double = 0.6, maxDocFreq: Int = 10000): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxDocFreq)
+      .select(col("id_a"), col("id_b"))
+    val src = docs.select(col(idCol), col(groupCol))
+    pairs
+      .join(src.select(col(idCol).as("id_a"), col(groupCol).as("__ga")), "id_a")
+      .join(src.select(col(idCol).as("id_b"), col(groupCol).as("__gb")), "id_b")
+      .groupBy(least(col("__ga"), col("__gb")).as("source_a"),
+        greatest(col("__ga"), col("__gb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /**
    * Dedup threshold sweep — the "how aggressive should the dedup be"
    * curve a curator reads before picking a Jaccard cut: candidate pairs
    * bucketed by similarity decile, with per-bucket counts and the

@@ -745,4 +745,38 @@ object TextAnalysis {
       nDigit.as("n_digit"), nUpper.as("n_upper"), score.as("score"),
       (score >= threshold).as("keep"))
   }
+
+  /**
+   * Source-similarity matrix: pairwise cosine between per-group token
+   * count vectors — which corpus sources carry the same content mix (two
+   * mirrors of one crawl score ≈ 1; disjoint domains score near 0). The
+   * corpus-level face of q108's per-document similarity: run it before
+   * choosing mixture weights so near-identical sources don't get double
+   * weight.
+   *
+   * Spark shape: the corpus reduces to (group, token, count) in ONE
+   * map-side-partial hash agg — bounded by |groups| × |vocab|, orders of
+   * magnitude under the corpus — and every downstream step (norms, the
+   * token-key self-join, the pair agg) runs over that reduced table.
+   * Dots and norms are exact integer sums; only the final per-pair
+   * cosine is a double.
+   */
+  def sourceSimilarityMatrix(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val counts = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(docs)
+        .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("t"))
+        .groupBy(col("g"), col("t")).agg(count(lit(1)).as("n")))
+    val norms = counts.groupBy("g").agg(sum(col("n") * col("n")).as("n2"))
+    counts.as("a").join(counts.as("b"),
+        col("a.t") === col("b.t") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))
+      .agg(sum(col("a.n") * col("b.n")).as("dot"))
+      .join(norms.select(col("g").as("source_a"), col("n2").as("__n2a")), "source_a")
+      .join(norms.select(col("g").as("source_b"), col("n2").as("__n2b")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("__n2a").cast("double")) * sqrt(col("__n2b").cast("double"))))
+          .as("cosine"))
+  }
 }

@@ -234,4 +234,27 @@ object IO {
       .agg(count(lit(1)).as("n_rows"), min(col("__id")).as("min_id"),
         max(col("__id")).as("max_id"), expr("bit_xor(__h)").as("checksum"))
   }
+
+  /** Small-file compaction plan: files (any manifest with a size column,
+    * e.g. [[shardManifest]]'s) assigned to target-capacity bins by
+    * FRACTIONAL NEXT-FIT — file f goes to bin `floor(cumsum_before(f) /
+    * target)` in `fileCol` order. The policy is deterministic and
+    * SQL-replayable (one cumulative window of exact integers), keeps
+    * every bin's pre-overflow load under `target`, and never splits a
+    * file; a bin overflows by at most its last file (the bound the spec
+    * pins). Runs over FILE METADATA (100 TB ≈ 10⁵ files at 1 GB), so the
+    * single cumulative window is a bounded driver-scale step, not a data
+    * pass — the same size regime as the q72 tier table. */
+  def compactionPlan(manifest: DataFrame, targetSize: Long,
+      fileCol: String = "shard_id", sizeCol: String = "n_rows"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(targetSize >= 1, s"targetSize=$targetSize must be >= 1")
+    val w = Window.orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifest.select(col(fileCol), col(sizeCol).cast("long").as("size"))
+      .withColumn("__before", sum(col("size")).over(w) - col("size"))
+      .select(col(fileCol), col("size"),
+        expr(s"__before div $targetSize").as("bin_id"))
+  }
 }

@@ -54,6 +54,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(df, threshold = 0.1).collect().isEmpty)
   }
 
+  test("crossSourceMatrix rolls pairs up to source cells, diagonal included") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s2"),   // cross s1-s2
+      (3L, "p q r s", "s1"), (4L, "p q r s", "s1"),   // within s1
+      (5L, "x y z w", "s3")                            // no pair
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceMatrix(df, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("s1", "s2") -> 1L, ("s1", "s1") -> 1L))
+  }
+
   test("pairSimilarityHistogram buckets candidate pairs with at-or-above cumulatives") {
     // identical pair -> jaccard 1.0 (bucket 10); half-overlap pair -> 0.5
     // (bucket 5); disjoint docs share no shingle -> no candidate row

@@ -453,4 +453,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(drift.head.getString(0) == "graftburst", s"got ${drift.head}")
     graft.SparkUtil.unpersistTrackedCaches()
   }
+
+  test("sourceSimilarityMatrix: identical mixes at 1.0, disjoint at absent, partial in between") {
+    // s1 and s2 carry the same token mix; s3 is disjoint (no shared
+    // token -> no candidate row); s4 half-overlaps s1/s2
+    val df = docs(
+      (1L, "s1", "a b c"), (2L, "s1", "a b"),
+      (3L, "s2", "a b c"), (4L, "s2", "a b"),
+      (5L, "s3", "x y z"),
+      (6L, "s4", "a q"))
+    val out = TextAnalysis.sourceSimilarityMatrix(df, groupCol = "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out(("s1", "s2")) - 1.0) < 1e-12)
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")) &&
+      !out.contains(("s3", "s4")))
+    // s1·s4 over tokens a(2·1): dot=2, |s1|²=2²+2²+1=9, |s4|²=2 → 2/(3·√2)
+    assert(math.abs(out(("s1", "s4")) - 2.0 / (3.0 * math.sqrt(2.0))) < 1e-12)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
 }

@@ -191,4 +191,32 @@ class IOSpec extends SparkSpec {
     val changed = base.keySet.filter(k => base(k) != corrupted(k))
     assert(changed.size == 1)
   }
+
+  test("compactionPlan: fractional next-fit bins, overflow bounded by one file") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    // sizes 60,70,30,90,10 at target 100: cumsum-before 0,60,130,160,250
+    // -> bins 0,0,1,1,2
+    val m = Seq((0L, 60L), (1L, 70L), (2L, 30L), (3L, 90L), (4L, 10L))
+      .toDF("shard_id", "n_rows")
+    val out = IO.compactionPlan(m, targetSize = 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // property on the real manifest: each bin's load minus its last file
+    // stays under target (next-fit's overflow bound), no bin skipped
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val mf = IO.shardManifest(d, nShards = 8,
+      graft.functions.TextFunctions.rollingHash(col("text")))
+    val plan = IO.compactionPlan(mf, targetSize = 150).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val byBin = plan.groupBy(_._3)
+    byBin.values.foreach { files =>
+      val load = files.map(_._2).sum
+      val last = files.maxBy(_._1)._2
+      assert(load - last < 150, s"bin overflows beyond its last file: $files")
+    }
+    val bins = byBin.keySet
+    assert(bins == (0L until bins.size).toSet, s"bins not contiguous: $bins")
+  }
 }
