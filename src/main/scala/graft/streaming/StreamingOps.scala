@@ -34,6 +34,27 @@ object StreamingOps {
       cfg: LookupConfig): DataFrame =
     LookupTransform(Map(streamName -> stream, cfg.lookupDataset -> lookup), cfg)
 
+  /** Streaming CDC verdicts against a static snapshot: each arriving doc
+    * labelled `added` (id unseen in the snapshot), `changed` (id present,
+    * content hash differs) or `unchanged` — the incremental-ingest face of
+    * `Profiler.corpusDiff`. `removed` requires observing the ABSENCE of an
+    * id, which an unbounded stream cannot do; compute it batch-side from
+    * the snapshot anti-join when the stream epoch closes (documented
+    * asymmetry, parity spec pins the three observable verdicts equal the
+    * batch operator's). Per micro-batch this is one broadcast-able
+    * stream-static left join on the id — the snapshot reduces to
+    * (id, md5) once, nothing stateful. */
+  def streamingCorpusDiff(stream: DataFrame, snapshot: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val snap = snapshot.select(col(idCol), md5(col(textCol)).as("__ha"))
+    stream.select(col(idCol), md5(col(textCol)).as("__hb"))
+      .join(snap, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__ha").isNull, "added")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Watermarked tumbling-window statistics per key: event count, distinct
     * users, min/max value. On a batch frame the watermark is a no-op and
     * this is plain `date_trunc`-style bucketing — the property the DuckDB

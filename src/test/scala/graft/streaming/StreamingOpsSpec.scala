@@ -222,6 +222,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCorpusDiff: per-batch CDC verdicts equal the batch operator") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val snapshot = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingCorpusDiff(
+      input.toDF().toDF("doc_id", "text"), snapshot)
+    val q = out.writeStream.format("memory").queryName("cdc_test")
+      .outputMode("append").start()
+    try {
+      input.addData((2L, "beta"), (3L, "gamma-edited"), (9L, "new doc"))
+      q.processAllAvailable()
+      val got = spark.table("cdc_test").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(2L -> "unchanged", 3L -> "changed", 9L -> "added"))
+      // parity: the batch operator agrees on every stream-observable verdict
+      val batch = graft.operators.Profiler.corpusDiff(snapshot,
+        Seq((2L, "beta"), (3L, "gamma-edited"), (9L, "new doc"))
+          .toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      got.foreach { case (id, st) => assert(batch(id) == st) }
+      // the asymmetry is exactly `removed` (doc 1), batch-only
+      assert(batch(1L) == "removed")
+    } finally q.stop()
+  }
+
   test("qualityFilter and chunk run unchanged under Structured Streaming") {
     // both are stateless narrow transformations (per-row projection /
     // per-row explode), so the same operator code runs append-mode on a
