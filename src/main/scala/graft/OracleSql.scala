@@ -1793,6 +1793,37 @@ object OracleSql {
        |    AS DOUBLE) / ${k.toDouble} >= $threshold""".stripMargin
   }
 
+  /** Mirror of Dedup.bbitSignaturePairs: full-signature band-bucket
+    * candidates, full and b-lowest-bits match counts, the debiased
+    * `(M - C)/(1 - C)` estimator as the identical double chain. */
+  def bbitSignaturePairs(k: Int, bands: Int, b: Int, threshold: Double,
+      idCol: String): String = {
+    val r = k / bands
+    val m = 1L << b
+    val c = 1.0 / m
+    val sig =
+      s"""list_transform(range(0, $k), i ->
+         |  list_min(list_transform(hs, h -> ((2*i + 1)*h + $SigB*i + 1) % $P)))""".stripMargin
+    def est(cond: String) =
+      s"CAST(len(list_filter(range(1, $k + 1), i -> $cond)) AS DOUBLE) / ${k.toDouble}"
+    val full = est(s"sa.sig[i] = sb.sig[i]")
+    val bbit = s"(${est(s"(sa.sig[i] % $m) = (sb.sig[i] % $m)")} - $c) / ${1.0 - c}"
+    s"""WITH sets AS (SELECT $idCol AS id, $shingleHashes AS hs FROM documents),
+       |sigs AS (SELECT id, $sig AS sig FROM sets WHERE len(hs) > 0),
+       |bd AS (SELECT unnest(range(0, $bands)) AS band),
+       |bk AS (SELECT s.id, bd.band,
+       |         array_to_string(s.sig[bd.band*$r + 1 : bd.band*$r + $r], '_') AS key
+       |       FROM sigs s CROSS JOIN bd),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+       |           AND x.id < y.id)
+       |SELECT c.id_a, c.id_b, $full AS sig_jaccard, $bbit AS bbit_jaccard
+       |FROM cand c
+       |JOIN sigs sa ON c.id_a = sa.id
+       |JOIN sigs sb ON c.id_b = sb.id
+       |WHERE $full >= $threshold""".stripMargin
+  }
+
   /** Mirror of the q90 composition: the q28 component graph aggregated to
     * a cluster-size histogram. */
   def clusterHistogram(threshold: Double, maxDocFreq: Int): String =

@@ -852,6 +852,14 @@ object SparkEntry {
     "q113_dedup_sweep" -> ((s, dir) =>
       Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
 
+    // b-bit MinHash (Li & König): signature-store compression — every
+    // candidate pair scored by the full k=128 estimator AND the 1-bit
+    // debiased estimator (16 bytes/doc instead of ~1 KB/doc); exact bit
+    // arithmetic until the final divisions, so approximate-by-design is
+    // still deterministic.
+    "q119_bbit_minhash" -> ((s, dir) =>
+      Dedup.bbitSignaturePairs(t(s, dir, "documents"), threshold = 0.6)),
+
     // Source-similarity matrix: pairwise cosine between per-source token
     // count vectors — which sources carry the same content mix (mirror
     // detection before choosing mixture weights).
@@ -1380,5 +1388,7 @@ object SparkEntry {
       targetSize = 150, idCol = "doc_id"),
     "q118_cross_source_matrix" -> OracleSql.crossSourceMatrix(threshold = 0.6,
       maxDocFreq = 10000, groupCol = "source"),
+    "q119_bbit_minhash" -> OracleSql.bbitSignaturePairs(k = 128, bands = 32,
+      b = 1, threshold = 0.6, idCol = "doc_id"),
   )
 }

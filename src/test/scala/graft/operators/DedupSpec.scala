@@ -54,6 +54,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(df, threshold = 0.1).collect().isEmpty)
   }
 
+  test("bbit minhash: 1-bit debiased estimator tracks the full estimator") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val rows = Dedup.bbitSignaturePairs(d, threshold = 0.6).collect()
+    assert(rows.length >= 20)
+    rows.foreach { r =>
+      val (full, bbit) = (r.getDouble(2), r.getDouble(3))
+      assert(full >= 0.6, s"threshold applies to the full estimator: $r")
+      assert(math.abs(full - bbit) <= 0.15,
+        s"b-bit drifted from full estimator: $r")
+      assert(bbit <= 1.0 + 1e-12)
+    }
+    // fixture-measured max error is 0.039; identical docs hit exactly 1.0
+    // on BOTH estimators (equal sigs -> M=1 -> (1-C)/(1-C))
+    val exact = rows.filter(_.getDouble(2) == 1.0)
+    assert(exact.nonEmpty)
+    exact.foreach(r => assert(r.getDouble(3) == 1.0))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("crossSourceMatrix rolls pairs up to source cells, diagonal included") {
     val spark0 = spark
     import spark0.implicits._
