@@ -66,8 +66,9 @@ object OracleSql {
   /** Exact all-pairs n-gram Jaccard >= threshold — the oracle for BOTH the
     * exact inverted-index operator and the MinHash+LSH operator (at the
     * given banding, LSH misses a >=0.6 pair with probability < 1e-10). */
-  def ngramJaccardPairs(threshold: Double, maxDocFreq: Int): String =
-    s"""WITH sets AS (SELECT doc_id AS id, $shingleHashes AS hs FROM documents),
+  def ngramJaccardPairs(threshold: Double, maxDocFreq: Int,
+      table: String = "documents"): String =
+    s"""WITH sets AS (SELECT doc_id AS id, $shingleHashes AS hs FROM $table),
        |sets2 AS (SELECT id, hs, len(hs) AS sz FROM sets WHERE len(hs) > 0),
        |inv AS (SELECT id, unnest(hs) AS h FROM sets2),
        |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= $maxDocFreq),
@@ -1822,6 +1823,35 @@ object OracleSql {
        |JOIN sigs sa ON c.id_a = sa.id
        |JOIN sigs sb ON c.id_b = sb.id
        |WHERE $full >= $threshold""".stripMargin
+  }
+
+  /** Mirror of the q120 release bundle: quality curation, near-dup
+    * components computed ON the curated subset, cluster-keyed split,
+    * content-addressed shard — one artifact per release doc. */
+  def releaseBundle(minTokens: Int, maxTokens: Int, minMeanTokLen: Double,
+      maxMeanTokLen: Double, maxTopTokRatio: Double, minStopwords: Int,
+      threshold: Double, maxDocFreq: Int, testPct: Int, nShards: Int,
+      idCol: String): String = {
+    val qf = qualityFilter(injectPct = 0, injectSuffix = "unused",
+      minTokens, maxTokens, minMeanTokLen, maxMeanTokLen, maxTopTokRatio,
+      minStopwords, idCol)
+    val comp = s"COALESCE(c.component, d.$idCol)"
+    s"""WITH RECURSIVE curated AS (
+       |  SELECT d.* FROM documents d
+       |  WHERE d.$idCol IN (SELECT $idCol FROM ($qf) WHERE keep)),
+       |pairs AS (${ngramJaccardPairs(threshold, maxDocFreq, "curated")}),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |SELECT d.$idCol, $comp AS component,
+       |  CASE WHEN ${sampleBucket(comp)} < $testPct THEN 'test' ELSE 'train'
+       |    END AS split,
+       |  (${sampleBucket(s"d.$idCol")}) % $nShards AS shard_id
+       |FROM curated d LEFT JOIN comp c ON d.$idCol = c.id""".stripMargin
   }
 
   /** Mirror of the q90 composition: the q28 component graph aggregated to

@@ -852,6 +852,25 @@ object SparkEntry {
     "q113_dedup_sweep" -> ((s, dir) =>
       Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
 
+    // RELEASE BUNDLE — the round-4 end-to-end: quality curation, then a
+    // near-dup CLUSTER-aware train/test split (duplicates are clustered
+    // and split together rather than dropped — no near-copy can straddle
+    // the eval boundary), and a content-addressed shard id per doc. The
+    // one-table artifact a corpus release ships. (Deliberately no dedup
+    // DROP stage: the split-safety contract is the point; q71 is the
+    // dropping variant.)
+    "q120_release_bundle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val keepQ = TextAnalysis.qualityFilter(d)
+        .filter(col("keep")).select("doc_id")
+      val curated = d.join(keepQ, Seq("doc_id"), "left_semi")
+      val pairs = Dedup.ngramJaccardPairs(curated, threshold = 0.6)
+        .select("id_a", "id_b")
+      Sampling.leakageSafeSplit(curated, pairs, testPct = 20)
+        .select(col("doc_id"), col("component"), col("split"),
+          (Sampling.bucket(col("doc_id")) % 8).as("shard_id"))
+    }),
+
     // b-bit MinHash (Li & König): signature-store compression — every
     // candidate pair scored by the full k=128 estimator AND the 1-bit
     // debiased estimator (16 bytes/doc instead of ~1 KB/doc); exact bit
@@ -1390,5 +1409,10 @@ object SparkEntry {
       maxDocFreq = 10000, groupCol = "source"),
     "q119_bbit_minhash" -> OracleSql.bbitSignaturePairs(k = 128, bands = 32,
       b = 1, threshold = 0.6, idCol = "doc_id"),
+    "q120_release_bundle" -> OracleSql.releaseBundle(
+      minTokens = 15, maxTokens = 100000, minMeanTokLen = 4.0,
+      maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,
+      threshold = 0.6, maxDocFreq = 10000, testPct = 20, nShards = 8,
+      idCol = "doc_id"),
   )
 }

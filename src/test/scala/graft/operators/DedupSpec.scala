@@ -509,6 +509,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q120 release bundle: curated docs, cluster-safe splits, bounded shards") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val keepQ = TextAnalysis.qualityFilter(d).filter(col("keep")).select("doc_id")
+    val curated = d.join(keepQ, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.ngramJaccardPairs(curated, threshold = 0.6)
+      .select("id_a", "id_b")
+    val bundle = Sampling.leakageSafeSplit(curated, pairs, testPct = 20)
+      .select(col("doc_id"), col("component"), col("split"),
+        (Sampling.bucket(col("doc_id")) % 8).as("shard_id"))
+    val rows = bundle.collect()
+    assert(rows.length == curated.count())
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    // the split is duplicate-cluster-safe: pair endpoints never straddle
+    val prs = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(prs.nonEmpty, "fixture must retain near-dup pairs post-curation")
+    prs.foreach { case (a, b) =>
+      assert(byId(a)._2 == byId(b)._2, s"pair ($a,$b) straddles the split")
+    }
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 8))
+    assert(rows.map(_.getString(2)).toSet == Set("train", "test"))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("q71 curated corpus == intersection of its three ingredient filters") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet").cache()
     val curated = graft.SparkEntry.queries("q71_curated_corpus")(
