@@ -127,6 +127,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("funnel on the real event stream: counts decline monotonically from stage 0") {
+    val d = graft.Tables.loadEvents(spark, sf("sf0.01"))
+    val out = EventAnalytics.funnel(d,
+      Seq("signup", "view", "click", "purchase"), maxGapMinutes = 1440)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2))
+    assert(out.length == 4)
+    assert(out.zip(out.tail).forall { case (a, b) => b <= a },
+      s"funnel must be non-increasing: ${out.toSeq}")
+    assert(out.head > 0 && out.last < out.head,
+      s"fixture funnel must discriminate: ${out.toSeq}")
+  }
+
+  test("retention on the real stream: period 0 rates are 1.0, all rates in (0, 1]") {
+    val d = graft.Tables.loadEvents(spark, sf("sf0.01"))
+    val rows = EventAnalytics.retentionCohorts(d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, rate) = (r.getInt(1), r.getDouble(3))
+      assert(rate > 0.0 && rate <= 1.0, s"rate out of range: $r")
+      if (p == 0) assert(rate == 1.0, s"period-0 rate must be 1.0: $r")
+    }
+  }
+
   test("coEngagement counts co-engaging users per item pair, capped per user") {
     import org.apache.spark.sql.functions.col
     val df = events(

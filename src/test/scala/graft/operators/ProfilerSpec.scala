@@ -63,6 +63,30 @@ class ProfilerSpec extends SparkSpec {
       s"expected equi-join:\n$plan")
   }
 
+  test("corpusDiff partition law on the real corpus: statuses cover both id sets exactly") {
+    import org.apache.spark.sql.functions.when
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val oldSnap = d.filter(graft.operators.Sampling.bucket(col("doc_id")) < 70)
+    val newSnap = d.filter(graft.operators.Sampling.bucket(col("doc_id")) >= 30)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val diff = Profiler.corpusDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val oldIds = oldSnap.select("doc_id").collect().map(_.getLong(0)).toSet
+    val newIds = newSnap.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the verdict table covers exactly old ∪ new; verdicts partition it
+    assert(diff.keySet == (oldIds ++ newIds))
+    diff.foreach { case (id, st) =>
+      val expected =
+        if (!newIds.contains(id)) "removed"
+        else if (!oldIds.contains(id)) "added"
+        else if (id % 7 == 0) "changed" else "unchanged"
+      assert(st == expected, s"doc $id: $st != $expected")
+    }
+    assert(diff.values.toSet == Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("keySkewReport surfaces the hot key with share and skew ratio") {
     import spark.implicits._
     // key "hot" 6x, keys a..d 1x each -> median 1, total 10
