@@ -1854,6 +1854,37 @@ object OracleSql {
        |FROM curated d LEFT JOIN comp c ON d.$idCol = c.id""".stripMargin
   }
 
+  /** Shared recursive transitive-closure CTE chain over the q14 pair
+    * graph ("pairs" → "sym" → "reach" → "comp"). */
+  private def closureCtes(threshold: Double, maxDocFreq: Int): String =
+    s"""pairs AS (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)""".stripMargin
+
+  /** Mirror of Dedup.dedupProvenance: the closure's non-representative
+    * members with their cluster representative. */
+  def dedupProvenance(threshold: Double, maxDocFreq: Int): String =
+    s"""WITH RECURSIVE ${closureCtes(threshold, maxDocFreq)}
+       |SELECT id AS removed_id, component AS kept_id FROM comp
+       |WHERE id <> component""".stripMargin
+
+  /** Mirror of Dedup.effectiveSizeByGroup: left-join cluster labels onto
+    * the corpus, per-group distinct-cluster counts, one division. */
+  def effectiveSizeByGroup(threshold: Double, maxDocFreq: Int,
+      groupCol: String, idCol: String): String =
+    s"""WITH RECURSIVE ${closureCtes(threshold, maxDocFreq)}
+       |SELECT d.$groupCol, count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT COALESCE(c.component, d.$idCol))::BIGINT AS n_unique,
+       |  CAST(count(DISTINCT COALESCE(c.component, d.$idCol)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS effective_ratio
+       |FROM documents d LEFT JOIN comp c ON d.$idCol = c.id
+       |GROUP BY 1""".stripMargin
+
   /** Mirror of the q90 composition: the q28 component graph aggregated to
     * a cluster-size histogram. */
   def clusterHistogram(threshold: Double, maxDocFreq: Int): String =

@@ -852,6 +852,23 @@ object SparkEntry {
     "q113_dedup_sweep" -> ((s, dir) =>
       Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
 
+    // Dedup provenance — the governance audit trail: every doc a dedup
+    // pass would remove, with the cluster representative it was kept in
+    // favor of (transitive links resolve to ONE keeper).
+    "q121_dedup_provenance" -> ((s, dir) =>
+      Dedup.dedupProvenance(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.6)
+          .select("id_a", "id_b"))),
+
+    // Per-source effective corpus size — the dedup discount: unique
+    // near-dup clusters vs raw docs per source; mixture weights computed
+    // on raw counts overweight duplicated sources by the inverse ratio.
+    "q122_effective_size" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.effectiveSizeByGroup(d,
+        Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"))
+    }),
+
     // RELEASE BUNDLE — the round-4 end-to-end: quality curation, then a
     // near-dup CLUSTER-aware train/test split (duplicates are clustered
     // and split together rather than dropped — no near-copy can straddle
@@ -1409,6 +1426,10 @@ object SparkEntry {
       maxDocFreq = 10000, groupCol = "source"),
     "q119_bbit_minhash" -> OracleSql.bbitSignaturePairs(k = 128, bands = 32,
       b = 1, threshold = 0.6, idCol = "doc_id"),
+    "q121_dedup_provenance" -> OracleSql.dedupProvenance(threshold = 0.6,
+      maxDocFreq = 10000),
+    "q122_effective_size" -> OracleSql.effectiveSizeByGroup(threshold = 0.6,
+      maxDocFreq = 10000, groupCol = "source", idCol = "doc_id"),
     "q120_release_bundle" -> OracleSql.releaseBundle(
       minTokens = 15, maxTokens = 100000, minMeanTokLen = 4.0,
       maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,

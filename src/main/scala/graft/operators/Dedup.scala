@@ -203,6 +203,52 @@ object Dedup {
   }
 
   /**
+   * Dedup provenance — the audit trail a governance review asks for:
+   * for every document a dedup pass would REMOVE, which document it was
+   * kept in favor of (its cluster's min-id representative). Pairs →
+   * connected components → non-representative members, so transitively
+   * linked docs resolve to ONE keeper even when no direct pair connects
+   * them. Inverse of the keep-side operators (q51 keeps representatives;
+   * this explains everything else).
+   *
+   * Scale shape: components run over the pair graph only (no corpus
+   * vertices — docs with no near-dup have no provenance row), and the
+   * output is bounded by the duplicated subset.
+   */
+  def dedupProvenance(pairs: DataFrame): DataFrame =
+    ConnectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("removed_id"), col("component").as("kept_id"))
+
+  /**
+   * Per-group effective corpus size — the dedup discount: how many
+   * UNIQUE contents (near-dup clusters) each source actually contributes
+   * vs its raw document count. A source of 1M docs with effective ratio
+   * 0.3 is 70% duplicated inventory; mixture weights computed on raw
+   * counts overweight it by 3×. Integer counts + one exact division, so
+   * the report replays bit-identically.
+   *
+   * Scale shape: components over the pair graph only; one broadcast-able
+   * id-key join attaches labels to the (tiny) duplicated subset, docs
+   * outside it label themselves; the rollup is one map-side-partial agg
+   * on the group key.
+   */
+  def effectiveSizeByGroup(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", groupCol: String = "source"): DataFrame = {
+    val labels = ConnectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    docs.select(col(idCol), col(groupCol))
+      .join(labels, Seq(idCol), "left_outer")
+      .select(col(groupCol),
+        coalesce(col("component"), col(idCol)).as("__cluster"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("__cluster")).as("n_unique"))
+      .withColumn("effective_ratio",
+        col("n_unique").cast("double") / col("n_docs").cast("double"))
+  }
+
+  /**
    * Cross-source duplication matrix — who is copying whom: near-dup
    * pairs (from [[ngramJaccardPairs]]) rolled up to the (source, source)
    * level, diagonal included (within-source duplication). The provenance

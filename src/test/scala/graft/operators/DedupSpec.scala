@@ -509,6 +509,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupProvenance resolves transitive chains to one keeper") {
+    val spark0 = spark
+    import spark0.implicits._
+    // edges 1-2, 2-3 (no direct 1-3): both 2 and 3 keep to 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupProvenance(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 1L, 3L -> 1L, 9L -> 7L))
+  }
+
+  test("effectiveSizeByGroup discounts duplicated sources exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = Seq((1L, "s1"), (2L, "s1"), (3L, "s1"), (4L, "s2"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.effectiveSizeByGroup(d, pairs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("s1") == ((3L, 2L, 2.0 / 3.0)))
+    assert(out("s2") == ((1L, 1L, 1.0)))
+  }
+
   test("q120 release bundle: curated docs, cluster-safe splits, bounded shards") {
     val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
     val keepQ = TextAnalysis.qualityFilter(d).filter(col("keep")).select("doc_id")
