@@ -281,6 +281,39 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("key-skew and join-size reports: the raw table aggregates before anything joins") {
+    // both reduce the scanned table to per-key counts in one hash agg;
+    // only already-reduced tables (counts, scalar totals) join after
+    Seq("q112_key_skew", "q115_join_size_estimate").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf()))
+      val aggIdx = p.indexOf("HashAggregate")
+      val joinIdx = p.indexOf("Join")
+      assert(aggIdx >= 0, s"$q: expected a hash aggregate\n$p")
+      if (joinIdx >= 0)
+        assert(p.contains("BroadcastHashJoin") ||
+          p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("SortMergeJoin"), s"$q: unexpected join shape\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
+  test("co-engagement: the pair self-join is an equi-join on the capped table") {
+    val p = plan(SparkEntry.queries("q106_coengagement")(spark, sf()))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // top-k is a distributed TakeOrdered cut, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("corpus diff: one full-outer equi-join on the id, nothing else") {
+    val p = plan(SparkEntry.queries("q104_corpus_diff")(spark, sf()))
+    assert(p.contains("FullOuter"), p)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size == 1, s"expected exactly one equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("no declared query ever plans a CartesianProduct") {
     // Sweeping regression net over the whole inventory: a dropped join
     // key or a broken equi-condition shows up as a cartesian. q18 is the
