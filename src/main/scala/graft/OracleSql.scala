@@ -1866,6 +1866,49 @@ object OracleSql {
        |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
        |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)""".stripMargin
 
+  /** Mirror of GraphOps.nodeStats over the q14 pair graph: canonical
+    * distinct edges, two-side degree counts, ordered-wedge triangles
+    * closed by an EXISTS probe, left-join zero-fill. */
+  def graphNodeStats(threshold: Double, maxDocFreq: Int): String =
+    s"""WITH p AS (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       |      FROM p WHERE id_a <> id_b),
+       |deg AS (SELECT id, count(*)::BIGINT AS degree FROM (
+       |    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |tri AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+       |        FROM e x JOIN e y ON x.b = y.a
+       |        WHERE EXISTS (SELECT 1 FROM e z
+       |                      WHERE z.a = x.a AND z.b = y.b)),
+       |pt AS (SELECT id, count(*)::BIGINT AS nt FROM (
+       |    SELECT ta AS id FROM tri UNION ALL SELECT tb FROM tri
+       |    UNION ALL SELECT tc FROM tri) GROUP BY 1)
+       |SELECT d.id, d.degree, COALESCE(pt.nt, 0)::BIGINT AS n_triangles
+       |FROM deg d LEFT JOIN pt USING (id)""".stripMargin
+
+  /** Mirror of Profiler.correlationMatrix over lineitem: micro-scaled
+    * HUGEINT moment sums, the identical double combination chain. */
+  def correlationMatrix(cols: Seq[String], scale: Long,
+      table: String): String = {
+    val idx = cols.indices
+    def m(c: String) =
+      s"CAST(floor($c::DOUBLE * ${scale.toDouble} + 0.5) AS HUGEINT)"
+    val moments =
+      idx.map(i => s"sum(${m(cols(i))}) AS s$i") ++
+      idx.map(i => s"sum(${m(cols(i))} * ${m(cols(i))}) AS q$i") ++
+      (for { i <- idx; j <- idx if i < j } yield
+        s"sum(${m(cols(i))} * ${m(cols(j))}) AS p${i}_$j")
+    val rows = for { i <- idx; j <- idx if i < j } yield {
+      val num = s"(n::DOUBLE * p${i}_$j::DOUBLE - s$i::DOUBLE * s$j::DOUBLE)"
+      val den = s"(sqrt(n::DOUBLE * q$i::DOUBLE - s$i::DOUBLE * s$i::DOUBLE)" +
+        s" * sqrt(n::DOUBLE * q$j::DOUBLE - s$j::DOUBLE * s$j::DOUBLE))"
+      s"""SELECT '${sqlLit(cols(i))}' AS col_a, '${sqlLit(cols(j))}' AS col_b,
+         |  $num / $den AS pearson_r FROM a""".stripMargin
+    }
+    s"""WITH a AS (SELECT count(*)::BIGINT AS n, ${moments.mkString(", ")}
+       |           FROM $table)
+       |${rows.mkString("\nUNION ALL ")}""".stripMargin
+  }
+
   /** Mirror of Dedup.dedupProvenance: the closure's non-representative
     * members with their cluster representative. */
   def dedupProvenance(threshold: Double, maxDocFreq: Int): String =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{AsOfJoin, BpeTrain, ConnectedComponents, Dedup, EventAnalytics, IntervalJoin, LookupTransform, Multimodal, Profiler, Sampling, SimilaritySearch, Sketches, TextAnalysis, UrlOps}
+import graft.operators.{AsOfJoin, BpeTrain, ConnectedComponents, Dedup, EventAnalytics, GraphOps, IntervalJoin, LookupTransform, Multimodal, Profiler, Sampling, SimilaritySearch, Sketches, TextAnalysis, UrlOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -852,6 +852,22 @@ object SparkEntry {
     "q113_dedup_sweep" -> ((s, dir) =>
       Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
 
+    // Pair-graph structure report: per-node degree + triangle counts
+    // over the near-dup graph — hubs are boilerplate magnets, triangle
+    // density separates tight clone clusters (safe to collapse) from
+    // star-shaped accidental chains (collapsing merges unrelated docs).
+    "q123_graph_stats" -> ((s, dir) =>
+      GraphOps.nodeStats(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.6)
+          .select("id_a", "id_b"))),
+
+    // Exact distributed Pearson correlation matrix over lineitem's
+    // numeric columns — feature redundancy / leakage screening with
+    // micro-scaled integer moments (no float-sum drift; bit-identical
+    // replay).
+    "q124_correlation" -> ((s, dir) =>
+      Profiler.correlationMatrix(t(s, dir, "lineitem"), CorrCols)),
+
     // Dedup provenance — the governance audit trail: every doc a dedup
     // pass would remove, with the cluster representative it was kept in
     // favor of (transitive links resolve to ONE keeper).
@@ -1160,6 +1176,11 @@ object SparkEntry {
   private val ProfileCols: Seq[String] = Seq(
     "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
 
+  /** q124 correlation columns — lineitem's numeric measures; shared with
+    * the oracle builder. */
+  private val CorrCols: Seq[String] = Seq(
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   /** q87 target output mix (percent, sums to 100) — shared with the
     * oracle builder. */
   private val MixTargets: Map[String, Int] =
@@ -1428,6 +1449,10 @@ object SparkEntry {
       b = 1, threshold = 0.6, idCol = "doc_id"),
     "q121_dedup_provenance" -> OracleSql.dedupProvenance(threshold = 0.6,
       maxDocFreq = 10000),
+    "q123_graph_stats" -> OracleSql.graphNodeStats(threshold = 0.6,
+      maxDocFreq = 10000),
+    "q124_correlation" -> OracleSql.correlationMatrix(CorrCols,
+      scale = 1000000L, table = "lineitem"),
     "q122_effective_size" -> OracleSql.effectiveSizeByGroup(threshold = 0.6,
       maxDocFreq = 10000, groupCol = "source", idCol = "doc_id"),
     "q120_release_bundle" -> OracleSql.releaseBundle(

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over pair tables (near-dup graphs, co-engagement
+ * graphs): per-node degree and triangle participation. North-star
+ * extensions (SURVEY.md §2.3 Tier B) — the structure report read after
+ * any dedup pass: a high-degree node is a boilerplate hub (its text
+ * matches everything), and triangle density separates tight clone
+ * clusters (every pair similar — safe to collapse) from star-shaped
+ * accidental chains (only hub links — collapsing merges unrelated docs).
+ * Complements [[ConnectedComponents]]: components say WHICH docs cluster,
+ * this says HOW tightly.
+ *
+ * Scale shape: all joins are equi-joins on node ids over the PAIR TABLE
+ * (dedup output — orders of magnitude under the corpus). Triangles use
+ * the standard ordered-wedge formulation: with every edge stored
+ * (a < b), a wedge (a<b, b<c) closes iff edge (a, c) exists — each
+ * triangle is counted exactly once, and the wedge join is bounded by
+ * Σ deg²(node) of the (small) graph, the same budget the candidate
+ * generation that produced the pairs already paid. Counts are exact
+ * integers — bit-identical SQL replay.
+ */
+object GraphOps {
+
+  /** Canonicalize an edge table to distinct (a < b) pairs on the first
+    * two columns, dropping self-loops. */
+  private def canonical(edges: DataFrame): DataFrame = {
+    val Seq(ca, cb) = edges.columns.toSeq.take(2)
+    edges.select(least(col(ca), col(cb)).as("a"),
+        greatest(col(ca), col(cb)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Per-node degree and triangle count over an undirected pair table:
+    * one row per node appearing in an edge, with `degree` (distinct
+    * neighbors) and `n_triangles` (triangles the node participates in). */
+  def nodeStats(edges: DataFrame): DataFrame = {
+    val e = graft.SparkUtil.trackCache(canonical(edges))
+    val degrees = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    // ordered wedges (a<b<c) closed by edge (a, c): each triangle once
+    val triangles = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
+      .join(e.as("z"),
+        col("x.a") === col("z.a") && col("y.b") === col("z.b"), "left_semi")
+      .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+    val perNode = triangles.select(col("ta").as("id"))
+      .union(triangles.select(col("tb").as("id")))
+      .union(triangles.select(col("tc").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    degrees.join(perNode, Seq("id"), "left_outer")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -148,6 +148,51 @@ object Profiler {
         max(col("__na") * col("__nb")).as("max_single_key_rows"))
       .select(lit(relationship).as("relationship"), col("n_shared_keys"),
         col("predicted_rows"), col("max_single_key_rows"))
+  }
+
+  /**
+   * Exact distributed Pearson correlation matrix over numeric columns —
+   * the tabular-data profiling step (feature redundancy, leakage
+   * screening: a feature correlating ~1.0 with the label column is a
+   * leak). The naive distributed `corr` accumulates float sums in
+   * partition order and drifts between runs; here every moment (Σx, Σx²,
+   * Σxy) is an EXACT integer sum of micro-scaled values (`floor(x·10⁶ +
+   * 0.5)`, the q82 trick, summed as decimal(38,0) — per-row cross
+   * products reach ~5·10¹⁸ on price-scale columns, past float precision
+   * and near int64 range), and only the final per-pair combination
+   * `(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²)·√(n·Σy² − Σy²))` runs in doubles —
+   * a fixed chain mirrored by the oracle, so the matrix replays
+   * bit-identically.
+   *
+   * Spark shape: ONE aggregation pass computes all `2k + k(k−1)/2 + 1`
+   * moments with map-side partials (the table never shuffles — the
+   * shuffle is one moment row), then a single projection explodes the
+   * pair list. O(k²) state per partition, one scan regardless of k.
+   */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      scale: Long = 1000000L): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val idx = cols.indices
+    def micro(c: String): Column =
+      floor(col(c).cast("double") * lit(scale.toDouble) + lit(0.5))
+        .cast("decimal(19,0)")
+    val moments =
+      idx.map(i => sum(micro(cols(i))).as(s"__s$i")) ++
+      idx.map(i => sum(micro(cols(i)) * micro(cols(i))).as(s"__q$i")) ++
+      (for { i <- idx; j <- idx if i < j } yield
+        sum(micro(cols(i)) * micro(cols(j))).as(s"__p${i}_$j"))
+    val row = df.agg(count(lit(1)).as("__n"), moments: _*)
+    def d(name: String) = col(name).cast("double")
+    val n = d("__n")
+    val pairs = for { i <- idx; j <- idx if i < j } yield {
+      val num = n * d(s"__p${i}_$j") - d(s"__s$i") * d(s"__s$j")
+      val den = sqrt(n * d(s"__q$i") - d(s"__s$i") * d(s"__s$i")) *
+        sqrt(n * d(s"__q$j") - d(s"__s$j") * d(s"__s$j"))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        (num / den).as("pearson_r"))
+    }
+    row.select(explode(array(pairs: _*)).as("__pair"))
+      .select(col("__pair.col_a"), col("__pair.col_b"), col("__pair.pearson_r"))
   }
 
   /**

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("nodeStats: degrees and triangle participation, canonicalized edges") {
+    val spark0 = spark
+    import spark0.implicits._
+    // triangle 1-2-3 plus a tail 3-4; edge (3,1) arrives reversed and
+    // duplicated — canonicalization must collapse it
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L), (5L, 5L))
+      .toDF("id_a", "id_b")
+    val out = GraphOps.nodeStats(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // self-loop node 5 vanishes entirely
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((2L, 1L)))
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((3L, 1L)))
+    assert(out(4L) == ((1L, 0L)))
+  }
+
+  test("nodeStats on the near-dup graph: degree bounds and triangle symmetry") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b")
+    val stats = GraphOps.nodeStats(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.nonEmpty)
+    // each triangle contributes 3 node-participations
+    assert(stats.map(_._3).sum % 3 == 0)
+    // a node's triangles never exceed its wedge capacity deg*(deg-1)/2
+    stats.foreach { case (id, deg, tri) =>
+      assert(tri <= deg * (deg - 1) / 2, s"node $id: tri=$tri deg=$deg")
+    }
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+}

@@ -129,6 +129,29 @@ class ProfilerSpec extends SparkSpec {
     assert(l.join(r, "k").count() == 7L)
   }
 
+  test("correlationMatrix: exact r for constructed correlations, tracks built-in corr") {
+    import spark.implicits._
+    // y = 2x (r = 1), z = -x (r = -1)
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0)).toDF("x", "y", "z")
+    val out = Profiler.correlationMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "z")) + 1.0) < 1e-12)
+    assert(math.abs(out(("y", "z")) + 1.0) < 1e-12)
+    // on real data the micro-scaled exact moments agree with Spark's
+    // float-path corr to well past the float-drift scale
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val mine = Profiler.correlationMatrix(li,
+      Seq("l_quantity", "l_extendedprice")).collect().head.getDouble(2)
+    val ref = li.stat.corr("l_quantity", "l_extendedprice")
+    assert(math.abs(mine - ref) < 1e-6, s"$mine vs $ref")
+    // order-invariance: repartitioned input yields the bit-identical matrix
+    val again = Profiler.correlationMatrix(li.repartition(17),
+      Seq("l_quantity", "l_extendedprice")).collect().head.getDouble(2)
+    assert(again == mine)
+  }
+
   test("anonymityAudit flags classes under k with exact shares") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 1), ("b", 2))
