@@ -311,6 +311,32 @@ object OracleSql {
       |QUALIFY row_number() OVER (PARTITION BY e.event_id
       |  ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1""".stripMargin
 
+  /** Mirror of the q126 tolerance-bounded as-of pick: q22's join +
+    * QUALIFY shape with the staleness range condition added. */
+  def asofJoinTolerance(maxStalenessMinutes: Long): String =
+    s"""SELECT e.event_id, e.ts, e.user_id,
+       |       o.o_orderkey AS last_order_key,
+       |       o.o_orderdate AS last_order_date,
+       |       o.o_totalprice AS last_order_price
+       |FROM events e
+       |LEFT JOIN orders o ON e.user_id = o.o_custkey
+       |  AND o.o_orderdate <= e.ts
+       |  AND o.o_orderdate >= e.ts - INTERVAL $maxStalenessMinutes MINUTES
+       |QUALIFY row_number() OVER (PARTITION BY e.event_id
+       |  ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1""".stripMargin
+
+  /** Mirror of Sampling.topShareSelection on documents (score = n_chars,
+    * group = lang): exclusive running mass cross-multiplied vs total. */
+  def topShareSelection(sharePct: Int): String =
+    s"""SELECT doc_id, text, lang, source, n_chars FROM (
+       |  SELECT *,
+       |    sum(n_chars) OVER (PARTITION BY lang
+       |      ORDER BY n_chars DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(n_chars) OVER (PARTITION BY lang) AS tot
+       |  FROM documents)
+       |WHERE (cum - n_chars) * 100 < $sharePct * tot""".stripMargin
+
   /** Gap-based sessions replayed relationally: lag → new-session flag →
     * running sum = session id → group. Session end = last event + gap
     * (Spark session_window semantics). Gap compare on exact epoch micros. */

@@ -852,6 +852,34 @@ object SparkEntry {
     "q113_dedup_sweep" -> ((s, dir) =>
       Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
 
+    // Top-share (nucleus) selection: per language, the best docs (by
+    // char mass, id tiebreak) covering at least 50% of the group's
+    // total characters — the mass-coverage dual of a fixed-rate sample.
+    "q125_top_share" -> ((s, dir) =>
+      Sampling.topShareSelection(t(s, dir, "documents"), sharePct = 50,
+        scoreCol = "n_chars")),
+
+    // Tolerance-bounded as-of enrichment (pandas merge_asof tolerance):
+    // each event takes its user's latest order ONLY if placed within the
+    // last 30 days — stale history returns null, and the range bound
+    // also cuts the join's history multiplication.
+    "q126_asof_tolerance" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      AsOfJoin(
+        Tables.loadEvents(s, dir).select("event_id", "ts", "user_id"),
+        orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        leftId = "event_id",
+        rightCols = Seq(
+          "o_orderkey" -> "last_order_key",
+          "o_orderdate" -> "last_order_date",
+          "o_totalprice" -> "last_order_price"),
+        tieBreakCols = Seq("o_orderkey"),
+        maxStalenessMinutes = Some(43200L))
+    }),
+
     // Pair-graph structure report: per-node degree + triangle counts
     // over the near-dup graph — hubs are boilerplate magnets, triangle
     // density separates tight clone clusters (safe to collapse) from
@@ -1451,6 +1479,9 @@ object SparkEntry {
       maxDocFreq = 10000),
     "q123_graph_stats" -> OracleSql.graphNodeStats(threshold = 0.6,
       maxDocFreq = 10000),
+    "q125_top_share" -> OracleSql.topShareSelection(sharePct = 50),
+    "q126_asof_tolerance" -> OracleSql.asofJoinTolerance(
+      maxStalenessMinutes = 43200L),
     "q124_correlation" -> OracleSql.correlationMatrix(CorrCols,
       scale = 1000000L, table = "lineitem"),
     "q122_effective_size" -> OracleSql.effectiveSizeByGroup(threshold = 0.6,

@@ -47,19 +47,31 @@ object AsOfJoin {
    * @param rightCols right columns to attach, each (rightName, outputAlias)
    * @param tieBreakCols right columns that uniquify equal `rightTime` picks
    *                     (compared descending, after time)
+   * @param maxStalenessMinutes as-of TOLERANCE (pandas `merge_asof
+   *                     tolerance`): when set, a right row older than
+   *                     this is never picked and the left row comes back
+   *                     null-padded — "enrich with the latest price,
+   *                     unless it's stale". The bound also SHRINKS the
+   *                     join: the range condition cuts history
+   *                     multiplication from O(full history) to
+   *                     O(history within the window), which is the main
+   *                     reason to set it at scale.
    */
   def apply(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       leftId: String,
       rightCols: Seq[(String, String)],
-      tieBreakCols: Seq[String]): DataFrame = {
+      tieBreakCols: Seq[String],
+      maxStalenessMinutes: Option[Long] = None): DataFrame = {
     val l = left.as("l")
     val r = right.as("r")
-    val joined = l.join(r,
-      col(s"l.$leftKey") === col(s"r.$rightKey") &&
-        col(s"r.$rightTime") <= col(s"l.$leftTime"),
-      "left_outer")
+    val base = col(s"l.$leftKey") === col(s"r.$rightKey") &&
+      col(s"r.$rightTime") <= col(s"l.$leftTime")
+    val cond = maxStalenessMinutes.fold(base)(m =>
+      base && col(s"r.$rightTime") >=
+        col(s"l.$leftTime") - expr(s"INTERVAL $m MINUTES"))
+    val joined = l.join(r, cond, "left_outer")
     // (key, leftId) partitioning: HashPartitioning(key) from the join
     // satisfies ClusteredDistribution(key, leftId), so no extra Exchange
     // is planned for the window — only a local sort.

@@ -62,6 +62,40 @@ object Sampling {
       when(bucket(col(idCol)) < testPct, lit("test")).otherwise(lit("train")))
 
   /**
+   * Top-share (nucleus) selection: per group, keep documents BEST-FIRST
+   * (score desc, id tiebreak — total order) until the kept set covers at
+   * least `sharePct`% of the group's total score mass — "the best docs
+   * carrying 90% of the tokens per language". The mass-coverage dual of
+   * a fixed-rate sample: a fat-tailed group keeps few docs, a uniform
+   * one keeps most. Scores must be non-negative integers (token/char
+   * counts — the usual mass). The kept set is the MINIMAL such prefix:
+   * a doc survives iff the mass before it is still short of the target
+   * (exclusive-cumsum cross-multiplied against the total — all integer
+   * arithmetic, bit-identical replay).
+   *
+   * Spark shape: one shuffle on the group key; the running sum and the
+   * per-group total are two window passes over the same partitioning
+   * (one Exchange, one sort). At 100 TB groups are language/source-sized
+   * — millions of rows per partition is fine for a running sum; split
+   * pathological giant groups with a composite key as in
+   * `TextAnalysis.packSequences`.
+   */
+  def topShareSelection(df: DataFrame, sharePct: Int, scoreCol: String,
+      groupCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    require(sharePct >= 0 && sharePct <= 100,
+      s"sharePct=$sharePct must be in [0, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    df.withColumn("__cum", sum(col(scoreCol).cast("long")).over(run))
+      .withColumn("__tot", sum(col(scoreCol).cast("long")).over(tot))
+      .filter((col("__cum") - col(scoreCol)) * 100 < lit(sharePct) * col("__tot"))
+      .drop("__cum", "__tot")
+  }
+
+  /**
    * Leakage-safe train/test split: the split unit is the NEAR-DUP
    * CLUSTER, not the document — a doc and its near-duplicates always
    * land in the same side, closing the classic eval-leakage hole where

@@ -61,6 +61,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getString(4) == "high")
   }
 
+  test("tolerance bound: stale history null-pads; inside-window picks normally") {
+    val spark0 = spark
+    import spark0.implicits._
+    def joinTol(ls: Seq[L], rs: Seq[R], tolMin: Long) =
+      AsOfJoin(ls.toDF(), rs.toDF(),
+        leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "t",
+        leftId = "id", rightCols = Seq("rid" -> "rid", "v" -> "v"),
+        tieBreakCols = Seq("rid"), maxStalenessMinutes = Some(tolMin))
+    val ls = Seq(L(1, 10, ts("2024-01-05 00:00:00")))
+    val rs = Seq(R(10, ts("2024-01-01 00:00:00"), 100, "stale"))
+    // 4 days back, tolerance 3 days -> null-padded
+    val strict = joinTol(ls, rs, 3L * 24 * 60).collect().head
+    assert(strict.isNullAt(4), s"stale row must not be picked: $strict")
+    // tolerance 5 days -> picked; exactly-at-the-bound is inclusive
+    assert(joinTol(ls, rs, 5L * 24 * 60).collect().head.getString(4) == "stale")
+    assert(joinTol(ls, rs, 4L * 24 * 60).collect().head.getString(4) == "stale")
+    // a huge tolerance degrades to the plain as-of join
+    val plain = join(ls, rs).collect().head.getString(4)
+    assert(joinTol(ls, rs, 1000000L).collect().head.getString(4) == plain)
+  }
+
   test("unionSorted (merge formulation) == join+pick on fixtures and real tables") {
     val spark0 = spark
     import spark0.implicits._

@@ -130,6 +130,31 @@ class SamplingSpec extends SparkSpec {
     assert(t1.sameElements(t2))
   }
 
+  test("topShareSelection keeps the minimal best-first prefix covering the share") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "g", 50L), (2L, "g", 30L), (3L, "g", 20L),
+      (4L, "h", 10L)).toDF("doc_id", "lang", "n_chars")
+    def kept(p: Int) = Sampling
+      .topShareSelection(df, p, "n_chars").collect().map(_.getLong(0)).toSet
+    // exclusive-cum rule: doc survives iff mass before it is short of p%
+    assert(kept(50) == Set(1L, 4L))        // 50 covers exactly 50%
+    assert(kept(51) == Set(1L, 2L, 4L))    // need 30 more to pass 51%
+    assert(kept(81) == Set(1L, 2L, 3L, 4L))
+    assert(kept(0).isEmpty)
+    assert(kept(100) == Set(1L, 2L, 3L, 4L))
+    // coverage property on the real corpus: per group, kept mass >= p%
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val sel = Sampling.topShareSelection(d, 50, "n_chars")
+    val keptMass = sel.groupBy("lang").agg(sum("n_chars").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totMass = d.groupBy("lang").agg(sum("n_chars").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totMass.foreach { case (g, tot) =>
+      assert(keptMass.getOrElse(g, 0L) * 100 >= 50L * tot, s"group $g under-covered")
+    }
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle the split") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.6)
       .select("id_a", "id_b")
