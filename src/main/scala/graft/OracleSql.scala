@@ -1935,6 +1935,45 @@ object OracleSql {
        |${rows.mkString("\nUNION ALL ")}""".stripMargin
   }
 
+  /** Mirror of Profiler.histogram: scalar min/max, the identical clamped
+    * bucket chain, zero-filled grid join. */
+  def histogram(valueCol: String, nBuckets: Int, table: String): String =
+    s"""WITH mm AS (SELECT min($valueCol::DOUBLE) AS lo,
+       |              max($valueCol::DOUBLE) AS hi FROM $table),
+       |b AS (SELECT CASE WHEN hi = lo THEN 0
+       |        ELSE least(floor(($valueCol::DOUBLE - lo) * $nBuckets
+       |          / (hi - lo))::INT, ${nBuckets - 1}) END AS bucket
+       |      FROM $table, mm),
+       |c AS (SELECT bucket, count(*)::BIGINT AS n_rows FROM b GROUP BY 1)
+       |SELECT g.bucket,
+       |  lo + g.bucket::DOUBLE * (hi - lo) / $nBuckets AS bucket_lo,
+       |  lo + (g.bucket + 1)::DOUBLE * (hi - lo) / $nBuckets AS bucket_hi,
+       |  COALESCE(c.n_rows, 0)::BIGINT AS n_rows
+       |FROM (SELECT unnest(range(0, $nBuckets))::INT AS bucket) g
+       |LEFT JOIN c USING (bucket), mm""".stripMargin
+
+  /** Mirror of TextAnalysis.rankBlend on (n_chars, n_tokens): per-group
+    * row_number ranks under total orders, identical percentile and blend
+    * chains. */
+  def rankBlend: String = {
+    def pr(r: String) =
+      s"CASE WHEN n = 1 THEN 0.0 ELSE ($r - 1)::DOUBLE / (n - 1)::DOUBLE END"
+    s"""WITH d AS (SELECT doc_id, lang, n_chars,
+       |             len($toks)::BIGINT AS n_tokens FROM documents),
+       |w AS (SELECT doc_id, lang,
+       |        count(*) OVER (PARTITION BY lang) AS n,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY n_chars DESC, doc_id ASC) AS r1,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY n_tokens DESC, doc_id ASC) AS r2
+       |      FROM d)
+       |SELECT doc_id, lang,
+       |  ${pr("r1")} AS pct_rank_n_chars,
+       |  ${pr("r2")} AS pct_rank_n_tokens,
+       |  (${pr("r1")} + ${pr("r2")}) / 2.0 AS blended_rank
+       |FROM w""".stripMargin
+  }
+
   /** Mirror of Dedup.dedupProvenance: the closure's non-representative
     * members with their cluster representative. */
   def dedupProvenance(threshold: Double, maxDocFreq: Int): String =

@@ -852,6 +852,22 @@ object SparkEntry {
     "q113_dedup_sweep" -> ((s, dir) =>
       Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
 
+    // Equi-width histogram of lineitem prices: the zero-filled
+    // distribution fact sheet (diffable between corpus versions) next
+    // to q100's scalar profile.
+    "q127_histogram" -> ((s, dir) =>
+      Profiler.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+        nBuckets = 10)),
+
+    // Per-group rank-blend normalization: char-count and token-count
+    // signals become comparable percentile ranks within each language
+    // and blend by arithmetic mean — scale-free quality fusion.
+    "q128_rank_blend" -> ((s, dir) =>
+      TextAnalysis.rankBlend(
+        t(s, dir, "documents").withColumn("n_tokens",
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")),
+        Seq("n_chars", "n_tokens"))),
+
     // Top-share (nucleus) selection: per language, the best docs (by
     // char mass, id tiebreak) covering at least 50% of the group's
     // total characters — the mass-coverage dual of a fixed-rate sample.
@@ -1480,6 +1496,9 @@ object SparkEntry {
     "q123_graph_stats" -> OracleSql.graphNodeStats(threshold = 0.6,
       maxDocFreq = 10000),
     "q125_top_share" -> OracleSql.topShareSelection(sharePct = 50),
+    "q127_histogram" -> OracleSql.histogram("l_extendedprice", nBuckets = 10,
+      table = "lineitem"),
+    "q128_rank_blend" -> OracleSql.rankBlend,
     "q126_asof_tolerance" -> OracleSql.asofJoinTolerance(
       maxStalenessMinutes = 43200L),
     "q124_correlation" -> OracleSql.correlationMatrix(CorrCols,

@@ -151,6 +151,43 @@ object Profiler {
   }
 
   /**
+   * Equi-width histogram of a numeric column — the distribution fact
+   * sheet next to [[profile]]'s scalar stats (outlier mass, modality,
+   * truncation at collection limits all show up here first). Zero-filled:
+   * every bucket appears, empty or not, so histograms of two corpus
+   * versions diff row-by-row.
+   *
+   * Spark shape: one scalar min/max agg broadcast back, one map-side-
+   * partial bucket-count agg (the scan never shuffles; the shuffle is
+   * ≤ nBuckets rows), one tiny zero-fill join against a literal bucket
+   * grid. The bucket rule (`floor((x−lo)·n/(hi−lo))`, top edge clamped)
+   * is a fixed double chain mirrored by the oracle.
+   */
+  def histogram(df: DataFrame, valueCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be >= 1")
+    val x = col(valueCol).cast("double")
+    val mm = df.agg(min(x).as("__lo"), max(x).as("__hi"))
+    val counts = df.select(x.as("__x")).crossJoin(broadcast(mm))
+      .select(when(col("__hi") === col("__lo"), lit(0))
+        .otherwise(least(
+          floor((col("__x") - col("__lo")) * nBuckets /
+            (col("__hi") - col("__lo"))).cast("int"),
+          lit(nBuckets - 1))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    df.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(mm))
+      .select(col("bucket"),
+        (col("__lo") + col("bucket").cast("double") *
+          (col("__hi") - col("__lo")) / nBuckets).as("bucket_lo"),
+        (col("__lo") + (col("bucket") + 1).cast("double") *
+          (col("__hi") - col("__lo")) / nBuckets).as("bucket_hi"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
+  /**
    * Exact distributed Pearson correlation matrix over numeric columns —
    * the tabular-data profiling step (feature redundancy, leakage
    * screening: a feature correlating ~1.0 with the label column is a

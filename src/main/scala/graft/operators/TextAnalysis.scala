@@ -747,6 +747,46 @@ object TextAnalysis {
   }
 
   /**
+   * Per-group rank-blend score normalization: incomparable quality
+   * signals (char count, stopword density, a classifier logit) become
+   * comparable by replacing each with its PERCENTILE RANK within the
+   * group, then averaging — the standard rank-fusion trick for blending
+   * scores with wildly different scales and tail shapes (a z-score blend
+   * would let one heavy-tailed signal dominate). Rank 0 = best; ranks
+   * come from the total (score desc, id asc) order, so the blend is
+   * deterministic and SQL-replayable: `(rn − 1)/(n − 1)` per signal,
+   * arithmetic mean across signals, all per-row fixed chains over
+   * integers.
+   *
+   * Spark shape: one shuffle on the group key; one window pass (sort +
+   * rank + group count) PER SIGNAL over the same partitioning — Spark
+   * reuses the Exchange, re-sorting locally per signal. Groups are
+   * language/source-sized; split giant groups with a composite key as
+   * in [[packSequences]].
+   */
+  def rankBlend(docs: DataFrame, scoreCols: Seq[String],
+      groupCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scoreCols.nonEmpty, "rankBlend needs at least one score column")
+    val n = count(lit(1)).over(Window.partitionBy(col(groupCol)))
+    val ranked = scoreCols.foldLeft(
+        docs.select((idCol +: groupCol +: scoreCols).distinct.map(col): _*)
+          .withColumn("__n", n)) { (d, sc) =>
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col(sc).desc, col(idCol).asc)
+      d.withColumn(s"__r_$sc",
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((row_number().over(w) - 1).cast("double") /
+            (col("__n") - 1).cast("double")))
+    }
+    val blend = scoreCols.map(sc => col(s"__r_$sc")).reduce(_ + _) /
+      lit(scoreCols.size.toDouble)
+    ranked.select(Seq(col(idCol), col(groupCol)) ++
+      scoreCols.map(sc => col(s"__r_$sc").as(s"pct_rank_$sc")) :+
+      blend.as("blended_rank"): _*)
+  }
+
+  /**
    * Source-similarity matrix: pairwise cosine between per-group token
    * count vectors — which corpus sources carry the same content mix (two
    * mirrors of one crawl score ≈ 1; disjoint domains score near 0). The

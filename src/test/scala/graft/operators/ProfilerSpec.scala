@@ -87,6 +87,24 @@ class ProfilerSpec extends SparkSpec {
     assert(diff.values.toSet == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("histogram: clamped equi-width buckets, zero-filled, mass conserved") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 2.5, 9.9, 10.0).toDF("v")
+    val out = Profiler.histogram(df, "v", nBuckets = 10).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out.size == 10)
+    // x = max lands in the LAST bucket (clamped), not a phantom 11th
+    assert(out(9)._3 == 2L) // 9.9 and 10.0
+    assert(out(0)._3 == 1L && out(1)._3 == 1L && out(2)._3 == 1L)
+    assert(out.values.map(_._3).sum == 5L)
+    assert(out(0)._1 == 0.0 && out(9)._2 == 10.0)
+    // degenerate: constant column -> all mass in bucket 0
+    val const = Profiler.histogram(Seq(7.0, 7.0).toDF("v"), "v", 10).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(const(0) == 2L && const.values.sum == 2L)
+  }
+
   test("keySkewReport surfaces the hot key with share and skew ratio") {
     import spark.implicits._
     // key "hot" 6x, keys a..d 1x each -> median 1, total 10

