@@ -72,6 +72,44 @@ object IO {
     collector.getOrThrow()
   }
 
+  /** Quarantine read for semi-structured text sources (csv/json): rows
+    * that parse under the contract go to `good`, malformed lines land in
+    * `bad` VERBATIM (one string column) for replay after a parser fix —
+    * the standard ingestion posture at scale, where FAILFAST kills a
+    * 100 TB job on one bad line and silent DROPMALFORMED loses data
+    * unaccountably. Implemented with Spark's PERMISSIVE corrupt-record
+    * channel: one read, the split is a narrow null-check on the capture
+    * column (two passes over the same cached parse, not two parses).
+    *
+    * The contract schema must not itself contain the capture column; the
+    * capture column is appended internally and stripped from `good`. */
+  def readQuarantine(spark: SparkSession, format: String, path: String,
+      cdapSchemaJson: String,
+      options: Map[String, String] = Map.empty): (DataFrame, DataFrame) = {
+    require(format == "csv" || format == "json",
+      s"quarantine read is for text formats, got '$format'")
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val corrupt = "__corrupt_record"
+    val expected = CdapSchema.parse(cdapSchemaJson)
+    require(!expected.fieldNames.contains(corrupt),
+      s"schema contract must not declare '$corrupt'")
+    val withCapture = StructType(expected.fields :+
+      StructField(corrupt, StringType, nullable = true))
+    val parsed = graft.SparkUtil.trackCache(
+      spark.read.format(format)
+        .options(options)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .schema(withCapture)
+        .load(path))
+    val good = parsed.filter(col(corrupt).isNull)
+      .select(expected.fieldNames.toSeq.map(col): _*)
+    val bad = parsed.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_record"))
+    (good, bad)
+  }
+
   /** Directory-partitioned write with a file-count target per partition.
     * `overwrite` uses dynamic partition overwrite semantics so re-runs
     * replace only the partitions they produce.

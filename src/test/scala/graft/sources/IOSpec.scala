@@ -192,6 +192,32 @@ class IOSpec extends SparkSpec {
     assert(changed.size == 1)
   }
 
+  test("readQuarantine routes malformed lines verbatim to bad, parses the rest") {
+    val dir = tmp("graft_quarantine")
+    val file = java.nio.file.Paths.get(dir, "part.json")
+    java.nio.file.Files.write(file,
+      """{"id": 1, "name": "ok"}
+        |{"id": "NOT_A_NUMBER", "name": "bad-type"}
+        |{{{ totally broken
+        |{"id": 3, "name": "fine"}
+        |""".stripMargin.getBytes("UTF-8"))
+    val cdap =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+    val (good, bad) = IO.readQuarantine(spark, "json", dir, cdap)
+    val g = good.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g == Map(1L -> "ok", 3L -> "fine"))
+    assert(good.schema.fieldNames.toSeq == Seq("id", "name"))
+    val b = bad.collect().map(_.getString(0))
+    assert(b.length == 2)
+    // malformed lines survive byte-for-byte for replay after a fix
+    assert(b.exists(_.contains("NOT_A_NUMBER")))
+    assert(b.exists(_.contains("{{{ totally broken")))
+    // conservation: every input line is in exactly one side
+    assert(good.count() + bad.count() == 4)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("compactionPlan: fractional next-fit bins, overflow bounded by one file") {
     val spark0 = spark
     import spark0.implicits._
