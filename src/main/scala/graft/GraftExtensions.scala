@@ -15,7 +15,8 @@ import graft.functions.catalyst._
  *
  * Exposed functions (names prefixed to avoid any builtin collision):
  *   graft_rolling_hash(str), graft_simhash32(array<string>),
- *   graft_shingle_hashes(str, n), graft_minhash_sig(array<long>, k),
+ *   graft_shingle_hashes(str, n), graft_shingle_hashes_all(str, n),
+ *   graft_minhash_sig(array<long>, k),
  *   graft_dot_f32(array<float>, array<float>),
  *   graft_token_mode_count(str),
  *   graft_feature_hash_summary(str, d),
@@ -44,6 +45,8 @@ object GraftExtensions {
     "graft_simhash32" -> ((es: Seq[Expression]) => SimHash32(es.head)),
     "graft_shingle_hashes" -> ((es: Seq[Expression]) =>
       ShingleHashes(es.head, litInt(es(1), "shingle width n"))),
+    "graft_shingle_hashes_all" -> ((es: Seq[Expression]) =>
+      ShingleHashesAll(es.head, litInt(es(1), "shingle width n"))),
     "graft_minhash_sig" -> ((es: Seq[Expression]) =>
       MinHashSig(es.head, litInt(es(1), "signature width k"))),
     "graft_dot_f32" -> ((es: Seq[Expression]) => DotProductF32(es.head, es(1))),

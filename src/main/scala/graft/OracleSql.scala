@@ -325,6 +325,20 @@ object OracleSql {
        |QUALIFY row_number() OVER (PARTITION BY e.event_id
        |  ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1""".stripMargin
 
+  /** Mirror of the q129 last-touch attribution: events-to-events as-of
+    * pick with the staleness bound, explicit tiebreak. */
+  def attribution(maxStalenessMinutes: Long): String =
+    s"""SELECT p.event_id, p.ts, p.user_id,
+       |  t.event_id AS touch_id, t.event_type AS touch_type,
+       |  t.ts AS touch_ts
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |LEFT JOIN (SELECT * FROM events
+       |           WHERE event_type IN ('click', 'view')) t
+       |  ON p.user_id = t.user_id AND t.ts <= p.ts
+       |  AND t.ts >= p.ts - INTERVAL $maxStalenessMinutes MINUTES
+       |QUALIFY row_number() OVER (PARTITION BY p.event_id
+       |  ORDER BY t.ts DESC NULLS LAST, t.event_id DESC NULLS LAST) = 1""".stripMargin
+
   /** Mirror of Sampling.topShareSelection on documents (score = n_chars,
     * group = lang): exclusive running mass cross-multiplied vs total. */
   def topShareSelection(sharePct: Int): String =

@@ -852,6 +852,26 @@ object SparkEntry {
     "q113_dedup_sweep" -> ((s, dir) =>
       Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
 
+    // Last-touch attribution: each purchase takes the user's latest
+    // click/view within the preceding hour (event-to-event as-of with
+    // tolerance — the marketing-attribution / action-cause join).
+    "q129_attribution" -> ((s, dir) => {
+      val e = Tables.loadEvents(s, dir)
+      AsOfJoin(
+        e.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id"),
+        e.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        leftId = "event_id",
+        rightCols = Seq("event_id" -> "touch_id",
+          "event_type" -> "touch_type", "ts" -> "touch_ts"),
+        tieBreakCols = Seq("event_id"),
+        maxStalenessMinutes = Some(60L))
+    }),
+
     // Equi-width histogram of lineitem prices: the zero-filled
     // distribution fact sheet (diffable between corpus versions) next
     // to q100's scalar profile.
@@ -1498,6 +1518,7 @@ object SparkEntry {
     "q125_top_share" -> OracleSql.topShareSelection(sharePct = 50),
     "q127_histogram" -> OracleSql.histogram("l_extendedprice", nBuckets = 10,
       table = "lineitem"),
+    "q129_attribution" -> OracleSql.attribution(maxStalenessMinutes = 60L),
     "q128_rank_blend" -> OracleSql.rankBlend,
     "q126_asof_tolerance" -> OracleSql.asofJoinTolerance(
       maxStalenessMinutes = 43200L),

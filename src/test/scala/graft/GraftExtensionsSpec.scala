@@ -16,7 +16,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |       graft_dot_f32(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
         |       graft_srp_bucket(array(1.0F, 2.0F), 2, 8) AS b,
         |       graft_token_mode_count('spam spam ham') AS m,
-        |       graft_feature_hash_summary('spam spam ham', 8) AS f
+        |       graft_feature_hash_summary('spam spam ham', 8) AS f,
+        |       size(graft_shingle_hashes_all('x y x y x', 2)) AS na
         |""".stripMargin).collect().head
     assert(r.getLong(0) == 3105L)                 // 97*31+98
     assert(r.getLong(1) != 0L)
@@ -26,6 +27,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(5) >= 0L && r.getLong(5) < 256L) // 8-plane bucket range
     assert(r.getLong(6) == 2L)                    // "spam" twice
     assert(r.getSeq[Long](7)(1) == 3L)            // feature-hash l1 = 3 tokens
+    assert(r.getInt(8) == 4)                      // multiset keeps repeats
   }
 
   test("non-literal width parameters are rejected with a clear error") {
