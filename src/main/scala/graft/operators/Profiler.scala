@@ -205,6 +205,12 @@ object Profiler {
    * moments with map-side partials (the table never shuffles — the
    * shuffle is one moment row), then a single projection explodes the
    * pair list. O(k²) state per partition, one scan regardless of k.
+   *
+   * Precondition: complete rows — `n` counts every row while a null cell
+   * silently drops out of its sums, skewing that column's moments (the
+   * oracle replays the same rule, so the result stays deterministic, but
+   * it is only Pearson's r on null-free columns). Filter or impute nulls
+   * upstream; [[profile]] reports the null counts to check first.
    */
   def correlationMatrix(df: DataFrame, cols: Seq[String],
       scale: Long = 1000000L): DataFrame = {
