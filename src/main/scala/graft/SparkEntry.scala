@@ -852,6 +852,26 @@ object SparkEntry {
     "q113_dedup_sweep" -> ((s, dir) =>
       Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
 
+    // Incremental component labeling — the daily-ingest shape for a
+    // PERSISTED label store: yesterday's labels (CC over the old half's
+    // pairs) merge with today's delta edges; stored labels are
+    // connectivity witnesses, so the result provably equals the full
+    // recompute — which is exactly what the oracle replays (q28's
+    // transitive closure over the whole pair graph).
+    "q130_incremental_components" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = graft.SparkUtil.trackCache(
+        Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"))
+      val bothOld = Sampling.bucket(col("id_a")) < 50 &&
+        Sampling.bucket(col("id_b")) < 50
+      val oldLabels = ConnectedComponents(pairs.filter(bothOld),
+        vertices = Some(d.filter(Sampling.bucket(col("doc_id")) < 50)
+          .select("doc_id")))
+      ConnectedComponents.incremental(oldLabels, pairs.filter(!bothOld),
+          vertices = Some(d.select("doc_id")))
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     // Last-touch attribution: each purchase takes the user's latest
     // click/view within the preceding hour (event-to-event as-of with
     // tolerance — the marketing-attribution / action-cause join).
@@ -960,7 +980,10 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val keepQ = TextAnalysis.qualityFilter(d)
         .filter(col("keep")).select("doc_id")
-      val curated = d.join(keepQ, Seq("doc_id"), "left_semi")
+      // curated feeds BOTH the pair generation and the split's vertex
+      // set — cache it so the quality projection runs once, not twice
+      val curated = graft.SparkUtil.trackCache(
+        d.join(keepQ, Seq("doc_id"), "left_semi"))
       val pairs = Dedup.ngramJaccardPairs(curated, threshold = 0.6)
         .select("id_a", "id_b")
       Sampling.leakageSafeSplit(curated, pairs, testPct = 20)
@@ -1519,6 +1542,8 @@ object SparkEntry {
     "q127_histogram" -> OracleSql.histogram("l_extendedprice", nBuckets = 10,
       table = "lineitem"),
     "q129_attribution" -> OracleSql.attribution(maxStalenessMinutes = 60L),
+    "q130_incremental_components" -> OracleSql.dedupComponents(threshold = 0.6,
+      maxDocFreq = 10000),
     "q128_rank_blend" -> OracleSql.rankBlend,
     "q126_asof_tolerance" -> OracleSql.asofJoinTolerance(
       maxStalenessMinutes = 43200L),

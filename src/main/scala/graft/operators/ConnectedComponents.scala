@@ -108,6 +108,30 @@ object ConnectedComponents {
     withIsolated(labels, edgeVerts, vertices)
   }
 
+  /**
+   * Incremental labeling — the daily-ingest composition for a PERSISTED
+   * label store (the component face of the q89 signature store): merge
+   * yesterday's (id, component) labels with today's new edges without
+   * re-deriving yesterday's pair graph. Each stored label is itself a
+   * connectivity witness (an id–component edge), so the union graph
+   * `{(id, component) : id ≠ component} ∪ newEdges` has exactly the
+   * components of the full graph — old clusters collapse to 2-hop stars
+   * regardless of their original diameter, so the iteration cost is
+   * driven by today's delta, not yesterday's corpus. Spec pins equality
+   * with a full recompute over the union pair set.
+   */
+  def incremental(labels: DataFrame, newEdges: DataFrame,
+      vertices: Option[DataFrame] = None,
+      maxIterations: Int = 25): DataFrame = {
+    val Seq(li, lc) = labels.columns.toSeq.take(2)
+    val Seq(ea, eb) = newEdges.columns.toSeq.take(2)
+    val labelEdges = labels
+      .select(col(li).as("a"), col(lc).as("b"))
+      .filter(col("a") =!= col("b"))
+    apply(labelEdges.union(newEdges.select(col(ea).as("a"), col(eb).as("b"))),
+      vertices, maxIterations)
+  }
+
   /** Append isolated vertices (no edges) self-labeled. */
   private def withIsolated(labels: DataFrame, edgeVerts: DataFrame,
       vertices: Option[DataFrame]): DataFrame = vertices match {

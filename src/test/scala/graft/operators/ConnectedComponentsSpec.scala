@@ -114,6 +114,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental labeling == full recompute over the union pair graph") {
+    val spark0 = spark
+    import spark0.implicits._
+    // yesterday: {1,2,3} labeled 1, {7,8} labeled 7, singleton 9
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L),
+      (9L, 9L)).toDF("id", "component")
+    // today: edge bridging the two clusters + a brand-new pair
+    val newEdges = Seq((3L, 8L), (20L, 21L)).toDF("id_a", "id_b")
+    val verts = Some(Seq(1L, 2L, 3L, 7L, 8L, 9L, 20L, 21L).toDF("id"))
+    val inc = ConnectedComponents.incremental(labels, newEdges, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = cc(Seq((1L, 2L), (2L, 3L), (7L, 8L), (3L, 8L), (20L, 21L)),
+      Seq(1L, 2L, 3L, 7L, 8L, 9L, 20L, 21L))
+    assert(inc == full)
+    assert(inc(8L) == 1L && inc(9L) == 9L && inc(21L) == 20L)
+    // no-delta case: stored labels replay unchanged (vertex set = the
+    // labeled ids; extra vertices would correctly self-label as new)
+    val noop = ConnectedComponents.incremental(labels,
+      spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b"),
+      Some(labels.select("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("near-dup pipeline: planted dup pairs in documents form >=1 nontrivial cluster") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b")
