@@ -1949,6 +1949,23 @@ object OracleSql {
        |${rows.mkString("\nUNION ALL ")}""".stripMargin
   }
 
+  /** Mirror of Profiler.profileDiff over the hash-split halves of
+    * documents: two profile CTE sets joined on the column name,
+    * IS DISTINCT FROM for the null-safe min/max movement check. */
+  def profileDiff(cols: Seq[String], newPct: Int, idCol: String): String = {
+    def table(cond: String) =
+      s"(SELECT * FROM documents WHERE ${sampleBucket(idCol)} $cond) t"
+    s"""WITH a AS (${profile(table(s"< $newPct"), cols)}),
+       |b AS (${profile(table(s">= $newPct"), cols)})
+       |SELECT a.column_name, a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+       |  a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b,
+       |  (b.n_distinct - a.n_distinct) AS distinct_delta,
+       |  (b.n_nulls - a.n_nulls) AS nulls_delta,
+       |  ((a.min_value IS DISTINCT FROM b.min_value)
+       |    OR (a.max_value IS DISTINCT FROM b.max_value)) AS minmax_changed
+       |FROM a JOIN b ON a.column_name = b.column_name""".stripMargin
+  }
+
   /** Mirror of Profiler.histogram: scalar min/max, the identical clamped
     * bucket chain, zero-filled grid join. */
   def histogram(valueCol: String, nBuckets: Int, table: String): String =

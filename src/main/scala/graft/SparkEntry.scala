@@ -852,6 +852,17 @@ object SparkEntry {
     "q113_dedup_sweep" -> ((s, dir) =>
       Dedup.pairSimilarityHistogram(t(s, dir, "documents"))),
 
+    // Profile diff between corpus versions: per-column row/distinct/null
+    // deltas and min-max movement — the "what changed in this snapshot"
+    // five-second answer before any content-level audit.
+    "q131_profile_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Profiler.profileDiff(
+        d.filter(Sampling.bucket(col("doc_id")) < 50),
+        d.filter(Sampling.bucket(col("doc_id")) >= 50),
+        Seq("doc_id", "lang", "source", "n_chars"))
+    }),
+
     // Incremental component labeling — the daily-ingest shape for a
     // PERSISTED label store: yesterday's labels (CC over the old half's
     // pairs) merge with today's delta edges; stored labels are
@@ -1544,6 +1555,9 @@ object SparkEntry {
     "q129_attribution" -> OracleSql.attribution(maxStalenessMinutes = 60L),
     "q130_incremental_components" -> OracleSql.dedupComponents(threshold = 0.6,
       maxDocFreq = 10000),
+    "q131_profile_diff" -> OracleSql.profileDiff(
+      Seq("doc_id", "lang", "source", "n_chars"), newPct = 50,
+      idCol = "doc_id"),
     "q128_rank_blend" -> OracleSql.rankBlend,
     "q126_asof_tolerance" -> OracleSql.asofJoinTolerance(
       maxStalenessMinutes = 43200L),

@@ -151,6 +151,34 @@ object Profiler {
   }
 
   /**
+   * Profile diff between two table versions — [[profile]] was designed
+   * long-form precisely so versions diff row-by-row; this is that diff
+   * as an operator: per column, both row counts, both distinct counts,
+   * the distinct and null deltas (new minus old), and whether the
+   * min/max window moved. The five-second answer to "what changed in
+   * this snapshot" before any content-level audit (q101/q104/q109).
+   *
+   * Spark shape: two [[profile]] passes (each a set of single-column
+   * pruned scans) joined on the column name — a |cols|-row join.
+   */
+  def profileDiff(oldDf: DataFrame, newDf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, s: String) = profile(df, cols).select(
+      col("column_name"), col("n_rows").as(s"n_rows_$s"),
+      col("n_nulls").as(s"__nulls_$s"),
+      col("n_distinct").as(s"n_distinct_$s"),
+      col("min_value").as(s"__min_$s"), col("max_value").as(s"__max_$s"))
+    side(oldDf, "a").join(side(newDf, "b"), "column_name")
+      .select(col("column_name"),
+        col("n_rows_a"), col("n_rows_b"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        (col("n_distinct_b") - col("n_distinct_a")).as("distinct_delta"),
+        (col("__nulls_b") - col("__nulls_a")).as("nulls_delta"),
+        (!(col("__min_a") <=> col("__min_b")) ||
+          !(col("__max_a") <=> col("__max_b"))).as("minmax_changed"))
+  }
+
+  /**
    * Equi-width histogram of a numeric column — the distribution fact
    * sheet next to [[profile]]'s scalar stats (outlier mass, modality,
    * truncation at collection limits all show up here first). Zero-filled:

@@ -87,6 +87,24 @@ class ProfilerSpec extends SparkSpec {
     assert(diff.values.toSet == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("profileDiff reports deltas and min/max movement, null-safe") {
+    val mk = (rows: Seq[(Option[Long], String)]) => {
+      import spark.implicits._
+      rows.map { case (k, v) => (k, v) }.toDF("k", "v")
+    }
+    val oldDf = mk(Seq(Some(1L) -> "a", Some(2L) -> "b", None -> "c"))
+    val newDf = mk(Seq(Some(1L) -> "a", Some(5L) -> "a", Some(1L) -> "z"))
+    val out = Profiler.profileDiff(oldDf, newDf, Seq("k", "v")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6), r.getBoolean(7))))
+      .toMap
+    // k: 3 rows -> 3; distinct 2 -> 2 (delta 0); nulls 1 -> 0 (delta -1);
+    // max moved 2 -> 5
+    assert(out("k") == ((3L, 3L, 0L, -1L, true)))
+    // v: distinct 3 -> 2 (delta -1); no nulls; min stays "a", max c -> z
+    assert(out("v") == ((3L, 3L, -1L, 0L, true)))
+  }
+
   test("histogram: clamped equi-width buckets, zero-filled, mass conserved") {
     import spark.implicits._
     val df = Seq(0.0, 1.0, 2.5, 9.9, 10.0).toDF("v")
