@@ -2048,4 +2048,154 @@ object OracleSql {
        |       CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
        |FROM inter i JOIN sets2 sa ON i.inner_id = sa.id
        |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= $threshold""".stripMargin
+
+  /** Mirror of GraphOps.labelPropagation over the q14 pair graph with
+    * language seeds: the fixed-round synchronous vote unrolls into
+    * `rounds` chained CTE stages, each one equi-join + one (dst, label)
+    * count + one (votes DESC, label ASC) argmax window — the BpeTrain
+    * unrolling treatment applied to graph iteration. */
+  def labelPropagation(threshold: Double, maxDocFreq: Int,
+      rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""v$r AS (SELECT d.dst, l.label, count(*) AS votes
+         |        FROM dirx d JOIN l${r - 1} l ON d.src = l.id GROUP BY 1, 2),
+         |l$r AS (SELECT dst AS id, label FROM (
+         |    SELECT dst, label, row_number() OVER (PARTITION BY dst
+         |      ORDER BY votes DESC, label ASC) AS rnk FROM v$r)
+         |  WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |seed AS (SELECT doc_id AS id, lang AS label FROM documents),
+       |dirx AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |         UNION ALL SELECT id_b, id_a FROM pairs
+       |         UNION ALL SELECT id, id FROM seed),
+       |l0 AS (SELECT id, label FROM seed),
+       |$stages
+       |SELECT l$rounds.id AS doc_id, l$rounds.label,
+       |  l$rounds.label <> s.label AS changed
+       |FROM l$rounds JOIN seed s ON l$rounds.id = s.id""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.backoffCoverage: lockstep three-slice unnest
+    * for trigram positions, three HAVING-filtered count tables, three
+    * LEFT joins, integer level counts. */
+  def backoffCoverage(minCount: Int): String =
+    s"""WITH $bigramCtes,
+       |pos AS (SELECT doc_id AS id,
+       |          unnest(t[1:len(t)-2]) AS w1, unnest(t[2:len(t)-1]) AS w2,
+       |          unnest(t[3:len(t)]) AS w3
+       |        FROM tkb WHERE len(t) >= 3),
+       |tri AS (SELECT w1, w2, w3, 1 AS m1 FROM pos GROUP BY 1, 2, 3
+       |        HAVING count(*) >= $minCount),
+       |bi AS (SELECT ctx AS w2, nxt AS w3, 1 AS m2 FROM bg GROUP BY 1, 2
+       |       HAVING count(*) >= $minCount),
+       |uni AS (SELECT w3, 1 AS m3 FROM (SELECT unnest(t) AS w3 FROM tkb)
+       |        GROUP BY 1 HAVING count(*) >= $minCount),
+       |j AS (SELECT p.id,
+       |        CASE WHEN t.m1 IS NOT NULL THEN 1 ELSE 0 END AS th,
+       |        CASE WHEN b.m2 IS NOT NULL THEN 1 ELSE 0 END AS bh,
+       |        CASE WHEN u.m3 IS NOT NULL THEN 1 ELSE 0 END AS uh
+       |      FROM pos p
+       |      LEFT JOIN tri t USING (w1, w2, w3)
+       |      LEFT JOIN bi b USING (w2, w3)
+       |      LEFT JOIN uni u USING (w3))
+       |SELECT id AS doc_id, count(*) AS n_positions,
+       |  CAST(sum(th) AS BIGINT) AS n_tri,
+       |  CAST(sum((1 - th) * bh) AS BIGINT) AS n_bi,
+       |  CAST(sum((1 - th) * (1 - bh) * uh) AS BIGINT) AS n_uni,
+       |  CAST(sum((1 - th) * (1 - bh) * (1 - uh)) AS BIGINT) AS n_oov
+       |FROM j GROUP BY 1""".stripMargin
+
+  /** Mirror of TextAnalysis.phraseMatch: literal dictionary VALUES list,
+    * non-overlapping replace-count arithmetic, > 0 filter. */
+  def phraseMatch(phrases: Seq[String], idCol: String): String = {
+    val values = phrases.distinct.sorted
+      .map(p => s"('${sqlLit(p)}')").mkString(", ")
+    val nh = "(length(d.text) - length(replace(d.text, p.phrase, ''))) // length(p.phrase)"
+    s"""SELECT d.$idCol, p.phrase, CAST($nh AS BIGINT) AS n_hits
+       |FROM documents d CROSS JOIN (VALUES $values) p(phrase)
+       |WHERE $nh > 0""".stripMargin
+  }
+
+  /** Mirror of Layout.zorderBuckets: the same per-bit interleave spelled
+    * with DuckDB's `>> & <<` on the masked key and epoch-hour. */
+  def zorderBuckets(bits: Int, bucketShift: Int): String = {
+    val mask = (1L << bits) - 1L
+    val x = s"(user_id & $mask)"
+    val y = s"((epoch_us(ts) // 3600000000) & $mask)"
+    val z = (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    s"""WITH zt AS (SELECT user_id, ($z) AS z FROM events)
+       |SELECT z >> $bucketShift AS bucket, count(*) AS n,
+       |  min(z) AS z_min, max(z) AS z_max,
+       |  count(DISTINCT user_id) AS n_keys
+       |FROM zt GROUP BY 1""".stripMargin
+  }
+
+  /** Mirror of Profiler.equidepthHistogram: the operator's closed-form
+    * ntile arithmetic over distinct-value rank intervals equals a plain
+    * NTILE window, which is what the oracle runs. */
+  def equidepthHistogram(nBins: Int, table: String, valueCol: String): String =
+    s"""WITH b AS (SELECT ntile($nBins) OVER (ORDER BY $valueCol) AS bin,
+       |             $valueCol AS v
+       |           FROM $table WHERE $valueCol IS NOT NULL)
+       |SELECT CAST(bin AS INT) AS bin, count(*) AS n_rows,
+       |  min(v) AS v_lo, max(v) AS v_hi
+       |FROM b GROUP BY 1""".stripMargin
+
+  /** Mirror of Sampling.weightedSample: the integer priority key and the
+    * (key, id) total-order cut. */
+  def weightedSample(n: Int, weightCol: String, idCol: String): String = {
+    val u = s"(((($idCol % ${graft.operators.Sampling.IdFold}) * $Mix) % ${TextFunctions.TwoPow32}) % 1048576)"
+    val key = s"(($u * 1000000) // greatest($weightCol, 1))"
+    s"""SELECT $idCol, lang, $weightCol, $key AS wkey
+       |FROM documents
+       |WHERE $weightCol IS NOT NULL AND $weightCol >= 0
+       |ORDER BY wkey ASC, $idCol ASC
+       |LIMIT $n""".stripMargin
+  }
+
+  /** Mirror of SimilaritySearch.randomProject: the SAME ±1 literal matrix
+    * (shared rpSign), identical left-assoc term order, micro floor. */
+  def randomProject(outDim: Int, dim: Int): String = {
+    val cols = (0 until outDim).map { o =>
+      val terms = (1 to dim).map { i =>
+        val s = graft.operators.SimilaritySearch.rpSign(o, i - 1, dim)
+        s"embedding[$i]::DOUBLE * ${s.toDouble}"
+      }.mkString(" + ")
+      s"CAST(floor(($terms) * 1000000.0 + 0.5) AS BIGINT) AS p$o"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $cols
+       |FROM embeddings""".stripMargin
+  }
+
+  /** Mirror of SimilaritySearch.mutualTop1 over the q58 kNN-LSH graph:
+    * rank-1 rows, reciprocity equi-join, a < b orientation. */
+  def mutualTop1Lsh(k: Int, dim: Int, nPlanes: Int, nTables: Int): String =
+    s"""WITH knn AS (${knnJoinLsh(k, dim, nPlanes, nTables)}),
+       |t1 AS (SELECT query_id, cand_id, score FROM knn WHERE rank = 1)
+       |SELECT x.query_id AS id_a, x.cand_id AS id_b, x.score AS score
+       |FROM t1 x JOIN t1 y
+       |  ON x.query_id = y.cand_id AND x.cand_id = y.query_id
+       |WHERE x.query_id < x.cand_id""".stripMargin
+
+  /** Mirror of the q140 composition (knnJoin across label-disjoint
+    * sets): per-positive top-k hard negatives, shared cosine chain. */
+  def bipartiteKnn(k: Int, dim: Int, posPred: String,
+      negPred: String): String = {
+    val dotQ = dotTerms("e.embedding", "q.qv", dim)
+    val n2e = dotTerms("e.embedding", "e.embedding", dim)
+    val n2q = dotTerms("q.qv", "q.qv", dim)
+    val score = s"($dotQ) / (sqrt($n2e) * sqrt($n2q))"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE $posPred)
+       |SELECT q.query_id, e.vec_id, $score AS score,
+       |  row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY $score DESC, e.vec_id ASC) AS rank
+       |FROM embeddings e, q
+       |WHERE $negPred
+       |QUALIFY rank <= $k""".stripMargin
+  }
 }

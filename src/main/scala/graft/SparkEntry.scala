@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{AsOfJoin, BpeTrain, ConnectedComponents, Dedup, EventAnalytics, GraphOps, IntervalJoin, LookupTransform, Multimodal, Profiler, Sampling, SimilaritySearch, Sketches, TextAnalysis, UrlOps}
+import graft.operators.{AsOfJoin, BpeTrain, ConnectedComponents, Dedup, EventAnalytics, GraphOps, IntervalJoin, Layout, LookupTransform, Multimodal, Profiler, Sampling, SimilaritySearch, Sketches, TextAnalysis, UrlOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -1267,7 +1267,79 @@ object SparkEntry {
       TextAnalysis.classifyByProfile(marked,
         TextAnalysis.trainLangProfiles(marked, m = 120))
     }),
+
+    // Majority label propagation over the near-dup graph: language seeds
+    // vote across 2 synchronous rounds with deterministic tie-breaks —
+    // flags docs whose metadata disagrees with their duplicates.
+    "q132_label_propagation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      GraphOps.labelPropagation(
+          d.select(col("doc_id"), col("lang")),
+          Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"),
+          rounds = 2)
+        .select(col("id").as("doc_id"), col("label"), col("changed"))
+    }),
+
+    // Stupid-backoff coverage: per-doc counts of trigram positions served
+    // by the trigram / bigram / unigram LM level (corpus count >= 2) or
+    // OOV — the integer-exact skeleton of an n-gram perplexity filter.
+    "q133_backoff_coverage" -> ((s, dir) =>
+      TextAnalysis.backoffCoverage(t(s, dir, "documents"), minCount = 2)),
+
+    // Dictionary phrase tagging: occurrence counts of a literal phrase
+    // list per doc (replace-arithmetic counting, non-overlapping) — the
+    // positive-match dual of q33's blacklist decontamination.
+    "q134_phrase_match" -> ((s, dir) =>
+      TextAnalysis.phraseMatch(t(s, dir, "documents"), PhraseDict)),
+
+    // Z-order layout report: Morton-interleaved (entity, hour) keys
+    // bucketed to target files — the occupancy audit run before an
+    // OPTIMIZE ZORDER-style rewrite of a 100 TB event table.
+    "q135_zorder_layout" -> ((s, dir) =>
+      Layout.zorderBuckets(Tables.loadEvents(s, dir), bits = 8,
+        bucketShift = 10)),
+
+    // Signed random projection 64 -> 16 dims, micro-quantized to integer
+    // coordinates: the JL dimensionality-reduction face of the SRP
+    // machinery (storage-cheap vectors for downstream clustering).
+    "q136_random_projection" -> ((s, dir) =>
+      SimilaritySearch.randomProject(t(s, dir, "embeddings"), outDim = 16)),
+
+    // Reciprocal nearest neighbors on the LSH kNN graph: pairs that are
+    // each other's top-1 — the high-precision pair miner (hub documents
+    // stop absorbing clusters because hubs aren't mutual).
+    "q137_mutual_knn" -> ((s, dir) =>
+      SimilaritySearch.mutualTop1(
+        SimilaritySearch.knnJoinLsh(t(s, dir, "embeddings"), k = 5))),
+
+    // Equi-depth histogram of lineitem prices — the quantile-cut dual of
+    // q127's equi-width buckets; distributed closed-form ntile vs the
+    // oracle's plain NTILE window.
+    "q138_equidepth_hist" -> ((s, dir) =>
+      Profiler.equidepthHistogram(t(s, dir, "lineitem"), "l_extendedprice",
+        nBins = 10)),
+
+    // Deterministic weighted sampling without replacement: smallest-n
+    // integer priority keys (u*1e6 div weight) — char-mass-proportional
+    // selection that re-runs bit-identically.
+    "q139_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), n = 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("wkey"))),
+
+    // Hard-negative mining: per positive-set vector (label 0), the top-3
+    // nearest negative-set vectors (label >= 5) by cosine — the
+    // classifier-training face of the bipartite kNN join.
+    "q140_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.knnJoin(e.filter(col("label") >= 5),
+        e.filter(col("label") === 0), k = 3)
+    }),
   )
+
+  /** q134 phrase dictionary — vocabulary-pool bigrams that genuinely
+    * occur in the synthetic corpus; shared with the oracle builder. */
+  private val PhraseDict: Seq[String] = Seq("table table", "query key",
+    "fast sort", "data window", "spark value", "merge batch")
 
   /** q100 profiled lineitem columns — one of each physical type (int64,
     * int32, double, string, timestamp); shared with the oracle builder. */
@@ -1570,5 +1642,22 @@ object SparkEntry {
       maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,
       threshold = 0.6, maxDocFreq = 10000, testPct = 20, nShards = 8,
       idCol = "doc_id"),
+    "q132_label_propagation" -> OracleSql.labelPropagation(threshold = 0.6,
+      maxDocFreq = 10000, rounds = 2),
+    "q133_backoff_coverage" -> OracleSql.backoffCoverage(minCount = 2),
+    "q134_phrase_match" -> OracleSql.phraseMatch(PhraseDict,
+      idCol = "doc_id"),
+    "q135_zorder_layout" -> OracleSql.zorderBuckets(bits = 8,
+      bucketShift = 10),
+    "q136_random_projection" -> OracleSql.randomProject(outDim = 16,
+      dim = 64),
+    "q137_mutual_knn" -> OracleSql.mutualTop1Lsh(k = 5, dim = 64,
+      nPlanes = 4, nTables = 8),
+    "q138_equidepth_hist" -> OracleSql.equidepthHistogram(nBins = 10,
+      table = "lineitem", valueCol = "l_extendedprice"),
+    "q139_weighted_sample" -> OracleSql.weightedSample(n = 100,
+      weightCol = "n_chars", idCol = "doc_id"),
+    "q140_hard_negatives" -> OracleSql.bipartiteKnn(k = 3, dim = 64,
+      posPred = "label = 0", negPred = "e.label >= 5"),
   )
 }

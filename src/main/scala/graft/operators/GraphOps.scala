@@ -35,6 +35,51 @@ object GraphOps {
       .distinct()
   }
 
+  /**
+   * Synchronous majority label propagation over a pair graph: each round,
+   * every node takes the most common label among its neighbors AND itself
+   * (self-loop), ties broken by (vote count desc, label asc) — fully
+   * deterministic, no convergence race. The training-data face: seed
+   * labels (language, source, quality verdict) spread across a near-dup
+   * graph so a cluster votes itself to a consistent label, flagging docs
+   * whose metadata disagrees with their duplicates (mislabeled language,
+   * misattributed source).
+   *
+   * Scale shape: per round, ONE equi-join (directed edges × current
+   * labels on the src key) and ONE hash aggregation on (dst, label) with
+   * map-side partials, then a per-node `WindowGroupLimit` argmax cut —
+   * the [[ConnectedComponents]] iteration budget exactly, with `rounds`
+   * fixed (no driver-side convergence loop, the plan is static). The
+   * edge list is the DEDUP PAIR TABLE (orders of magnitude under the
+   * corpus); nodes without edges ride the self-loop and keep their seed.
+   */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val Seq(idC, labC) = nodes.columns.toSeq.take(2)
+    val seed = nodes.select(col(idC).as("id"), col(labC).as("label"))
+    val e = canonical(edges)
+    val directed = graft.SparkUtil.trackCache(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .union(seed.select(col("id").as("src"), col("id").as("dst"))))
+    var labels = seed
+    for (_ <- 1 to rounds) {
+      val votes = directed
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("votes").desc, col("label").asc)
+      labels = votes.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") === 1)
+        .select(col("dst").as("id"), col("label"))
+    }
+    labels.join(seed.select(col("id"), col("label").as("__seed")), Seq("id"))
+      .select(col("id"), col("label"),
+        (col("label") =!= col("__seed")).as("changed"))
+  }
+
   /** Per-node degree and triangle count over an undirected pair table:
     * one row per node appearing in an edge, with `degree` (distinct
     * neighbors) and `n_triangles` (triangles the node participates in). */

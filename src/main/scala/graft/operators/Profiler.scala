@@ -216,6 +216,58 @@ object Profiler {
   }
 
   /**
+   * Equi-depth (equal-count) histogram — the quantile-cut dual of
+   * [[histogram]]'s equi-width buckets: `nBins` bins with (near-)equal
+   * row counts, reporting each bin's row count and value range. Matches
+   * SQL `NTILE(n) ORDER BY value` exactly, including its
+   * remainder rule (the first `n mod nBins` bins get the extra row), so
+   * the oracle replays it with a plain window while the operator stays
+   * distributed.
+   *
+   * Spark shape: the corpus reduces to (value, count) in ONE map-side-
+   * partial hash agg; the only window runs over DISTINCT VALUES (bounded
+   * by column cardinality, not corpus size), and bins become rank
+   * intervals by closed-form ntile arithmetic joined back against the
+   * value-rank intervals (broadcast of `nBins` rows). The corpus itself
+   * never sorts. For unbounded-cardinality double columns, quantize
+   * first (the micro-floor trick) or reach for the q47 sketch; this
+   * operator is the EXACT path for bounded-cardinality columns.
+   * NULLs are excluded on both engines (Spark sorts them first, DuckDB
+   * last — the one place the engines' ORDER BY disagrees).
+   */
+  def equidepthHistogram(df: DataFrame, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 1, s"nBins=$nBins must be >= 1")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v").asc)
+    val cum = vals
+      .select(col("v"), col("c"), sum(col("c")).over(w).as("hi_rank"))
+      .select(col("v"), (col("hi_rank") - col("c") + 1).as("lo_rank"),
+        col("hi_rank"))
+    val tot = df.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    val b = col("bin").cast("long")
+    val q = expr(s"__n div $nBins")
+    val rem = col("__n") % nBins
+    val binLo = when(b <= rem, (b - 1) * (q + 1) + 1)
+      .otherwise(rem * (q + 1) + (b - 1 - rem) * q + 1)
+    val binHi = when(b <= rem, b * (q + 1))
+      .otherwise(rem * (q + 1) + (b - rem) * q)
+    val bins = broadcast(df.sparkSession.range(1, nBins + 1)
+      .select(col("id").cast("int").as("bin"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), binLo.as("__blo"), binHi.as("__bhi")))
+    cum.join(bins,
+        col("lo_rank") <= col("__bhi") && col("hi_rank") >= col("__blo"))
+      .groupBy(col("bin")).agg(
+        sum(least(col("hi_rank"), col("__bhi")) -
+          greatest(col("lo_rank"), col("__blo")) + 1).as("n_rows"),
+        min(col("v")).as("v_lo"), max(col("v")).as("v_hi"))
+  }
+
+  /**
    * Exact distributed Pearson correlation matrix over numeric columns —
    * the tabular-data profiling step (feature redundancy, leakage
    * screening: a feature correlating ~1.0 with the label column is a

@@ -317,4 +317,35 @@ object Sampling {
         df.filter(tier > bt || (tier === bt && bucket(col(idCol)) < rate))
     }
   }
+
+  /**
+   * Deterministic weighted sampling without replacement: the `n` rows
+   * with the smallest priority key `(u · 10⁶) div w`, where `u` is the
+   * id's Knuth hash folded to [0, 2²⁰) and `w` the row's weight — the
+   * integer surrogate of Efraimidis–Spirakis exponential-jump sampling
+   * (a row's inclusion odds scale ~linearly with its weight, membership
+   * is a pure function of (id, weight) — re-runs and backfills agree,
+   * unlike any `rand()` formulation). Ties broken by id: the selected
+   * SET is total-order deterministic. NULL and negative weights are
+   * excluded (the [[tokenBudgetSample]] precondition); weight 0 is
+   * clamped to 1 rather than dividing by zero.
+   *
+   * Spark shape: the key is a narrow codegen'd projection; the global
+   * smallest-n cut plans as `TakeOrderedAndProject` — each partition
+   * forwards at most `n` rows, no full sort ever materializes. Driver
+   * holds n rows; keep n bounded (the top-k contract, q25's shape).
+   */
+  def weightedSample(df: DataFrame, n: Int, weightCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 0, s"n=$n must be >= 0")
+    val u = graft.functions.TextFunctions.mix32(
+      pmod(col(idCol).cast("long"), lit(IdFold))) % 1048576L
+    val key = expr(s"__u * 1000000 div greatest($weightCol, 1)")
+    df.filter(col(weightCol).isNotNull && col(weightCol) >= 0)
+      .withColumn("__u", u)
+      .withColumn("wkey", key)
+      .orderBy(col("wkey").asc, col(idCol).asc)
+      .limit(n)
+      .drop("__u")
+  }
 }

@@ -579,4 +579,70 @@ object SimilaritySearch {
         (dot / (sqrt(n2a) * sqrt(n2b))).as("centroid_cosine"))
       .withColumn("drifted", col("centroid_cosine") < threshold)
   }
+
+  /** Deterministic ±1 entry of the random-projection sign matrix at
+    * (output dim `o`, input dim `i` — both 0-based): one bit of the
+    * Knuth multiplicative hash of the flattened index. Shared with the
+    * SQL-oracle builder so both engines inline the SAME literal matrix
+    * (the codebook pattern — the model rides the plan, never a join). */
+  def rpSign(o: Int, i: Int, dim: Int): Int = {
+    val h = ((o.toLong * dim + i) * 2654435761L) % 4294967296L
+    if (((h >> 16) & 1L) == 0L) 1 else -1
+  }
+
+  /**
+   * Signed random projection to `outDim` dimensions (Achlioptas-style
+   * dense ±1 matrix): `p_o = floor((Σᵢ v_i · s(o,i)) · 10⁶ + 0.5)` —
+   * micro-quantized so the projected coordinates are integer columns
+   * (exactly comparable, diff-able, and 4-8× smaller to store than
+   * float64). The dimensionality-reduction face of the SRP machinery
+   * that [[lshBucket]] thresholds to bits: downstream clustering or ANN
+   * runs on 16 coordinates instead of 64 with JL-lemma distance
+   * preservation.
+   *
+   * Spark shape: a pure per-row codegen'd projection — zero shuffle,
+   * zero join; the sign matrix rides the plan as literals. Per-output
+   * sums are fixed left-assoc double chains mirrored exactly by the
+   * oracle.
+   */
+  def randomProject(df: DataFrame, outDim: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    require(outDim >= 1, s"outDim=$outDim must be >= 1")
+    val cols = (0 until outDim).map { o =>
+      val sum = (1 to dim).map(i =>
+        element_at(col(vecCol), i).cast("double") *
+          lit(rpSign(o, i - 1, dim).toDouble)).reduceLeft(_ + _)
+      floor(sum * 1000000.0 + 0.5).cast("long").as(s"p$o")
+    }
+    df.select(col(idCol) +: cols: _*)
+  }
+
+  /**
+   * Mutual top-1 pairs from a kNN pair table ([[knnJoin]] /
+   * [[knnJoinLsh]] output): the (a, b) pairs where a's best neighbor is
+   * b AND b's best neighbor is a — reciprocal nearest neighbors, the
+   * high-precision pair miner used for bitext/parallel-pair mining and
+   * as the safest merge rule in agglomerative dedup (a hub document
+   * that is "everyone's neighbor" is NOT everyone's mutual neighbor, so
+   * hubs stop absorbing clusters).
+   *
+   * Spark shape: consumes the already-bounded kNN graph (≤ k rows per
+   * vector — never touches raw vectors), takes rank-1 rows, and checks
+   * reciprocity with ONE equi-join on the (query, cand) = (cand, query)
+   * key pair. Scale is inherited from the kNN graph builder: LSH-
+   * bucketed candidates, never all-pairs.
+   */
+  def mutualTop1(knn: DataFrame, queryCol: String = "query_id",
+      candCol: String = "cand_id", scoreCol: String = "score",
+      rankCol: String = "rank"): DataFrame = {
+    val t = graft.SparkUtil.trackCache(knn.filter(col(rankCol) === 1)
+      .select(col(queryCol).as("q"), col(candCol).as("c"),
+        col(scoreCol).as("s")))
+    t.as("x").join(t.as("y"),
+        col("x.q") === col("y.c") && col("x.c") === col("y.q"))
+      .filter(col("x.q") < col("x.c"))
+      .select(col("x.q").as("id_a"), col("x.c").as("id_b"),
+        col("x.s").as("score"))
+  }
 }

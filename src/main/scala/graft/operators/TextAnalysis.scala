@@ -819,4 +819,87 @@ object TextAnalysis {
           (sqrt(col("__n2a").cast("double")) * sqrt(col("__n2b").cast("double"))))
           .as("cosine"))
   }
+
+  /**
+   * Stupid-backoff coverage audit: for every trigram position
+   * (w1, w2, w3) of every document, which n-gram LM level would serve it
+   * — the full trigram (corpus count ≥ `minCount`), the (w2, w3) bigram,
+   * the w3 unigram, or nothing (OOV) — reported as exact per-document
+   * level counts. This is the "how well does an n-gram LM cover this
+   * doc" precursor to a CCNet-style perplexity filter, without a single
+   * float: the backoff DECISION structure is integer-exact even though a
+   * real LM's probabilities are not.
+   *
+   * Spark shape: the three count tables are hash aggregations with
+   * map-side partials, bounded by corpus n-gram diversity (not corpus
+   * size); the position stream then takes three LEFT equi-joins on
+   * n-gram keys — the inverted-index pattern, never pairwise — and one
+   * final per-doc aggregation. A hot n-gram costs its df, not df².
+   */
+  def backoffCoverage(docs: DataFrame, minCount: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pos = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(docs)
+        .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+        .filter(size(col("__t")) >= 3)
+        .select(col("id"), explode(expr(
+          """transform(sequence(1, size(__t) - 2),
+            |  i -> struct(element_at(__t, i) AS w1,
+            |              element_at(__t, i + 1) AS w2,
+            |              element_at(__t, i + 2) AS w3))""".stripMargin)).as("p"))
+        .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+          col("p.w3").as("w3")))
+    val tri = pos.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__tn")).filter(col("__tn") >= minCount)
+      .select(col("w1"), col("w2"), col("w3"), lit(1).as("__tri"))
+    val bi = bigramPairs(docs, idCol, textCol)
+      .groupBy(col("ctx"), col("nxt")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") >= minCount)
+      .select(col("ctx").as("w2"), col("nxt").as("w3"), lit(1).as("__bi"))
+    val uni = docs
+      .select(explode(tokens(col(textCol))).as("w3"))
+      .groupBy(col("w3")).agg(count(lit(1)).as("__un"))
+      .filter(col("__un") >= minCount)
+      .select(col("w3"), lit(1).as("__uni"))
+    pos
+      .join(tri, Seq("w1", "w2", "w3"), "left_outer")
+      .join(bi, Seq("w2", "w3"), "left_outer")
+      .join(uni, Seq("w3"), "left_outer")
+      .groupBy(col("id").as(idCol)).agg(
+        count(lit(1)).as("n_positions"),
+        sum(when(col("__tri").isNotNull, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("__tri").isNull && col("__bi").isNotNull, 1L)
+          .otherwise(0L)).as("n_bi"),
+        sum(when(col("__tri").isNull && col("__bi").isNull &&
+          col("__uni").isNotNull, 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("__tri").isNull && col("__bi").isNull &&
+          col("__uni").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /**
+   * Dictionary phrase tagging: occurrence counts of a literal phrase
+   * list in each document, emitted as (doc, phrase, n_hits > 0) rows —
+   * the entity/topic tagging pass of a curation pipeline (and the
+   * positive-match dual of q33's blacklist decontamination). Counting is
+   * substring arithmetic — `(len(text) − len(replace(text, p, ''))) ÷
+   * len(p)` — identical non-overlapping leftmost-match semantics on both
+   * engines, integer-exact.
+   *
+   * Spark shape: the dictionary rides the plan as an array literal (the
+   * codebook pattern); explode × phrase-count is a pure narrow
+   * projection — zero shuffle, no join, output bounded by
+   * docs × |dictionary| before the >0 filter prunes it.
+   */
+  def phraseMatch(docs: DataFrame, phrases: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "phraseMatch needs at least one phrase")
+    require(phrases.forall(_.nonEmpty), "phrases must be non-empty strings")
+    val dict = array(phrases.distinct.sorted.map(lit): _*)
+    docs.select(col(idCol), col(textCol).as("__txt"),
+        explode(dict).as("phrase"))
+      .select(col(idCol), col("phrase"),
+        expr("""(length(__txt) - length(replace(__txt, phrase, '')))
+          | div length(phrase)""".stripMargin).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
 }

@@ -327,4 +327,33 @@ class PlanContractSpec extends SparkSpec {
       }
     }
   }
+
+  test("phrase tagging and random projection are shuffle-free narrow plans") {
+    val pm = plan(SparkEntry.queries("q134_phrase_match")(spark, sf()))
+    assert(!hasShuffle(pm), s"phraseMatch shuffled:\n$pm")
+    val rp = plan(SparkEntry.queries("q136_random_projection")(spark, sf()))
+    assert(!hasShuffle(rp), s"randomProject shuffled:\n$rp")
+    // and the projection stays inside whole-stage codegen
+    assert(rp.contains("*(1) Project"), rp)
+  }
+
+  test("zorder report shuffles only the bounded bucket key (<= 2 exchanges)") {
+    val p = plan(SparkEntry.queries("q135_zorder_layout")(spark, sf()))
+    // two-phase distinct-count agg: Exchange on (bucket, key), then on
+    // bucket — never on anything row-level
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("label propagation keeps every join an equi-join") {
+    val p = plan(SparkEntry.queries("q132_label_propagation")(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("weighted sample plans a TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q139_weighted_sample")(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }

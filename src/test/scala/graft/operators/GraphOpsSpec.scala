@@ -21,6 +21,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L)))
   }
 
+  test("labelPropagation: majority vote with self-loop, deterministic ties") {
+    val spark0 = spark
+    import spark0.implicits._
+    val nodes = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("doc_id", "lang")
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = GraphOps.labelPropagation(nodes, edges, rounds = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    // round 1: node 3 ties a=2/b=2 -> 'a' (label asc); round 2: node 4
+    // ties a=1/b=1 -> 'a'. Isolated node 5 keeps its seed via self-loop.
+    assert(out == Map(
+      1L -> (("a", false)), 2L -> (("a", false)), 3L -> (("a", true)),
+      4L -> (("a", true)), 5L -> (("c", false))))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("labelPropagation round-1 equals one hand-run of the vote rule") {
+    val spark0 = spark
+    import spark0.implicits._
+    val nodes = Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("id", "l")
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val out = GraphOps.labelPropagation(nodes, edges, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // node 1: self x + neighbors y,y -> y; nodes 2,3: self + node-1 'x'
+    // tie y=1/x=1 -> ... x < y so both flip to x
+    assert(out == Map(1L -> "y", 2L -> "x", 3L -> "x"))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("nodeStats on the near-dup graph: degree bounds and triangle symmetry") {
     val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b")

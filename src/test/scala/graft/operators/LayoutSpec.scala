@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+
+  test("mortonKey interleaves bits exactly (x even, y odd)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((5L, 3L)).toDF("x", "y") // x=101b, y=011b
+    val z = df.select(Layout.mortonKey(col("x"), col("y"), bits = 3))
+      .collect()(0).getLong(0)
+    // x bits 0,2 -> z bits 0,4; y bits 0,1 -> z bits 1,3
+    assert(z == (1L | 2L | 8L | 16L), s"z=$z")
+  }
+
+  test("mortonKey round-trips against a reference Scala interleave") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rows = for (x <- 0L to 16L; y <- 0L to 16L) yield (x, y)
+    val out = rows.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.mortonKey(col("x"), col("y"), bits = 5).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (x, y) =>
+      assert(out((x, y)) == ref(x, y, 5), s"($x, $y)")
+    }
+  }
+
+  test("zorderBuckets: bucket ranges nest inside the Morton key space") {
+    val events = graft.Tables.loadEvents(spark, sf("sf0.01"))
+    val out = Layout.zorderBuckets(events, bits = 8, bucketShift = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sum == events.count())
+    out.foreach { case (bucket, n, zMin, zMax, nKeys) =>
+      assert(zMin >= 0L && zMax < (1L << 16))
+      assert(zMin <= zMax)
+      // every z in the bucket shares the top bits: z >> 10 == bucket
+      assert((zMin >> 10) == bucket && (zMax >> 10) == bucket)
+      assert(nKeys >= 1L && nKeys <= n)
+    }
+  }
+
+  test("zorderBuckets agrees with a brute-force per-row computation") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:30:00")),
+      (1L, Timestamp.valueOf("2024-01-01 05:30:00")),
+      (258L, Timestamp.valueOf("2024-01-01 00:45:00")), // 258 & 255 = 2
+      (513L, Timestamp.valueOf("2024-01-02 00:00:00"))) // 513 & 255 = 1
+    val df = rows.toDF("user_id", "ts")
+    def ref(u: Long, t: Timestamp): Long = {
+      val x = u & 255L
+      val y = (t.getTime / 1000 / 3600) & 255L
+      (0 until 8).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    }
+    val expected = rows.map { case (u, t) => ref(u, t) }
+      .groupBy(_ >> 10)
+      .map { case (b, zs) => b -> ((zs.size.toLong, zs.min, zs.max)) }
+    val out = Layout.zorderBuckets(df, bits = 8, bucketShift = 10)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == expected)
+  }
+
+  test("zorderBuckets rejects out-of-range bucketShift") {
+    val events = graft.Tables.loadEvents(spark, sf())
+    intercept[IllegalArgumentException] {
+      Layout.zorderBuckets(events, bits = 8, bucketShift = 16)
+    }
+  }
+}

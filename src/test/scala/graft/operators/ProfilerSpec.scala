@@ -199,4 +199,46 @@ class ProfilerSpec extends SparkSpec {
     assert(out(("b", 1)) == ((1L, 0.2, true)))
     assert(out(("b", 2)) == ((1L, 0.2, true)))
   }
+
+  test("equidepthHistogram: NTILE remainder rule, hand-computed") {
+    val spark0 = spark
+    import spark0.implicits._
+    // n=10, k=3: first bin takes the remainder row -> sizes 4,3,3
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Profiler.equidepthHistogram(df, "v", nBins = 3).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      1 -> ((4L, 1.0, 4.0)), 2 -> ((3L, 5.0, 7.0)), 3 -> ((3L, 8.0, 10.0))))
+  }
+
+  test("equidepthHistogram: duplicate values split across bins by rank") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(1.0, 1.0, 1.0, 2.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Profiler.equidepthHistogram(df, "v", nBins = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // ranks 1-3 are the three 1.0s; ranks 4-6 are 2.0, 2.0, 3.0
+    assert(out == Map(1 -> ((3L, 1.0, 1.0)), 2 -> ((3L, 2.0, 3.0))))
+  }
+
+  test("equidepthHistogram equals Spark's own NTILE window on a real table") {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+    val ours = Profiler.equidepthHistogram(li, "l_extendedprice", nBins = 7)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val ref = li.filter(col("l_extendedprice").isNotNull)
+      .select(col("l_extendedprice").as("v"))
+      .withColumn("bin", ntile(7).over(Window.orderBy(col("v").asc)))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(ours == ref)
+  }
 }

@@ -263,4 +263,32 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     assert(relaid.sortBy(_._1).toSeq == e1.sortBy(_._1).toSeq)
   }
+
+  test("weightedSample: smallest-n priority keys, reference formula") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (0L until 50L).map(i => (i, 10L + (i % 7) * 100L))
+    val df = rows.toDF("doc_id", "n_chars")
+    def key(id: Long, w: Long): Long = {
+      val u = ((id % 2147483648L) * 2654435761L) % 4294967296L % 1048576L
+      u * 1000000L / math.max(w, 1L)
+    }
+    val expected = rows.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (k, id) }.take(12).toMap
+    val out = Sampling.weightedSample(df, n = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == expected)
+  }
+
+  test("weightedSample: weight-0 rows clamp, null/negative rows drop, reruns agree") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, 0L), (2L, -5L), (3L, 100L), (4L, 100L))
+      .toDF("doc_id", "n_chars")
+      .union(Seq((5L, Option.empty[Long])).toDF("doc_id", "n_chars"))
+    val out = Sampling.weightedSample(df, n = 10).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 4L)) // 2 (negative) and 5 (null) excluded
+    val again = Sampling.weightedSample(df, n = 10).collect().map(_.getLong(0)).toSet
+    assert(again == out)
+  }
 }

@@ -409,4 +409,69 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(cross == self)
     graft.SparkUtil.unpersistTrackedCaches()
   }
+
+  test("randomProject: matches a reference Scala chain on the real vectors") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val out = SimilaritySearch.randomProject(e, outDim = 4).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getLong(i))).toMap
+    vecs.foreach { case (id, v) =>
+      val expected = (0 until 4).map { o =>
+        var s = 0.0 // the operator's left-assoc fold, term by term
+        (0 until 64).foreach { i =>
+          s = s + v(i).toDouble * SimilaritySearch.rpSign(o, i, 64).toDouble
+        }
+        math.floor(s * 1000000.0 + 0.5).toLong
+      }
+      assert(out(id) == expected, s"vec $id")
+    }
+  }
+
+  test("rpSign matrix is balanced enough to be a projection (not constant)") {
+    val signs = for (o <- 0 until 16; i <- 0 until 64)
+      yield SimilaritySearch.rpSign(o, i, 64)
+    val pos = signs.count(_ == 1)
+    // a degenerate all-one or all-minus-one matrix would collapse the
+    // projection to a scaled sum; bound the imbalance loosely
+    assert(pos > signs.size / 4 && pos < 3 * signs.size / 4, s"pos=$pos")
+    // rows differ (distinct output dimensions project differently)
+    val rows = (0 until 16).map(o => (0 until 64).map(SimilaritySearch.rpSign(o, _, 64)))
+    assert(rows.distinct.size == 16)
+  }
+
+  test("mutualTop1: reciprocal rank-1 pairs only, min-id side's score") {
+    val spark0 = spark
+    import spark0.implicits._
+    val knn = Seq(
+      (1L, 2L, 0.9, 1), (1L, 3L, 0.8, 2),
+      (2L, 1L, 0.9, 1), (2L, 3L, 0.7, 2),
+      (3L, 1L, 0.95, 1), // 3's best is 1, but 1's best is 2 -> not mutual
+      (4L, 5L, 0.5, 1), (5L, 6L, 0.6, 1)) // 4->5 unrequited
+      .toDF("query_id", "cand_id", "score", "rank")
+    val out = SimilaritySearch.mutualTop1(knn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0.9)))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("mutualTop1 over the LSH kNN graph is symmetric-consistent with the graph") {
+    val e = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val knn = SimilaritySearch.knnJoinLsh(e, k = 5)
+    val top1 = knn.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = SimilaritySearch.mutualTop1(knn).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b) =>
+      assert(a < b)
+      assert(top1(a) == b && top1(b) == a)
+    }
+    // and completeness: every reciprocal top-1 pair is reported
+    val expected = top1.collect {
+      case (a, b) if a < b && top1.get(b).contains(a) => (a, b)
+    }.toSet
+    assert(out.toSet == expected)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
 }

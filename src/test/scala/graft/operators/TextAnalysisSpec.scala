@@ -479,6 +479,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).exists(id => out(id)._1 != out(id)._2))
   }
 
+  test("backoffCoverage: per-position backoff level counts, hand-computed") {
+    val df = docs(
+      (1L, "en", "a b c a b c"), // trigram positions: abc, bca, cab, abc
+      (2L, "en", "a b c x"),     // positions: abc, bcx
+      (3L, "en", "z z"))         // no trigram positions; feeds bi/uni counts
+    val out = TextAnalysis.backoffCoverage(df, minCount = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // corpus counts >= 2: trigram {abc:3}; bigrams {ab:3, bc:3}; unigrams
+    // {a:3, b:3, c:3, z:2}. d1: abc->tri, bca->uni(a), cab->bi(ab),
+    // abc->tri. d2: abc->tri, bcx->oov (cx bigram 1, x unigram 1).
+    assert(out(1L) == ((4L, 2L, 1L, 1L, 0L)))
+    assert(out(2L) == ((2L, 1L, 0L, 0L, 1L)))
+    assert(!out.contains(3L)) // sub-3-token docs have no positions
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("phraseMatch: non-overlapping replace-count arithmetic, zero rows pruned") {
+    val df = docs(
+      (1L, "en", "x table table table y"), // one non-overlapping hit
+      (2L, "en", "ab ab ab ab"),           // two "ab ab" hits
+      (3L, "en", "nothing here"))
+    val out = TextAnalysis.phraseMatch(df, Seq("table table", "ab ab"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (1L, "table table") -> 1L,
+      (2L, "ab ab") -> 2L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseMatch(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseMatch(df, Seq("ok", ""))
+    }
+  }
+
   test("sourceSimilarityMatrix: identical mixes at 1.0, disjoint at absent, partial in between") {
     // s1 and s2 carry the same token mix; s3 is disjoint (no shared
     // token -> no candidate row); s4 half-overlaps s1/s2
