@@ -2198,4 +2198,81 @@ object OracleSql {
        |WHERE $negPred
        |QUALIFY rank <= $k""".stripMargin
   }
+
+  /** Left-associated squared-L2 terms between two vector SQL expressions
+    * over the dsub-wide slice starting at 0-based `base` — each term
+    * `(a[i]-b[i])²`, the exact chain PqCodeF32/L2ToLitF32 accumulate. */
+  private def l2Terms(a: String, b: String, base: Int, dsub: Int): String =
+    (1 to dsub).map { i =>
+      val x = s"$a[${base + i}]::DOUBLE"
+      val y = s"$b[${base + i}]::DOUBLE"
+      s"(($x - $y) * ($x - $y))"
+    }.mkString(" + ")
+
+  /** Per-subspace argmin CTEs `a0..a{m-1}` shared by [[pqEncode]] and
+    * [[ivfPqTopK]]: rank-1 over (dist ASC, code ASC) against the
+    * lowest-id seed codebook — the replay of PqCodeF32's strict-< loop.
+    * MATERIALIZED: DuckDB otherwise re-inlines each window CTE into the
+    * m-way join and planning blows up (~300 s → ~1 s measured). */
+  private def pqAssignCtes(m: Int, dsub: Int, ksub: Int): String =
+    (0 until m).map { j =>
+      val dt = l2Terms("e.embedding", "c.cv", j * dsub, dsub)
+      s"""a$j AS MATERIALIZED (SELECT vec_id, code AS code_$j FROM (
+         |  SELECT e.vec_id, c.code, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY $dt ASC, c.code ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** Mirror of SimilaritySearch.pqEncode with the seed codebook
+    * (vec_id < ksub): m per-subspace argmin-L2 codes. */
+  def pqEncode(m: Int, ksub: Int, dim: Int): String = {
+    val dsub = dim / m
+    val joins = (1 until m).map(j => s"JOIN a$j USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(j => s"code_$j").mkString(", ")
+    s"""WITH cent AS MATERIALIZED (SELECT vec_id AS code, embedding AS cv
+       |  FROM embeddings WHERE vec_id < $ksub),
+       |${pqAssignCtes(m, dsub, ksub)}
+       |SELECT vec_id, $codes FROM a0 $joins""".stripMargin
+  }
+
+  /** Mirror of SimilaritySearch.ivfPqTopK (seed codebooks, by_residual
+    * off): probe the nprobe nearest L2 cells, rank by the ADC sum (per-
+    * subspace query→centroid distance joined by code — the replay of the
+    * literal lookup table), exact-L2 re-rank of the top `rerank`. Every
+    * cut carries an explicit (value, vec_id) total order. */
+  def ivfPqTopK(queryId: Long, k: Int, dim: Int, m: Int, ksub: Int,
+      nlist: Int, nprobe: Int, rerank: Int): String = {
+    val dsub = dim / m
+    val joins = (1 until m).map(j => s"JOIN a$j USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(j => s"code_$j").mkString(", ")
+    val probeDt = l2Terms("c.cv", "q.qv", 0, dim)
+    val cellDt = l2Terms("e.embedding", "c.cv", 0, dim)
+    val adcTerms = (0 until m)
+      .map(j => "(" + l2Terms("q.qv", s"c$j.cv", j * dsub, dsub) + ")")
+      .mkString(" + ")
+    val codeJoins = (0 until m)
+      .map(j => s"JOIN cent c$j ON c$j.code = x.code_$j").mkString(" ")
+    val exDt = l2Terms("e.embedding", "q.qv", 0, dim)
+    s"""WITH q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings
+       |  WHERE vec_id = $queryId),
+       |cent AS MATERIALIZED (SELECT vec_id AS code, embedding AS cv
+       |  FROM embeddings WHERE vec_id < $ksub),
+       |ccent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cv
+       |  FROM embeddings WHERE vec_id < $nlist),
+       |probe AS MATERIALIZED (SELECT c.cid FROM ccent c, q
+       |  ORDER BY $probeDt ASC, c.cid ASC LIMIT $nprobe),
+       |cell AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY $cellDt ASC, c.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN ccent c) WHERE rn = 1),
+       |${pqAssignCtes(m, dsub, ksub)},
+       |codes AS MATERIALIZED (SELECT vec_id, $codes FROM a0 $joins),
+       |cand AS MATERIALIZED (SELECT x.vec_id, ($adcTerms) AS adist
+       |  FROM codes x JOIN cell USING (vec_id) $codeJoins, q
+       |  WHERE cell.cid IN (SELECT cid FROM probe)
+       |  ORDER BY adist ASC, x.vec_id ASC LIMIT $rerank)
+       |SELECT e.vec_id, $exDt AS dist
+       |FROM cand JOIN embeddings e USING (vec_id), q
+       |ORDER BY dist ASC, e.vec_id ASC LIMIT $k""".stripMargin
+  }
 }

@@ -1334,6 +1334,22 @@ object SparkEntry {
       SimilaritySearch.knnJoin(e.filter(col("label") >= 5),
         e.filter(col("label") === 0), k = 3)
     }),
+
+    // Product-quantization encode: each 64-dim vector becomes 8 small
+    // integer codes (nearest per-subspace centroid) — the 32×-compressed
+    // code table a billion-vector ANN index actually scans.
+    "q141_pq_encode" -> ((s, dir) =>
+      SimilaritySearch.pqEncode(t(s, dir, "embeddings"), m = 8,
+        ksub = 64)),
+
+    // IVF-PQ top-k search: coarse-cell prune, asymmetric-distance rank
+    // over PQ codes (lookup table rides the plan), exact re-rank of the
+    // best 100 — zero joins, zero shuffles, two total-order cuts.
+    "q142_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.ivfPqTopK(e, e.filter(col("vec_id") === 123),
+        k = 10, m = 8, ksub = 64, nlist = 16, nprobe = 8, rerank = 100)
+    }),
   )
 
   /** q134 phrase dictionary — vocabulary-pool bigrams that genuinely
@@ -1659,5 +1675,8 @@ object SparkEntry {
       weightCol = "n_chars", idCol = "doc_id"),
     "q140_hard_negatives" -> OracleSql.bipartiteKnn(k = 3, dim = 64,
       posPred = "label = 0", negPred = "e.label >= 5"),
+    "q141_pq_encode" -> OracleSql.pqEncode(m = 8, ksub = 64, dim = 64),
+    "q142_ivfpq_topk" -> OracleSql.ivfPqTopK(queryId = 123, k = 10,
+      dim = 64, m = 8, ksub = 64, nlist = 16, nprobe = 8, rerank = 100),
   )
 }

@@ -70,4 +70,35 @@ object VectorFunctions {
         .reduce(_ + _)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Argmin-L2 code against a literal codebook over the slice starting at
+    * 0-based `base` (`codebook`: one `dsub`-wide slice per code, in code
+    * order). Ties go to the lowest code. Native codegen'd expression —
+    * serves both the PQ subspace encode and the coarse IVF cell assign. */
+  def pqCode(v: Column, codebook: Seq[Seq[Double]], base: Int,
+      dsub: Int): Column = {
+    require(codebook.forall(_.length == dsub),
+      s"every codebook slice must have dsub=$dsub components")
+    native(catalyst.PqCodeF32(expr(v), codebook.flatten.toVector, base, dsub))
+  }
+
+  /** Unrolled-expression formulation of [[pqCode]] (parity twin): min
+    * struct over per-code (left-assoc distance chain, code) pairs. */
+  def pqCodeUnrolled(v: Column, codebook: Seq[Seq[Double]], base: Int,
+      dsub: Int): Column =
+    least(codebook.zipWithIndex.map { case (cv, c) =>
+      struct(l2ToLitUnrolled(v, cv, base).as("d"), lit(c).as("code"))
+    }: _*).getField("code")
+
+  /** Squared L2 distance between the slice of `v` starting at 0-based
+    * `base` and a literal target vector. Native codegen'd expression. */
+  def l2ToLit(v: Column, target: Seq[Double], base: Int): Column =
+    native(catalyst.L2ToLitF32(expr(v), target.toVector, base))
+
+  /** Unrolled-expression formulation of [[l2ToLit]] (parity twin). */
+  def l2ToLitUnrolled(v: Column, target: Seq[Double], base: Int): Column =
+    target.zipWithIndex.map { case (t, i) =>
+      val d = element_at(v, base + i + 1).cast("double") - lit(t)
+      d * d
+    }.reduceLeft(_ + _)
 }

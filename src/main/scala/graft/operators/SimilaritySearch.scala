@@ -645,4 +645,131 @@ object SimilaritySearch {
       .select(col("x.q").as("id_a"), col("x.c").as("id_b"),
         col("x.s").as("score"))
   }
+
+  /** Deterministic seed codebook: the `n` lowest-id vectors, in id order
+    * (the same seeding rule as [[annTopKIvf]] / [[trainIvfCentroids]] —
+    * fully replayable by the SQL oracle, unlike a trained codebook whose
+    * distributed float means drift at the ulp). */
+  private def seedVectors(df: DataFrame, n: Int, idCol: String,
+      vecCol: String): Seq[Array[Float]] = {
+    val session = df.sparkSession
+    import session.implicits._
+    val seeds = df.filter(col(idCol) < n)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2).toSeq
+    require(seeds.size >= 2, s"need >= 2 seed vectors, found ${seeds.size}")
+    seeds
+  }
+
+  /** Driver-side squared L2 over a slice, ascending-index double
+    * accumulation — bit-identical to [[graft.functions.catalyst.L2ToLitF32]]
+    * and the oracle's left-assoc chain. */
+  private def l2D(a: Array[Float], b: Array[Float], from: Int,
+      until: Int): Double = {
+    var s = 0.0; var i = from
+    val n = math.min(until, math.min(a.length, b.length))
+    while (i < n) {
+      val t = a(i).toDouble - b(i).toDouble; s += t * t; i += 1
+    }
+    s
+  }
+
+  private def subSlices(cents: Seq[Array[Float]], j: Int,
+      dsub: Int): Seq[Seq[Double]] =
+    cents.map(_.slice(j * dsub, (j + 1) * dsub).map(_.toDouble).toSeq)
+
+  /**
+   * Product-quantization encode (Jégou, Douze, Schmid, TPAMI 2011): split
+   * each `dim`-dimensional vector into `m` subvectors of `dim/m`
+   * components and replace each subvector with the index of its nearest
+   * (L2) centroid from a per-subspace codebook of `ksub` entries — a
+   * vector becomes `m` small integer codes (`m=8, ksub<=256` → 8 bytes,
+   * a 32× compression of a 64-dim float32 embedding). The compressed
+   * code table is what a billion-vector ANN index actually scans; raw
+   * vectors are only fetched for final re-ranking ([[ivfPqTopK]]).
+   *
+   * Codebook: caller-supplied (e.g. trained per-subspace k-means) or the
+   * deterministic lowest-id seed rule — the oracle replays the seed
+   * variant exactly; the approximation quality (not correctness) is what
+   * training improves.
+   *
+   * Spark shape (100 TB posture): ONE narrow codegen'd projection — the
+   * codebook rides the plan as reference objects ([[graft.functions.catalyst.PqCodeF32]]),
+   * zero joins, zero shuffles; plan-pinned. Output is `m` int columns,
+   * columnar-compressed to ~1 byte each in parquet.
+   */
+  def pqEncode(df: DataFrame, m: Int = 8, ksub: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64,
+      codebook: Option[Seq[Array[Float]]] = None): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
+    val dsub = dim / m
+    val cents = codebook.getOrElse(seedVectors(df, ksub, idCol, vecCol))
+    val codeCols = (0 until m).map { j =>
+      pqCode(col(vecCol), subSlices(cents, j, dsub), j * dsub, dsub)
+        .as(s"code_$j")
+    }
+    df.select(col(idCol) +: codeCols: _*)
+  }
+
+  /**
+   * IVF-PQ top-k search (the FAISS `IVFPQ` + refine layout, by_residual
+   * off): coarse-quantize the corpus into `nlist` L2 cells and keep only
+   * the `nprobe` cells nearest the query (the inverted-file prune), rank
+   * survivors by ASYMMETRIC DISTANCE — the sum of `m` per-subspace
+   * query→centroid distances looked up by PQ code from a precomputed
+   * table — then exactly re-rank the best `rerank` candidates with full
+   * vectors and return the top `k` by true L2.
+   *
+   * Spark shape (100 TB posture): the query vector, both codebooks, and
+   * the `m × ksub` ADC lookup table all ride the plan as
+   * literals/reference objects — ZERO joins, ZERO shuffle Exchanges
+   * (plan-pinned): scan → narrow projection (cell + codes + ADC sum) →
+   * probed-cell filter → TakeOrderedAndProject(rerank) → exact-distance
+   * projection → TakeOrderedAndProject(k). At scale the codes come from a
+   * persisted [[pqEncode]] table (8 bytes/vector scanned instead of 256)
+   * and only `rerank` rows ever touch raw vectors.
+   *
+   * Approximation lives in the INDEX (seed codebooks here — exactly
+   * SQL-replayable; training improves recall, not correctness): recall@10
+   * vs exact L2 is spec-pinned over a 20-query panel.
+   */
+  def ivfPqTopK(df: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, m: Int = 8, ksub: Int = 64, nlist: Int = 16,
+      nprobe: Int = 8, rerank: Int = 100,
+      codebook: Option[Seq[Array[Float]]] = None,
+      cellbook: Option[Seq[Array[Float]]] = None): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
+    require(nprobe >= 1 && rerank >= k,
+      s"need nprobe >= 1 and rerank=$rerank >= k=$k")
+    val session = df.sparkSession
+    import session.implicits._
+    val dsub = dim / m
+    val cents = codebook.getOrElse(seedVectors(df, ksub, idCol, vecCol))
+    val cells = cellbook.getOrElse(seedVectors(df, nlist, idCol, vecCol))
+    val qv = query.select(col(vecCol).cast("array<float>"))
+      .as[Array[Float]].head()
+    val qd = qv.map(_.toDouble).toSeq
+    val probed = cells.zipWithIndex
+      .map { case (cv, c) => (l2D(cv, qv, 0, dim), c) }
+      .sortBy { case (d, c) => (d, c) }.take(nprobe).map(_._2)
+    val lut = (0 until m).map { j =>
+      cents.map(cv => l2D(cv, qv, j * dsub, (j + 1) * dsub)).toSeq
+    }
+    val cellCol = pqCode(col(vecCol),
+      cells.map(_.map(_.toDouble).toSeq), 0, dim).as("__cell")
+    val codeCols = (0 until m).map { j =>
+      pqCode(col(vecCol), subSlices(cents, j, dsub), j * dsub, dsub)
+        .as(s"__c$j")
+    }
+    val adist = (0 until m).map(j =>
+      element_at(typedLit(lut(j)), col(s"__c$j") + 1)).reduceLeft(_ + _)
+    df.select(col(idCol) +: col(vecCol) +: cellCol +: codeCols: _*)
+      .filter(col("__cell").isin(probed: _*))
+      .withColumn("__adist", adist)
+      .orderBy(col("__adist").asc, col(idCol).asc).limit(rerank)
+      .select(col(idCol), l2ToLit(col(vecCol), qd, 0).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc).limit(k)
+  }
 }

@@ -356,4 +356,17 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("PQ encode is a shuffle-free narrow projection; IVF-PQ search has zero joins and zero shuffles") {
+    val pe = plan(SparkEntry.queries("q141_pq_encode")(spark, sf()))
+    assert(!hasShuffle(pe), s"pqEncode shuffled:\n$pe")
+    assert(pe.contains("*(1) Project"), pe)
+    // the search: codebooks + ADC table + query all ride the plan as
+    // literals — scan, narrow filter/project, two TakeOrdered cuts, and
+    // NOTHING else (no join of any kind, no exchange)
+    val ps = plan(SparkEntry.queries("q142_ivfpq_topk")(spark, sf()))
+    assert(!hasShuffle(ps), s"ivfPqTopK shuffled:\n$ps")
+    assert(!ps.contains("Join") && !ps.contains("CartesianProduct"), ps)
+    assert(ps.contains("TakeOrderedAndProject"), ps)
+  }
 }

@@ -111,6 +111,28 @@ class HashExpressionsSpec extends SparkSpec {
     assert(d.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("native PQ code and L2-to-literal == unrolled twins, every vector") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
+    // per-subspace codebook (subspace 2 of 8) + full-dim cell assign
+    val sub = cents.map(_.slice(16, 24).map(_.toDouble).toSeq).toSeq
+    val full = cents.map(_.map(_.toDouble).toSeq).toSeq
+    val target = cents(3).map(_.toDouble).toSeq
+    val d = emb.select(
+      VectorFunctions.pqCode(col("embedding"), sub, 16, 8).as("a"),
+      VectorFunctions.pqCodeUnrolled(col("embedding"), sub, 16, 8).as("b"),
+      VectorFunctions.pqCode(col("embedding"), full, 0, 64).as("c"),
+      VectorFunctions.pqCodeUnrolled(col("embedding"), full, 0, 64).as("d"),
+      VectorFunctions.l2ToLit(col("embedding"), target, 0).as("e"),
+      VectorFunctions.l2ToLitUnrolled(col("embedding"), target, 0).as("f"))
+    assert(d.filter(col("a") =!= col("b") || col("c") =!= col("d") ||
+      col("e") =!= col("f")).count() == 0)
+  }
+
   test("native expressions survive both codegen and interpreted eval paths") {
     // force interpreted path by disabling whole-stage codegen
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
