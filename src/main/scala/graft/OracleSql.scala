@@ -2076,6 +2076,55 @@ object OracleSql {
        |FROM l$rounds JOIN seed s ON l$rounds.id = s.id""".stripMargin
   }
 
+  /** Mirror of GraphOps.pageRank over the min-support co-engagement
+    * graph: the fixed-round synchronous update unrolls into `rounds`
+    * chained CTE stages, each one equi-join + one dst-sum of integer
+    * floor quotients — every division `//`, so the fixed-point replays
+    * bit-identically. */
+  def pageRank(minUsers: Int, maxItemsPerUser: Int, rounds: Int,
+      scale: Long, dampNum: Long, dampDen: Long): String = {
+    val teleport = (dampDen - dampNum) * scale / dampDen
+    val stages = (1 to rounds).map { r =>
+      s"""r$r AS (SELECT d.dst AS id,
+         |    $teleport + ($dampNum * sum(r.rank // d.deg)) // $dampDen AS rank
+         |  FROM dirx d JOIN r${r - 1} r ON d.src = r.id GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH it AS (SELECT user_id,
+       |    json_extract_string(props, '$$.k')::INTEGER AS item, min(ts) AS f
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2),
+       |cap AS (SELECT user_id, item FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY f, item) AS rn FROM it) WHERE rn <= $maxItemsPerUser),
+       |e AS (SELECT a.item AS id_a, b.item AS id_b
+       |  FROM cap a JOIN cap b ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING count(*) >= $minUsers),
+       |d0 AS (SELECT id_a AS src, id_b AS dst FROM e
+       |       UNION ALL SELECT id_b, id_a FROM e),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM d0 GROUP BY 1),
+       |dirx AS (SELECT d0.src, d0.dst, g.deg FROM d0
+       |         JOIN deg g ON d0.src = g.src),
+       |r0 AS (SELECT src AS id, $scale::BIGINT AS rank FROM deg),
+       |$stages
+       |SELECT r$rounds.id AS item_id, r$rounds.rank, g.deg AS degree
+       |FROM r$rounds JOIN deg g ON r$rounds.id = g.src""".stripMargin
+  }
+
+  /** Mirror of Sampling.paretoFrontier on (n_chars, micro-scaled
+    * type-token ratio): per-x max-y agg, prefix max over strictly-greater
+    * x, survive iff y equals the same-x max and beats the greater-x max. */
+  def paretoFrontier: String =
+    s"""WITH pts AS (SELECT doc_id, n_chars::BIGINT AS x,
+       |    (len(list_distinct($toks))::BIGINT * 1000000)
+       |      // len($toks)::BIGINT AS y
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |gx AS (SELECT x, max(y) AS maxy FROM pts GROUP BY 1),
+       |gg AS (SELECT x, maxy, max(maxy) OVER (ORDER BY x DESC
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gtmax FROM gx)
+       |SELECT p.doc_id, p.x AS n_chars, p.y AS ttr_micro
+       |FROM pts p JOIN gg ON p.x = gg.x
+       |WHERE p.y = gg.maxy AND (gg.gtmax IS NULL OR gg.gtmax < p.y)""".stripMargin
+
   /** Mirror of TextAnalysis.backoffCoverage: lockstep three-slice unnest
     * for trigram positions, three HAVING-filtered count tables, three
     * LEFT joins, integer level counts. */

@@ -1350,6 +1350,30 @@ object SparkEntry {
       SimilaritySearch.ivfPqTopK(e, e.filter(col("vec_id") === 123),
         k = 10, m = 8, ksub = 64, nlist = 16, nprobe = 8, rerank = 100)
     }),
+
+    // Integer-arithmetic PageRank over the min-support co-engagement
+    // item graph: 3 synchronous damped rounds with every division an
+    // integer floor — centrality scores (which items anchor the graph,
+    // beyond raw degree) that replay bit-identically in SQL.
+    "q143_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(
+          EventAnalytics.coEngagementEdges(Tables.loadEvents(s, dir),
+            get_json_object(col("props"), "$.k").cast("int"),
+            minUsers = 15, maxItemsPerUser = 30)
+            .select("item_a", "item_b"),
+          rounds = 3)
+        .select(col("id").as("item_id"), col("rank"), col("degree"))),
+
+    // Pareto-frontier (skyline) curation shortlist: docs where neither
+    // length nor lexical richness (micro-scaled type-token ratio) can
+    // improve without giving up the other — no threshold pair expresses
+    // this set; the window runs over distinct lengths, never the corpus.
+    "q144_pareto_frontier" -> ((s, dir) => {
+      Sampling.paretoFrontier(t(s, dir, "documents"), col("n_chars"),
+          expr("(size(array_distinct(split(text, ' '))) * CAST(1000000 AS BIGINT)) div size(split(text, ' '))"))
+        .select(col("doc_id"), col("x").as("n_chars"),
+          col("y").as("ttr_micro"))
+    }),
   )
 
   /** q134 phrase dictionary — vocabulary-pool bigrams that genuinely
@@ -1678,5 +1702,9 @@ object SparkEntry {
     "q141_pq_encode" -> OracleSql.pqEncode(m = 8, ksub = 64, dim = 64),
     "q142_ivfpq_topk" -> OracleSql.ivfPqTopK(queryId = 123, k = 10,
       dim = 64, m = 8, ksub = 64, nlist = 16, nprobe = 8, rerank = 100),
+    "q143_pagerank" -> OracleSql.pageRank(minUsers = 15,
+      maxItemsPerUser = 30, rounds = 3, scale = 1000000L, dampNum = 85L,
+      dampDen = 100L),
+    "q144_pareto_frontier" -> OracleSql.paretoFrontier,
   )
 }

@@ -168,7 +168,28 @@ object EventAnalytics {
    */
   def coEngagement(events: DataFrame, itemExpr: Column, k: Int = 20,
       maxItemsPerUser: Int = 30, tsCol: String = "ts",
-      userCol: String = "user_id"): DataFrame = {
+      userCol: String = "user_id"): DataFrame =
+    coPairs(events, itemExpr, maxItemsPerUser, tsCol, userCol)
+      .orderBy(col("n_users").desc, col("item_a").asc, col("item_b").asc)
+      .limit(k)
+
+  /**
+   * Co-engagement EDGE LIST: every item pair engaged by at least
+   * `minUsers` distinct entities — [[coEngagement]]'s top-k cut replaced
+   * by a support threshold, producing the full (support-filtered) graph
+   * a downstream graph operator ([[GraphOps.pageRank]],
+   * [[ConnectedComponents]]) consumes rather than a leaderboard. Same
+   * per-entity cap² skew bound; the HAVING filter runs inside the final
+   * map-side-partial count, so the full pair space never materializes.
+   */
+  def coEngagementEdges(events: DataFrame, itemExpr: Column,
+      minUsers: Int, maxItemsPerUser: Int = 30, tsCol: String = "ts",
+      userCol: String = "user_id"): DataFrame =
+    coPairs(events, itemExpr, maxItemsPerUser, tsCol, userCol)
+      .filter(col("n_users") >= minUsers)
+
+  private def coPairs(events: DataFrame, itemExpr: Column,
+      maxItemsPerUser: Int, tsCol: String, userCol: String): DataFrame = {
     val firstSeen = events
       .select(col(userCol), itemExpr.as("__item"), col(tsCol))
       .filter(col("__item").isNotNull)
@@ -184,7 +205,5 @@ object EventAnalytics {
           col("a.__item") < col("b.__item"))
       .groupBy(col("a.__item").as("item_a"), col("b.__item").as("item_b"))
       .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("n_users").desc, col("item_a").asc, col("item_b").asc)
-      .limit(k)
   }
 }

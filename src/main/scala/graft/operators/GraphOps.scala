@@ -80,6 +80,55 @@ object GraphOps {
         (col("label") =!= col("__seed")).as("changed"))
   }
 
+  /**
+   * Integer-arithmetic PageRank over an undirected pair graph (Page,
+   * Brin, Motwani, Winograd, "The PageRank Citation Ranking", 1999 — the
+   * original non-normalized per-node form `PR(v) = (1−d) + d·Σ PR(u)/deg(u)`,
+   * here with every division an INTEGER floor so the fixed-point replays
+   * bit-identically in SQL): ranks start at `scale` per node and run
+   * `rounds` synchronous updates; damping d = dampNum/dampDen. Rank mass
+   * is conserved up to floor truncation (spec-pinned), so scores are
+   * comparable across runs and engines. The training-data face:
+   * centrality over a co-engagement or near-dup graph ranks the items /
+   * canonical docs that anchor the corpus — degree says how MANY
+   * neighbors, PageRank says how IMPORTANT they are.
+   *
+   * Scale shape: the edge table joins its degree ONCE and caches; per
+   * round, ONE equi-join (cached (src,dst,deg) × current ranks on src —
+   * the rank side is exactly one row per node) and ONE hash aggregation
+   * on dst with map-side partials — the [[ConnectedComponents]] /
+   * [[labelPropagation]] iteration budget, with `rounds` fixed so the
+   * plan is static (no driver-side convergence loop). Isolated nodes
+   * don't appear (no edges → no rank flow); dangling mass can't exist in
+   * a symmetric graph (every node with an out-edge has the in-edge back).
+   */
+  def pageRank(edges: DataFrame, rounds: Int = 3, scale: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    require(dampDen > dampNum && dampNum > 0,
+      s"damping $dampNum/$dampDen must be in (0, 1)")
+    val teleport = (dampDen - dampNum) * scale / dampDen
+    val e = canonical(edges)
+    val dirx = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dirx.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val withDeg = graft.SparkUtil.trackCache(dirx.join(deg, Seq("src")))
+    var ranks = deg.select(col("src").as("id"),
+      lit(scale).cast("long").as("rank"))
+    for (_ <- 1 to rounds) {
+      ranks = withDeg
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank div deg")).as("__s"))
+        .select(col("dst").as("id"),
+          expr(s"$teleport + ($dampNum * __s) div $dampDen").as("rank"))
+    }
+    ranks.join(deg.select(col("src").as("id"), col("deg").as("degree")),
+        Seq("id"))
+      .select(col("id"), col("rank"), col("degree"))
+  }
+
   /** Per-node degree and triangle count over an undirected pair table:
     * one row per node appearing in an edge, with `degree` (distinct
     * neighbors) and `n_triangles` (triangles the node participates in). */

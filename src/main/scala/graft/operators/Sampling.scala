@@ -335,6 +335,40 @@ object Sampling {
    * forwards at most `n` rows, no full sort ever materializes. Driver
    * holds n rows; keep n bounded (the top-k contract, q25's shape).
    */
+  /**
+   * Pareto-frontier selection over two maximize-objectives: keep exactly
+   * the rows no other row DOMINATES (another row ≥ on both objectives
+   * and > on at least one) — the skyline operator (Börzsönyi, Kossmann,
+   * Stocker, "The Skyline Operator", ICDE 2001). The curation face: of
+   * "long AND lexically rich" (or "high quality AND high novelty") docs,
+   * the frontier is the set where you cannot improve one axis without
+   * giving up the other — a scale-free shortlist no threshold pair can
+   * express. Ties on BOTH axes are all kept (no strict dominance).
+   *
+   * Spark shape (100 TB posture): the corpus reduces to one (x → max y)
+   * hash agg with map-side partials; the ONLY window (prefix max of
+   * `max y` over strictly-greater x) runs over DISTINCT X VALUES —
+   * bounded by x's cardinality, never the corpus; the verdict joins back
+   * on the x equi-key. A row survives iff `y = maxy(x)` (no same-x
+   * dominator) and `y > gtmax(x)` (no greater-x dominator). The corpus
+   * never sorts — the q138 equi-depth treatment applied to skylines.
+   */
+  def paretoFrontier(df: DataFrame, xCol: Column, yCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(idCol), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val gx = pts.groupBy(col("x")).agg(max(col("y")).as("__maxy"))
+    val w = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gg = gx.withColumn("__gtmax", max(col("__maxy")).over(w))
+    pts.join(gg, Seq("x"))
+      .filter(col("y") === col("__maxy") &&
+        (col("__gtmax").isNull || col("__gtmax") < col("y")))
+      .select(col(idCol), col("x"), col("y"))
+  }
+
   def weightedSample(df: DataFrame, n: Int, weightCol: String = "n_chars",
       idCol: String = "doc_id"): DataFrame = {
     require(n >= 0, s"n=$n must be >= 0")

@@ -21,6 +21,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L)))
   }
 
+  test("pageRank: exact damped integer fixed-point on a path graph") {
+    val spark0 = spark
+    import spark0.implicits._
+    // path 1-2-3, 2 rounds, scale 1e6, d = 85/100, teleport 150000:
+    //   r1: n1 = n3 = 150000 + (85 * (1000000 // 2)) // 100 = 575000
+    //       n2 = 150000 + (85 * 2000000) // 100 = 1850000
+    //   r2: n1 = n3 = 150000 + (85 * (1850000 // 2)) // 100 = 936250
+    //       n2 = 150000 + (85 * (575000 + 575000)) // 100 = 1127500
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = GraphOps.pageRank(edges, rounds = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((936250L, 1L)), 2L -> ((1127500L, 2L)),
+      3L -> ((936250L, 1L))))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("pageRank conserves rank mass up to floor truncation on the co-engagement graph") {
+    val edges = EventAnalytics.coEngagementEdges(
+        graft.Tables.loadEvents(spark, sf("sf0.01")),
+        org.apache.spark.sql.functions.get_json_object(
+          org.apache.spark.sql.functions.col("props"), "$.k").cast("int"),
+        minUsers = 15, maxItemsPerUser = 30)
+      .select("item_a", "item_b")
+    val out = GraphOps.pageRank(edges, rounds = 3).collect()
+    val n = out.length.toLong
+    val total = out.map(_.getLong(1)).sum
+    // each round floors away < 2|E| + n units of mass — total stays
+    // within a hair of the n·scale invariant and never exceeds it
+    assert(total <= n * 1000000L, s"mass grew: $total vs ${n * 1000000L}")
+    assert(total >= n * 1000000L * 99L / 100L,
+      s"mass leaked: $total vs ${n * 1000000L}")
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("labelPropagation: majority vote with self-loop, deterministic ties") {
     val spark0 = spark
     import spark0.implicits._

@@ -280,6 +280,32 @@ class SamplingSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("paretoFrontier keeps exactly the non-dominated rows; both-axes ties kept") {
+    val spark0 = spark
+    import spark0.implicits._
+    val pts = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 10L, 4L), (4L, 8L, 7L),
+      (5L, 12L, 3L), (6L, 7L, 7L), (7L, 5L, 9L)).toDF("doc_id", "xx", "yy")
+    val out = Sampling.paretoFrontier(pts, col("xx"), col("yy"))
+      .collect().map(_.getLong(0)).toSet
+    // 3 loses to same-x (10,5); 6=(7,7) loses to (8,7); the (10,5) tie
+    // pair both survive (no strict dominance between equals)
+    assert(out == Set(1L, 2L, 4L, 5L, 7L))
+  }
+
+  test("paretoFrontier matches the O(n²) dominance definition on the real corpus") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val y = expr("(size(array_distinct(split(text, ' '))) * CAST(1000000 AS BIGINT)) div size(split(text, ' '))")
+    val got = Sampling.paretoFrontier(d, col("n_chars"), y)
+      .collect().map(_.getLong(0)).toSet
+    val pts = d.select(col("doc_id"), col("n_chars").cast("long"),
+      y.cast("long")).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = pts.filter { case (_, x0, y0) =>
+      !pts.exists { case (_, x1, y1) =>
+        x1 >= x0 && y1 >= y0 && (x1 > x0 || y1 > y0) }
+    }.map(_._1).toSet
+    assert(got == brute)
+  }
+
   test("weightedSample: weight-0 rows clamp, null/negative rows drop, reruns agree") {
     val spark0 = spark
     import spark0.implicits._
