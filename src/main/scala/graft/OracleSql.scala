@@ -2324,4 +2324,37 @@ object OracleSql {
        |FROM cand JOIN embeddings e USING (vec_id), q
        |ORDER BY dist ASC, e.vec_id ASC LIMIT $k""".stripMargin
   }
+
+  /** Mirror of Layout.zoneMapSkipReport over lineitem's orderkey shards:
+    * plain grouped min/max/count plus the footer-stats prune flag. */
+  def zoneMapSkipReport(shardWidth: Long, lo: String, hi: String): String =
+    s"""SELECT l_orderkey // $shardWidth AS shard,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  min(l_shipdate) AS v_min, max(l_shipdate) AS v_max,
+       |  CAST(count(CASE WHEN l_shipdate >= DATE '$lo'
+       |    AND l_shipdate <= DATE '$hi' THEN 1 END) AS BIGINT) AS n_match,
+       |  (max(l_shipdate) >= DATE '$lo' AND min(l_shipdate) <= DATE '$hi')
+       |    AS scanned
+       |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Mirror of Layout.clusteringDepth over q145's shard shipdate ranges:
+    * sweep-line (+1 at min, −1 at max+1) prefix sum in position order.
+    * Dates become integer epoch days (DATE − DATE '1970-01-01'), matching
+    * the operator's unix_date. */
+  def clusteringDepth(shardWidth: Long): String =
+    s"""WITH st AS (SELECT l_orderkey // $shardWidth AS shard,
+       |    CAST(min(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+       |      AS v_min,
+       |    CAST(max(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+       |      AS v_max
+       |  FROM lineitem GROUP BY 1),
+       |ev AS (SELECT v_min AS pos, CAST(1 AS BIGINT) AS d FROM st
+       |  UNION ALL
+       |  SELECT v_max + 1 AS pos, CAST(-1 AS BIGINT) AS d FROM st),
+       |agg AS (SELECT pos, CAST(sum(d) AS BIGINT) AS delta
+       |  FROM ev GROUP BY 1)
+       |SELECT pos, CAST(sum(delta) OVER (ORDER BY pos
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |  AS depth
+       |FROM agg""".stripMargin
 }

@@ -1374,6 +1374,26 @@ object SparkEntry {
         .select(col("doc_id"), col("x").as("n_chars"),
           col("y").as("ttr_micro"))
     }),
+
+    // Zone-map skip report: per orderkey-shard min/max shipdate vs a
+    // quarter-range predicate — the footer-stats prune decision a 100 TB
+    // scan makes before reading a byte; n - n_match on scanned shards is
+    // the false-positive read cost the natural layout pays.
+    "q145_zonemap_prune" -> ((s, dir) =>
+      Layout.zoneMapSkipReport(t(s, dir, "lineitem"),
+        expr("l_orderkey div 1024"), col("l_shipdate"),
+        lit("1995-01-01").cast("date"), lit("1995-03-31").cast("date"))),
+
+    // Clustering-depth profile: interval-stabbing depth over the shard
+    // [min,max] shipdate ranges from q145's zone map — depth ~ #shards
+    // everywhere proves the orderkey layout cannot prune date scans and
+    // the table wants a shipdate re-cluster (q135's rewrite).
+    "q146_clustering_depth" -> ((s, dir) => {
+      val shards = Layout.zoneMapSkipReport(t(s, dir, "lineitem"),
+        expr("l_orderkey div 1024"), expr("unix_date(cast(l_shipdate as date))"),
+        lit(Int.MinValue), lit(Int.MinValue))
+      Layout.clusteringDepth(shards, col("v_min"), col("v_max"))
+    }),
   )
 
   /** q134 phrase dictionary — vocabulary-pool bigrams that genuinely
@@ -1706,5 +1726,8 @@ object SparkEntry {
       maxItemsPerUser = 30, rounds = 3, scale = 1000000L, dampNum = 85L,
       dampDen = 100L),
     "q144_pareto_frontier" -> OracleSql.paretoFrontier,
+    "q145_zonemap_prune" -> OracleSql.zoneMapSkipReport(shardWidth = 1024L,
+      lo = "1995-01-01", hi = "1995-03-31"),
+    "q146_clustering_depth" -> OracleSql.clusteringDepth(shardWidth = 1024L),
   )
 }

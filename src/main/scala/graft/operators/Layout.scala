@@ -60,4 +60,54 @@ object Layout {
         min(col("__z")).as("z_min"), max(col("__z")).as("z_max"),
         count_distinct(col(keyCol)).as("n_keys"))
   }
+
+  /**
+   * Zone-map skip report: per storage shard, the min/max of a stat
+   * column plus whether a range predicate `[lo, hi]` can prune the whole
+   * shard — the decision a 100 TB scan makes from parquet footer stats
+   * BEFORE reading a byte. `scanned = (v_max >= lo AND v_min <= hi)`;
+   * `n_match` is the rows the predicate actually selects, so
+   * `n - n_match` on scanned shards is the false-positive read cost the
+   * layout is paying (high cost → the table wants a re-cluster on
+   * `statCol`, see [[zorderBuckets]] / [[clusteringDepth]]).
+   *
+   * Spark shape: ONE hash aggregation over the bounded shard-id domain
+   * with map-side partials (min/max/count/conditional-count are all
+   * mergeable); the prune flag is a per-group projection. The corpus
+   * never shuffles on anything wider than the shard id.
+   */
+  def zoneMapSkipReport(df: DataFrame, shard: Column, stat: Column,
+      lo: Column, hi: Column): DataFrame =
+    df.groupBy(shard.as("shard"))
+      .agg(count(lit(1)).as("n"),
+        min(stat).as("v_min"), max(stat).as("v_max"),
+        count(when(stat >= lo && stat <= hi, 1)).as("n_match"))
+      .withColumn("scanned", col("v_max") >= lo && col("v_min") <= hi)
+
+  /**
+   * Interval-stabbing depth profile over shard `[lo, hi]` key ranges:
+   * for each boundary position, how many shards' ranges cover it — the
+   * standard clustering-quality metric for a sorted/Z-ordered layout
+   * (depth 1 everywhere = perfectly clustered, a point query touches one
+   * file; depth ≈ #shards = unclustered, every point query touches every
+   * file). Emits one row per distinct boundary with the depth holding
+   * from that position until the next boundary.
+   *
+   * Sweep-line formulation: each interval contributes (+1 at `lo`,
+   * −1 at `hi+1`); depth at a boundary is the running prefix sum in
+   * position order. The input is METADATA-scale — one row per shard
+   * (file-footer stats, ≤ ~10⁵ rows even at 100 TB) — so the
+   * single-partition prefix-sum window is a bounded driver-adjacent
+   * artifact, never a corpus-wide window.
+   */
+  def clusteringDepth(shards: DataFrame, lo: Column, hi: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = shards.select(lo.cast("long").as("pos"), lit(1L).as("d"))
+      .unionAll(shards.select((hi.cast("long") + 1L).as("pos"), lit(-1L).as("d")))
+    events.groupBy(col("pos")).agg(sum(col("d")).as("delta"))
+      .withColumn("depth",
+        sum(col("delta")).over(Window.orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("pos"), col("depth"))
+  }
 }

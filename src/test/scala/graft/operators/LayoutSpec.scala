@@ -82,4 +82,57 @@ class LayoutSpec extends SparkSpec {
       Layout.zorderBuckets(events, bits = 8, bucketShift = 16)
     }
   }
+
+  test("zoneMapSkipReport: pruning is safe (unscanned shards hold zero matches)") {
+    val li = graft.Tables.load(spark, sf("sf0.01"), "lineitem")
+    val out = Layout.zoneMapSkipReport(li,
+        expr("l_orderkey div 1024"), expr("unix_date(cast(l_shipdate as date))"),
+        lit(9131), lit(9251)) // 1995-01-01 .. 1995-05-01 in epoch days
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n")).sum == li.count())
+    out.foreach { r =>
+      val (n, nMatch, scanned) = (r.getAs[Long]("n"),
+        r.getAs[Long]("n_match"), r.getAs[Boolean]("scanned"))
+      assert(nMatch <= n)
+      // the zone-map contract: a shard the footer stats prune away can
+      // never contain a matching row
+      if (!scanned) assert(nMatch == 0L, s"pruned shard with $nMatch matches")
+      assert(r.getAs[Int]("v_min") <= r.getAs[Int]("v_max"))
+    }
+  }
+
+  test("clusteringDepth: sweep closes at zero, peak depth bounded by shard count") {
+    val li = graft.Tables.load(spark, sf("sf0.01"), "lineitem")
+    val shards = Layout.zoneMapSkipReport(li,
+      expr("l_orderkey div 1024"), expr("unix_date(cast(l_shipdate as date))"),
+      lit(Int.MinValue), lit(Int.MinValue))
+    val nShards = shards.count()
+    val prof = Layout.clusteringDepth(shards, col("v_min"), col("v_max"))
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(prof.nonEmpty)
+    // depth after the final boundary (max+1 of the last interval) is 0:
+    // every +1 has been matched by its -1
+    assert(prof.last._2 == 0L, s"open intervals left: depth=${prof.last._2}")
+    assert(prof.map(_._2).max <= nShards)
+    assert(prof.forall(_._2 >= 0L))
+  }
+
+  test("clusteringDepth matches a brute-force stab count on hand intervals") {
+    val spark0 = spark
+    import spark0.implicits._
+    val iv = Seq((0L, 9L), (5L, 14L), (20L, 24L), (5L, 9L))
+    val df = iv.toDF("lo", "hi")
+    val prof = Layout.clusteringDepth(df, col("lo"), col("hi"))
+      .orderBy(col("pos")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // depth holding at each boundary must equal the brute-force count of
+    // intervals covering that position
+    prof.foreach { case (pos, depth) =>
+      val stab = iv.count { case (l, h) => l <= pos && pos <= h }
+      assert(depth == stab, s"pos=$pos depth=$depth stab=$stab")
+    }
+    // boundaries are exactly the distinct lo / hi+1 positions
+    assert(prof.map(_._1).toSet == iv.flatMap(p => Seq(p._1, p._2 + 1)).toSet)
+  }
 }
