@@ -2325,6 +2325,31 @@ object OracleSql {
        |ORDER BY dist ASC, e.vec_id ASC LIMIT $k""".stripMargin
   }
 
+  /** Mirror of FuzzyMatch.pairs as the ALL-PAIRS brute force — hash
+    * equality proves the delete-neighborhood blocking lossless. */
+  def fuzzyPairs(table: String, idCol: String, strCol: String,
+      maxDist: Int): String =
+    s"""SELECT a.$idCol AS id_a, b.$idCol AS id_b,
+       |  CAST(levenshtein(a.$strCol, b.$strCol) AS INT) AS dist
+       |FROM $table a JOIN $table b ON a.$idCol < b.$idCol
+       |WHERE levenshtein(a.$strCol, b.$strCol) <= $maxDist""".stripMargin
+
+  /** Mirror of FuzzyMatch.resolveEntities: brute-force fuzzy edges over
+    * the distinct values, recursive min-label closure (q28's pattern). */
+  def resolveEntities(table: String, strCol: String, maxDist: Int): String =
+    s"""WITH RECURSIVE n AS (SELECT DISTINCT $strCol AS name FROM $table
+       |  WHERE $strCol IS NOT NULL),
+       |p AS (SELECT a.name AS id_a, b.name AS id_b FROM n a JOIN n b
+       |  ON a.name < b.name AND levenshtein(a.name, b.name) <= $maxDist),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(a, b) AS (SELECT a, b FROM sym
+       |  UNION SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS component
+       |  FROM reach GROUP BY a)
+       |SELECT n.name, COALESCE(c.component, n.name) AS cluster
+       |FROM n LEFT JOIN comp c ON n.name = c.id""".stripMargin
+
   /** Mirror of Layout.zoneMapSkipReport over lineitem's orderkey shards:
     * plain grouped min/max/count plus the footer-stats prune flag. */
   def zoneMapSkipReport(shardWidth: Long, lo: String, hi: String): String =

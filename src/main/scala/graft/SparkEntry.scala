@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.LookupConfig
-import graft.operators.{AsOfJoin, BpeTrain, ConnectedComponents, Dedup, EventAnalytics, GraphOps, IntervalJoin, Layout, LookupTransform, Multimodal, Profiler, Sampling, SimilaritySearch, Sketches, TextAnalysis, UrlOps}
+import graft.operators.{AsOfJoin, BpeTrain, ConnectedComponents, Dedup, EventAnalytics, FuzzyMatch, GraphOps, IntervalJoin, Layout, LookupTransform, Multimodal, Profiler, Sampling, SimilaritySearch, Sketches, TextAnalysis, UrlOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -1394,6 +1394,19 @@ object SparkEntry {
         lit(Int.MinValue), lit(Int.MinValue))
       Layout.clusteringDepth(shards, col("v_min"), col("v_max"))
     }),
+
+    // Fuzzy pairs with LOSSLESS SymSpell delete-key blocking: supplier
+    // names within edit distance 1 — the oracle runs the all-pairs brute
+    // force, so a hash match PROVES the blocking dropped nothing.
+    "q147_fuzzy_pairs" -> ((s, dir) =>
+      FuzzyMatch.pairs(t(s, dir, "supplier"), "s_suppkey", "s_name",
+        maxDist = 1)),
+
+    // Entity resolution: distinct part names → distance-≤2 fuzzy edges →
+    // connected components → canonical (min) name per cluster; transitive
+    // closure is the point ("red bolt" ~ "old bolt" ~ "old belt").
+    "q148_entity_resolution" -> ((s, dir) =>
+      FuzzyMatch.resolveEntities(t(s, dir, "part"), "p_name", maxDist = 2)),
   )
 
   /** q134 phrase dictionary — vocabulary-pool bigrams that genuinely
@@ -1729,5 +1742,9 @@ object SparkEntry {
     "q145_zonemap_prune" -> OracleSql.zoneMapSkipReport(shardWidth = 1024L,
       lo = "1995-01-01", hi = "1995-03-31"),
     "q146_clustering_depth" -> OracleSql.clusteringDepth(shardWidth = 1024L),
+    "q147_fuzzy_pairs" -> OracleSql.fuzzyPairs("supplier", "s_suppkey",
+      "s_name", maxDist = 1),
+    "q148_entity_resolution" -> OracleSql.resolveEntities("part", "p_name",
+      maxDist = 2),
   )
 }

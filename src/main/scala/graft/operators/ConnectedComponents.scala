@@ -85,12 +85,24 @@ object ConnectedComponents {
       Option(df.agg(sum(col("component").cast("decimal(38,0)")))
         .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
 
+    // Non-numeric (e.g. string) vertex ids — the entity-resolution path,
+    // where vertices are a distinct-value DICTIONARY — can't ride the
+    // decimal-sum scalar; an exact changed-row probe against the
+    // (checkpointed) previous labels replaces it. One extra equi-join
+    // per round, bounded by the dictionary, never the corpus.
+    val numericIds = edgeVerts.schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def anyChanged(updated: DataFrame, prev: DataFrame): Boolean =
+      !updated.join(prev.withColumnRenamed("component", "__prev"), "id")
+        .filter(col("component") =!= col("__prev")).isEmpty
+
     var labels = ckpt(edgeVerts.select(col("id"), col("id").as("component")))
     // Labels are per-vertex monotone non-increasing, so the total is
     // strictly decreasing until fixpoint: an unchanged sum IS convergence
     // (decimal sum — a 64-bit sum could overflow at cluster-scale id
     // ranges). One scalar to the driver per round, no row compare.
-    var prevSum = labelSum(labels)
+    var prevSum =
+      if (numericIds) labelSum(labels) else java.math.BigDecimal.ZERO
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -98,9 +110,13 @@ object ConnectedComponents {
         .join(labels, symAll("b") === labels("id"))
         .groupBy(symAll("a").as("id"))
         .agg(min(col("component")).as("component")))
-      val s = labelSum(updated)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      if (numericIds) {
+        val s = labelSum(updated)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      } else {
+        converged = !anyChanged(updated, labels)
+      }
       labels = updated
       iter += 1
     }

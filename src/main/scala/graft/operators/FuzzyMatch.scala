@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fuzzy string matching with LOSSLESS delete-neighborhood blocking
+ * (the SymSpell / FastSS scheme: Bocek et al., "Fast Similarity Search
+ * in Large Dictionaries", 2007). North-star extension (SURVEY.md §2.3
+ * Tier B): entity resolution over catalog/name columns — typo-variant
+ * supplier names, OCR'd titles, crawl-mangled domains — where the match
+ * predicate is an edit-distance threshold, not equality.
+ *
+ * Blocking guarantee: for any two strings with Levenshtein distance
+ * ≤ d, deleting ≤ d characters from each can produce the SAME string
+ * (delete the edited positions on both sides), so the pair shares a key
+ * in the ≤ d-deletion neighborhoods. Generating all ≤ d-deletion
+ * variants as join keys therefore yields a candidate SUPERSET of the
+ * true pairs — never a miss — and an exact Levenshtein verify on
+ * candidates makes the operator equal to the all-pairs formulation
+ * (which is exactly what the DuckDB oracle runs, proving losslessness
+ * on every fixture).
+ *
+ * Scale shape: keys-per-string is n+1 for d=1 and O(n²) for d=2, so
+ * this is a DICTIONARY-level operator — run it on the distinct-value
+ * catalog (names, domains, titles: orders of magnitude smaller than the
+ * corpus at 100 TB), never on raw rows; candidates come from ONE
+ * equi-join on the delete key (never all-pairs), are deduped on bare id
+ * pairs before strings are rejoined (the q15 pattern), and the verify
+ * is Spark's threshold Levenshtein (banded early-exit, returns -1 past
+ * the bound — O(d·n) per pair, not O(n²)).
+ */
+object FuzzyMatch {
+
+  /** All single-character deletions of every string in an array-typed
+    * SQL expression (empty strings contribute nothing). */
+  private def delete1(arr: String): String =
+    s"""flatten(transform($arr, k -> if(length(k) < 1, array(),
+       |  transform(sequence(1, length(k)),
+       |    i -> concat(substr(k, 1, i - 1), substr(k, i + 1, length(k)))))))"""
+      .stripMargin.replace("\n", " ")
+
+  /** The ≤ maxDist-deletion neighborhood of a string column (including
+    * the string itself), distinct. */
+  private[operators] def deleteKeys(strCol: String, maxDist: Int): String = {
+    val tiers = Iterator.iterate(s"array($strCol)")(delete1)
+      .take(maxDist + 1).toSeq
+    s"array_distinct(concat(${tiers.mkString(", ")}))"
+  }
+
+  /**
+   * All id pairs (id_a < id_b) whose strings are within Levenshtein
+   * distance `maxDist`, with the exact distance. Equal to the all-pairs
+   * brute force by the blocking guarantee above.
+   */
+  def pairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist=$maxDist must be 1 or 2 (keys grow as n^maxDist)")
+    val names = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .where(col("__s").isNotNull)
+    val keyed = names.select(col("__id"),
+      explode(expr(deleteKeys("__s", maxDist))).as("__k"))
+    // candidates on bare id pairs: dedupe BEFORE strings rejoin so the
+    // shuffle carries two ids per candidate, not two strings
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(names.select(col("__id"), col("__s").as("__sa")),
+        col("id_a") === col("__id")).drop("__id")
+      .join(names.select(col("__id"), col("__s").as("__sb")),
+        col("id_b") === col("__id")).drop("__id")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb"), maxDist).as("dist"))
+      .where(col("dist") >= 0)
+  }
+
+  /**
+   * Entity resolution over a string column's DISTINCT values: fuzzy
+   * pairs at `maxDist` feed connected components; every distinct value
+   * gets its cluster's canonical (minimum) value. Transitive by design —
+   * "red bolt" ~ "old bolt" ~ "old belt" land in one cluster even though
+   * the ends exceed the threshold (that is the point of ER closure).
+   */
+  def resolveEntities(df: DataFrame, strCol: String,
+      maxDist: Int): DataFrame = {
+    val names = df.select(col(strCol).as("name")).where(col("name").isNotNull)
+      .distinct()
+    val p = pairs(names, "name", "name", maxDist)
+    ConnectedComponents(p.select(col("id_a"), col("id_b")),
+        vertices = Some(names.select(col("name").as("id"))))
+      .select(col("id").as("name"), col("component").as("cluster"))
+  }
+}

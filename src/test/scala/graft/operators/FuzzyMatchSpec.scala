@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FuzzyMatchSpec extends SparkSpec {
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("deleteKeys: exactly the ≤d-deletion neighborhood, distinct") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Seq("abc").toDF("s")
+      .select(expr(FuzzyMatch.deleteKeys("s", 1)))
+      .collect()(0).getSeq[String](0).toSet
+    assert(out == Set("abc", "bc", "ac", "ab"))
+    val out2 = Seq("abc").toDF("s")
+      .select(expr(FuzzyMatch.deleteKeys("s", 2)))
+      .collect()(0).getSeq[String](0).toSet
+    assert(out2 == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+  }
+
+  test("pairs == all-pairs brute force (blocking is lossless), d=1 and d=2") {
+    val spark0 = spark
+    import spark0.implicits._
+    // adversarial dictionary: substitutions, inserts, deletes, transposes,
+    // length outliers, an empty-adjacent short string
+    val names = Seq("red bolt", "old bolt", "old belt", "red bolts",
+      "rd bolt", "blue gear", "blue gears", "bluegear", "x", "xy",
+      "totally different", "red bolt")
+    val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "name")
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyMatch.pairs(df, "id", "name", d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        i <- names.indices; j <- names.indices if i < j
+        dist = lev(names(i), names(j)) if dist <= d
+      } yield (i.toLong, j.toLong, dist)).toSet
+      assert(got == want, s"d=$d")
+    }
+  }
+
+  test("resolveEntities: transitive chains cluster; isolated names self-label") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq("red bolt", "old bolt", "old belt", "zzz unrelated")
+      .toDF("name")
+    // chain: red bolt ~1~ old bolt (r->o, e->o? lev=2) — use d=2 chain
+    val out = FuzzyMatch.resolveEntities(df, "name", maxDist = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // lev(red bolt, old bolt)=2, lev(old bolt, old belt)=1,
+    // lev(red bolt, old belt)=3 > 2 — joined only transitively
+    assert(out("red bolt") == "old belt")
+    assert(out("old bolt") == "old belt")
+    assert(out("old belt") == "old belt")
+    assert(out("zzz unrelated") == "zzz unrelated")
+  }
+
+  test("connected components over string ids converges exactly (ER path)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a 5-chain needs several propagation rounds — exercises the
+    // changed-row convergence probe, not just one-shot graphs
+    val edges = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"))
+      .toDF("x", "y")
+    val out = ConnectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "a"))
+  }
+}
