@@ -494,7 +494,7 @@ object OracleSql {
     val m = 1 << p
     val maxRank = 60 - p + 1
     val c1 = graft.operators.Sketches.alpha(p) * m * m
-    val c2 = math.pow(2.0, maxRank)
+    val c2 = (1L << maxRank).toDouble // exact: maxRank <= 57
     s"""WITH h AS (SELECT $keyCol,
        |    CAST(concat('0x', substr(md5($valueCol), 1, 15)) AS BIGINT) AS h FROM documents),
        |b AS (SELECT $keyCol, h & ${m - 1} AS bucket,
@@ -2349,6 +2349,112 @@ object OracleSql {
        |  FROM reach GROUP BY a)
        |SELECT n.name, COALESCE(c.component, n.name) AS cluster
        |FROM n LEFT JOIN comp c ON n.name = c.id""".stripMargin
+
+  /** Mirror of Profiler.aggState ⊕ mergeAggStates: the FULL-RESCAN
+    * aggregate the incremental state merge must equal. avg is
+    * sum/count(*) (null rows count in the denominator), mirroring the
+    * operator's post-merge division. */
+  def aggStateMerge(keys: Seq[String], valueCol: String,
+      table: String): String = {
+    val ks = keys.mkString(", ")
+    val v = s"CAST($valueCol AS BIGINT)"
+    s"""SELECT $ks, count(*)::BIGINT AS n_rows,
+       |  CAST(sum($v) AS BIGINT) AS sum_v,
+       |  min($v) AS min_v, max($v) AS max_v,
+       |  CAST(sum($v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
+       |FROM $table GROUP BY $ks""".stripMargin
+  }
+
+  /** Mirror of Layout.balancedAssignment: rank window over the bounded
+    * (key, count) table, sorted round-robin deal, per-partition loads. */
+  def balancedAssignment(keyCol: String, nParts: Int,
+      table: String): String =
+    s"""WITH c AS (SELECT $keyCol AS key, count(*)::BIGINT AS n
+       |  FROM $table GROUP BY 1),
+       |r AS (SELECT n, CAST((row_number() OVER (ORDER BY n DESC, key ASC)
+       |    - 1) % $nParts AS INT) AS part FROM c)
+       |SELECT part, CAST(sum(n) AS BIGINT) AS n_rows,
+       |  count(*)::BIGINT AS n_keys, max(n) AS top_key_rows
+       |FROM r GROUP BY 1""".stripMargin
+
+  /** Mirror of Profiler.cascadeDeletePlan over customer→orders→lineitem:
+    * per selected root, cascading child/grandchild delete counts,
+    * zero-filled. */
+  def purgePlan(rootPred: String): String =
+    s"""WITH sel AS (SELECT c_custkey FROM customer WHERE $rootPred),
+       |o AS (SELECT o_custkey, o_orderkey
+       |  FROM orders JOIN sel ON o_custkey = c_custkey),
+       |g AS (SELECT l_orderkey, count(*)::BIGINT AS gn FROM lineitem
+       |  JOIN (SELECT DISTINCT o_orderkey FROM o) oo
+       |    ON l_orderkey = oo.o_orderkey
+       |  GROUP BY 1),
+       |pr AS (SELECT o_custkey, count(*)::BIGINT AS nc,
+       |    CAST(sum(COALESCE(gn, 0)) AS BIGINT) AS ng
+       |  FROM o LEFT JOIN g ON o_orderkey = l_orderkey GROUP BY 1)
+       |SELECT c_custkey, COALESCE(nc, 0)::BIGINT AS n_children,
+       |  COALESCE(ng, 0)::BIGINT AS n_grandchildren
+       |FROM sel LEFT JOIN pr ON c_custkey = o_custkey""".stripMargin
+
+  /** Mirror of Sketches.heavyHittersExact over the injected head+tail
+    * event key: the brute-force GROUP BY + exact integer threshold the
+    * two-pass Misra-Gries scheme is guaranteed to reproduce. */
+  def heavyHitters(capacity: Int): String =
+    s"""WITH t AS (SELECT CASE WHEN user_id % 2 = 0 THEN event_type
+       |    ELSE event_type || '#' || CAST(user_id AS VARCHAR) END AS value
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+       |tot AS (SELECT count(*)::BIGINT AS total FROM t)
+       |SELECT value, count(*)::BIGINT AS n FROM t, tot
+       |GROUP BY value, total
+       |HAVING count(*) * ${capacity + 1} > total""".stripMargin
+
+  /** Mirror of SparkUtil.bloomPrunedJoin on urgent orders × lineitem:
+    * the PLAIN join — the Bloom prune must be invisible in the result. */
+  def bloomJoinAgg(priority: String): String =
+    s"""SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       |  count(DISTINCT o_orderkey)::BIGINT AS n_orders
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '${sqlLit(priority)}'
+       |GROUP BY 1""".stripMargin
+
+  /** Mirror of EventAnalytics.disorderAudit: same integer-hash arrival
+    * jitter, running-max window per user, exact micro lateness. */
+  def disorderAudit(maxDelayUs: Long): String = {
+    val fold = graft.operators.Sampling.IdFold
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ev,
+       |    epoch_us(ts) + (((event_id % $fold) * $Mix)
+       |      % ${TextFunctions.TwoPow32}) % $maxDelayUs AS arr
+       |  FROM events),
+       |w AS (SELECT user_id, ev,
+       |    max(ev) OVER (PARTITION BY user_id ORDER BY arr, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+       |  FROM e)
+       |SELECT user_id, count(*)::BIGINT AS n_events,
+       |  count(CASE WHEN seen > ev THEN 1 END)::BIGINT AS n_late,
+       |  COALESCE(max(CASE WHEN seen > ev THEN seen - ev END), 0)::BIGINT
+       |    AS max_late_us
+       |FROM w GROUP BY 1""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.cooccurrencePairs: document-level token pair
+    * support with exact marginals; confidence and lift are single
+    * divisions of exact integers. */
+  def cooccurrencePairs(minSupport: Int): String =
+    s"""WITH dt AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |dfs AS (SELECT tok, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+       |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+       |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+       |    count(*)::BIGINT AS n_pair
+       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport)
+       |SELECT tok_a, tok_b, n_pair, fa.df AS df_a, fb.df AS df_b,
+       |  CAST(n_pair AS DOUBLE) / CAST(fa.df AS DOUBLE) AS conf,
+       |  CAST(n_pair * n_docs AS DOUBLE)
+       |    / CAST(fa.df * fb.df AS DOUBLE) AS lift
+       |FROM p JOIN dfs fa ON tok_a = fa.tok
+       |  JOIN dfs fb ON tok_b = fb.tok, nd""".stripMargin
 
   /** Mirror of Layout.zoneMapSkipReport over lineitem's orderkey shards:
     * plain grouped min/max/count plus the footer-stats prune flag. */

@@ -1407,6 +1407,71 @@ object SparkEntry {
     // closure is the point ("red bolt" ~ "old bolt" ~ "old belt").
     "q148_entity_resolution" -> ((s, dir) =>
       FuzzyMatch.resolveEntities(t(s, dir, "part"), "p_name", maxDist = 2)),
+
+    // Exact heavy hitters, two-pass Misra-Gries: values above total/13 of
+    // a head+tail key (5 hot event types riding above ~500 injected tail
+    // values) — candidates from bounded per-partition summaries, exact
+    // recount, bit-identical to the oracle's brute-force GROUP BY.
+    "q149_heavy_hitters" -> ((s, dir) =>
+      Sketches.heavyHittersExact(Tables.loadEvents(s, dir),
+        expr("if(user_id % 2 = 0, event_type, " +
+          "concat(event_type, '#', cast(user_id as string)))"),
+        capacity = 12)),
+
+    // Runtime-filter join: Bloom over urgent orders' keys pre-filters
+    // lineitem BEFORE the shuffle; the join removes false positives, so
+    // the result is exactly the plain join the oracle runs.
+    "q150_bloom_join" -> ((s, dir) =>
+      SparkUtil.bloomPrunedJoin(t(s, dir, "lineitem"),
+          t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("o_orderkey")).as("n_orders"))),
+
+    // Event-time disorder audit: per-user late-event counts and worst
+    // lateness under deterministic injected arrival delays — the
+    // measurement that sizes a streaming watermark.
+    "q151_disorder_audit" -> ((s, dir) =>
+      EventAnalytics.disorderAudit(Tables.loadEvents(s, dir),
+        maxDelayUs = 600000000L)),
+
+    // Token co-occurrence association pairs: support/confidence/lift in
+    // exact integers + single divisions, df-pruned losslessly before the
+    // per-doc pairing self-join.
+    "q152_cooccurrence" -> ((s, dir) =>
+      TextAnalysis.cooccurrencePairs(t(s, dir, "documents"),
+        minSupport = 300)),
+
+    // Incremental materialized-view refresh: agg state over yesterday's
+    // 80% merged with state over today's 20% delta — provably equal to
+    // the full-rescan aggregate the oracle runs.
+    "q153_agg_state_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      Profiler.mergeAggStates(
+        Profiler.aggState(li.where(expr("l_orderkey % 5 != 4")), keys,
+          "l_quantity"),
+        Profiler.aggState(li.where(expr("l_orderkey % 5 = 4")), keys,
+          "l_quantity"),
+        keys)
+    }),
+
+    // Skew-aware partition plan: keys dealt to partitions in descending
+    // size order (sorted round-robin) with a per-partition load report —
+    // no partition carries two of the top-P keys.
+    "q154_balanced_assignment" -> ((s, dir) =>
+      Layout.balancedAssignment(Tables.loadEvents(s, dir), "user_id",
+        nParts = 8)),
+
+    // Right-to-be-forgotten purge manifest: per negative-balance
+    // customer, the orders and lineitems a cascading delete removes —
+    // semi-join-reduced level by level, agg-before-join on the way up.
+    "q155_purge_plan" -> ((s, dir) =>
+      Profiler.cascadeDeletePlan(
+        t(s, dir, "customer").where(col("c_acctbal") < 0), "c_custkey",
+        t(s, dir, "orders"), "o_custkey", "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey")),
   )
 
   /** q134 phrase dictionary — vocabulary-pool bigrams that genuinely
@@ -1746,5 +1811,15 @@ object SparkEntry {
       "s_name", maxDist = 1),
     "q148_entity_resolution" -> OracleSql.resolveEntities("part", "p_name",
       maxDist = 2),
+    "q149_heavy_hitters" -> OracleSql.heavyHitters(capacity = 12),
+    "q150_bloom_join" -> OracleSql.bloomJoinAgg(priority = "1-URGENT"),
+    "q151_disorder_audit" -> OracleSql.disorderAudit(
+      maxDelayUs = 600000000L),
+    "q152_cooccurrence" -> OracleSql.cooccurrencePairs(minSupport = 300),
+    "q153_agg_state_merge" -> OracleSql.aggStateMerge(
+      Seq("l_returnflag", "l_linestatus"), "l_quantity", "lineitem"),
+    "q154_balanced_assignment" -> OracleSql.balancedAssignment("user_id",
+      nParts = 8, table = "events"),
+    "q155_purge_plan" -> OracleSql.purgePlan("c_acctbal < 0"),
   )
 }

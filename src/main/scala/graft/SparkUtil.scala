@@ -104,4 +104,30 @@ object SparkUtil {
         s"saltedJoin supports inner/left/right/full, got '$other'")
     }
   }
+
+  /**
+   * Runtime-filter (Bloom-pruned) inner join: build a Bloom filter over
+   * the small side's join keys, pre-filter the big side with it as a
+   * NARROW per-row predicate, then run the equi-join. The join itself
+   * removes Bloom false positives, so the result is EXACTLY the plain
+   * join (which is what the oracle runs) — but the big side's shuffle
+   * carries only rows that might match. At 100 TB this is the semi-join
+   * reduction every engine wants when a selective dimension filter
+   * leaves most fact rows partner-less: the filter rides the plan as a
+   * literal word array (the q44 sketch-shipping pattern — ~16 KB for
+   * 2^20 bits, zero extra joins, zero extra shuffles) and prunes BEFORE
+   * the Exchange, where pruning pays.
+   */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, mBits: Int = 1 << 20,
+      k: Int = 5): DataFrame = {
+    // portable=false: the filter is a pure runtime artifact (the join
+    // erases its false positives), so the fast codegen'd hash wins —
+    // the md5-based portable path costs ~10 md5s per probed row
+    val words = graft.operators.Sketches.bloomArray(small, smallKey, mBits,
+      k, portable = false)
+    big.where(graft.operators.Sketches.bloomMightContain(
+        col(bigKey), words, mBits, k, portable = false))
+      .join(small, col(bigKey) === col(smallKey))
+  }
 }

@@ -206,4 +206,48 @@ object EventAnalytics {
       .groupBy(col("a.__item").as("item_a"), col("b.__item").as("item_b"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * Event-time disorder audit — the measurement that SIZES a streaming
+   * watermark (`StreamingOps`' `withWatermark` bounds): per entity, how
+   * many events arrive after a later-timestamped event has already been
+   * seen, and the worst such lateness. An event is late iff its event
+   * time is below the running max event time over everything that
+   * ARRIVED before it; `max_late_us` is the watermark that would have
+   * admitted every event.
+   *
+   * The fixture's event_id order is perfectly time-sorted, so arrival
+   * order is derived by a deterministic per-event network delay (the
+   * q53/q88 injection pattern — same integer-hash jitter on both
+   * engines): `arrival = ts + ((event_id mod 2³¹)·Mix mod 2³²) mod
+   * maxDelayUs`.
+   *
+   * Spark shape: ONE window per entity partition (running max over
+   * arrival order — no global sort), then ONE hash agg to per-entity
+   * stats; everything integer micros end-to-end.
+   */
+  def disorderAudit(events: DataFrame, maxDelayUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(maxDelayUs >= 1, s"maxDelayUs=$maxDelayUs must be >= 1")
+    val mix = graft.functions.TextFunctions.Mix
+    val two32 = graft.functions.TextFunctions.TwoPow32
+    val fold = Sampling.IdFold
+    val delay =
+      expr(s"((($idCol % $fold) * $mix) % $two32) % $maxDelayUs")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__arrival").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(userCol), col(idCol),
+        expr(s"unix_micros($tsCol)").as("__ev_us"),
+        (expr(s"unix_micros($tsCol)") + delay).as("__arrival"))
+      .withColumn("__seen", max(col("__ev_us")).over(w))
+      .withColumn("__late_us",
+        when(col("__seen") > col("__ev_us"), col("__seen") - col("__ev_us")))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("__late_us")).as("n_late"),
+        coalesce(max(col("__late_us")), lit(0L)).as("max_late_us"))
+  }
 }

@@ -100,6 +100,36 @@ object Layout {
    * single-partition prefix-sum window is a bounded driver-adjacent
    * artifact, never a corpus-wide window.
    */
+  /**
+   * Skew-aware partition plan by SORTED ROUND-ROBIN: distinct keys
+   * ranked by descending row count, key i → partition (i−1) mod P, then
+   * a per-partition load report (rows, keys, heaviest key). Hash
+   * partitioning sends whatever keys collide to the same reducer — a
+   * hot key plus an unlucky neighbor overloads it; dealing keys out in
+   * size order guarantees no partition carries two of the top-P keys,
+   * which bounds the imbalance by one key's worth of rows around the
+   * mean. The plan table is what a targeted `repartitionByRange`-style
+   * rewrite or a custom Partitioner consumes.
+   *
+   * Spark shape: the corpus reduces to its (key, count) table first
+   * (one map-side-partial agg, bounded by key cardinality); the rank
+   * window runs over THAT — distinct keys, never corpus rows (the q138
+   * treatment); the report is one agg over the bounded plan.
+   */
+  def balancedAssignment(df: DataFrame, keyCol: String,
+      nParts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nParts >= 1, s"nParts=$nParts must be >= 1")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val planned = counts.withColumn("part",
+      (row_number().over(Window.orderBy(col("n").desc, col("key").asc))
+        - 1) % nParts)
+    planned.groupBy(col("part"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("n")).as("top_key_rows"))
+  }
+
   def clusteringDepth(shards: DataFrame, lo: Column, hi: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val events = shards.select(lo.cast("long").as("pos"), lit(1L).as("d"))

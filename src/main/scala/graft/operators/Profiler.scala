@@ -344,4 +344,79 @@ object Profiler {
           .as("share"),
         (col("class_size") < k).as("at_risk")): _*)
   }
+
+  /**
+   * Right-to-be-forgotten purge manifest: for each selected root entity
+   * (pass the already-filtered root table), the number of child and
+   * grandchild rows a cascading delete would remove — the audit a
+   * governance pipeline emits BEFORE destructive propagation, and the
+   * work manifest the actual delete job consumes. Roots with no
+   * descendants appear zero-filled (they still need tombstones).
+   *
+   * Spark shape: the selected roots drive everything — children
+   * semi-join-reduce against the root keys, grandchildren against the
+   * SURVIVING child keys (never against the full child table), so each
+   * level's shuffle is bounded by the selection's fan-out, not the
+   * table. The grandchild count aggregates per child key BEFORE joining
+   * back up (agg-before-join: one row per child key crosses the wire).
+   */
+  def cascadeDeletePlan(selectedRoots: DataFrame, rootKey: String,
+      child: DataFrame, childFk: String, childKey: String,
+      grand: DataFrame, grandFk: String): DataFrame = {
+    val sel = selectedRoots.select(col(rootKey).as("__root")).distinct()
+    val ch = child.join(sel, col(childFk) === col("__root"))
+      .select(col("__root"), col(childKey).as("__ck"))
+    val gn = grand.select(col(grandFk).as("__ck"))
+      .join(ch.select(col("__ck")).distinct(), "__ck")
+      .groupBy(col("__ck")).agg(count(lit(1)).as("__gn"))
+    val perRoot = ch.join(gn, Seq("__ck"), "left")
+      .groupBy(col("__root"))
+      .agg(count(lit(1)).as("__nc"),
+        sum(coalesce(col("__gn"), lit(0L))).as("__ng"))
+    sel.join(perRoot, Seq("__root"), "left")
+      .select(col("__root").as(rootKey),
+        coalesce(col("__nc"), lit(0L)).as("n_children"),
+        coalesce(col("__ng"), lit(0L)).as("n_grandchildren"))
+  }
+
+  /**
+   * Mergeable per-group aggregate STATE — the materialized-view /
+   * incremental-refresh primitive: (n, sum, min, max) per key over an
+   * integral value column. Because every field is algebraically
+   * mergeable (sum/sum/min/max), yesterday's persisted state plus a
+   * state over today's DELTA merges into exactly the state a full
+   * rescan would produce — which is what [[mergeAggStates]] does and
+   * the oracle (a direct aggregate over the union) proves. At 100 TB
+   * this is the difference between touching the day's partition and
+   * re-reading the table.
+   *
+   * The value is cast to long up front: integer states merge exactly;
+   * a double sum would make merge order observable (the repo's float
+   * rule). Null values contribute to `n_rows` but not the value stats
+   * (standard SQL aggregate semantics on both engines).
+   */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("long")).as("sum_v"),
+        min(col(valueCol).cast("long")).as("min_v"),
+        max(col(valueCol).cast("long")).as("max_v"))
+
+  /** Merge two [[aggState]] tables (same keys): one hash agg over the
+    * union — states combine per key with sum/sum/min/max, keys present
+    * on only one side pass through. Associative and commutative, so any
+    * partial-state tree (daily → weekly → total) folds to the same
+    * answer. Derived stats (here `avg_v`) are computed AFTER the merge,
+    * one exact-integer division each — never merged themselves. */
+  def mergeAggStates(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    // re-merging a merged state is legal: only the state columns ride
+    // the union — derived columns (avg_v) are recomputed, never merged
+    val state = (keys ++ Seq("n_rows", "sum_v", "min_v", "max_v")).map(col)
+    a.select(state: _*).unionByName(b.select(state: _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+      .withColumn("avg_v",
+        col("sum_v").cast("double") / col("n_rows").cast("double"))
+  }
 }

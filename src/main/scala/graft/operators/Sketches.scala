@@ -99,10 +99,22 @@ object Sketches {
   /** Bits per Bloom word (63 keeps `1 << (pos mod 63)` positive). */
   val BloomWordBits = 63
 
-  /** The k absolute bit positions of `value` in an `mBits`-wide filter. */
-  def bloomPositions(value: Column, mBits: Int, k: Int): Seq[Column] = {
+  /** The k absolute bit positions of `value` in an `mBits`-wide filter.
+    *
+    * `portable = true` (default) derives them from the md5-based
+    * [[hash60]] so the exact bit pattern replays in DuckDB SQL — the
+    * q44/q45 contract. `portable = false` swaps in `xxhash64 & (2⁶⁰−1)`:
+    * not SQL-replayable, but codegen'd native and ~10× cheaper per row —
+    * the right choice when the filter is a pure runtime artifact whose
+    * effect is invisible in the result (e.g. [[graft.SparkUtil.bloomPrunedJoin]],
+    * where the join erases false positives). Build and probe must use
+    * the SAME flag — the positions ARE the filter. */
+  def bloomPositions(value: Column, mBits: Int, k: Int,
+      portable: Boolean = true): Seq[Column] = {
     require(k >= 1 && mBits >= BloomWordBits, s"need k >= 1 and mBits >= $BloomWordBits")
-    val h = hash60(value)
+    val h =
+      if (portable) hash60(value)
+      else xxhash64(value).bitwiseAND(lit((1L << 60) - 1))
     val h1 = shiftright(h, 30)
     val h2 = h.bitwiseAND(lit((1L << 30) - 1)) * 2 + 1
     (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong)))
@@ -116,8 +128,10 @@ object Sketches {
    * task regardless of input size.
    */
   def bloomWords(df: DataFrame, valueCol: String, mBits: Int = 1 << 16,
-      k: Int = 5): DataFrame =
-    df.select(explode(array(bloomPositions(col(valueCol), mBits, k): _*)).as("__pos"))
+      k: Int = 5, portable: Boolean = true): DataFrame =
+    df.where(col(valueCol).isNotNull) // a null key has no bit positions
+      .select(explode(array(
+        bloomPositions(col(valueCol), mBits, k, portable): _*)).as("__pos"))
       .select(expr(s"__pos div $BloomWordBits").as("word_idx"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__pos % $BloomWordBits AS INT))").as("__mask"))
       .groupBy(col("word_idx"))
@@ -126,9 +140,9 @@ object Sketches {
   /** Collect a word table into the dense long-array artifact (driver-side;
     * `mBits/63 + 1` longs — a 2^20-bit filter is ~16 KB). */
   def bloomArray(df: DataFrame, valueCol: String, mBits: Int = 1 << 16,
-      k: Int = 5): Array[Long] = {
+      k: Int = 5, portable: Boolean = true): Array[Long] = {
     val words = new Array[Long](mBits / BloomWordBits + 1)
-    bloomWords(df, valueCol, mBits, k).collect().foreach { r =>
+    bloomWords(df, valueCol, mBits, k, portable).collect().foreach { r =>
       words(r.getLong(0).toInt) = r.getLong(1)
     }
     words
@@ -148,9 +162,9 @@ object Sketches {
     * NOTHING. False positives possible (callers verify exactly); false
     * negatives impossible. */
   def bloomMightContain(value: Column, words: Array[Long], mBits: Int,
-      k: Int = 5): Column = {
+      k: Int = 5, portable: Boolean = true): Column = {
     val wordsCol = typedLit(words.toSeq)
-    bloomPositions(value, mBits, k).map { pos =>
+    bloomPositions(value, mBits, k, portable).map { pos =>
       val bitIdx = pmod(pos, lit(BloomWordBits.toLong)).cast("int")
       // (pos - bitIdx) is an exact multiple of 63 and pos < 2^31, so the
       // double division is exact before the int cast
@@ -296,4 +310,56 @@ object Sketches {
   def approxDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
       p: Int = 4): DataFrame =
     estimateFromRegisters(hllRegisters(df, keys, valueCol, p), keys, p)
+
+  /**
+   * EXACT heavy hitters by the two-pass Misra–Gries scheme (Misra &
+   * Gries 1982; the distributed form of SpaceSaving): all values whose
+   * exact count exceeds `total/(capacity+1)`, with their exact counts.
+   *
+   * Pass 1 runs a `capacity`-counter MG summary PER PARTITION
+   * (`mapPartitions` — the designated imperative escape hatch, justified
+   * because MG's decrement step is genuine per-partition mutable state
+   * Spark's aggs can't express in bounded memory when the value domain
+   * is unbounded). MG guarantees any value with local count >
+   * localN/(capacity+1) survives locally; summing across partitions, a
+   * value with GLOBAL count > total/(capacity+1) must exceed the local
+   * threshold somewhere (averaging argument), so the union of survivors
+   * is a candidate SUPERSET — never a miss. Pass 2 recounts ONLY the
+   * candidates exactly (a literal `isin` filter — `capacity ×
+   * numPartitions` strings ride the plan, nothing joins) and applies the
+   * exact integer cross-multiplied threshold, so the output is
+   * bit-identical to the brute-force GROUP BY the oracle runs — while
+   * the full value domain never shuffles (the brute force's hash agg
+   * over an unbounded domain is the thing that dies at 100 TB).
+   */
+  def heavyHittersExact(df: DataFrame, value: Column,
+      capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity=$capacity must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(value.cast("string").as("value"))
+      .where(col("value").isNotNull)
+    val candidates = vals.as[String].mapPartitions { it =>
+      val c = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        c.get(v) match {
+          case Some(n) => c.update(v, n + 1)
+          case None if c.size < capacity => c.update(v, 1L)
+          case None => // decrement-all: snapshot keys, then mutate
+            c.keysIterator.toArray.foreach { k =>
+              val n = c(k) - 1
+              if (n == 0L) c.remove(k) else c.update(k, n)
+            }
+        }
+      }
+      c.keysIterator
+    }.distinct().collect().toSeq
+    val total = vals.count()
+    val empty = vals.groupBy(col("value"))
+      .agg(count(lit(1)).as("n")).where(lit(false))
+    if (candidates.isEmpty) empty
+    else vals.where(col("value").isin(candidates: _*))
+      .groupBy(col("value")).agg(count(lit(1)).as("n"))
+      .where(col("n") * lit(capacity + 1L) > lit(total))
+  }
 }

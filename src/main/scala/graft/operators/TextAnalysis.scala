@@ -902,4 +902,45 @@ object TextAnalysis {
           | div length(phrase)""".stripMargin).cast("long").as("n_hits"))
       .filter(col("n_hits") > 0)
   }
+
+  /**
+   * Token co-occurrence association pairs (document-level market-basket
+   * mining): unordered token pairs appearing together in ≥ `minSupport`
+   * documents, with exact pair/marginal document frequencies, confidence
+   * `P(b|a) = n_pair/df_a`, and lift `n_pair·N/(df_a·df_b)` — each a
+   * SINGLE division of exact integers (bit-identical in IEEE doubles on
+   * both engines, the repo's float rule).
+   *
+   * Scale shape: the corpus reduces to its (doc, distinct-token) posting
+   * list; tokens with `df < minSupport` are pruned BEFORE pairing — a
+   * LOSSLESS prune, since a pair in k docs forces both marginals ≥ k —
+   * and the df table is vocabulary-bounded so the prune join broadcasts.
+   * Pairing is the q14 per-doc inverted-index self-join (never corpus ×
+   * corpus); per-doc cost is quadratic only in the doc's distinct
+   * SURVIVING tokens, which the df prune caps for any minSupport above
+   * the long tail.
+   */
+  def cooccurrencePairs(docs: DataFrame, minSupport: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minSupport >= 1, s"minSupport=$minSupport must be >= 1")
+    val dt = docs
+      .select(col(idCol).as("__doc"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val dfs = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pruned = dt.join(broadcast(dfs.where(col("df") >= minSupport)), "tok")
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.__doc") === col("b.__doc") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minSupport)
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_pair"), col("df_a"),
+        col("df_b"),
+        (col("n_pair").cast("double") / col("df_a").cast("double"))
+          .as("conf"),
+        ((col("n_pair") * col("n_docs")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double")).as("lift"))
+  }
 }

@@ -369,4 +369,65 @@ class PlanContractSpec extends SparkSpec {
     assert(!ps.contains("Join") && !ps.contains("CartesianProduct"), ps)
     assert(ps.contains("TakeOrderedAndProject"), ps)
   }
+
+  test("zone-map report: one bounded hash-agg exchange, nothing row-level") {
+    val p = plan(SparkEntry.queries("q145_zonemap_prune")(spark, sf()))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("bloom-pruned join: the membership probe filters the scan side, below the join") {
+    val df = SparkUtil.bloomPrunedJoin(
+      spark.read.parquet(s"${sf()}/lineitem.parquet"),
+      spark.read.parquet(s"${sf()}/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT"),
+      "l_orderkey", "o_orderkey")
+    val p = plan(df)
+    // an equi-join is planned (never a nested loop) and the
+    // literal-array probe (element_at against the plan-literal words)
+    // survives as a Filter in the tree — the join node is the root of
+    // the printout, so any Filter line sits below it, i.e. before any
+    // wire transfer (below the ShuffleExchange when the join shuffles;
+    // on the streamed scan side when the dimension broadcasts, as here)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+    assert("Filter .*element_at".r.findFirstIn(p).isDefined ||
+      (p.contains("Filter") && p.contains("element_at")), p)
+  }
+
+  test("co-occurrence: the df prune joins broadcast; the pair join is an equi-join") {
+    val p = plan(SparkEntry.queries("q152_cooccurrence")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only nested-loop is the single-row n_docs scalar broadcast —
+    // the bounded house pattern; a second one would mean a dropped key
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("fuzzy pairs: delete-key candidates come from an equi-join, never a nested loop") {
+    val p = plan(SparkEntry.queries("q147_fuzzy_pairs")(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("agg-state merge: bounded exchanges, no global sort") {
+    val p = plan(SparkEntry.queries("q153_agg_state_merge")(spark, sf()))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("balanced assignment: the only single-partition work sees pre-aggregated keys") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = SparkEntry.queries("q154_balanced_assignment")(spark, sf())
+    // every SinglePartition exchange (the rank window over the key
+    // dictionary) must consume an aggregation, never raw corpus rows
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 =>
+        assert(e.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"single-partition exchange over raw rows:\n${plan(df)}")
+    }
+  }
 }

@@ -178,4 +178,32 @@ class EventAnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)))
     assert(out.toSeq == Seq(("a", "b")))
   }
+
+  test("disorderAudit counts late arrivals against the running event-time max") {
+    val events = graft.Tables.loadEvents(spark, sf("sf0.01"))
+    val out = EventAnalytics.disorderAudit(events, maxDelayUs = 600000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sum == events.count())
+    out.foreach { case (_, n, nLate, maxLate) =>
+      assert(nLate < n) // first arrival per user can never be late
+      // lateness is bounded by the injected delay ceiling: an event can
+      // only be beaten by an event-time at most maxDelayUs newer that
+      // arrived earlier
+      assert(maxLate >= 0L && maxLate < 600000000L)
+      assert((nLate == 0L) == (maxLate == 0L))
+    }
+    // the injected jitter must actually create disorder somewhere
+    assert(out.map(_._3).sum > 0L)
+  }
+
+  test("disorderAudit on an already-ordered stream reports zero lateness") {
+    val events = graft.Tables.loadEvents(spark, sf("sf0.01"))
+    // delay ceiling 1 us -> delay is identically 0 -> arrival == event time
+    val out = EventAnalytics.disorderAudit(events, maxDelayUs = 1L).collect()
+    out.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
+    }
+  }
 }

@@ -43,6 +43,25 @@ class JoinPropertySpec extends SparkSpec {
     }
   }
 
+  test("bloomPrunedJoin == plain inner join for random keyed data") {
+    val spark0 = spark
+    import spark0.implicits._
+    val keyGen = Gen.frequency(
+      (8, Gen.choose(0L, 50L).map(Option(_))),
+      (1, Gen.const(Option.empty[Long])))
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(keyGen, Gen.choose(0, 999)))
+    samples(Gen.zip(rowsGen, rowsGen), 6).foreach { case (brows, srows) =>
+      val big = brows.map { case (k, p) => (k, p.toLong) }.toDF("bk", "bp")
+      val small = srows.map { case (k, p) => (k, p.toLong) }.toDF("sk", "sp")
+      val plain = canon(big.join(small, big("bk") === small("sk")))
+      // tiny filter (2^10 bits) to force false positives through the
+      // verify path; the join must erase them
+      val pruned = canon(graft.SparkUtil.bloomPrunedJoin(
+        big, small, "bk", "sk", mBits = 1 << 10, k = 3))
+      assert(pruned == plain)
+    }
+  }
+
   test("bucketed interval join == plain on boundary-heavy random timelines") {
     val spark0 = spark
     import spark0.implicits._

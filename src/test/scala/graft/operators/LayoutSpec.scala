@@ -119,6 +119,34 @@ class LayoutSpec extends SparkSpec {
     assert(prof.forall(_._2 >= 0L))
   }
 
+  test("balancedAssignment: totals conserved, keys dealt evenly, top keys separated") {
+    val spark0 = spark
+    import spark0.implicits._
+    // one hot key (1000), a warm band, and a long tail
+    val rows = Seq.fill(1000)(0L) ++
+      (1 to 6).flatMap(k => Seq.fill(100 * k)(k.toLong)) ++
+      (10L to 40L).flatMap(k => Seq.fill(3)(k))
+    val df = rows.toDF("k")
+    val p = 4
+    val out = Layout.balancedAssignment(df, "k", p).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == (0 until p).toSet)
+    assert(out.values.map(_._1).sum == rows.size)
+    val keyCount = rows.groupBy(identity).size
+    assert(out.values.map(_._2).sum == keyCount)
+    // keys dealt round-robin: per-partition key counts differ by <= 1
+    assert(out.values.map(_._2).max - out.values.map(_._2).min <= 1)
+    // the top-p keys land on distinct partitions: each partition's
+    // heaviest key is exactly the (part+1)-th ranked key
+    val ranked = rows.groupBy(identity).toSeq
+      .map { case (k, g) => (k, g.size.toLong) }
+      .sortBy { case (k, n) => (-n, k) }
+    (0 until p).foreach { part =>
+      assert(out(part)._3 == ranked(part)._2, s"partition $part")
+    }
+  }
+
   test("clusteringDepth matches a brute-force stab count on hand intervals") {
     val spark0 = spark
     import spark0.implicits._

@@ -241,4 +241,51 @@ class ProfilerSpec extends SparkSpec {
       .toMap
     assert(ours == ref)
   }
+
+  private def canonState(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.toString()).toSeq
+
+  test("aggState merge: any partial-state split folds to the full rescan") {
+    val li = graft.Tables.load(spark, sf("sf0.01"), "lineitem")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val full = Profiler.mergeAggStates(
+      Profiler.aggState(li.where(lit(false)), keys, "l_quantity"),
+      Profiler.aggState(li, keys, "l_quantity"), keys)
+    // 3-way daily split folded as a left-deep tree
+    val parts = (0 until 3).map(i =>
+      Profiler.aggState(li.where(expr(s"l_orderkey % 3 = $i")), keys,
+        "l_quantity"))
+    val folded = parts.reduce(Profiler.mergeAggStates(_, _, keys))
+    assert(canonState(folded) == canonState(full))
+  }
+
+  test("aggState: null values count rows but not value stats") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("a", Some(3L)), ("a", None), ("b", None))
+      .toDF("k", "v")
+    val out = Profiler.mergeAggStates(
+        Profiler.aggState(df, Seq("k"), "v"),
+        Profiler.aggState(df.where(lit(false)), Seq("k"), "v"), Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4))))).toMap
+    assert(out("a") == ((2L, Some(3L), Some(3L), Some(3L))))
+    assert(out("b") == ((1L, None, None, None)))
+  }
+
+  test("cascadeDeletePlan: zero-fills roots without descendants, exact counts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val roots = Seq(1L, 2L, 3L).toDF("rid")
+    val children = Seq((10L, 1L), (11L, 1L), (12L, 2L), (99L, 7L))
+      .toDF("cid", "fk") // 99 belongs to an unselected root
+    val grand = Seq((10L, "x"), (10L, "y"), (12L, "z"), (99L, "w"))
+      .toDF("gfk", "payload")
+    val out = Profiler.cascadeDeletePlan(roots, "rid",
+        children, "fk", "cid", grand, "gfk")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(1L -> ((2L, 2L)), 2L -> ((1L, 1L)), 3L -> ((0L, 0L))))
+  }
 }

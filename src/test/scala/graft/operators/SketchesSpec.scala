@@ -155,4 +155,40 @@ class SketchesSpec extends SparkSpec {
     // the intersection compounds three errors — pin a looser ceiling
     assert(relErr(eo, va.intersect(vb).size) <= 0.5)
   }
+
+  test("heavyHittersExact == brute force on a skewed head + long tail") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 3 head values (1200/900/600) over a 500-value tail (3 each)
+    val data = Seq.fill(1200)("hot_a") ++ Seq.fill(900)("hot_b") ++
+      Seq.fill(600)("hot_c") ++
+      (0 until 500).flatMap(i => Seq.fill(3)(s"tail_$i"))
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(16)
+    for (cap <- Seq(4, 9, 19)) {
+      val got = Sketches.heavyHittersExact(df, col("v"), cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = data.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      val want = counts.filter(_._2 * (cap + 1) > data.size)
+      assert(got == want, s"capacity=$cap")
+    }
+  }
+
+  test("heavyHittersExact: empty result when nothing crosses the threshold") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    assert(Sketches.heavyHittersExact(df, col("v"), 4).isEmpty)
+  }
+
+  test("heavyHittersExact ignores nulls and keeps exact counts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (Seq.fill(8)(Some("x")) ++ Seq(None, None, Some("y")))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Sketches.heavyHittersExact(df, col("v"), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 9 non-null values; threshold n/3 = 3: only x (8) qualifies
+    assert(got == Map("x" -> 8L))
+  }
 }

@@ -532,4 +532,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(("s1", "s4")) - 2.0 / (3.0 * math.sqrt(2.0))) < 1e-12)
     graft.SparkUtil.unpersistTrackedCaches()
   }
+
+  test("cooccurrencePairs: exact support/confidence/lift, repeats deduped") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a a b"), // repeated token counts once per doc
+      (3L, "a c d"),
+      (4L, "b c a")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrencePairs(docs, minSupport = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    // dfs: a=4 b=3 c=3 d=1; pairs >= 2: ab=3, ac=3, bc=2
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b")) == ((3L, 4L, 3L, 3.0 / 4.0, 12.0 / 12.0)))
+    assert(out(("a", "c")) == ((3L, 4L, 3L, 3.0 / 4.0, 12.0 / 12.0)))
+    assert(out(("b", "c")) == ((2L, 3L, 3L, 2.0 / 3.0, 8.0 / 9.0)))
+  }
+
+  test("cooccurrencePairs: df prune is lossless (== unpruned brute force)") {
+    val docs = graft.Tables.load(spark, sf("sf0.01"), "documents").limit(120)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").distinct.toSet)
+    val minSup = 40
+    val pairCounts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    for ((_, ta) <- texts; x <- ta; y <- ta if x < y)
+      pairCounts((x, y)) = pairCounts.getOrElse((x, y), 0L) + 1
+    val want = pairCounts.filter(_._2 >= minSup).toMap
+    val got = TextAnalysis.cooccurrencePairs(docs, minSupport = minSup)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want)
+  }
 }
