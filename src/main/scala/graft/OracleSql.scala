@@ -2350,6 +2350,88 @@ object OracleSql {
        |SELECT n.name, COALESCE(c.component, n.name) AS cluster
        |FROM n LEFT JOIN comp c ON n.name = c.id""".stripMargin
 
+  /** Mirror of Profiler.pivotCounts: one conditional count per declared
+    * pivot value plus the unconditional total. */
+  def pivotCounts(rowKey: String, pivotCol: String, values: Seq[String],
+      table: String): String = {
+    val cols = values.map(v =>
+      s"count(CASE WHEN $pivotCol = '${sqlLit(v)}' THEN 1 END)::BIGINT AS \"${v}\"")
+      .mkString(",\n       |  ")
+    s"""SELECT $rowKey, $cols,
+       |  count(*)::BIGINT AS total
+       |FROM $table GROUP BY 1""".stripMargin
+  }
+
+  /** Mirror of EventAnalytics.sessionPaths: q23's lag+cumsum sessionizer
+    * kept at event level, first-k path strings via ordered string_agg,
+    * top-k under the (count desc, path asc) total order. */
+  def sessionPaths(gapMinutes: Int, pathLen: Int, topK: Int): String = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $gapUs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged),
+       |ranked AS (
+       |  SELECT user_id, sid, event_type,
+       |    row_number() OVER (PARTITION BY user_id, sid
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM sess),
+       |paths AS (
+       |  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM ranked WHERE rn <= $pathLen GROUP BY 1, 2)
+       |SELECT path, count(*)::BIGINT AS n_sessions FROM paths GROUP BY 1
+       |ORDER BY n_sessions DESC, path ASC LIMIT $topK""".stripMargin
+  }
+
+  /** Mirror of Profiler.dqReport: the same one-pass conditional counts
+    * (violation = predicate false OR null), unioned long-form. */
+  def dqReport(rules: Seq[(String, String)], table: String): String = {
+    val vcols = rules.zipWithIndex.map { case ((_, pred), i) =>
+      s"count(CASE WHEN NOT COALESCE($pred, false) THEN 1 END)::BIGINT AS v$i"
+    }.mkString(",\n       |    ")
+    val branches = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"""SELECT '${sqlLit(name)}' AS rule, v$i AS n_violations, n AS n_rows,
+         |  CAST(v$i AS DOUBLE) / CAST(n AS DOUBLE) AS violation_rate FROM s"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (SELECT
+       |    $vcols,
+       |    count(*)::BIGINT AS n
+       |  FROM $table)
+       |$branches""".stripMargin
+  }
+
+  /** Mirror of EventAnalytics.madOutliers: deterministic lower medians
+    * via rank windows, single-IEEE-op deviations and k·MAD compare. */
+  def madOutliers(k: Int): String =
+    s"""WITH base AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |m AS (SELECT user_id, v AS med FROM (
+       |    SELECT user_id, v,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rn,
+       |      count(*) OVER (PARTITION BY user_id) AS n FROM base)
+       |  WHERE rn = (n + 1) // 2),
+       |d AS (SELECT b.user_id, b.event_id, m.med, abs(b.v - m.med) AS dev
+       |  FROM base b JOIN m USING (user_id)),
+       |md AS (SELECT user_id, dev AS mad FROM (
+       |    SELECT user_id, dev,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+       |      count(*) OVER (PARTITION BY user_id) AS n FROM d)
+       |  WHERE rn = (n + 1) // 2)
+       |SELECT d.user_id, count(*)::BIGINT AS n_events,
+       |  min(d.med) AS median_v, min(md.mad) AS mad,
+       |  count(CASE WHEN d.dev > CAST($k AS DOUBLE) * md.mad THEN 1 END)::BIGINT
+       |    AS n_outliers
+       |FROM d JOIN md USING (user_id) GROUP BY 1""".stripMargin
+
   /** Mirror of Profiler.aggState ⊕ mergeAggStates: the FULL-RESCAN
     * aggregate the incremental state merge must equal. avg is
     * sum/count(*) (null rows count in the denominator), mirroring the

@@ -1472,7 +1472,43 @@ object SparkEntry {
         t(s, dir, "customer").where(col("c_acctbal") < 0), "c_custkey",
         t(s, dir, "orders"), "o_custkey", "o_orderkey",
         t(s, dir, "lineitem"), "l_orderkey")),
+
+    // Wide cross-tab: per-source language counts as one conditional-agg
+    // pass over a declared pivot-value list (schema stays data-independent;
+    // the remainder still counts toward total).
+    "q156_pivot_report" -> ((s, dir) =>
+      Profiler.pivotCounts(t(s, dir, "documents"), "source", "lang",
+        PivotLangs)),
+
+    // Top session journeys: inactivity-gap sessions → first-5 event-type
+    // path strings → top-20 under the (count, path) total order.
+    "q157_session_paths" -> ((s, dir) =>
+      EventAnalytics.sessionPaths(Tables.loadEvents(s, dir),
+        gapMinutes = 30, pathLen = 5, topK = 20)),
+
+    // Declarative data-quality gate: five named predicates in ONE scan,
+    // null-is-violation semantics, long-form report.
+    "q158_dq_rules" -> ((s, dir) =>
+      Profiler.dqReport(t(s, dir, "lineitem"), DqRules)),
+
+    // Robust per-user outliers: deviation beyond 3× the user's own MAD
+    // (deterministic lower medians; self-calibrating like q74).
+    "q159_mad_outliers" -> ((s, dir) =>
+      EventAnalytics.madOutliers(Tables.loadEvents(s, dir), k = 3)),
   )
+
+  /** q156 pivot-value list; q158 rule list — shared with the oracle
+    * builders so the two sides cannot drift. */
+  private val PivotLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+  private val DqRules: Seq[(String, String)] = Seq(
+    "qty_range" -> "l_quantity BETWEEN 1 AND 50",
+    "price_positive" -> "l_extendedprice > 0",
+    "discount_domain" -> "l_discount BETWEEN 0.0 AND 0.1",
+    "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+    "linenumber_range" -> "l_linenumber BETWEEN 1 AND 7",
+    // a freshness rule that genuinely fails on part of the fixture, so
+    // the report exercises a non-zero violation path
+    "shipped_before_1996" -> "l_shipdate < DATE '1996-01-01'")
 
   /** q134 phrase dictionary — vocabulary-pool bigrams that genuinely
     * occur in the synthetic corpus; shared with the oracle builder. */
@@ -1821,5 +1857,11 @@ object SparkEntry {
     "q154_balanced_assignment" -> OracleSql.balancedAssignment("user_id",
       nParts = 8, table = "events"),
     "q155_purge_plan" -> OracleSql.purgePlan("c_acctbal < 0"),
+    "q156_pivot_report" -> OracleSql.pivotCounts("source", "lang",
+      PivotLangs, "documents"),
+    "q157_session_paths" -> OracleSql.sessionPaths(gapMinutes = 30,
+      pathLen = 5, topK = 20),
+    "q158_dq_rules" -> OracleSql.dqReport(DqRules, "lineitem"),
+    "q159_mad_outliers" -> OracleSql.madOutliers(k = 3),
   )
 }

@@ -208,6 +208,99 @@ object EventAnalytics {
   }
 
   /**
+   * Top session journeys: sessionize by inactivity gap (the q23
+   * semantics, event-level), take each session's first `pathLen` event
+   * types in time order as its path string, count sessions per path,
+   * return the top `topK` under the (count desc, path asc) total order
+   * — the "what do users actually do" report product analytics runs
+   * daily.
+   *
+   * Spark shape: session ids from one lag+running-sum window pair per
+   * user partition (no global sort); the path string is an ordered-
+   * frame `collect_list` over ≤ pathLen rows per session; the top-k cut
+   * is a distributed TakeOrderedAndProject over the path-count agg —
+   * paths are bounded by the event-type alphabet^pathLen, counts by
+   * sessions.
+   */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+      pathLen: Int = 5, topK: Int = 20, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(pathLen >= 1 && topK >= 1, "pathLen and topK must be >= 1")
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val wLag = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val sess = events
+      .select(col(userCol), col(idCol), col(tsCol), col(typeCol))
+      .withColumn("__new",
+        when(lag(expr(s"unix_micros($tsCol)"), 1).over(wLag).isNull ||
+          expr(s"unix_micros($tsCol)") -
+            lag(expr(s"unix_micros($tsCol)"), 1).over(wLag) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col(userCol), col("__sid"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val firstK = sess
+      .withColumn("__rn", row_number().over(wSess))
+      .filter(col("__rn") <= pathLen)
+    val wFull = Window.partitionBy(col(userCol), col("__sid"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    firstK
+      .withColumn("__path",
+        concat_ws(">", collect_list(col(typeCol)).over(wFull)))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
+  /**
+   * Robust per-entity outlier report via MAD (median absolute
+   * deviation): an event is an outlier when its deviation from the
+   * entity's own median value exceeds `k ×` the entity's MAD — the
+   * self-calibrating cousin of the q74 spike detector, immune to the
+   * mean-dragging a z-score suffers on heavy tails. Medians are the
+   * deterministic LOWER median (value at rank ⌊(n+1)/2⌋ under the
+   * (value, id) total order) so every arithmetic step replays exactly;
+   * deviations and the k·MAD compare are single IEEE ops, bit-identical
+   * on both engines.
+   *
+   * Spark shape: two rank-window passes per entity partition (median,
+   * then MAD) with the per-entity medians joined back on the entity key
+   * — no global sort anywhere; output is one row per entity.
+   */
+  def madOutliers(events: DataFrame, k: Int = 3,
+      userCol: String = "user_id", valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val base = events.select(col(userCol), col(idCol),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(userCol))
+        .orderBy(col(v).asc, col(idCol).asc)
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(userCol))))
+        .filter(col("__rn") === expr("(__n + 1) div 2")) // lower median
+        .select(col(userCol), col(v).as(out))
+    }
+    val med = lowerMedian(base, "__v", "__med")
+    val dev = base.join(med, userCol)
+      .withColumn("__dev", abs(col("__v") - col("__med")))
+    val mad = lowerMedian(dev, "__dev", "__mad")
+    dev.join(mad, userCol)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__med")).as("median_v"),
+        min(col("__mad")).as("mad"),
+        count(when(col("__dev") > lit(k.toDouble) * col("__mad"), 1))
+          .as("n_outliers"))
+  }
+
+  /**
    * Event-time disorder audit — the measurement that SIZES a streaming
    * watermark (`StreamingOps`' `withWatermark` bounds): per entity, how
    * many events arrive after a later-timestamped event has already been

@@ -346,6 +346,63 @@ object Profiler {
   }
 
   /**
+   * Wide pivot report: per row-key, one count column per EXPLICIT pivot
+   * value plus a total — the cross-tab every corpus dashboard starts
+   * from (sources × languages). The pivot values are a declared literal
+   * list, NOT discovered from data: discovery would need an extra pass
+   * AND make the output schema data-dependent, which breaks both schema
+   * contracts and the SQL mirror. Values outside the list still count
+   * toward `total` (the honest-columns rule: a wide report that
+   * silently drops the remainder reads as complete when it isn't).
+   *
+   * Spark shape: ONE hash aggregation — each pivot column is a
+   * conditional count with map-side partials; no Expand, no join, no
+   * second pass (`groupBy().pivot(col, values)` plans the same shape;
+   * this spells it as conditional aggs so the SQL mirror is literal).
+   */
+  def pivotCounts(df: DataFrame, rowKey: String, pivotCol: String,
+      values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivotCounts needs explicit pivot values")
+    require(values.distinct == values, "pivot values must be distinct")
+    val aggs = values.map(v =>
+      count(when(col(pivotCol) === v, 1)).as(v)) :+
+      count(lit(1)).as("total")
+    df.groupBy(col(rowKey)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Declarative data-quality gate (the Deequ/dbt-test shape): named SQL
+   * predicates evaluated in ONE scan — a violation is a row where the
+   * predicate is false OR null (SQL three-valued logic would otherwise
+   * let a null sneak past a NOT filter) — reported long-form with the
+   * violation rate as one exact-integer division.
+   *
+   * Spark shape: one pass, one row — every rule folds to a conditional
+   * count in a single global aggregate with map-side partials — then
+   * `stack` unpivots the bounded rule row to long form. Adding a rule
+   * costs zero extra scans; at 100 TB the alternative (one count per
+   * rule) multiplies the table read by the rule count.
+   */
+  def dqReport(df: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "dqReport needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be distinct")
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      count(when(coalesce(expr(pred), lit(false)) === false, 1))
+        .as(s"__v$i")
+    } :+ count(lit(1)).as("__n")
+    val onePass = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex
+      .map { case ((name, _), i) => s"'${name.replace("'", "''")}', __v$i" }
+      .mkString(", ")
+    onePass.selectExpr(
+        s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)", "__n")
+      .select(col("rule"), col("n_violations"), col("__n").as("n_rows"),
+        (col("n_violations").cast("double") / col("__n").cast("double"))
+          .as("violation_rate"))
+  }
+
+  /**
    * Right-to-be-forgotten purge manifest: for each selected root entity
    * (pass the already-filtered root table), the number of child and
    * grandchild rows a cascading delete would remove — the audit a

@@ -179,6 +179,47 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", "b")))
   }
 
+  test("sessionPaths: gap splits sessions, paths truncate, top-k total order") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "click"),
+      (3L, "2024-01-01 12:00:00", 1L, "view"),   // new session (gap > 30m)
+      (4L, "2024-01-01 12:01:00", 1L, "purchase"),
+      (5L, "2024-01-01 09:00:00", 2L, "view"),
+      (6L, "2024-01-01 09:10:00", 2L, "click"))
+    val out = EventAnalytics.sessionPaths(df, gapMinutes = 30, pathLen = 2,
+        topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out == Seq("view>click" -> 2L, "view>purchase" -> 1L))
+  }
+
+  test("sessionPaths truncates to pathLen even inside one long session") {
+    val df = events((1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 10:01:00", 1L, "b"),
+      (3L, "2024-01-01 10:02:00", 1L, "c"))
+    val out = EventAnalytics.sessionPaths(df, gapMinutes = 30, pathLen = 2,
+      topK = 5).collect().map(r => r.getString(0)).toSeq
+    assert(out == Seq("a>b"))
+  }
+
+  test("madOutliers: exact lower medians and k·MAD verdicts on a hand fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    // user 1 values: 1,2,3,4,100 -> lower median 3; devs 2,1,0,1,97 ->
+    // sorted 0,1,1,2,97 -> MAD 1; outliers: dev > 3 -> only 97
+    val df = Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 3.0),
+        (4L, 1L, 4.0), (5L, 1L, 100.0), (6L, 2L, 7.0))
+      .toDF("event_id", "user_id", "value")
+    val out = EventAnalytics.madOutliers(df, k = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((5L, 3.0, 1.0, 1L)))
+    // single-event user: median = value, MAD 0, no outliers (0 > 0 false)
+    assert(out(2L) == ((1L, 7.0, 0.0, 0L)))
+  }
+
   test("disorderAudit counts late arrivals against the running event-time max") {
     val events = graft.Tables.loadEvents(spark, sf("sf0.01"))
     val out = EventAnalytics.disorderAudit(events, maxDelayUs = 600000000L)

@@ -274,6 +274,33 @@ class ProfilerSpec extends SparkSpec {
     assert(out("b") == ((1L, None, None, None)))
   }
 
+  test("pivotCounts: declared columns exact, off-list values only in total") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "xx"),
+      ("s2", "de")).toDF("source", "lang")
+    val out = Profiler.pivotCounts(df, "source", "lang", Seq("en", "de"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("s1") == ((2L, 1L, 4L))) // xx is in total, no column
+    assert(out("s2") == ((0L, 1L, 1L)))
+  }
+
+  test("dqReport: one pass, null predicate counts as violation, exact rates") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(Some(5L), Some(60L), None, Some(10L)).toDF("q")
+    val out = Profiler.dqReport(df,
+        Seq("q_range" -> "q BETWEEN 1 AND 50", "q_notnull" -> "q IS NOT NULL"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // q_range: 60 fails, null fails (three-valued logic) -> 2 of 4
+    assert(out("q_range") == ((2L, 4L, 0.5)))
+    assert(out("q_notnull") == ((1L, 4L, 0.25)))
+  }
+
   test("cascadeDeletePlan: zero-fills roots without descendants, exact counts") {
     val spark0 = spark
     import spark0.implicits._
