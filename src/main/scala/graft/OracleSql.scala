@@ -1058,7 +1058,7 @@ object OracleSql {
     def one(lt: String, lk: String, rt: String, rk: String, rel: String) =
       s"""SELECT '${sqlLit(rel)}' AS relationship,
          |  count(*)::BIGINT AS n_shared_keys,
-         |  CAST(sum(na * nb) AS DECIMAL(38,0)) AS predicted_rows,
+         |  CAST(sum(na * nb) AS BIGINT) AS predicted_rows,
          |  max(na * nb)::BIGINT AS max_single_key_rows
          |FROM (SELECT $lk AS k, count(*)::BIGINT AS na FROM $lt GROUP BY 1) a
          |JOIN (SELECT $rk AS k, count(*)::BIGINT AS nb FROM $rt GROUP BY 1) b
@@ -2084,9 +2084,14 @@ object OracleSql {
   def pageRank(minUsers: Int, maxItemsPerUser: Int, rounds: Int,
       scale: Long, dampNum: Long, dampDen: Long): String = {
     val teleport = (dampDen - dampNum) * scale / dampDen
+    // CAST each stage's rank back to BIGINT: DuckDB's sum(BIGINT) widens
+    // to HUGEINT, which pandas renders as float64 — the driver's value
+    // hash then sees 1000000.0 against Spark's long 1000000 (the round-4
+    // q143 hash mismatch). The quotient always fits: rank <= scale.
     val stages = (1 to rounds).map { r =>
       s"""r$r AS (SELECT d.dst AS id,
-         |    $teleport + ($dampNum * sum(r.rank // d.deg)) // $dampDen AS rank
+         |    CAST($teleport + ($dampNum * sum(r.rank // d.deg)) // $dampDen
+         |      AS BIGINT) AS rank
          |  FROM dirx d JOIN r${r - 1} r ON d.src = r.id GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH it AS (SELECT user_id,

@@ -1050,12 +1050,18 @@ object SparkEntry {
     // this join explode" check — shared keys, predicted output rows,
     // and the largest single-key reducer, for a FK join and a skewed
     // self-join, without running either join.
+    // predicted_rows is decimal(38,0) inside the operator (a 100 TB hot
+    // key can push the product sum past 2^63) but cast to long at this
+    // query boundary: DuckDB renders DECIMAL(38,0) through pandas as
+    // float64, so a decimal output can never value-hash against the
+    // oracle (the round-4 hash mismatch). The fixture sums fit in long.
     "q115_join_size_estimate" -> ((s, dir) => {
       val e = Tables.loadEvents(s, dir)
       Profiler.joinSizeEstimate(t(s, dir, "lineitem"), t(s, dir, "orders"),
           "l_orderkey", "o_orderkey", "lineitem x orders")
         .unionAll(Profiler.joinSizeEstimate(e, e, "user_id", "user_id",
           "events x events (self)"))
+        .withColumn("predicted_rows", col("predicted_rows").cast("long"))
     }),
 
     // Embedding centroid drift — the embedding face of the q101 token
