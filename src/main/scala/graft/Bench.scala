@@ -51,7 +51,15 @@ object Bench {
     // Between runs: drop graft-internal operator caches and cached scans so
     // every sample pays the same (cold-cache) work.
     def reset(): Unit = { SparkUtil.unpersistTrackedCaches(); spark.catalog.clearCache() }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query-name filter (substring match) for
+    // focused re-measures: SPARK_GRAFT_BENCH_ONLY=q124,q132
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(pats) => SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
+      case None       => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       time(name, fn) // warmup: codegen + JIT + footer cache
       val samples = (1 to runs).flatMap { _ => reset(); time(name, fn) }
       name -> samples.sorted
@@ -75,10 +83,16 @@ object Bench {
     // round 3's JSON line mid-object (BENCH_r03.json shipped parsed:null),
     // so the artifact must survive independently of pipe buffering.
     try {
-      val out = java.nio.file.Paths.get("target/bench.json")
+      val out = java.nio.file.Paths.get("target/bench.json").toAbsolutePath
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+      // One short, unambiguous pointer line: the driver should ingest the
+      // file (tail-capture has truncated the inline JSON in past rounds).
+      println(s"BENCH_JSON=$out")
     } catch { case NonFatal(e) => System.err.println(s"bench: file write failed: $e") }
     spark.stop()
+    // A bench with failed queries is not a successful run; make rc reflect
+    // it so downstream tooling can't mistake a broken round for a clean one.
+    if (results.exists(_._2.isEmpty)) sys.exit(2)
   }
 }

@@ -704,14 +704,25 @@ object OracleSql {
     * `((j*dim + i) * Mix) mod 2^32 - 2^31`; the projection is the same
     * ascending-index float→double accumulation (left-assoc chain), and
     * bit j is set iff the projection is > 0. */
-  private def srpBits(vExpr: String, dim: Int, totalPlanes: Int): String =
-    (0 until totalPlanes).map { j =>
+  private def srpBits(vExpr: String, dim: Int, totalPlanes: Int): String = {
+    // The outer per-plane sum is EXACT integer math, so it is summed as a
+    // balanced tree (depth log2 n): at 60 planes the left-assoc chain plus
+    // the (order-sensitive, left-assoc) 64-term double projection inside
+    // each CASE blows DuckDB's 128-deep binder recursion limit.
+    def tree(terms: Seq[String]): String =
+      if (terms.size == 1) terms.head
+      else {
+        val (l, r) = terms.splitAt(terms.size / 2)
+        s"(${tree(l)} + ${tree(r)})"
+      }
+    tree((0 until totalPlanes).map { j =>
       val terms = (1 to dim).map { i =>
         val w = ((j.toLong * dim + i) * Mix) % TextFunctions.TwoPow32 - (1L << 31)
         s"$vExpr[$i]::DOUBLE * ($w)"
       }.mkString(" + ")
       s"(CASE WHEN ($terms) > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
+    })
+  }
 
   /** Mirror of SimilaritySearch.cosineNearDupPairsLsh: candidate pairs
     * share an nPlanes-bit slice of the SRP bit string in >= 1 of nTables
@@ -787,6 +798,33 @@ object OracleSql {
        |  row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, cand_id ASC) AS rank
        |FROM c QUALIFY rank <= $k""".stripMargin
+  }
+
+  /** Mirror of SimilaritySearch.annTopKLsh (q19): single-query ANN with
+    * 1-bit multiprobe. A corpus vector is a candidate iff in >= 1 of
+    * nTables tables its nPlanes-bit SRP slice equals the query's slice
+    * OR differs in exactly one bit — i.e. slice XOR slice' is 0 or a
+    * single bit, so `xor(...) IN (0, 1, 2, 4, ...)`. Candidates score by
+    * the shared exact cosine (same bit replay as [[knnJoinLsh]], which
+    * is hash-green), then the deterministic (score DESC, id ASC) top-k
+    * cut. The index is approximate; the replay is exact. */
+  def annTopKLsh(queryId: Long, k: Int, dim: Int, nPlanes: Int,
+      nTables: Int): String = {
+    val n2 = dotTerms("embedding", "embedding", dim)
+    val dotXQ = dotTerms("x.v", "q.qv", dim)
+    val mask = (1L << nPlanes) - 1
+    val probeSet = (Seq(0L) ++ (0 until nPlanes).map(j => 1L << j)).mkString(", ")
+    val anyTable = (0 until nTables).map { t =>
+      s"xor((x.bits >> ${t * nPlanes}) & $mask, (q.qbits >> ${t * nPlanes}) & $mask) IN ($probeSet)"
+    }.mkString("(", " OR ", ")")
+    s"""WITH n AS (SELECT vec_id AS id, embedding AS v, ($n2) AS n2,
+       |             ${srpBits("embedding", dim, nPlanes * nTables)} AS bits
+       |           FROM embeddings),
+       |q AS (SELECT v AS qv, n2 AS qn2, bits AS qbits FROM n WHERE id = $queryId)
+       |SELECT x.id AS vec_id, ($dotXQ) / (sqrt(x.n2) * sqrt(q.qn2)) AS score
+       |FROM n x, q
+       |WHERE $anyTable
+       |ORDER BY score DESC, x.id ASC LIMIT $k""".stripMargin
   }
 
   /** Mirror of Dedup.boilerplateSpans over a corpus with a deterministic
@@ -1494,12 +1532,19 @@ object OracleSql {
       minStopwords, idCol)
     val bp = boilerplateSpans(injectPct = 0, suffix = "unused",
       boilerN, boilerMinDocs, idCol)
-    s"""SELECT d.* FROM documents d
-       |WHERE d.$idCol IN (SELECT $idCol FROM ($qf) WHERE keep)
-       |  AND d.$idCol IN (SELECT $idCol FROM ($bp) WHERE boiler_ratio < $maxBoilerRatio)
-       |  AND d.$idCol IN (SELECT $idCol FROM (
-       |      SELECT $idCol, row_number() OVER (PARTITION BY md5(text)
-       |        ORDER BY $idCol) AS rn FROM documents) WHERE rn = 1)""".stripMargin
+    // Each ingredient is MATERIALIZED: DuckDB's default per-reference
+    // inlining re-expands the full window/unnest chains inside each IN
+    // probe, which has OOM'd under memory pressure (r05); materializing
+    // computes each ingredient once into a small id table.
+    s"""WITH qf AS MATERIALIZED ($qf),
+       |bp AS MATERIALIZED ($bp),
+       |rep AS MATERIALIZED (
+       |  SELECT $idCol, row_number() OVER (PARTITION BY md5(text)
+       |    ORDER BY $idCol) AS rn FROM documents)
+       |SELECT d.* FROM documents d
+       |WHERE d.$idCol IN (SELECT $idCol FROM qf WHERE keep)
+       |  AND d.$idCol IN (SELECT $idCol FROM bp WHERE boiler_ratio < $maxBoilerRatio)
+       |  AND d.$idCol IN (SELECT $idCol FROM rep WHERE rn = 1)""".stripMargin
   }
 
   /** Mirror of EventAnalytics.activitySpikes: hourly counts, per-user
@@ -1553,14 +1598,14 @@ object OracleSql {
     * oracle recomputes the identical integer arithmetic relationally. */
   def tokenBudgetSample(budgetTokens: Long, valueCol: String,
       idCol: String): String =
-    s"""WITH tok AS (SELECT $idCol, length(bin($valueCol)) AS tier,
+    s"""WITH tok AS MATERIALIZED (SELECT $idCol, length(bin($valueCol)) AS tier,
        |               len($toks)::BIGINT AS nt FROM documents),
-       |ts AS (SELECT tier, CAST(sum(nt) AS BIGINT) AS s FROM tok GROUP BY tier),
-       |c AS (SELECT tier, s,
+       |ts AS MATERIALIZED (SELECT tier, CAST(sum(nt) AS BIGINT) AS s FROM tok GROUP BY tier),
+       |c AS MATERIALIZED (SELECT tier, s,
        |        CAST(SUM(s) OVER (ORDER BY tier DESC
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
        |      FROM ts),
-       |b AS (SELECT tier, (100 * ($budgetTokens - (cum - s))) // s AS rate
+       |b AS MATERIALIZED (SELECT tier, (100 * ($budgetTokens - (cum - s))) // s AS rate
        |      FROM c WHERE cum > $budgetTokens ORDER BY tier DESC LIMIT 1)
        |SELECT d.* FROM documents d
        |WHERE (SELECT count(*) FROM b) = 0

@@ -1618,7 +1618,8 @@ object SparkEntry {
     "q58_knn_join_lsh" -> OracleSql.knnJoinLsh(k = 5, dim = 64, nPlanes = 4, nTables = 8),
     "q59_quantize_int8" -> OracleSql.quantizeInt8(dim = 64),
     "q18_embed_neardup" -> OracleSql.embedNearDup(threshold = 0.4, dim = 64),
-    // q19_ann_lsh: intentionally no oracle — approximate ANN (rows-only check).
+    "q19_ann_lsh" -> OracleSql.annTopKLsh(queryId = 0, k = 10, dim = 64,
+      nPlanes = 4, nTables = 15),
     "q20_multimodal_meta" -> OracleSql.multimodalMeta,
     "q21_events_window" -> OracleSql.eventsWindow,
     "q22_asof_join" -> OracleSql.asofJoin,

@@ -324,13 +324,17 @@ object Sketches {
    * localN/(capacity+1) survives locally; summing across partitions, a
    * value with GLOBAL count > total/(capacity+1) must exceed the local
    * threshold somewhere (averaging argument), so the union of survivors
-   * is a candidate SUPERSET — never a miss. Pass 2 recounts ONLY the
-   * candidates exactly (a literal `isin` filter — `capacity ×
-   * numPartitions` strings ride the plan, nothing joins) and applies the
-   * exact integer cross-multiplied threshold, so the output is
-   * bit-identical to the brute-force GROUP BY the oracle runs — while
+   * is a candidate SUPERSET — never a miss. The same pass also counts
+   * the partition's rows, so the global total rides along in the one
+   * per-partition summary row instead of costing a second scan. Pass 2
+   * recounts ONLY the candidates exactly (a literal `isin` filter —
+   * `capacity × numPartitions` strings ride the plan, nothing joins) and
+   * applies the exact integer cross-multiplied threshold, so the output
+   * is bit-identical to the brute-force GROUP BY the oracle runs — while
    * the full value domain never shuffles (the brute force's hash agg
-   * over an unbounded domain is the thing that dies at 100 TB).
+   * over an unbounded domain is the thing that dies at 100 TB). Two
+   * scans total; the driver-side artifact stays bounded at one
+   * `(count, ≤capacity keys)` row per partition.
    */
   def heavyHittersExact(df: DataFrame, value: Column,
       capacity: Int): DataFrame = {
@@ -339,9 +343,11 @@ object Sketches {
     import spark.implicits._
     val vals = df.select(value.cast("string").as("value"))
       .where(col("value").isNotNull)
-    val candidates = vals.as[String].mapPartitions { it =>
+    val summaries = vals.as[String].mapPartitions { it =>
       val c = scala.collection.mutable.HashMap.empty[String, Long]
+      var localN = 0L
       it.foreach { v =>
+        localN += 1
         c.get(v) match {
           case Some(n) => c.update(v, n + 1)
           case None if c.size < capacity => c.update(v, 1L)
@@ -352,9 +358,10 @@ object Sketches {
             }
         }
       }
-      c.keysIterator
-    }.distinct().collect().toSeq
-    val total = vals.count()
+      Iterator.single((localN, c.keysIterator.toArray))
+    }.collect()
+    val total = summaries.iterator.map(_._1).sum
+    val candidates = summaries.iterator.flatMap(_._2).toSeq.distinct
     val empty = vals.groupBy(col("value"))
       .agg(count(lit(1)).as("n")).where(lit(false))
     if (candidates.isEmpty) empty
