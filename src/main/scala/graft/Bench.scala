@@ -83,7 +83,9 @@ object Bench {
     // round 3's JSON line mid-object (BENCH_r03.json shipped parsed:null),
     // so the artifact must survive independently of pipe buffering.
     try {
-      val out = java.nio.file.Paths.get("target/bench.json").toAbsolutePath
+      // Filtered runs must not clobber the full artifact the driver ingests.
+      val fileName = if (only.isDefined) "target/bench_partial.json" else "target/bench.json"
+      val out = java.nio.file.Paths.get(fileName).toAbsolutePath
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
       // One short, unambiguous pointer line: the driver should ingest the

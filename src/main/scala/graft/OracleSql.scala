@@ -1780,6 +1780,103 @@ object OracleSql {
        |FROM f""".stripMargin
   }
 
+  /** Mirror of Sampling.capPerGroup composed with the q83 linear score
+    * (q160): per-source rank by (score DESC, id ASC), keep rank <= n.
+    * The score CTE is the [[linearScore]] SQL verbatim so the
+    * composition cannot drift from the independently-oracled part. */
+  def domainCap(n: Int, wTok: Long, wStop: Long, wDigit: Long,
+      wUpper: Long, threshold: Long, idCol: String): String = {
+    val ls = linearScore(wTok, wStop, wDigit, wUpper, threshold, idCol)
+    s"""WITH ls AS MATERIALIZED ($ls),
+       |j AS (SELECT d.$idCol, d.source, ls.score
+       |      FROM documents d JOIN ls USING ($idCol))
+       |SELECT $idCol, source, score,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY score DESC, $idCol ASC) AS rank
+       |FROM j QUALIFY rank <= $n""".stripMargin
+  }
+
+  /** Mirror of Dedup.preferencePairs (q161): components from the shared
+    * recursive-reachability CTE ([[dedupComponents]] — q28's oracle),
+    * the q83 score, and per-component (score DESC, id ASC) argmax /
+    * (score ASC, id ASC) argmin via rank windows; equal-extreme
+    * components filtered exactly like the engine. */
+  def preferencePairs(threshold: Double, maxDocFreq: Int, wTok: Long,
+      wStop: Long, wDigit: Long, wUpper: Long, scoreThreshold: Long,
+      idCol: String): String = {
+    val comp = dedupComponents(threshold, maxDocFreq)
+    val ls = linearScore(wTok, wStop, wDigit, wUpper, scoreThreshold, idCol)
+    s"""WITH comp AS MATERIALIZED ($comp),
+       |ls AS MATERIALIZED ($ls),
+       |m AS (SELECT c.component, c.$idCol AS id, ls.score
+       |      FROM comp c JOIN ls USING ($idCol)),
+       |r AS (SELECT component, id, score,
+       |        row_number() OVER (PARTITION BY component
+       |          ORDER BY score DESC, id ASC) AS rb,
+       |        row_number() OVER (PARTITION BY component
+       |          ORDER BY score ASC, id ASC) AS rw
+       |      FROM m),
+       |best AS (SELECT component, id AS chosen_id, score AS chosen_score
+       |         FROM r WHERE rb = 1),
+       |worst AS (SELECT component, id AS rejected_id, score AS rejected_score
+       |          FROM r WHERE rw = 1)
+       |SELECT b.component, b.chosen_id, w.rejected_id,
+       |  b.chosen_score, w.rejected_score,
+       |  b.chosen_score - w.rejected_score AS gap
+       |FROM best b JOIN worst w USING (component)
+       |WHERE b.chosen_score > w.rejected_score""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.lmPredictability (q162): per-position
+    * bigrams, (ctx, nxt) counts with window context totals, the exact
+    * integer cross-multiplied predictability test, one division. */
+  def lmPredictability(branch: Int, threshold: Double,
+      idCol: String): String =
+    s"""WITH $bigramCtes,
+       |cnt AS (SELECT ctx, nxt, count(*) AS pair_n FROM bg GROUP BY 1, 2),
+       |lm AS (SELECT ctx, nxt, pair_n,
+       |         sum(pair_n) OVER (PARTITION BY ctx) AS ctx_n FROM cnt)
+       |SELECT b.doc_id AS $idCol, count(*) AS n_bigrams,
+       |  CAST(sum(CASE WHEN l.pair_n * $branch >= l.ctx_n THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_predictable,
+       |  CAST(sum(CASE WHEN l.pair_n * $branch >= l.ctx_n THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS predictable_rate,
+       |  (CAST(sum(CASE WHEN l.pair_n * $branch >= l.ctx_n THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= $threshold AS template_like
+       |FROM bg b JOIN lm l USING (ctx, nxt) GROUP BY 1""".stripMargin
+
+  /** Mirror of TextAnalysis.tokenizerFertility (q163): exact integer
+    * sums per (lang, source), two final divisions. */
+  def tokenizerFertility(groupCol: String, sourceCol: String): String =
+    s"""SELECT $groupCol, $sourceCol, count(*) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       |  CAST(sum(len($toks)) AS BIGINT) AS sum_words,
+       |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+       |    AS BIGINT) AS sum_bpe,
+       |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+       |    AS DOUBLE) / CAST(sum(len($toks)) AS DOUBLE) AS bpe_per_word,
+       |  CAST(sum(length(text)) AS DOUBLE) /
+       |    CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+       |      AS DOUBLE) AS chars_per_bpe
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Mirror of TextAnalysis.spanCorruptionPlan (q164): the exact
+    * floor-division span budget, range-exploded span indices, and the
+    * shared Knuth-mix start draw over the valid range. */
+  def spanCorruptionPlan(spanLen: Int, maskPct: Int, idCol: String): String =
+    s"""WITH tk AS (SELECT $idCol, len($toks) AS n_tokens FROM documents),
+       |p AS (SELECT $idCol, n_tokens,
+       |        ((n_tokens * $maskPct) // 100) // $spanLen AS k
+       |      FROM tk WHERE n_tokens >= $spanLen),
+       |s AS (SELECT $idCol, n_tokens, unnest(range(0, k)) AS span_idx
+       |      FROM p WHERE k >= 1)
+       |SELECT $idCol, span_idx,
+       |  ((((($idCol % ${graft.operators.Sampling.IdFold}) * 31 + span_idx)
+       |      % ${graft.operators.Sampling.IdFold}) * $Mix)
+       |    % ${TextFunctions.TwoPow32}) % (n_tokens - $spanLen + 1) + 1 AS span_start,
+       |  CAST($spanLen AS BIGINT) AS span_len, n_tokens
+       |FROM s""".stripMargin
+
   /** Mirror of Sampling.epochShuffle: the epoch-salted rolling hash
     * buckets the corpus; position ranks by (hash, id) within the bucket. */
   def epochShuffle(epoch: Int, nBuckets: Int, idCol: String): String =

@@ -1501,6 +1501,42 @@ object SparkEntry {
     // (deterministic lower medians; self-calibrating like q74).
     "q159_mad_outliers" -> ((s, dir) =>
       EventAnalytics.madOutliers(Tables.loadEvents(s, dir), k = 3)),
+
+    // Per-domain cap: each source keeps its best-15 docs by the q83
+    // linear quality score (deterministic priority) — the
+    // anti-concentration rule applied before any mixture sampling.
+    "q160_domain_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = TextAnalysis.linearScore(d).select(col("doc_id"), col("score"))
+      Sampling.capPerGroup(
+        d.select(col("doc_id"), col("source")).join(scored, Seq("doc_id")),
+        n = 15, groupCol = "source", scoreCol = "score")
+    }),
+
+    // Preference-pair mining: near-dup clusters (q14's pair graph) yield
+    // (best, worst) members by the q83 score — same-content DPO pairs.
+    "q161_preference_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.preferencePairs(
+        d.select("doc_id"),
+        Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"),
+        TextAnalysis.linearScore(d).select(col("doc_id"), col("score")))
+    }),
+
+    // Integer-exact CCNet-style predictability filter: share of a doc's
+    // bigram positions covering >= 1/8 of their context's corpus mass.
+    "q162_lm_predictability" -> ((s, dir) =>
+      TextAnalysis.lmPredictability(t(s, dir, "documents"), branch = 8)),
+
+    // Tokenizer fertility cost sheet per (lang, source): BPE-ish tokens
+    // per word and chars per token from exact integer sums.
+    "q163_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(t(s, dir, "documents"))),
+
+    // Reproducible T5 span-corruption plan: hash-drawn mask spans as
+    // auditable rows, zero shuffle.
+    "q164_span_corruption" -> ((s, dir) =>
+      TextAnalysis.spanCorruptionPlan(t(s, dir, "documents"))),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -1870,5 +1906,16 @@ object SparkEntry {
       pathLen = 5, topK = 20),
     "q158_dq_rules" -> OracleSql.dqReport(DqRules, "lineitem"),
     "q159_mad_outliers" -> OracleSql.madOutliers(k = 3),
+    "q160_domain_cap" -> OracleSql.domainCap(n = 15, wTok = 2, wStop = 5,
+      wDigit = -3, wUpper = -1, threshold = 120, idCol = "doc_id"),
+    "q161_preference_pairs" -> OracleSql.preferencePairs(threshold = 0.6,
+      maxDocFreq = 10000, wTok = 2, wStop = 5, wDigit = -3, wUpper = -1,
+      scoreThreshold = 120, idCol = "doc_id"),
+    "q162_lm_predictability" -> OracleSql.lmPredictability(branch = 8,
+      threshold = 0.5, idCol = "doc_id"),
+    "q163_tokenizer_fertility" -> OracleSql.tokenizerFertility(
+      groupCol = "lang", sourceCol = "source"),
+    "q164_span_corruption" -> OracleSql.spanCorruptionPlan(spanLen = 3,
+      maskPct = 15, idCol = "doc_id"),
   )
 }

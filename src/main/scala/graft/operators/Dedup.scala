@@ -770,6 +770,45 @@ object Dedup {
    * Boundary equality is rolling-hash equality on BOTH engines, so a
    * (cosmically rare) collision cannot cause oracle drift.
    */
+  /**
+   * Preference-pair mining over near-dup clusters — the DPO/RLHF data
+   * face of dedup: a cluster of near-duplicate documents is the same
+   * content at different quality levels, so (best member, worst member)
+   * is a natural (chosen, rejected) preference pair with a built-in
+   * "same prompt" guarantee the usual random-negative mining lacks.
+   * Emits one pair per component where the extremes' scores actually
+   * differ (equal-score clusters carry no preference signal and are
+   * dropped, which also removes singletons).
+   *
+   * Deterministic: chosen = (score desc, id asc) argmax via
+   * `max(struct(score, -id))`, rejected = (score asc, id asc) argmin via
+   * `min(struct(score, id))` — lexicographic struct ordering, no window,
+   * no tie race.
+   *
+   * Spark shape: components from [[ConnectedComponents]] (its scale
+   * story), then ONE equi-join to the score table and ONE hash
+   * aggregation on the component key with map-side partial min/max —
+   * cluster size never concentrates (the aggregation state is two
+   * structs per component regardless of membership).
+   */
+  def preferencePairs(vertices: DataFrame, pairs: DataFrame,
+      scores: DataFrame, idCol: String = "doc_id",
+      scoreCol: String = "score"): DataFrame = {
+    val comp = ConnectedComponents(pairs, vertices = Some(vertices))
+    comp.join(scores, comp("id") === scores(idCol))
+      .select(col("component"), col("id").as("__id"),
+        col(scoreCol).as("__s"))
+      .groupBy(col("component"))
+      .agg(
+        max(struct(col("__s").as("s"), (-col("__id")).as("negid"))).as("__b"),
+        min(struct(col("__s").as("s"), col("__id").as("i"))).as("__w"))
+      .select(col("component"),
+        (-col("__b.negid")).as("chosen_id"), col("__w.i").as("rejected_id"),
+        col("__b.s").as("chosen_score"), col("__w.s").as("rejected_score"),
+        (col("__b.s") - col("__w.s")).as("gap"))
+      .where(col("chosen_score") > col("rejected_score"))
+  }
+
   def stitchCandidates(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tks = tokens(col(textCol))

@@ -369,6 +369,31 @@ object Sampling {
       .select(col(idCol), col("x"), col("y"))
   }
 
+  /**
+   * Per-group document cap — the CommonCrawl-style curation rule "no
+   * domain may contribute more than n documents", applied by a
+   * deterministic priority (score desc, id asc) so the kept set is the
+   * group's best-n, not an arbitrary n. The anti-concentration step a
+   * mixture-weighted corpus needs before any sampling: one viral domain
+   * otherwise floods its stratum's budget.
+   *
+   * Spark shape: one shuffle on the group key, then a rank window whose
+   * `row_number <= n` filter sits directly above it — Spark plans this as
+   * `WindowGroupLimit`, so each map task forwards at most n rows per
+   * group (partial top-k before the exchange); the full group never
+   * sorts on one node. Skew posture: a group's survivors are bounded at
+   * n, so the post-filter side is flat regardless of input skew.
+   */
+  def capPerGroup(df: DataFrame, n: Int, groupCol: String,
+      scoreCol: String, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n=$n must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
   def weightedSample(df: DataFrame, n: Int, weightCol: String = "n_chars",
       idCol: String = "doc_id"): DataFrame = {
     require(n >= 0, s"n=$n must be >= 0")

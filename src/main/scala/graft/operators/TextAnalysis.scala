@@ -943,4 +943,125 @@ object TextAnalysis {
         ((col("n_pair") * col("n_docs")).cast("double") /
           (col("df_a") * col("df_b")).cast("double")).as("lift"))
   }
+
+  /**
+   * Per-document LM predictability under the corpus bigram model — the
+   * integer-exact core of a CCNet-style perplexity filter: a bigram
+   * position (ctx, nxt) is "predictable" when its pair count covers at
+   * least 1/`branch` of its context's total mass (`pair_n · branch ≥
+   * ctx_n`, an exact integer cross-multiply — no probabilities, no
+   * logs, so both engines agree bit-for-bit where a float perplexity
+   * would drift in the last ulp). A document whose positions are mostly
+   * predictable reads like the corpus (boilerplate, templated text);
+   * novel prose scores low — the same separation per-doc perplexity
+   * gives, with a rate in [0,1] instead of an entropy.
+   *
+   * Spark shape: the per-position bigram table feeds ONE (ctx, nxt)
+   * hash aggregation (map-side partials, vocab²-bounded output) whose
+   * context totals come from one window over the vocab-bounded counts
+   * (never the positions); positions then equi-join the LM on
+   * (ctx, nxt) — the inverted-index pattern, a hot bigram costs its
+   * occurrence count, never a cross product — and collapse back to one
+   * row per doc in ONE final hash aggregation. Sub-2-token docs have no
+   * bigram positions and drop out (the [[bigramNovelty]] contract).
+   */
+  def lmPredictability(docs: DataFrame, branch: Int = 8,
+      threshold: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(branch >= 1, s"branch=$branch must be >= 1")
+    val pos = bigramPairs(docs, idCol, textCol)
+    val counts = pos.groupBy(col("ctx"), col("nxt"))
+      .agg(count(lit(1)).as("pair_n"))
+    val lm = counts.withColumn("ctx_n",
+      sum(col("pair_n")).over(Window.partitionBy(col("ctx"))))
+    val rate = col("n_predictable").cast("double") /
+      col("n_bigrams").cast("double")
+    pos.join(lm, Seq("ctx", "nxt"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("pair_n") * lit(branch.toLong) >= col("ctx_n"), 1L)
+          .otherwise(0L)).as("n_predictable"))
+      .select(col(idCol), col("n_bigrams"), col("n_predictable"),
+        rate.as("predictable_rate"),
+        (rate >= threshold).as("template_like"))
+  }
+
+  /**
+   * Tokenizer fertility report per (group, source): how many BPE-ish
+   * subword tokens the tokenizer spends per whitespace word
+   * (`bpe_per_word` — the fertility number tokenizer papers quote) and
+   * how many characters each subword token covers (`chars_per_bpe`) —
+   * the per-language cost sheet that decides vocabulary allocation and
+   * per-language token budgets (a language with fertility 3 pays 3× the
+   * sequence length for the same text).
+   *
+   * Integer sums only (order-insensitive, exact), each ratio one final
+   * double division of those sums — the [[stats]] determinism contract.
+   * Spark shape: one hash aggregation with map-side partials; output
+   * cardinality = the (group, source) space.
+   */
+  def tokenizerFertility(docs: DataFrame, groupCol: String = "lang",
+      sourceCol: String = "source", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(groupCol), col(sourceCol),
+        length(col(textCol)).cast("long").as("__chars"),
+        size(tokens(col(textCol))).cast("long").as("__words"),
+        bpeTokenCount(col(textCol)).cast("long").as("__bpe"))
+      .groupBy(col(groupCol), col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("sum_chars"),
+        sum(col("__words")).as("sum_words"),
+        sum(col("__bpe")).as("sum_bpe"))
+      .select(col(groupCol), col(sourceCol), col("n_docs"),
+        col("sum_chars"), col("sum_words"), col("sum_bpe"),
+        (col("sum_bpe").cast("double") / col("sum_words").cast("double"))
+          .as("bpe_per_word"),
+        (col("sum_chars").cast("double") / col("sum_bpe").cast("double"))
+          .as("chars_per_bpe"))
+
+  /**
+   * T5-style span-corruption plan: for each document, a deterministic
+   * list of token spans to mask — `floor(n·maskPct/100) / spanLen` spans
+   * of `spanLen` tokens, each span's start drawn by the shared Knuth-mix
+   * hash of (doc id, span index) over the valid start range. The PLAN is
+   * the data-engineering artifact (the trainer applies it at batch
+   * time); emitting it as rows makes the masking reproducible,
+   * auditable, and joinable against the doc table — the properties a
+   * `rand()`-at-training-time mask can't offer. Spans may overlap
+   * (standard for hash-drawn spans; the trainer's mask is a union).
+   *
+   * Spark shape: a pure narrow projection + explode — zero shuffle,
+   * zero joins, whole-stage codegen; the hash arithmetic pre-reduces
+   * ids mod 2³¹ (the [[Sampling.bucket]] overflow contract) so the
+   * Knuth product never exceeds 2⁶³ in any engine. Docs shorter than
+   * one span, or whose budget rounds to zero spans, drop out.
+   */
+  def spanCorruptionPlan(docs: DataFrame, spanLen: Int = 3,
+      maskPct: Int = 15, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(spanLen >= 1, s"spanLen=$spanLen must be >= 1")
+    require(maskPct >= 1 && maskPct <= 100, s"maskPct=$maskPct out of range")
+    // Exact long floor-division (Column `/` is double division): subtract
+    // the remainder first so the double quotient is exactly divisible.
+    def idiv(a: Column, b: Long): Column =
+      ((a - pmod(a, lit(b))) / lit(b.toDouble)).cast("long")
+    val n = size(tokens(col(textCol))).cast("long")
+    val nSpans = idiv(idiv(n * lit(maskPct.toLong), 100L), spanLen.toLong)
+    val base = graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol), n.as("n_tokens"), nSpans.as("__k"))
+      .filter(col("n_tokens") >= spanLen && col("__k") >= 1)
+    val seed = pmod(
+      pmod(col(idCol).cast("long"), lit(Sampling.IdFold)) * 31L +
+        col("span_idx"), lit(Sampling.IdFold))
+    base
+      .select(col(idCol), col("n_tokens"),
+        explode(sequence(lit(0L), col("__k") - 1L)).as("span_idx"))
+      .select(col(idCol), col("span_idx"),
+        (pmod(mix32(seed), col("n_tokens") - spanLen + 1L) + 1L)
+          .as("span_start"),
+        lit(spanLen.toLong).as("span_len"), col("n_tokens"))
+  }
 }

@@ -101,6 +101,16 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("per-group cap plans with WindowGroupLimit; span-corruption plan is shuffle-free") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val capped = graft.operators.Sampling.capPerGroup(
+      docs.select(col("doc_id"), col("source"), length(col("text")).as("score")),
+      n = 15, groupCol = "source", scoreCol = "score")
+    assert(plan(capped).contains("WindowGroupLimit"), plan(capped))
+    val span = plan(TextAnalysis.spanCorruptionPlan(docs))
+    assert(!hasShuffle(span), s"unexpected shuffle in spanCorruptionPlan:\n$span")
+  }
+
   test("quality filter, chunking, and feature hashing are pure narrow plans: zero exchange") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val pq = plan(TextAnalysis.qualityFilter(docs))

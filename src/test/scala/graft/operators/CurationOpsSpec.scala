@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Tests for the r6 curation operators: per-domain caps, preference-pair
+ * mining over near-dup clusters, LM predictability, tokenizer fertility,
+ * and span-corruption planning. Hand fixtures with independently
+ * computable expectations; fixture-scale checks ride the oracle gate.
+ */
+class CurationOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("capPerGroup keeps exactly the best-n per group with (score desc, id asc) ties") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
+      (5L, "b", 7L)
+    ).toDF("doc_id", "source", "score")
+    val out = Sampling.capPerGroup(df, n = 2, groupCol = "source",
+      scoreCol = "score").orderBy("source", "rank")
+      .select("doc_id", "source", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // group a: score 30 ties between ids 2 and 3 → id asc wins; id 1 (10) cut
+    assert(out.toSeq == Seq((2L, "a", 1), (3L, "a", 2), (5L, "b", 1)))
+  }
+
+  test("preferencePairs: best/worst per component, equal-score clusters and singletons drop") {
+    val vertices = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scores = Seq( // component 1: {1,2,3}; component 10: {10,11} equal
+      (1L, 50L), (2L, 90L), (3L, 20L), (10L, 30L), (11L, 30L), (20L, 99L)
+    ).toDF("doc_id", "score")
+    val out = Dedup.preferencePairs(vertices, pairs, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // only component 1 survives: chosen=2 (90), rejected=3 (20), gap=70;
+    // {10,11} has no gap; 20 is a singleton
+    assert(out.toSeq == Seq((1L, 2L, 3L, 90L, 20L, 70L)))
+  }
+
+  test("preferencePairs ties break deterministically by id asc on both ends") {
+    val vertices = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // two tied maxima (ids 2,3) and two tied minima below them? No —
+    // chosen ties at 9 (ids 2,3) → id 2; rejected unique min 1L (score 1)
+    val scores = Seq((1L, 1L), (2L, 9L), (3L, 9L)).toDF("doc_id", "score")
+    val out = Dedup.preferencePairs(vertices, pairs, scores)
+      .select("chosen_id", "rejected_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((2L, 1L)))
+  }
+
+  test("lmPredictability: hand-computed corpus counts") {
+    // corpus bigrams: (a b) ×3 from docs 1,2,3; (a c) ×1 from doc 4.
+    // ctx a total = 4. branch=2: "a b" predictable (3*2 >= 4),
+    // "a c" not (1*2 < 4). doc 5 has one token → drops out.
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"), (5L, "x")
+    ).toDF("doc_id", "text")
+    val out = LmFixture.run(docs, branch = 2)
+    assert(out == Map(
+      1L -> (1L, 1L, 1.0), 2L -> (1L, 1L, 1.0), 3L -> (1L, 1L, 1.0),
+      4L -> (1L, 0L, 0.0)))
+  }
+
+  test("tokenizerFertility: exact integer sums and ratios") {
+    val docs = Seq(
+      (1L, "en", "web", "ab cd"),  // chars 5, words 2, bpe 2
+      (2L, "en", "web", "a1!"),    // chars 3, words 1, bpe 3 (a|1|!)
+      (3L, "de", "web", "xy")      // chars 2, words 1, bpe 1
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = TextAnalysis.tokenizerFertility(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(out == Set(
+      ("en", "web", 2L, 8L, 3L, 5L, 5.0 / 3.0),
+      ("de", "web", 1L, 2L, 1L, 1L, 1.0)))
+  }
+
+  test("spanCorruptionPlan: budget arithmetic, start bounds, determinism, short docs drop") {
+    val text40 = (1 to 40).map(i => s"t$i").mkString(" ") // 40 tokens
+    val docs = Seq((7L, text40), (8L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorruptionPlan(docs, spanLen = 3, maskPct = 15)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 8: 2 tokens < spanLen → dropped. doc 7: budget = 40*15/100 = 6,
+    // spans = 6/3 = 2 → span_idx 0,1
+    assert(rows.map(_._1).toSet == Set(7L))
+    assert(rows.map(_._2).sorted.toSeq == Seq(0L, 1L))
+    rows.foreach { case (_, _, start, len, n) =>
+      assert(len == 3L && n == 40L && start >= 1L && start <= n - 3 + 1)
+    }
+    // rerun-stable (pure hash, no rand)
+    val again = TextAnalysis.spanCorruptionPlan(docs, spanLen = 3, maskPct = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._2, t._3)).sorted.toSeq == again.sorted.toSeq)
+  }
+}
+
+/** Helper keeping the predictability collect tidy. */
+private object LmFixture {
+  def run(docs: org.apache.spark.sql.DataFrame, branch: Int)
+      : Map[Long, (Long, Long, Double)] =
+    TextAnalysis.lmPredictability(docs, branch = branch)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+}
