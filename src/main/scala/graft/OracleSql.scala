@@ -1877,6 +1877,101 @@ object OracleSql {
        |  CAST($spanLen AS BIGINT) AS span_len, n_tokens
        |FROM s""".stripMargin
 
+  /** Mirror of EventAnalytics.timeSplitAudit (q165): conditional counts
+    * each side of the cutoff, straddle = both positive. */
+  def timeSplitAudit(cutoff: String): String =
+    s"""WITH a AS (SELECT user_id,
+       |    CAST(sum(CASE WHEN ts < TIMESTAMP '$cutoff' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_train,
+       |    CAST(sum(CASE WHEN ts >= TIMESTAMP '$cutoff' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_eval
+       |  FROM events GROUP BY 1)
+       |SELECT user_id, n_train, n_eval,
+       |  (n_train > 0 AND n_eval > 0) AS straddles FROM a""".stripMargin
+
+  /** Mirror of Profiler.datasetCard (q166): (lang, md5) multiplicity →
+    * per-lang dup counts; direct per-lang aggregates; one scalar total. */
+  def datasetCard(groupCol: String, sourceCol: String): String =
+    s"""WITH pc AS (SELECT $groupCol, md5(text) AS h, count(*) AS c
+       |            FROM documents GROUP BY 1, 2),
+       |dup AS (SELECT $groupCol,
+       |          CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+       |            AS n_exact_dup_docs
+       |        FROM pc GROUP BY 1),
+       |pl AS (SELECT $groupCol, count(*) AS n_docs,
+       |         count(DISTINCT $sourceCol) AS n_sources,
+       |         CAST(sum(len($toks)) AS BIGINT) AS sum_tokens
+       |       FROM documents GROUP BY 1),
+       |t AS (SELECT count(*) AS total FROM documents)
+       |SELECT pl.$groupCol, pl.n_docs, pl.n_sources, pl.sum_tokens,
+       |  dup.n_exact_dup_docs,
+       |  CAST(pl.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE) AS corpus_share
+       |FROM pl JOIN dup USING ($groupCol), t""".stripMargin
+
+  /** Mirror of TextAnalysis.qualityDrift (q167): the q63 battery CTE,
+    * one pass of 2×5 conditional counts, 5-row long form (dqReport
+    * style), exact-integer rates and one IEEE subtraction. */
+  def qualityDrift(newPct: Int, minTokens: Int, maxTokens: Int,
+      minMeanTokLen: Double, maxMeanTokLen: Double, maxTopTokRatio: Double,
+      minStopwords: Int, idCol: String): String = {
+    val rules = Seq("ok_n_tokens", "ok_tok_len", "ok_repetition",
+      "ok_stopwords", "ok_blacklist")
+    val qf = qualityFilter(injectPct = 0, injectSuffix = "unused",
+      minTokens, maxTokens, minMeanTokLen, maxMeanTokLen, maxTopTokRatio,
+      minStopwords, idCol)
+    val sums = rules.map { r =>
+      s"""CAST(sum(CASE WHEN NOT nw AND $r THEN 1 ELSE 0 END) AS BIGINT) AS po_$r,
+         |    CAST(sum(CASE WHEN nw AND $r THEN 1 ELSE 0 END) AS BIGINT) AS pn_$r"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val branches = rules.map { r =>
+      s"""SELECT '$r' AS rule, no AS n_old, nn AS n_new,
+         |  CAST(po_$r AS DOUBLE) / CAST(no AS DOUBLE) AS pass_rate_old,
+         |  CAST(pn_$r AS DOUBLE) / CAST(nn AS DOUBLE) AS pass_rate_new,
+         |  (CAST(pn_$r AS DOUBLE) / CAST(nn AS DOUBLE)) -
+         |    (CAST(po_$r AS DOUBLE) / CAST(no AS DOUBLE)) AS drift FROM s"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qf AS MATERIALIZED ($qf),
+       |tagged AS (SELECT qf.*, ${sampleBucket(idCol)} < $newPct AS nw FROM qf),
+       |s AS (SELECT
+       |    $sums,
+       |    CAST(sum(CASE WHEN NOT nw THEN 1 ELSE 0 END) AS BIGINT) AS no,
+       |    CAST(sum(CASE WHEN nw THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM tagged)
+       |$branches""".stripMargin
+  }
+
+  /** Mirror of Dedup.splitContamination (q168): the q14 pair CTE, the
+    * q32 hash split, canonicalized label pairs, bounded matrix. */
+  def splitContamination(threshold: Double, maxDocFreq: Int, testPct: Int,
+      idCol: String): String =
+    s"""WITH pairs AS MATERIALIZED (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |sp AS (SELECT $idCol, CASE WHEN ${sampleBucket(idCol)} < $testPct
+       |         THEN 'test' ELSE 'train' END AS split FROM documents),
+       |lab AS (SELECT least(a.split, b.split) AS split_a,
+       |          greatest(a.split, b.split) AS split_b
+       |        FROM pairs p JOIN sp a ON p.id_a = a.$idCol
+       |                     JOIN sp b ON p.id_b = b.$idCol),
+       |t AS (SELECT count(*) AS tt FROM lab)
+       |SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+       |  split_a <> split_b AS is_leak,
+       |  CAST(count(*) AS DOUBLE) / CAST(t.tt AS DOUBLE) AS pair_share
+       |FROM lab, t GROUP BY 1, 2, t.tt""".stripMargin
+
+  /** Mirror of SimilaritySearch.normAudit (q169): the shared left-assoc
+    * norm chain, order-insensitive min/max, micro-integer mean. */
+  def normAudit(groupCol: String, dim: Int): String = {
+    val n2 = dotTerms("e.embedding", "e.embedding", dim)
+    s"""WITH n AS (SELECT d.$groupCol AS g, sqrt($n2) AS nn
+       |           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)
+       |SELECT g AS $groupCol, count(*) AS n_vectors,
+       |  min(nn) AS min_norm, max(nn) AS max_norm,
+       |  CAST(sum(CAST(floor(nn * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_norm
+       |FROM n GROUP BY 1""".stripMargin
+  }
+
   /** Mirror of Sampling.epochShuffle: the epoch-salted rolling hash
     * buckets the corpus; position ranks by (hash, id) within the bucket. */
   def epochShuffle(epoch: Int, nBuckets: Int, idCol: String): String =

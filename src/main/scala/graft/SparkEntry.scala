@@ -1537,6 +1537,39 @@ object SparkEntry {
     // auditable rows, zero shuffle.
     "q164_span_corruption" -> ((s, dir) =>
       TextAnalysis.spanCorruptionPlan(t(s, dir, "documents"))),
+
+    // Out-of-time split audit: per-user counts each side of the cutoff
+    // and the straddle flag (identity-level temporal leakage).
+    "q165_time_split_audit" -> ((s, dir) =>
+      EventAnalytics.timeSplitAudit(Tables.loadEvents(s, dir),
+        cutoff = "2024-01-22 00:00:00")),
+
+    // Dataset card: per-language release summary (docs, sources, tokens,
+    // exact-dup count, corpus share) in one table.
+    "q166_dataset_card" -> ((s, dir) =>
+      Profiler.datasetCard(t(s, dir, "documents"))),
+
+    // Quality-gate drift: the q63 battery on two hash-halves, long-form
+    // per rule with both pass rates and the delta.
+    "q167_quality_drift" -> ((s, dir) =>
+      TextAnalysis.qualityDrift(t(s, dir, "documents"))),
+
+    // Split-contamination matrix: near-dup pairs within/across the naive
+    // hash split — the leak q111's cluster split exists to prevent.
+    "q168_split_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.splitContamination(
+        Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"),
+        Sampling.trainTestSplit(d, testPct = 20).select("doc_id", "split"))
+    }),
+
+    // Embedding-norm audit per language: the encoder sanity sheet run
+    // before any cosine-based operator.
+    "q169_embedding_norm_audit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      SimilaritySearch.normAudit(e.join(langs, e("vec_id") === langs("doc_id")))
+    }),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -1917,5 +1950,17 @@ object SparkEntry {
       groupCol = "lang", sourceCol = "source"),
     "q164_span_corruption" -> OracleSql.spanCorruptionPlan(spanLen = 3,
       maskPct = 15, idCol = "doc_id"),
+    "q165_time_split_audit" -> OracleSql.timeSplitAudit(
+      cutoff = "2024-01-22 00:00:00"),
+    "q166_dataset_card" -> OracleSql.datasetCard(groupCol = "lang",
+      sourceCol = "source"),
+    "q167_quality_drift" -> OracleSql.qualityDrift(newPct = 50,
+      minTokens = 15, maxTokens = 100000, minMeanTokLen = 4.0,
+      maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,
+      idCol = "doc_id"),
+    "q168_split_contamination" -> OracleSql.splitContamination(
+      threshold = 0.6, maxDocFreq = 10000, testPct = 20, idCol = "doc_id"),
+    "q169_embedding_norm_audit" -> OracleSql.normAudit(groupCol = "lang",
+      dim = 64),
   )
 }

@@ -771,6 +771,40 @@ object Dedup {
    * (cosmically rare) collision cannot cause oracle drift.
    */
   /**
+   * Split-contamination matrix: given near-dup pairs and a per-doc split
+   * label, counts pairs within and across splits — the quantified answer
+   * to "how much does a naive hash split leak through near-duplicates?"
+   * (the measuring side of q111's leakage-safe split, the way q94
+   * measures what q39 removes). The cross-split row is the leak; its
+   * share of all pairs is the headline number.
+   *
+   * Spark shape: two equi-joins attach endpoint labels (the label table
+   * is (id, split) — narrow), one bounded hash aggregation on the
+   * canonicalized label pair (≤ splits² rows), one scalar total
+   * broadcast back. Pair order is canonicalized with least/greatest so
+   * (train,test) and (test,train) collapse deterministically.
+   */
+  def splitContamination(pairs: DataFrame, splits: DataFrame,
+      idCol: String = "doc_id", splitCol: String = "split"): DataFrame = {
+    val Seq(pa, pb) = pairs.columns.toSeq.take(2)
+    val la = splits.select(col(idCol).as("__ida"), col(splitCol).as("__sa"))
+    val lb = splits.select(col(idCol).as("__idb"), col(splitCol).as("__sb"))
+    val labeled = pairs
+      .join(la, col(pa) === col("__ida"))
+      .join(lb, col(pb) === col("__idb"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+    val total = labeled.agg(count(lit(1)).as("__t"))
+    labeled.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("is_leak"),
+        (col("n_pairs").cast("double") / col("__t").cast("double"))
+          .as("pair_share"))
+  }
+
+  /**
    * Preference-pair mining over near-dup clusters — the DPO/RLHF data
    * face of dedup: a cluster of near-duplicate documents is the same
    * content at different quality levels, so (best member, worst member)

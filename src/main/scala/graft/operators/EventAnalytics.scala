@@ -343,4 +343,30 @@ object EventAnalytics {
         count(col("__late_us")).as("n_late"),
         coalesce(max(col("__late_us")), lit(0L)).as("max_late_us"))
   }
+
+  /**
+   * Temporal train/eval split audit: events before `cutoff` train, the
+   * rest evaluate, and the report is per-entity — how many rows land on
+   * each side and whether the entity STRADDLES the boundary. The
+   * straddle set is the thing a forecasting/sequence pipeline must know
+   * before claiming out-of-time evaluation: a user with history on both
+   * sides leaks identity-level signal across the cut even though no
+   * single event does (the temporal analogue of q111's cluster-leakage
+   * contract — there the graph straddles, here the entity does).
+   *
+   * Spark shape: ONE hash aggregation with map-side partial conditional
+   * counts — the event table never shuffles raw, output is one row per
+   * entity. The cutoff compare is timestamp-vs-literal under the UTC
+   * session contract, integer-exact on both engines.
+   */
+  def timeSplitAudit(events: DataFrame, cutoff: String,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    events.groupBy(col(userCol))
+      .agg(
+        sum(when(col(tsCol) < cut, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col(tsCol) >= cut, 1L).otherwise(0L)).as("n_eval"))
+      .select(col(userCol), col("n_train"), col("n_eval"),
+        (col("n_train") > 0 && col("n_eval") > 0).as("straddles"))
+  }
 }

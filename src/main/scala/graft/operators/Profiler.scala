@@ -465,6 +465,45 @@ object Profiler {
     * partial-state tree (daily → weekly → total) folds to the same
     * answer. Derived stats (here `avg_v`) are computed AFTER the merge,
     * one exact-integer division each — never merged themselves. */
+  /**
+   * Dataset card: the per-language release summary a corpus ships with —
+   * doc count, distinct sources, total whitespace tokens, exact-duplicate
+   * doc count (docs whose md5(text) appears ≥ 2× within the language),
+   * and each language's share of the corpus. One table answering the
+   * first four questions any consumer of the dataset asks.
+   *
+   * Spark shape: duplicate multiplicity comes from a (lang, md5) hash
+   * aggregation whose output is bounded by distinct-content cardinality,
+   * folded per language in a second bounded aggregation; sources/tokens
+   * ride ONE direct per-language aggregation (map-side partials,
+   * exact distinct bounded by the source space); the two |langs|-sized
+   * results join broadcast, and the corpus total is one scalar broadcast
+   * back. The corpus itself is scanned twice, shuffled never (both
+   * shuffles carry aggregated rows).
+   */
+  def datasetCard(docs: DataFrame, groupCol: String = "lang",
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val perContent = docs
+      .groupBy(col(groupCol), md5(col(textCol)).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(when(col("__c") >= 2, col("__c")).otherwise(0L))
+        .as("n_exact_dup_docs"))
+    val perLang = docs
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        sum(size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long")).as("sum_tokens"))
+    val total = docs.agg(count(lit(1)).as("__total"))
+    perLang.join(perContent, Seq(groupCol))
+      .crossJoin(broadcast(total))
+      .select(col(groupCol), col("n_docs"), col("n_sources"),
+        col("sum_tokens"), col("n_exact_dup_docs"),
+        (col("n_docs").cast("double") / col("__total").cast("double"))
+          .as("corpus_share"))
+  }
+
   def mergeAggStates(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     // re-merging a merged state is legal: only the state columns ride
     // the union — derived columns (avg_v) are recomputed, never merged

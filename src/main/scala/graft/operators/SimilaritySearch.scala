@@ -25,6 +25,35 @@ import graft.functions.VectorFunctions._
  */
 object SimilaritySearch {
 
+  /**
+   * Embedding-norm audit per group: vector count, min/max L2 norm, and
+   * the mean norm — the sanity sheet run before ANY cosine-based
+   * operator ships (a near-zero norm means a broken encoder row; a
+   * bimodal norm range means two encoder versions mixed into one
+   * corpus). Min/max are order-insensitive on raw doubles; the MEAN
+   * uses the shared micro-integer trick (`floor(norm·10⁶ + 0.5)` summed
+   * exactly, one final division) because a float mean over partition
+   * order would not replay — the q82 centroid contract.
+   *
+   * Spark shape: one narrow projection (native codegen'd dot for the
+   * squared norm), ONE hash aggregation with map-side partials; output
+   * is the group space.
+   */
+  def normAudit(df: DataFrame, groupCol: String = "lang",
+      vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val nrm = sqrt(norm2(col(vecCol), dim))
+    df.select(col(groupCol), nrm.as("__n"),
+        floor(nrm * lit(1000000.0) + lit(0.5)).cast("long").as("__m"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("__n")).as("min_norm"), max(col("__n")).as("max_norm"),
+        sum(col("__m")).as("__sm"))
+      .select(col(groupCol), col("n_vectors"), col("min_norm"),
+        col("max_norm"),
+        (col("__sm").cast("double") /
+          (col("n_vectors").cast("double") * 1000000.0)).as("mean_norm"))
+  }
+
   /** Exact cosine top-k of `df` against a single-row `query` DataFrame
     * holding the same `vecCol`. Ties broken by ascending id for
     * determinism. Includes the query row itself if present in `df`. */

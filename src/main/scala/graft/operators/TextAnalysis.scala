@@ -945,6 +945,52 @@ object TextAnalysis {
   }
 
   /**
+   * Quality-gate drift report: the q63 rule battery evaluated on two
+   * hash-split halves of the corpus ("old" = id-bucket ≥ `newPct`,
+   * "new" = below), long-form per rule with both pass rates and the
+   * delta — the monitoring artifact that tells you WHICH gate moved
+   * when a crawl/source update shifts the corpus (a moved repetition
+   * rate means template spam; a moved stopword rate means language mix).
+   *
+   * Spark shape: the battery is the shared per-row codegen'd projection;
+   * ONE aggregation computes all 2×5 conditional counts with map-side
+   * partials (the corpus never shuffles raw — the shuffle is one moment
+   * row), then a `stack` explodes the 5-row report. Rates are exact
+   * integer divisions; the delta is one IEEE subtraction — replayable.
+   */
+  def qualityDrift(docs: DataFrame, newPct: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rules = Seq("ok_n_tokens", "ok_tok_len", "ok_repetition",
+      "ok_stopwords", "ok_blacklist")
+    val isNew = Sampling.bucket(col(idCol)) < newPct
+    val qf = qualityFilter(docs.select(col(idCol), col(textCol)))
+      .withColumn("__new", isNew)
+    val aggs =
+      rules.flatMap { r =>
+        Seq(sum(when(!col("__new") && col(r), 1L).otherwise(0L)).as(s"__po_$r"),
+          sum(when(col("__new") && col(r), 1L).otherwise(0L)).as(s"__pn_$r"))
+      } ++ Seq(
+        sum(when(!col("__new"), 1L).otherwise(0L)).as("__no"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("__nn"))
+    val onePass = qf.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules
+      .map(r => s"'$r', __po_$r, __pn_$r").mkString(", ")
+    onePass
+      .selectExpr(
+        s"stack(${rules.size}, $stackArgs) AS (rule, __po, __pn)",
+        "__no", "__nn")
+      .select(col("rule"),
+        col("__no").as("n_old"), col("__nn").as("n_new"),
+        (col("__po").cast("double") / col("__no").cast("double"))
+          .as("pass_rate_old"),
+        (col("__pn").cast("double") / col("__nn").cast("double"))
+          .as("pass_rate_new"),
+        ((col("__pn").cast("double") / col("__nn").cast("double")) -
+          (col("__po").cast("double") / col("__no").cast("double")))
+          .as("drift"))
+  }
+
+  /**
    * Per-document LM predictability under the corpus bigram model — the
    * integer-exact core of a CCNet-style perplexity filter: a bigram
    * position (ctx, nxt) is "predictable" when its pair count covers at

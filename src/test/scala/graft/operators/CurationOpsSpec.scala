@@ -97,6 +97,77 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.map(t => (t._1, t._2, t._3)).sorted.toSeq == again.sorted.toSeq)
   }
+  test("timeSplitAudit: side counts and the straddle flag") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 100L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-25 00:00:00"), 100L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 200L),
+      (4L, java.sql.Timestamp.valueOf("2024-01-28 00:00:00"), 300L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventAnalytics.timeSplitAudit(ev, cutoff = "2024-01-22 00:00:00")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      100L -> ((1L, 1L, true)),   // straddles
+      200L -> ((1L, 0L, false)),  // train only
+      300L -> ((0L, 1L, false)))) // eval only
+  }
+
+  test("datasetCard: dup counts, distinct sources, shares") {
+    val docs = Seq(
+      (1L, "en", "web", "same text here"),
+      (2L, "en", "web", "same text here"),   // exact dup of 1
+      (3L, "en", "book", "unique text one"),
+      (4L, "de", "web", "anders text")
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = Profiler.datasetCard(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out == Map(
+      "en" -> ((3L, 2L, 9L, 2L, 0.75)), // 3 docs, 2 sources, 9 words, 2 dup docs
+      "de" -> ((1L, 1L, 2L, 0L, 0.25))))
+  }
+
+  test("qualityDrift: half sizes partition the corpus and rates stay in [0,1]") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = TextAnalysis.qualityDrift(docs).collect()
+    assert(out.length == 5)
+    val total = docs.count()
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == total) // n_old + n_new
+      val (po, pn) = (r.getDouble(3), r.getDouble(4))
+      assert(po >= 0.0 && po <= 1.0 && pn >= 0.0 && pn <= 1.0)
+      assert(math.abs(r.getDouble(5) - (pn - po)) == 0.0) // drift exact
+    }
+  }
+
+  test("splitContamination: canonical matrix with shares over a hand graph") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
+    val splits = Seq(
+      1L -> "train", 2L -> "train", 3L -> "test", 4L -> "test",
+      5L -> "train", 6L -> "test", 7L -> "test", 8L -> "train"
+    ).toDF("doc_id", "split")
+    val out = Dedup.splitContamination(pairs, splits)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4))).toSet
+    assert(out == Set(
+      ("train", "train", 1L, false, 0.25),
+      ("test", "test", 1L, false, 0.25),
+      ("test", "train", 2L, true, 0.5))) // canonicalized order, 2 leaks
+  }
+
+  test("normAudit: exact norms on a hand fixture") {
+    val v34 = Array.fill(64)(0f); v34(0) = 3f; v34(1) = 4f // norm 5
+    val v1 = Array.fill(64)(0f); v1(5) = 1f               // norm 1
+    val emb = Seq((1L, "en", v34.toSeq), (2L, "en", v1.toSeq))
+      .toDF("vec_id", "lang", "embedding")
+    val out = SimilaritySearch.normAudit(emb).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "en" && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 3.0) // (5e6 + 1e6) / (2 * 1e6)
+  }
 }
 
 /** Helper keeping the predictability collect tidy. */
