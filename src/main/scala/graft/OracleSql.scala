@@ -2039,6 +2039,80 @@ object OracleSql {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** Mirror of Dedup.sourceMinhashOverlap (q170): per-source signature
+    * as the min over ALL member shingle hashes of each permutation (the
+    * union-merge property), pairwise exact agreement counts. */
+  def sourceMinhashOverlap(k: Int, groupCol: String): String =
+    s"""WITH sh AS (SELECT $groupCol AS g, unnest($shingleHashes) AS h
+       |            FROM documents),
+       |idx AS (SELECT unnest(range(0, $k)) AS i),
+       |sig AS (SELECT g, i, min(((2*i + 1)*h + $SigB*i + 1) % $P) AS v
+       |        FROM sh CROSS JOIN idx GROUP BY 1, 2)
+       |SELECT a.g AS source_a, b.g AS source_b,
+       |  CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+       |  CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / ${k.toDouble} AS est_jaccard
+       |FROM sig a JOIN sig b ON a.i = b.i AND a.g < b.g
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Mirror of EventAnalytics.eventDedupWindow (q171): epoch-aligned
+    * window arithmetic, keep-first by (ts, event_id) rank. */
+  def eventDedupWindow(windowMinutes: Int): String = {
+    val winUs = windowMinutes * 60L * 1000000L
+    s"""WITH w AS (SELECT user_id, event_type, value, event_id, ts,
+       |    epoch_us(ts) - epoch_us(ts) % $winUs AS wu FROM events),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, value, wu
+       |          ORDER BY ts, event_id) AS rn,
+       |        count(*) OVER (PARTITION BY user_id, event_type, value, wu) AS c
+       |      FROM w)
+       |SELECT user_id, event_type, value, make_timestamp(wu) AS window_start,
+       |  event_id AS kept_event_id, CAST(c AS BIGINT) AS n_events
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.curriculumStages (q172): rank + group count
+    * windows, the explicit integer band formula. */
+  def curriculumStages(stages: Int, groupCol: String, idCol: String): String =
+    s"""WITH d AS (SELECT $idCol, $groupCol,
+       |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+       |      AS BIGINT) AS difficulty FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY $groupCol
+       |          ORDER BY difficulty, $idCol) AS rn,
+       |        count(*) OVER (PARTITION BY $groupCol) AS n FROM d)
+       |SELECT $idCol, $groupCol, difficulty,
+       |  ((rn - 1) * $stages) // n + 1 AS stage FROM r""".stripMargin
+
+  /** Mirror of Profiler.winsorizeReport (q173): pinned-rank bounds over
+    * the (value, id) total order, value-exact clamp counts. */
+  def winsorizeReport(keyCol: String, valueCol: String, idCol: String,
+      loPct: Int, hiPct: Int): String =
+    s"""WITH base AS (SELECT $keyCol, $idCol AS i, CAST($valueCol AS DOUBLE) AS v
+       |  FROM events WHERE $valueCol IS NOT NULL),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY $keyCol ORDER BY v, i) AS rn,
+       |        count(*) OVER (PARTITION BY $keyCol) AS n FROM base),
+       |b AS (SELECT $keyCol, CAST(max(n) AS BIGINT) AS n_rows,
+       |        min(CASE WHEN rn = greatest(1, ($loPct*n + 99) // 100) THEN v END)
+       |          AS lo_bound,
+       |        min(CASE WHEN rn = n + 1 - greatest(1, (${100 - hiPct}*n + 99) // 100)
+       |          THEN v END) AS hi_bound
+       |      FROM r GROUP BY 1)
+       |SELECT b.$keyCol, b.n_rows, b.lo_bound, b.hi_bound,
+       |  CAST(sum(CASE WHEN base.v < b.lo_bound THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clamped_low,
+       |  CAST(sum(CASE WHEN base.v > b.hi_bound THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clamped_high
+       |FROM base JOIN b USING ($keyCol) GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** Mirror of Dedup.lengthBandPairs (q174): the banding is lossless, so
+    * the oracle IS the naive same-group length-difference filter. */
+  def lengthBandPairs(d: Int, groupCol: String, idCol: String): String =
+    s"""WITH l AS (SELECT $idCol, $groupCol, CAST(len($toks) AS BIGINT) AS len
+       |           FROM documents)
+       |SELECT a.$idCol AS id_a, b.$idCol AS id_b, a.$groupCol,
+       |  a.len AS len_a, b.len AS len_b
+       |FROM l a JOIN l b ON a.$groupCol = b.$groupCol
+       |  AND a.$idCol < b.$idCol AND abs(a.len - b.len) <= $d""".stripMargin
+
   /** Mirror of Dedup.dedupAgainstSignatures: MinHash signatures from the
     * public coefficient family, LSH band-key collisions between the new
     * batch (bucket < newPct) and the stored rest, and the exact integer

@@ -1570,6 +1570,33 @@ object SparkEntry {
       val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       SimilaritySearch.normAudit(e.join(langs, e("vec_id") === langs("doc_id")))
     }),
+
+    // Source-to-source content overlap from MERGED MinHash signatures
+    // (elementwise-min union — the mergeable-sketch mirror detector).
+    "q170_source_overlap" -> ((s, dir) =>
+      Dedup.sourceMinhashOverlap(t(s, dir, "documents"))),
+
+    // Windowed telemetry dedup: identical (user, type, value) events in
+    // a 5-min tumbling window collapse to their first occurrence.
+    "q171_event_dedup" -> ((s, dir) =>
+      EventAnalytics.eventDedupWindow(Tables.loadEvents(s, dir))),
+
+    // Curriculum staging: per-lang easy→hard bands by BPE token count,
+    // explicit integer band formula (no ntile ambiguity).
+    "q172_curriculum_stages" -> ((s, dir) =>
+      TextAnalysis.curriculumStages(t(s, dir, "documents"))),
+
+    // Rank-exact winsorization report on event values per type: clamp
+    // bounds at pinned ranks, value-exact clamp counts.
+    "q173_winsorize" -> ((s, dir) =>
+      Profiler.winsorizeReport(Tables.loadEvents(s, dir),
+        keyCol = "event_type", valueCol = "value", idCol = "event_id")),
+
+    // Length-banded blocking: same-lang docs within 2 tokens of each
+    // other via a lossless pigeonhole equi-join (the ER blocking
+    // primitive), output equal to the naive all-pairs filter.
+    "q174_length_band_pairs" -> ((s, dir) =>
+      Dedup.lengthBandPairs(t(s, dir, "documents"))),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -1962,5 +1989,14 @@ object SparkEntry {
       threshold = 0.6, maxDocFreq = 10000, testPct = 20, idCol = "doc_id"),
     "q169_embedding_norm_audit" -> OracleSql.normAudit(groupCol = "lang",
       dim = 64),
+    "q170_source_overlap" -> OracleSql.sourceMinhashOverlap(k = 128,
+      groupCol = "source"),
+    "q171_event_dedup" -> OracleSql.eventDedupWindow(windowMinutes = 5),
+    "q172_curriculum_stages" -> OracleSql.curriculumStages(stages = 4,
+      groupCol = "lang", idCol = "doc_id"),
+    "q173_winsorize" -> OracleSql.winsorizeReport(keyCol = "event_type",
+      valueCol = "value", idCol = "event_id", loPct = 5, hiPct = 95),
+    "q174_length_band_pairs" -> OracleSql.lengthBandPairs(d = 2,
+      groupCol = "lang", idCol = "doc_id"),
   )
 }

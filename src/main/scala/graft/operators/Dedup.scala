@@ -771,6 +771,74 @@ object Dedup {
    * (cosmically rare) collision cannot cause oracle drift.
    */
   /**
+   * Source-level content overlap via MERGED MinHash signatures: the
+   * signature of a shingle-set UNION is the elementwise MIN of member
+   * signatures, so each source's signature folds from its docs' without
+   * ever materializing the union — the mergeable-sketch property that
+   * makes this a 100 TB operator (per-source state is k longs; sketches
+   * from different days/shards/clusters merge associatively). Pairwise
+   * agreement `|{i : sig_a[i] = sig_b[i]}| / k` is then the standard
+   * unbiased Jaccard estimate between WHOLE-SOURCE shingle sets — the
+   * mirror-detection number (which sources carry the same content)
+   * computed without any doc-level pair join.
+   *
+   * Spark shape: one narrow signature pass (native codegen'd MinHash),
+   * posexplode → ONE (source, i) hash aggregation bounded by
+   * |sources|·k, then an equi-join on the position index over the
+   * bounded signature table and ONE pair aggregation (≤ |sources|²
+   * rows). The corpus is scanned once; no doc-level shuffle.
+   */
+  def sourceMinhashOverlap(docs: DataFrame, groupCol: String = "source",
+      k: Int = 128, n: Int = 3, textCol: String = "text"): DataFrame = {
+    val sigs = graft.SparkUtil.ensureParallelism(docs)
+      .select(col(groupCol).as("g"), shingleHashes(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("g"), posexplode(minhashSignature(col("hs"), k)))
+      .groupBy(col("g"), col("pos")).agg(min(col("col")).as("v"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.pos") === col("b.pos") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))
+      .agg(sum(when(col("a.v") === col("b.v"), 1L).otherwise(0L)).as("n_equal"))
+      .select(col("source_a"), col("source_b"), col("n_equal"),
+        (col("n_equal").cast("double") / lit(k.toDouble)).as("est_jaccard"))
+  }
+
+  /**
+   * Length-banded blocking join — the generic entity-resolution
+   * candidate generator "same language, token counts within d": a
+   * LOSSLESS pigeonhole on `len div (d+1)` (two lengths within d land in
+   * the same or adjacent buckets, and the lower-bucket doc's probe set
+   * {b, b+1} always reaches the other), verified by the exact length
+   * difference in the join condition — so the output EQUALS the naive
+   * all-pairs filter while the join stays an equi-join on (lang,
+   * bucket) keys, never a cross product.
+   */
+  def lengthBandPairs(docs: DataFrame, d: Int = 2,
+      groupCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(d >= 0, s"d=$d must be >= 0")
+    val width = d + 1L
+    val base = graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol).as("id"), col(groupCol).as("g"),
+        size(tokens(col(textCol))).cast("long").as("len"))
+      .withColumn("b", expr(s"len div $width"))
+    val probe = base.select(col("id"), col("g"), col("len"),
+      explode(array(col("b"), col("b") + 1L)).as("pb"))
+    probe.as("x").join(base.as("y"),
+        col("x.g") === col("y.g") && col("x.pb") === col("y.b") &&
+          col("x.id") =!= col("y.id") &&
+          abs(col("x.len") - col("y.len")) <= d)
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"),
+        col("x.g").as(groupCol),
+        when(col("x.id") < col("y.id"), col("x.len")).otherwise(col("y.len"))
+          .as("len_a"),
+        when(col("x.id") < col("y.id"), col("y.len")).otherwise(col("x.len"))
+          .as("len_b"))
+      .distinct()
+  }
+
+  /**
    * Split-contamination matrix: given near-dup pairs and a per-doc split
    * label, counts pairs within and across splits — the quantified answer
    * to "how much does a naive hash split leak through near-duplicates?"

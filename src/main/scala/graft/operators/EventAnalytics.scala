@@ -359,6 +359,35 @@ object EventAnalytics {
    * entity. The cutoff compare is timestamp-vs-literal under the UTC
    * session contract, integer-exact on both engines.
    */
+  /**
+   * Windowed exact-duplicate suppression — the telemetry-dedup step of
+   * an event ingest: within each epoch-aligned tumbling window, events
+   * with identical (user, type, value) collapse to their FIRST
+   * occurrence (min (ts, event_id) — deterministic, no tie race), with
+   * the collapse multiplicity kept for the ingest report. The batch
+   * twin of the streaming `flatMapGroupsWithState` dedup: same key,
+   * same keep-first contract, replayable because the window is
+   * epoch-aligned integer arithmetic, not session state.
+   *
+   * Spark shape: ONE hash aggregation on the (window, key) tuple with
+   * map-side partials — the struct-min trick holds two values per group
+   * regardless of duplicate multiplicity; no window function, no sort.
+   */
+  def eventDedupWindow(events: DataFrame,
+      windowMinutes: Int = 5): DataFrame = {
+    require(windowMinutes >= 1, s"windowMinutes=$windowMinutes must be >= 1")
+    val winUs = windowMinutes * 60L * 1000000L
+    val us = expr("unix_micros(ts)")
+    val winStart = timestamp_micros(us - pmod(us, lit(winUs)))
+    events.groupBy(col("user_id"), col("event_type"), col("value"),
+        winStart.as("window_start"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("__f"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("window_start"), col("__f.event_id").as("kept_event_id"),
+        col("n_events"))
+  }
+
   def timeSplitAudit(events: DataFrame, cutoff: String,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     val cut = lit(cutoff).cast("timestamp")

@@ -466,6 +466,52 @@ object Profiler {
     * answer. Derived stats (here `avg_v`) are computed AFTER the merge,
     * one exact-integer division each — never merged themselves. */
   /**
+   * Rank-exact winsorization report: per key, the p-lo/p-hi clamp bounds
+   * taken at DETERMINISTIC ranks over the (value, id) total order
+   * (`lo_rank = ⌈loPct·n/100⌉`, `hi_rank = n + 1 − ⌈(100−hiPct)·n/100⌉`)
+   * and the count of rows each clamp would touch — the robust
+   * preprocessing audit run before feeding heavy-tailed measures to
+   * anything mean-based. Rank-based (not interpolated) so every number
+   * is a value that EXISTS in the data and the whole report replays
+   * bit-identically — the q159 lower-median reasoning at both tails.
+   *
+   * Spark shape: one rank window per key partition (single shuffle) and
+   * a bounds aggregation (conditional min at the pinned ranks), then the
+   * key-space bounds table broadcasts back over the raw rows for the
+   * VALUE-exact clamp counts (`v < lo`, `v > hi` — ties AT the bound are
+   * untouched by clamping, so rank-based counts would overstate).
+   */
+  def winsorizeReport(df: DataFrame, keyCol: String, valueCol: String,
+      idCol: String, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(loPct >= 0 && hiPct <= 100 && loPct < hiPct,
+      s"bad percentile bounds ($loPct, $hiPct)")
+    val base = df
+      .select(col(keyCol), col(idCol).as("__i"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val ranked = base
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(col("__v").asc, col("__i").asc)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("__lor", greatest(lit(1L),
+        expr(s"(${loPct}L * __n + 99) div 100")))
+      .withColumn("__hir", col("__n") + 1L - greatest(lit(1L),
+        expr(s"(${100 - hiPct}L * __n + 99) div 100")))
+    val bounds = ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min(when(col("__rn") === col("__lor"), col("__v"))).as("lo_bound"),
+        min(when(col("__rn") === col("__hir"), col("__v"))).as("hi_bound"))
+    base.join(broadcast(bounds), Seq(keyCol))
+      .groupBy(col(keyCol), col("n_rows"), col("lo_bound"), col("hi_bound"))
+      .agg(
+        sum(when(col("__v") < col("lo_bound"), 1L).otherwise(0L))
+          .as("n_clamped_low"),
+        sum(when(col("__v") > col("hi_bound"), 1L).otherwise(0L))
+          .as("n_clamped_high"))
+  }
+
+  /**
    * Dataset card: the per-language release summary a corpus ships with —
    * doc count, distinct sources, total whitespace tokens, exact-duplicate
    * doc count (docs whose md5(text) appears ≥ 2× within the language),

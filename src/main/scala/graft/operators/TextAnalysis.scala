@@ -945,6 +945,37 @@ object TextAnalysis {
   }
 
   /**
+   * Curriculum staging: per language, documents ordered easy→hard by a
+   * difficulty proxy (BPE-ish token count — longer costs more context)
+   * and assigned to `stages` equal bands — the curriculum-learning
+   * schedule artifact ("train on stage 1 first"). The band is computed
+   * from the rank directly (`1 + ((rn−1)·stages) div n`) rather than
+   * `ntile`, so the split rule is explicit integer arithmetic both
+   * engines replay identically (ntile's extra-row placement is
+   * standard, but an explicit formula can't be mis-implemented).
+   *
+   * Spark shape: one shuffle on the group key, one window pass (rank +
+   * group count over the same partitioning), a per-row integer stage
+   * formula. Deterministic under the (difficulty, id) total order.
+   */
+  def curriculumStages(docs: DataFrame, stages: Int = 4,
+      groupCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stages >= 1, s"stages=$stages must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("difficulty").asc, col(idCol).asc)
+    docs
+      .select(col(idCol), col(groupCol),
+        bpeTokenCount(col(textCol)).cast("long").as("difficulty"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .select(col(idCol), col(groupCol), col("difficulty"),
+        (expr(s"((__rn - 1) * $stages) div __n") + 1L).as("stage"))
+  }
+
+  /**
    * Quality-gate drift report: the q63 rule battery evaluated on two
    * hash-split halves of the corpus ("old" = id-bucket ≥ `newPct`,
    * "new" = below), long-form per rule with both pass rates and the

@@ -156,6 +156,85 @@ class CurationOpsSpec extends SparkSpec {
       ("test", "train", 2L, true, 0.5))) // canonicalized order, 2 leaks
   }
 
+  test("sourceMinhashOverlap: identical sources agree on every position; signature merges") {
+    val docs = Seq(
+      (1L, "alpha", "one two three four five six"),
+      (2L, "beta", "one two three four five six"),  // same content → J = 1
+      (3L, "gamma", "totally different words entirely here now")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceMinhashOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("alpha", "beta")) == ((128L, 1.0)))
+    assert(out(("alpha", "gamma"))._1 < 128L)
+    // union-merge property: a source of BOTH texts has the elementwise
+    // min of the two single-text signatures — agreement with "alpha"
+    // equals the positions where alpha's perm wins or ties gamma's
+    val merged = Seq((4L, "m", "one two three four five six"),
+      (5L, "m", "totally different words entirely here now"),
+      (6L, "alpha", "one two three four five six"))
+      .toDF("doc_id", "source", "text")
+    val m = Dedup.sourceMinhashOverlap(merged).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("alpha", "m")) >= 1L) // alpha's mins survive in the union often
+  }
+
+  test("eventDedupWindow collapses same-window duplicates to the earliest event") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (10L, ts("2024-01-01 00:01:00"), 1L, "click", 5.0),
+      (11L, ts("2024-01-01 00:02:00"), 1L, "click", 5.0), // dup, same 5-min window
+      (12L, ts("2024-01-01 00:07:00"), 1L, "click", 5.0), // next window — kept
+      (13L, ts("2024-01-01 00:01:30"), 1L, "click", 6.0)  // different value — kept
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.eventDedupWindow(ev)
+      .select("kept_event_id", "n_events")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 2L, 12L -> 1L, 13L -> 1L))
+  }
+
+  test("curriculumStages: explicit band formula over a hand group") {
+    // difficulties 1..8 in one lang, 4 stages → 2 docs per stage
+    val docs = (1 to 8).map(i => (i.toLong, "en", ("x " * i).trim))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.curriculumStages(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L))
+  }
+
+  test("winsorizeReport: pinned-rank bounds and value-exact clamp counts") {
+    // key k: values 1..20 → n=20, lo_rank = ceil(1.0)=1 → lo=1,
+    // hi_rank = 20+1-1 = 20 → hi=20 → nothing clamps at 5/95 on n=20
+    val ev = (1 to 20).map(i => (i.toLong, "k", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val r = Profiler.winsorizeReport(ev, "event_type", "value", "event_id")
+      .collect().head
+    assert(r.getLong(1) == 20L && r.getDouble(2) == 1.0 && r.getDouble(3) == 20.0)
+    assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
+    // n=100 → lo_rank=5, hi_rank=96: 4 clamp below, 4 above
+    val ev2 = (1 to 100).map(i => (i.toLong, "k", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val r2 = Profiler.winsorizeReport(ev2, "event_type", "value", "event_id")
+      .collect().head
+    assert(r2.getDouble(2) == 5.0 && r2.getDouble(3) == 96.0)
+    assert(r2.getLong(4) == 4L && r2.getLong(5) == 4L)
+  }
+
+  test("lengthBandPairs equals the naive all-pairs filter (lossless banding)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val banded = Dedup.lengthBandPairs(docs, d = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("len"))
+    val naive = l.as("a").join(l.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= 2)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive && banded.nonEmpty)
+  }
+
   test("normAudit: exact norms on a hand fixture") {
     val v34 = Array.fill(64)(0f); v34(0) = 3f; v34(1) = 4f // norm 5
     val v1 = Array.fill(64)(0f); v1(5) = 1f               // norm 1
