@@ -888,10 +888,12 @@ object Dedup {
    * no tie race.
    *
    * Spark shape: components from [[ConnectedComponents]] (its scale
-   * story), then ONE equi-join to the score table and ONE hash
-   * aggregation on the component key with map-side partial min/max —
-   * cluster size never concentrates (the aggregation state is two
-   * structs per component regardless of membership).
+   * story), then ONE equi-join to the score table and ONE aggregation
+   * on the component key with map-side partial min/max — cluster size
+   * never concentrates (the aggregation state is two structs per
+   * component regardless of membership). Struct-typed min/max is not
+   * hash-aggregable, so the aggregate is sort-based; the sorts are
+   * per-partition, never a global range sort.
    */
   def preferencePairs(vertices: DataFrame, pairs: DataFrame,
       scores: DataFrame, idCol: String = "doc_id",

@@ -369,9 +369,13 @@ object EventAnalytics {
    * same keep-first contract, replayable because the window is
    * epoch-aligned integer arithmetic, not session state.
    *
-   * Spark shape: ONE hash aggregation on the (window, key) tuple with
+   * Spark shape: ONE aggregation on the (window, key) tuple with
    * map-side partials — the struct-min trick holds two values per group
-   * regardless of duplicate multiplicity; no window function, no sort.
+   * regardless of duplicate multiplicity, and the partial collapse
+   * before the exchange is what bounds the shuffle at telemetry scale.
+   * Struct-typed min is not hash-aggregable, so Spark plans a
+   * SortAggregate: the sorts are PER-PARTITION (pre-partial and
+   * post-shuffle), never a global range sort — plan-pinned.
    */
   def eventDedupWindow(events: DataFrame,
       windowMinutes: Int = 5): DataFrame = {

@@ -101,6 +101,31 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("r6 curation ops: bounded exchanges, broadcast bounds, equi-joins") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val events = Tables.loadEvents(spark, sf())
+    // windowed event dedup: ONE exchange with map-side partial_min;
+    // struct-min forces SortAggregate, but only per-partition sorts —
+    // never a global range exchange
+    val pd = plan(graft.operators.EventAnalytics.eventDedupWindow(events))
+    assert(pd.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, pd)
+    assert(pd.contains("partial_min"), pd)
+    assert(!pd.contains("Exchange rangepartitioning"), pd)
+    // time-split audit: ONE exchange with map-side partial aggregation
+    val pt = plan(graft.operators.EventAnalytics.timeSplitAudit(
+      events, "2024-01-22 00:00:00"))
+    assert(pt.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, pt)
+    assert(pt.contains("partial_"), pt)
+    // winsorize: the key-space bounds table joins back BROADCAST
+    val pw = plan(graft.operators.Profiler.winsorizeReport(
+      events, "event_type", "value", "event_id"))
+    assert(pw.contains("BroadcastHashJoin"), pw)
+    // length banding: candidates from an equi-join, never a nested loop
+    val pl = plan(graft.operators.Dedup.lengthBandPairs(docs))
+    assert(!pl.contains("NestedLoop"), pl)
+    assert(!pl.contains("CartesianProduct"), pl)
+  }
+
   test("per-group cap plans with WindowGroupLimit; span-corruption plan is shuffle-free") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val capped = graft.operators.Sampling.capPerGroup(
