@@ -2056,11 +2056,18 @@ object OracleSql {
        |GROUP BY 1, 2""".stripMargin
 
   /** Mirror of EventAnalytics.eventDedupWindow (q171): epoch-aligned
-    * window arithmetic, keep-first by (ts, event_id) rank. */
-  def eventDedupWindow(windowMinutes: Int): String = {
+    * window arithmetic, keep-first by (ts, event_id) rank. A hash-
+    * sampled slice re-emits with shifted ids (the declared query's
+    * duplicate injection — same ts, so the collapse branch fires). */
+  def eventDedupWindow(windowMinutes: Int, injectPct: Int,
+      idShift: Long): String = {
     val winUs = windowMinutes * 60L * 1000000L
-    s"""WITH w AS (SELECT user_id, event_type, value, event_id, ts,
-       |    epoch_us(ts) - epoch_us(ts) % $winUs AS wu FROM events),
+    s"""WITH ev AS (SELECT user_id, event_type, value, event_id, ts FROM events
+       |  UNION ALL
+       |  SELECT user_id, event_type, value, event_id + $idShift, ts
+       |  FROM events WHERE ${sampleBucket("event_id")} < $injectPct),
+       |w AS (SELECT user_id, event_type, value, event_id, ts,
+       |    epoch_us(ts) - epoch_us(ts) % $winUs AS wu FROM ev),
        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, value, wu
        |          ORDER BY ts, event_id) AS rn,
        |        count(*) OVER (PARTITION BY user_id, event_type, value, wu) AS c

@@ -1577,9 +1577,17 @@ object SparkEntry {
       Dedup.sourceMinhashOverlap(t(s, dir, "documents"))),
 
     // Windowed telemetry dedup: identical (user, type, value) events in
-    // a 5-min tumbling window collapse to their first occurrence.
-    "q171_event_dedup" -> ((s, dir) =>
-      EventAnalytics.eventDedupWindow(Tables.loadEvents(s, dir))),
+    // a 5-min tumbling window collapse to their first occurrence. The
+    // fixture stream has no duplicates, so a hash-sampled 10% slice is
+    // re-emitted with shifted ids (same ts → same window, guaranteed
+    // collapse; q61's injection pattern) so the collapse path actually
+    // fires under the oracle.
+    "q171_event_dedup" -> ((s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val dupes = ev.filter(Sampling.bucket(col("event_id")) < 10)
+        .withColumn("event_id", col("event_id") + lit(1000000000L))
+      EventAnalytics.eventDedupWindow(ev.unionByName(dupes))
+    }),
 
     // Curriculum staging: per-lang easy→hard bands by BPE token count,
     // explicit integer band formula (no ntile ambiguity).
@@ -1991,7 +1999,8 @@ object SparkEntry {
       dim = 64),
     "q170_source_overlap" -> OracleSql.sourceMinhashOverlap(k = 128,
       groupCol = "source"),
-    "q171_event_dedup" -> OracleSql.eventDedupWindow(windowMinutes = 5),
+    "q171_event_dedup" -> OracleSql.eventDedupWindow(windowMinutes = 5,
+      injectPct = 10, idShift = 1000000000L),
     "q172_curriculum_stages" -> OracleSql.curriculumStages(stages = 4,
       groupCol = "lang", idCol = "doc_id"),
     "q173_winsorize" -> OracleSql.winsorizeReport(keyCol = "event_type",
