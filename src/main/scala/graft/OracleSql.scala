@@ -2039,6 +2039,91 @@ object OracleSql {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** Mirror of Dedup.minhashEstimatorReport (q175): the q15 band-key
+    * candidate replay, exact shingle Jaccard AND the k-sample signature
+    * estimate, one abs diff. */
+  def minhashEstimatorReport(k: Int, bands: Int, idCol: String): String = {
+    val r = k / bands
+    val sig =
+      s"""list_transform(range(0, $k), i ->
+         |  list_min(list_transform(hs, h -> ((2*i + 1)*h + $SigB*i + 1) % $P)))""".stripMargin
+    s"""WITH sets AS (SELECT $idCol AS id, $shingleHashes AS hs FROM documents),
+       |s2 AS (SELECT id, hs, len(hs) AS sz FROM sets WHERE len(hs) > 0),
+       |sigs AS (SELECT id, $sig AS sig FROM s2),
+       |bd AS (SELECT unnest(range(0, $bands)) AS band),
+       |bk AS (SELECT s.id, bd.band,
+       |         array_to_string(s.sig[bd.band*$r + 1 : bd.band*$r + $r], '_') AS key
+       |       FROM sigs s CROSS JOIN bd),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+       |           AND x.id < y.id),
+       |j AS (SELECT c.id_a, c.id_b,
+       |        CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |          / CAST(a.sz + b.sz - len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |          AS jaccard_exact,
+       |        CAST(len(list_filter(range(1, $k + 1), i -> sa.sig[i] = sb.sig[i]))
+       |          AS DOUBLE) / ${k.toDouble} AS jaccard_est
+       |      FROM cand c
+       |        JOIN s2 a ON c.id_a = a.id JOIN s2 b ON c.id_b = b.id
+       |        JOIN sigs sa ON c.id_a = sa.id JOIN sigs sb ON c.id_b = sb.id)
+       |SELECT id_a, id_b, jaccard_exact, jaccard_est,
+       |  abs(jaccard_est - jaccard_exact) AS abs_err FROM j""".stripMargin
+  }
+
+  /** Mirror of the q176 composition: the q11 detector CTE joined back
+    * to the declared metadata column, one equality verdict. */
+  def langAgreement(idCol: String): String =
+    s"""WITH li AS MATERIALIZED ($textLangId)
+       |SELECT d.$idCol, d.lang, li.lang_pred,
+       |  d.lang = li.lang_pred AS agrees
+       |FROM documents d JOIN li USING ($idCol)""".stripMargin
+
+  /** Mirror of Sampling.reshardPlan (q177): the shared bucket mod both
+    * shard counts, bounded matrix, one scalar total. */
+  def reshardPlan(oldN: Int, newN: Int, idCol: String): String =
+    s"""WITH c AS (SELECT ${sampleBucket(idCol)} % $oldN AS old_shard,
+       |             ${sampleBucket(idCol)} % $newN AS new_shard FROM documents),
+       |t AS (SELECT count(*) AS tt FROM c)
+       |SELECT old_shard, new_shard, count(*)::BIGINT AS n_docs,
+       |  old_shard <> new_shard AS moves,
+       |  CAST(count(*) AS DOUBLE) / CAST(t.tt AS DOUBLE) AS doc_share
+       |FROM c, t GROUP BY 1, 2, t.tt""".stripMargin
+
+  /** Mirror of Sampling.budgetAllocation (q178): weight CASE-chain over
+    * sorted keys, integer floor-division allocation, exact comparisons. */
+  def budgetAllocation(budgetTokens: Long, weights: Seq[(String, Int)],
+      strataCol: String): String = {
+    val cases = weights.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '${sqlLit(s)}' THEN $w" }.mkString(" ")
+    val alloc = s"(($budgetTokens * (CASE $strataCol $cases ELSE 0 END)) // 100)"
+    s"""WITH a AS (SELECT $strataCol, count(*) AS n_docs,
+       |    CAST(sum(len($toks)) AS BIGINT) AS available_tokens,
+       |    CAST($alloc AS BIGINT) AS allocated_tokens
+       |  FROM documents GROUP BY $strataCol)
+       |SELECT $strataCol, n_docs, available_tokens, allocated_tokens,
+       |  allocated_tokens > available_tokens AS underfilled,
+       |  greatest(0, allocated_tokens - available_tokens) AS deficit_tokens
+       |FROM a""".stripMargin
+  }
+
+  /** Mirror of Multimodal.mediaBudgetReport (q179): the stub-meta CTE,
+    * lower-median rank pick, (bytes desc, id asc) argmax via a second
+    * rank window. */
+  def mediaBudgetReport: String =
+    s"""WITH meta AS MATERIALIZED ($multimodalMeta),
+       |r AS (SELECT media_type, media_id, byte_len,
+       |        row_number() OVER (PARTITION BY media_type
+       |          ORDER BY byte_len, media_id) AS rn,
+       |        row_number() OVER (PARTITION BY media_type
+       |          ORDER BY byte_len DESC, media_id ASC) AS rnl,
+       |        count(*) OVER (PARTITION BY media_type) AS n FROM meta)
+       |SELECT media_type, CAST(max(n) AS BIGINT) AS n_objects,
+       |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+       |  min(CASE WHEN rn * 2 = n + n % 2 THEN byte_len END) AS median_bytes,
+       |  min(CASE WHEN rnl = 1 THEN media_id END) AS largest_id,
+       |  min(CASE WHEN rnl = 1 THEN byte_len END) AS largest_bytes
+       |FROM r GROUP BY 1""".stripMargin
+
   /** Mirror of Dedup.sourceMinhashOverlap (q170): per-source signature
     * as the min over ALL member shingle hashes of each permutation (the
     * union-merge property), pairwise exact agreement counts. */

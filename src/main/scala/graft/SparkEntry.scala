@@ -1605,6 +1605,39 @@ object SparkEntry {
     // primitive), output equal to the naive all-pairs filter.
     "q174_length_band_pairs" -> ((s, dir) =>
       Dedup.lengthBandPairs(t(s, dir, "documents"))),
+
+    // MinHash estimator-quality audit: exact vs signature-estimated
+    // Jaccard with absolute error, over ALL LSH candidates.
+    "q175_estimator_error" -> ((s, dir) =>
+      Dedup.minhashEstimatorReport(t(s, dir, "documents"))),
+
+    // Declared-vs-predicted language agreement: q11's detector against
+    // the metadata column, per-doc verdict (the label-noise audit).
+    "q176_lang_agreement" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.languageId(d)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"),
+          (col("lang") === col("lang_pred")).as("agrees"))
+    }),
+
+    // Reshard movement plan 8 → 12 shards over the content-addressed
+    // bucket: per-cell doc counts, move flags, shares.
+    "q177_reshard_plan" -> ((s, dir) =>
+      Sampling.reshardPlan(t(s, dir, "documents"), oldN = 8, newN = 12)),
+
+    // Token-budget allocation sheet: the MixTargets weights against the
+    // per-lang token supply (allocated vs available vs deficit).
+    "q178_budget_allocation" -> ((s, dir) =>
+      Sampling.budgetAllocation(t(s, dir, "documents"),
+        budgetTokens = 30000L, weights = MixTargets)),
+
+    // Media storage-budget sheet per type from the decoded metadata:
+    // counts, bytes, exact median, largest object.
+    "q179_media_budget" -> ((s, dir) =>
+      Multimodal.mediaBudgetReport(
+        Multimodal.decodeMeta(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF())),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -2007,5 +2040,13 @@ object SparkEntry {
       valueCol = "value", idCol = "event_id", loPct = 5, hiPct = 95),
     "q174_length_band_pairs" -> OracleSql.lengthBandPairs(d = 2,
       groupCol = "lang", idCol = "doc_id"),
+    "q175_estimator_error" -> OracleSql.minhashEstimatorReport(k = 128,
+      bands = 32, idCol = "doc_id"),
+    "q176_lang_agreement" -> OracleSql.langAgreement(idCol = "doc_id"),
+    "q177_reshard_plan" -> OracleSql.reshardPlan(oldN = 8, newN = 12,
+      idCol = "doc_id"),
+    "q178_budget_allocation" -> OracleSql.budgetAllocation(
+      budgetTokens = 30000L, weights = MixTargets.toSeq, strataCol = "lang"),
+    "q179_media_budget" -> OracleSql.mediaBudgetReport,
   )
 }

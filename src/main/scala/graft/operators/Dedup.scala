@@ -771,6 +771,55 @@ object Dedup {
    * (cosmically rare) collision cannot cause oracle drift.
    */
   /**
+   * MinHash estimator-quality report: for every LSH band-collision
+   * candidate pair, the EXACT shingle Jaccard, the k-sample signature
+   * estimate `|{i : sig_a[i] = sig_b[i]}| / k`, and the absolute error —
+   * the audit that justifies trusting signature-only dedup
+   * ([[dedupAgainstSignatures]]'s store path) before throwing the texts
+   * away. Theory says sd ≈ √(J(1−J)/k); this measures it on YOUR corpus.
+   * No threshold filter: sub-threshold candidates are exactly where the
+   * estimator's tails matter.
+   *
+   * Spark shape: same candidate generation as [[minhashLshPairs]] (band
+   * equi-join, never all-pairs); the exact side joins the cached shingle
+   * sets, the estimate side joins the signature table — both bare-id
+   * joins after a bare-id candidate dedup.
+   */
+  def minhashEstimatorReport(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 128,
+      bands: Int = 32): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val r = k / bands
+    val sets = graft.SparkUtil.trackCache(withShingleSets(docs, idCol, textCol, n))
+    val sigs = graft.SparkUtil.trackCache(
+      sets.select(col("id"), minhashSignature(col("hs"), k).as("sig")))
+    val banded = bandKeys(sigs, r, bands)
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val agree = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+    candidates
+      .join(sets.select(col("id"), col("hs").as("hs_a"), col("sz").as("sz_a")),
+        col("id_a") === col("id")).drop("id")
+      .join(sets.select(col("id"), col("hs").as("hs_b"), col("sz").as("sz_b")),
+        col("id_b") === col("id")).drop("id")
+      .join(sigs.select(col("id"), col("sig").as("sig_a")),
+        col("id_a") === col("id")).drop("id")
+      .join(sigs.select(col("id"), col("sig").as("sig_b")),
+        col("id_b") === col("id")).drop("id")
+      .withColumn("__inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard_exact", col("__inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("__inter")).cast("double"))
+      .withColumn("jaccard_est", agree.cast("double") / lit(k.toDouble))
+      .select(col("id_a"), col("id_b"), col("jaccard_exact"),
+        col("jaccard_est"),
+        abs(col("jaccard_est") - col("jaccard_exact")).as("abs_err"))
+  }
+
+  /**
    * Source-level content overlap via MERGED MinHash signatures: the
    * signature of a shingle-set UNION is the elementwise MIN of member
    * signatures, so each source's signature folds from its docs' without

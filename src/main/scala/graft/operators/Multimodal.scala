@@ -255,4 +255,37 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
       encode(col("text"), "UTF-8").as("content"))
+
+  /**
+   * Media storage-budget sheet per type: object count, total bytes,
+   * rank-exact lower-median byte size (the q159 deterministic-median
+   * convention — an existing size, not an interpolation), and the
+   * largest object's id and size (argmax by (bytes desc, id asc) via
+   * the struct-max trick) — the numbers a storage/egress budget and a
+   * "what do we transcode first" decision need.
+   *
+   * Spark shape: one rank window per type partition for the median,
+   * then ONE aggregation per type (struct max is sort-based but
+   * per-partition only, with map-side partials); output is the type
+   * space.
+   */
+  def mediaBudgetReport(meta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_type"))
+      .orderBy(col("byte_len").asc, col("media_id").asc)
+    meta.select(col("media_type"), col("media_id"), col("byte_len"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("media_type"))))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_objects"),
+        sum(col("byte_len")).as("total_bytes"),
+        min(when(col("__rn") * 2 === col("__n") + pmod(col("__n"), lit(2L)),
+          col("byte_len"))).as("median_bytes"),
+        max(struct(col("byte_len").as("b"), (-col("media_id")).as("negid")))
+          .as("__mx"))
+      .select(col("media_type"), col("n_objects"), col("total_bytes"),
+        col("median_bytes"), (-col("__mx.negid")).as("largest_id"),
+        col("__mx.b").as("largest_bytes"))
+  }
 }

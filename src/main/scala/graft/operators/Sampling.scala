@@ -370,6 +370,70 @@ object Sampling {
   }
 
   /**
+   * Reshard movement plan: when a content-addressed shard layout grows
+   * from `oldN` to `newN` shards, which (old, new) cells carry how many
+   * docs and which of those are MOVES — the cost estimate a storage
+   * migration runs before touching a byte. Shard ids are the shared
+   * content-addressed bucket (mod oldN / mod newN), so the plan is
+   * deterministic and reproducible by any engine from ids alone.
+   *
+   * Spark shape: one narrow projection + ONE bounded hash aggregation
+   * (≤ oldN·newN rows) with map-side partials; one scalar total
+   * broadcast back for the moved share.
+   */
+  def reshardPlan(df: DataFrame, oldN: Int, newN: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(oldN >= 1 && newN >= 1, "shard counts must be >= 1")
+    val b = bucket(col(idCol))
+    val cells = df.select((b % oldN).as("old_shard"), (b % newN).as("new_shard"))
+    val total = cells.agg(count(lit(1)).as("__t"))
+    cells.groupBy(col("old_shard"), col("new_shard"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("old_shard"), col("new_shard"), col("n_docs"),
+        (col("old_shard") =!= col("new_shard")).as("moves"),
+        (col("n_docs").cast("double") / col("__t").cast("double"))
+          .as("doc_share"))
+  }
+
+  /**
+   * Token-budget allocation sheet: a global token budget split across
+   * strata by literal percent weights, compared against what each
+   * stratum actually has — allocated vs available, the integer-exact
+   * fill rate numerator/denominator, and the deficit. The planning
+   * artifact computed BEFORE [[tokenBudgetSample]] runs: a stratum that
+   * can't fill its allocation forces either a weight change or
+   * up-sampling, and this sheet is where that decision is made.
+   *
+   * Spark shape: ONE hash aggregation over the stratum key (map-side
+   * partial token sums); the weight CASE-chain rides the plan as
+   * literals over sorted keys (the [[stratifiedSample]] determinism
+   * contract). Unlisted strata get weight 0 (allocated 0, never a
+   * deficit).
+   */
+  def budgetAllocation(df: DataFrame, budgetTokens: Long,
+      weights: Map[String, Int], strataCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, "budget must be >= 0")
+    val pct = weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, w)) => when(col(strataCol) === s, lit(w.toLong)).otherwise(acc)
+    }
+    val raw = lit(budgetTokens) * pct
+    val allocated = ((raw - pmod(raw, lit(100L))) / lit(100.0)).cast("long")
+    df.select(col(strataCol),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("__tok"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("available_tokens"))
+      .withColumn("allocated_tokens", allocated)
+      .select(col(strataCol), col("n_docs"), col("available_tokens"),
+        col("allocated_tokens"),
+        (col("allocated_tokens") > col("available_tokens")).as("underfilled"),
+        greatest(lit(0L), col("allocated_tokens") - col("available_tokens"))
+          .as("deficit_tokens"))
+  }
+
+  /**
    * Per-group document cap — the CommonCrawl-style curation rule "no
    * domain may contribute more than n documents", applied by a
    * deterministic priority (score desc, id asc) so the kept set is the

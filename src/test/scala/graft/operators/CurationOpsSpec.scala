@@ -235,6 +235,66 @@ class CurationOpsSpec extends SparkSpec {
     assert(banded == naive && banded.nonEmpty)
   }
 
+  test("minhashEstimatorReport: identical docs estimate 1.0 exactly, error 0") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"), // exact dup → J=1
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashEstimatorReport(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    // non-dup pair only appears if some band collides; if present its
+    // exact jaccard must be 0 and the error equals the estimate
+    out.get((1L, 3L)).foreach { case (ex, est, err) =>
+      assert(ex == 0.0 && err == est)
+    }
+  }
+
+  test("reshardPlan: cell counts partition the corpus; moves iff shards differ") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = Sampling.reshardPlan(docs, oldN = 8, newN = 12).collect()
+    assert(out.map(_.getLong(2)).sum == docs.count())
+    out.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(0) != r.getLong(1)))
+      // old = b mod 8, new = b mod 12 → both ≡ b (mod 4)
+      assert(r.getLong(0) % 4 == r.getLong(1) % 4)
+    }
+  }
+
+  test("budgetAllocation: floor allocation, deficit only when underfilled") {
+    val docs = Seq(
+      (1L, "en", "a b c"), (2L, "en", "d e"), // en: 5 tokens
+      (3L, "de", "x y z w")                   // de: 4 tokens
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.budgetAllocation(docs, budgetTokens = 10L,
+      weights = Map("en" -> 55, "de" -> 45))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))).toMap
+    // en: alloc = 10*55//100 = 5, available 5 → filled, deficit 0
+    assert(out("en") == ((5L, 5L, false, 0L)))
+    // de: alloc = 10*45//100 = 4, available 4 → filled exactly
+    assert(out("de") == ((4L, 4L, false, 0L)))
+  }
+
+  test("mediaBudgetReport: lower median and largest pick on a hand fixture") {
+    import graft.operators.Multimodal.MediaMeta
+    val meta = Seq(
+      MediaMeta(1L, "image", 10L, 0L, 1, 1, 1),
+      MediaMeta(2L, "image", 30L, 0L, 1, 1, 1),
+      MediaMeta(3L, "image", 20L, 0L, 1, 1, 1),
+      MediaMeta(4L, "audio", 7L, 0L, 1, 1, 1),
+      MediaMeta(5L, "audio", 7L, 0L, 1, 1, 1)
+    ).toDF()
+    val out = Multimodal.mediaBudgetReport(meta)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("image") == ((3L, 60L, 20L, 2L, 30L)))
+    // audio: tie at 7 bytes → largest = smaller id (4); lower median n=2 → rank 1
+    assert(out("audio") == ((2L, 14L, 7L, 4L, 7L)))
+  }
+
   test("normAudit: exact norms on a hand fixture") {
     val v34 = Array.fill(64)(0f); v34(0) = 3f; v34(1) = 4f // norm 5
     val v1 = Array.fill(64)(0f); v1(5) = 1f               // norm 1
