@@ -2039,6 +2039,83 @@ object OracleSql {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** Mirror of EventAnalytics.sessionDurationHistogram (q180): the
+    * shared sessionize CTE, integer-second durations, the q47 log2
+    * bucket trick. */
+  def sessionDurationHistogram(gapMinutes: Int): String =
+    s"""WITH sess AS MATERIALIZED (${sessionize(gapMinutes)}),
+       |d AS (SELECT (epoch_us(session_end) - epoch_us(session_start)) // 1000000
+       |        AS dur, n_events FROM sess)
+       |SELECT length(bin(dur)) AS bucket, count(*)::BIGINT AS n_sessions,
+       |  min(dur) AS min_dur_s, max(dur) AS max_dur_s,
+       |  CAST(sum(n_events) AS BIGINT) AS sum_events
+       |FROM d GROUP BY 1""".stripMargin
+
+  /** Mirror of Profiler.giniConcentration (q181) over per-user event
+    * counts: exact integer rank/weight sums, one double chain. */
+  def giniConcentration(keyCol: String): String =
+    s"""WITH c AS (SELECT $keyCol, count(*) AS x FROM events GROUP BY 1),
+       |r AS (SELECT x, row_number() OVER (ORDER BY x, $keyCol) AS i FROM c)
+       |SELECT count(*)::BIGINT AS n_entities, CAST(sum(x) AS BIGINT) AS total,
+       |  (2.0 * CAST(sum(i * x) AS DOUBLE)
+       |     - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+       |   / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS gini
+       |FROM r""".stripMargin
+
+  /** Mirror of EventAnalytics.burstCeiling (q182): the banding is
+    * lossless, so the oracle is the naive per-entity window count. */
+  def burstCeiling(windowSeconds: Int): String = {
+    val winUs = windowSeconds * 1000000L
+    s"""WITH b AS (SELECT user_id AS u, event_id AS i, epoch_us(ts) AS us
+       |           FROM events),
+       |c AS (SELECT x.u, x.i, count(*) AS w
+       |      FROM b x JOIN b y ON x.u = y.u
+       |        AND y.us >= x.us AND y.us < x.us + $winUs
+       |      GROUP BY 1, 2)
+       |SELECT u AS user_id, CAST(max(w) AS BIGINT) AS burst_max
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.vocabGrowthCurve (q183): first-doc min per
+    * token, conditional sums per literal checkpoint, lag delta. */
+  def vocabGrowthCurve(checkpoints: Seq[Long], idCol: String): String = {
+    val sums = checkpoints.zipWithIndex.map { case (c, i) =>
+      s"CAST(sum(CASE WHEN first < $c THEN 1 ELSE 0 END) AS BIGINT) AS v$i"
+    }.mkString(",\n       |    ")
+    val branches = checkpoints.zipWithIndex.map { case (c, i) =>
+      s"SELECT CAST($c AS BIGINT) AS checkpoint, v$i AS vocab_size FROM s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fd AS (SELECT tok, min($idCol) AS first FROM (
+       |    SELECT $idCol, unnest(list_distinct($toks)) AS tok FROM documents)
+       |  GROUP BY 1),
+       |s AS (SELECT
+       |    $sums
+       |  FROM fd),
+       |u AS ($branches)
+       |SELECT checkpoint, vocab_size,
+       |  vocab_size - COALESCE(lag(vocab_size) OVER (ORDER BY checkpoint), 0)
+       |    AS new_tokens
+       |FROM u""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.charClassProfile (q184): per-row regex
+    * class counts summed exactly, one ratio. */
+  def charClassProfile(groupCol: String): String =
+    s"""WITH p AS (SELECT $groupCol,
+       |    CAST(length(text) AS BIGINT) AS n,
+       |    CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS lo,
+       |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS up,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS di,
+       |    CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS sp
+       |  FROM documents)
+       |SELECT $groupCol, count(*) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_chars, CAST(sum(lo) AS BIGINT) AS n_lower,
+       |  CAST(sum(up) AS BIGINT) AS n_upper, CAST(sum(di) AS BIGINT) AS n_digit,
+       |  CAST(sum(sp) AS BIGINT) AS n_space,
+       |  CAST(sum(n) - sum(lo) - sum(up) - sum(di) - sum(sp) AS BIGINT) AS n_other,
+       |  CAST(sum(lo) + sum(up) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS alpha_ratio
+       |FROM p GROUP BY 1""".stripMargin
+
   /** Mirror of Dedup.minhashEstimatorReport (q175): the q15 band-key
     * candidate replay, exact shingle Jaccard AND the k-sample signature
     * estimate, one abs diff. */

@@ -1638,6 +1638,32 @@ object SparkEntry {
       Multimodal.mediaBudgetReport(
         Multimodal.decodeMeta(
           Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF())),
+
+    // Session-duration histogram: power-of-two second bands over the
+    // shared sessionizer — engagement shape at bounded output size.
+    "q180_session_histogram" -> ((s, dir) =>
+      EventAnalytics.sessionDurationHistogram(Tables.loadEvents(s, dir))),
+
+    // Activity concentration: exact Gini over per-user event counts —
+    // the skew number checked before partitioning and mixture choices.
+    "q181_activity_gini" -> ((s, dir) =>
+      Profiler.giniConcentration(Tables.loadEvents(s, dir),
+        keyCol = "user_id")),
+
+    // Exact sliding-window burst ceiling per user (rate-limit audit);
+    // banded self-join, never a per-user cross product.
+    "q182_burst_ceiling" -> ((s, dir) =>
+      EventAnalytics.burstCeiling(Tables.loadEvents(s, dir))),
+
+    // Vocabulary growth (Heaps' law) at literal id checkpoints — is
+    // more crawl still teaching new words?
+    "q183_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowthCurve(t(s, dir, "documents"),
+        checkpoints = Seq(100L, 200L, 300L, 400L, 500L))),
+
+    // Character-class profile per language: the encoding sanity sheet.
+    "q184_char_profile" -> ((s, dir) =>
+      TextAnalysis.charClassProfile(t(s, dir, "documents"))),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -2048,5 +2074,12 @@ object SparkEntry {
     "q178_budget_allocation" -> OracleSql.budgetAllocation(
       budgetTokens = 30000L, weights = MixTargets.toSeq, strataCol = "lang"),
     "q179_media_budget" -> OracleSql.mediaBudgetReport,
+    "q180_session_histogram" -> OracleSql.sessionDurationHistogram(
+      gapMinutes = 30),
+    "q181_activity_gini" -> OracleSql.giniConcentration(keyCol = "user_id"),
+    "q182_burst_ceiling" -> OracleSql.burstCeiling(windowSeconds = 60),
+    "q183_vocab_growth" -> OracleSql.vocabGrowthCurve(
+      checkpoints = Seq(100L, 200L, 300L, 400L, 500L), idCol = "doc_id"),
+    "q184_char_profile" -> OracleSql.charClassProfile(groupCol = "lang"),
   )
 }

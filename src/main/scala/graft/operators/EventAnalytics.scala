@@ -345,6 +345,62 @@ object EventAnalytics {
   }
 
   /**
+   * Session-duration histogram: sessions from the shared
+   * `session_window` sessionizer, durations bucketed into power-of-two
+   * SECONDS bands (the q47 log-histogram trick — `length(bin(x))` is
+   * floor(log2)+1, pure integer arithmetic) — the engagement-shape
+   * report ("are sessions seconds or hours?") at a bounded output size
+   * regardless of session count.
+   *
+   * Spark shape: the sessionizer's one (user, session) aggregation,
+   * then ONE bounded hash aggregation on the bucket key (≤ 64 rows).
+   */
+  def sessionDurationHistogram(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame = {
+    val sessions = graft.streaming.StreamingOps.sessionize(events, gap = gap)
+    val durS = expr(
+      "(unix_micros(session_end) - unix_micros(session_start)) div 1000000")
+    sessions
+      .select(durS.as("__dur"), col("n_events"))
+      .withColumn("bucket", expr("length(bin(__dur))"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        min(col("__dur")).as("min_dur_s"), max(col("__dur")).as("max_dur_s"),
+        sum(col("n_events")).as("sum_events"))
+  }
+
+  /**
+   * Exact sliding-window burst ceiling: per entity, the maximum number
+   * of its events inside ANY `windowSeconds` sliding window — the
+   * rate-limit / bot-detection number an aligned (tumbling) count
+   * understates by up to 2× when a burst straddles a boundary. Exact
+   * via the banded self-join: an event only joins candidates in its
+   * own and the next time band (lossless for windows ≤ the band width,
+   * the q174 pigeonhole argument in time), so the join is an equi-join
+   * on (entity, band) with fan-out 2 — never a cross join, and never a
+   * full per-entity quadratic unless the entity's events genuinely
+   * pack into one window.
+   */
+  def burstCeiling(events: DataFrame, windowSeconds: Int = 60,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds=$windowSeconds must be >= 1")
+    val winUs = windowSeconds * 1000000L
+    val base = events.select(col(userCol).as("u"), col(idCol).as("i"),
+        expr(s"unix_micros($tsCol)").as("us"))
+      .withColumn("b", expr(s"us div $winUs"))
+    val probe = base.select(col("u"), col("i"), col("us"),
+      explode(array(col("b"), col("b") + 1L)).as("pb"))
+    probe.as("x").join(base.as("y"),
+        col("x.u") === col("y.u") && col("x.pb") === col("y.b") &&
+          col("y.us") >= col("x.us") && col("y.us") < col("x.us") + winUs)
+      .groupBy(col("x.u").as(userCol), col("x.i").as("__anchor"))
+      .agg(count(lit(1)).as("__w"))
+      .groupBy(col(userCol))
+      .agg(max(col("__w")).as("burst_max"))
+  }
+
+  /**
    * Temporal train/eval split audit: events before `cutoff` train, the
    * rest evaluate, and the report is per-entity — how many rows land on
    * each side and whether the entity STRADDLES the boundary. The

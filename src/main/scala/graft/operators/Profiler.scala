@@ -466,6 +466,40 @@ object Profiler {
     * answer. Derived stats (here `avg_v`) are computed AFTER the merge,
     * one exact-integer division each — never merged themselves. */
   /**
+   * Gini concentration of a count distribution: how unequally a
+   * measure (events, tokens, bytes) distributes over entities — the
+   * "do 1% of users/domains generate 90% of the data?" number a
+   * skew-aware pipeline checks before choosing partitioning and
+   * mixture weights. Exact sample Gini over ascending-sorted counts
+   * `G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)`: every sum is an exact
+   * integer (tie order cannot change Σ i·xᵢ — tied ranks carry equal
+   * x), only the final division is floating point, so the statistic
+   * replays bit-identically.
+   *
+   * Spark shape: ONE hash aggregation to per-entity counts (bounded by
+   * entity cardinality), one rank window over THOSE (never the raw
+   * rows), one scalar-row reduction. The unpartitioned window sorts
+   * only the entity-count table — acceptable while entities fit a
+   * partition; shard by a salt and merge the partial sums when they
+   * don't.
+   */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__x"))
+    val ranked = counts.withColumn("__i",
+      row_number().over(Window.orderBy(col("__x").asc, col(keyCol).asc))
+        .cast("long"))
+    ranked.agg(count(lit(1)).as("n_entities"),
+        sum(col("__x")).as("total"),
+        sum(col("__i") * col("__x")).as("__ix"))
+      .select(col("n_entities"), col("total"),
+        ((lit(2.0) * col("__ix").cast("double") -
+          (col("n_entities") + 1L).cast("double") * col("total").cast("double")) /
+          (col("n_entities").cast("double") * col("total").cast("double")))
+          .as("gini"))
+  }
+
+  /**
    * Rank-exact winsorization report: per key, the p-lo/p-hi clamp bounds
    * taken at DETERMINISTIC ranks over the (value, id) total order
    * (`lo_rank = ⌈loPct·n/100⌉`, `hi_rank = n + 1 − ⌈(100−hiPct)·n/100⌉`)

@@ -945,6 +945,75 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary growth curve (Heaps' law measurement): distinct-token
+   * vocabulary size after the first c documents (by id order) at each
+   * literal checkpoint — the "is the corpus still teaching new words?"
+   * curve that decides whether more crawl is worth ingesting. Exact:
+   * each token's FIRST document is a min aggregation; a checkpoint's
+   * vocabulary is the count of tokens whose first doc precedes it —
+   * no per-checkpoint rescan, the corpus is tokenized once.
+   *
+   * Spark shape: distinct (token, doc) pairs → ONE min aggregation per
+   * token (bounded by vocabulary), then `stack` over the literal
+   * checkpoint list turns conditional sums into the long-form curve —
+   * ONE scalar-row aggregation regardless of checkpoint count. The
+   * new_tokens delta is a lag over ≤ |checkpoints| rows.
+   */
+  def vocabGrowthCurve(docs: DataFrame, checkpoints: Seq[Long],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted,
+      "checkpoints must be non-empty and ascending")
+    val firstDoc = docs
+      .select(col(idCol).as("__d"), explode(array_distinct(
+        tokens(col(textCol)))).as("__t"))
+      .groupBy(col("__t")).agg(min(col("__d")).as("__first"))
+    val aggs = checkpoints.zipWithIndex.map { case (c, i) =>
+      sum(when(col("__first") < c, 1L).otherwise(0L)).as(s"__v$i")
+    }
+    val onePass = firstDoc.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checkpoints.zipWithIndex
+      .map { case (c, i) => s"${c}L, __v$i" }.mkString(", ")
+    onePass
+      .selectExpr(s"stack(${checkpoints.size}, $stackArgs) AS (checkpoint, vocab_size)")
+      .withColumn("new_tokens", col("vocab_size") -
+        coalesce(lag(col("vocab_size"), 1)
+          .over(Window.orderBy(col("checkpoint"))), lit(0L)))
+  }
+
+  /**
+   * Character-class profile per language: exact counts of lowercase,
+   * uppercase, digit, space, and other characters with the alphabetic
+   * share — the encoding/quality sanity sheet that catches mojibake,
+   * digit-dump tables, and wrong-script content before any tokenizer
+   * sees the text. Counts are per-row regex passes summed exactly; the
+   * single ratio is one division of those sums.
+   *
+   * Spark shape: one narrow codegen'd projection, ONE hash aggregation
+   * with map-side partials; output is the language space.
+   */
+  def charClassProfile(docs: DataFrame, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    def cc(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    docs
+      .select(col(groupCol),
+        length(col(textCol)).cast("long").as("__n"),
+        cc("[a-z]").as("__lo"), cc("[A-Z]").as("__up"),
+        cc("[0-9]").as("__di"), cc(" ").as("__sp"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_chars"),
+        sum(col("__lo")).as("n_lower"), sum(col("__up")).as("n_upper"),
+        sum(col("__di")).as("n_digit"), sum(col("__sp")).as("n_space"))
+      .select(col(groupCol), col("n_docs"), col("n_chars"), col("n_lower"),
+        col("n_upper"), col("n_digit"), col("n_space"),
+        (col("n_chars") - col("n_lower") - col("n_upper") - col("n_digit") -
+          col("n_space")).as("n_other"),
+        ((col("n_lower") + col("n_upper")).cast("double") /
+          col("n_chars").cast("double")).as("alpha_ratio"))
+  }
+
+  /**
    * Curriculum staging: per language, documents ordered easy→hard by a
    * difficulty proxy (BPE-ish token count — longer costs more context)
    * and assigned to `stages` equal bands — the curriculum-learning

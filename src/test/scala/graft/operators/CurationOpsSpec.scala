@@ -235,6 +235,66 @@ class CurationOpsSpec extends SparkSpec {
     assert(banded == naive && banded.nonEmpty)
   }
 
+  test("burstCeiling: banded self-join equals the naive sliding-window max") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // user 1: 3 events in 40s straddling a minute boundary (aligned
+    // windows would see 2+1); user 2: isolated events
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:40"), 1L), (2L, ts("2024-01-01 00:00:55"), 1L),
+      (3L, ts("2024-01-01 00:01:10"), 1L), (4L, ts("2024-01-01 02:00:00"), 1L),
+      (5L, ts("2024-01-01 00:00:00"), 2L), (6L, ts("2024-01-01 03:00:00"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventAnalytics.burstCeiling(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L)) // straddling burst seen whole
+  }
+
+  test("giniConcentration: exact values on hand distributions") {
+    // perfectly equal counts → gini 0
+    val eq = Seq(1L, 1L, 2L, 2L, 3L, 3L).toDF("user_id")
+    val g0 = Profiler.giniConcentration(eq, "user_id").collect().head
+    assert(g0.getLong(0) == 3L && g0.getLong(1) == 6L && g0.getDouble(2) == 0.0)
+    // counts (1, 3): G = (2*(1*1 + 2*3) - 3*4) / (2*4) = 2/8 = 0.25
+    val sk = (Seq.fill(1)(10L) ++ Seq.fill(3)(20L)).toDF("user_id")
+    assert(Profiler.giniConcentration(sk, "user_id").collect().head
+      .getDouble(2) == 0.25)
+  }
+
+  test("vocabGrowthCurve: first-occurrence counting on a hand corpus") {
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), (5L, "d"), (9L, "a d e")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowthCurve(docs, checkpoints = Seq(1L, 6L, 10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // first docs: a→0, b→0, c→1, d→5, e→9
+    assert(out.toSeq == Seq((1L, 2L, 2L), (6L, 4L, 2L), (10L, 5L, 1L)))
+  }
+
+  test("charClassProfile: exact class counts on a hand corpus") {
+    val docs = Seq((1L, "en", "Ab1 c"), (2L, "en", "xy")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.charClassProfile(docs).collect().head
+    // "Ab1 c" + "xy": lower a,b,c,x,y=5? A=1 upper, 1 digit, 1 space; chars 5+2=7
+    assert(r.getLong(1) == 2L && r.getLong(2) == 7L)
+    assert(r.getLong(3) == 4L && r.getLong(4) == 1L && r.getLong(5) == 1L &&
+      r.getLong(6) == 1L && r.getLong(7) == 0L)
+    assert(r.getDouble(8) == 5.0 / 7.0)
+  }
+
+  test("sessionDurationHistogram buckets are log2 bands and cover all sessions") {
+    val events = graft.Tables.loadEvents(spark, sf())
+    val sessions = graft.streaming.StreamingOps.sessionize(events)
+    val out = EventAnalytics.sessionDurationHistogram(events).collect()
+    assert(out.map(_.getLong(1)).sum == sessions.count())
+    out.foreach { r =>
+      val (b, lo, hi) = (r.getInt(0), r.getLong(2), r.getLong(3))
+      // every duration in the bucket has bit-length b
+      assert(java.lang.Long.toBinaryString(math.max(lo, 1L)).length == b ||
+        (lo == 0L && b == 1))
+      assert(java.lang.Long.toBinaryString(math.max(hi, 1L)).length == b ||
+        (hi == 0L && b == 1))
+    }
+  }
+
   test("minhashEstimatorReport: identical docs estimate 1.0 exactly, error 0") {
     val docs = Seq(
       (1L, "one two three four five six seven eight"),
