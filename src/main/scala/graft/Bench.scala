@@ -62,6 +62,13 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       time(name, fn) // warmup: codegen + JIT + footer cache
       val samples = (1 to runs).flatMap { _ => reset(); time(name, fn) }
+      // Between queries: force a GC so the ContextCleaner reaps dead
+      // broadcasts and shuffle state. Without it, a multi-hundred-query
+      // run on a large heap almost never GCs, the single JVM accumulates
+      // hundreds of executions' debris, and late queries measure 5-8×
+      // slower than the same query in a short run (observed r6: q49
+      // 19.7 s in the full sweep vs 2.4 s focused, identical code).
+      reset(); System.gc()
       name -> samples.sorted
     }
     def fmt(d: Double) = f"$d%.4f"

@@ -2039,6 +2039,66 @@ object OracleSql {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** Mirror of Sampling.consistentTopKSample (q185): k smallest Knuth
+    * hashes under the (hash, id) total order, stable rank. */
+  def consistentTopKSample(k: Int, idCol: String): String =
+    s"""WITH h AS (SELECT $idCol, lang, source,
+       |    (($idCol % ${graft.operators.Sampling.IdFold}) * $Mix)
+       |      % ${TextFunctions.TwoPow32} AS hh
+       |  FROM documents)
+       |SELECT $idCol, lang, source,
+       |  row_number() OVER (ORDER BY hh, $idCol) AS sample_rank
+       |FROM h ORDER BY hh, $idCol LIMIT $k""".stripMargin
+
+  /** Mirror of Profiler.joinFanoutHistogram (q186): per-key counts,
+    * q47's log2 bucket, bounded histogram. */
+  def joinFanoutHistogram(keyCol: String, table: String): String =
+    s"""WITH m AS (SELECT $keyCol, count(*) AS mult FROM $table GROUP BY 1)
+       |SELECT length(bin(mult)) AS bucket, count(*)::BIGINT AS n_keys,
+       |  CAST(sum(mult) AS BIGINT) AS n_rows,
+       |  CAST(min(mult) AS BIGINT) AS min_multiplicity,
+       |  CAST(max(mult) AS BIGINT) AS max_multiplicity
+       |FROM m GROUP BY 1""".stripMargin
+
+  /** Mirror of EventAnalytics.weeklyTrend (q187): Monday-truncated
+    * weeks, lag deltas, one exact-integer relative change. */
+  def weeklyTrend: String =
+    s"""WITH w AS (SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+       |             count(*) AS n FROM events GROUP BY 1)
+       |SELECT week_start, CAST(n AS BIGINT) AS n_events,
+       |  CAST(n - COALESCE(lag(n) OVER (ORDER BY week_start), 0) AS BIGINT)
+       |    AS wow_delta,
+       |  CASE WHEN lag(n) OVER (ORDER BY week_start) IS NULL THEN NULL
+       |       ELSE CAST(n - lag(n) OVER (ORDER BY week_start) AS DOUBLE)
+       |         / CAST(lag(n) OVER (ORDER BY week_start) AS DOUBLE) END AS wow_pct
+       |FROM w""".stripMargin
+
+  /** Mirror of Dedup.estimatorCalibration (q188): the q175 report CTE
+    * binned by exact Jaccard, micro-integer mean error. */
+  def estimatorCalibration(bins: Int, k: Int, bands: Int,
+      idCol: String): String =
+    s"""WITH rep AS MATERIALIZED (${minhashEstimatorReport(k, bands, idCol)}),
+       |b AS (SELECT least(CAST(floor(jaccard_exact * $bins) AS BIGINT),
+       |               ${bins - 1}) AS bin,
+       |        CAST(floor(abs_err * 1000000.0 + 0.5) AS BIGINT) AS e,
+       |        abs_err
+       |      FROM rep)
+       |SELECT bin, count(*)::BIGINT AS n_pairs,
+       |  CAST(sum(e) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)
+       |    AS mean_abs_err,
+       |  max(abs_err) AS max_abs_err
+       |FROM b GROUP BY 1""".stripMargin
+
+  /** Mirror of EventAnalytics.activityHeatmap (q189): Spark's
+    * 1=Sunday dayofweek mirrored as DuckDB's dayofweek+1. */
+  def activityHeatmap: String =
+    s"""WITH c AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |             CAST(hour(ts) AS BIGINT) AS hour_of_day FROM events),
+       |t AS (SELECT count(*) AS tt FROM c)
+       |SELECT dow, hour_of_day, count(*)::BIGINT AS n_events,
+       |  CAST(count(*) AS DOUBLE) / CAST(t.tt AS DOUBLE) AS share
+       |FROM c, t GROUP BY 1, 2, t.tt""".stripMargin
+
   /** Mirror of EventAnalytics.sessionDurationHistogram (q180): the
     * shared sessionize CTE, integer-second durations, the q47 log2
     * bucket trick. */

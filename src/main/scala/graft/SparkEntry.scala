@@ -1664,6 +1664,29 @@ object SparkEntry {
     // Character-class profile per language: the encoding sanity sheet.
     "q184_char_profile" -> ((s, dir) =>
       TextAnalysis.charClassProfile(t(s, dir, "documents"))),
+
+    // Exact-k consistent sample: k smallest id hashes — deterministic,
+    // nested, distributed TakeOrdered (no global sort).
+    "q185_exact_k_sample" -> ((s, dir) =>
+      Sampling.consistentTopKSample(
+        t(s, dir, "documents").select("doc_id", "lang", "source"), k = 100)),
+
+    // Join fan-out histogram on lineitem's order key: multiplicity
+    // distribution in log2 bands — the join-strategy shape input.
+    "q186_join_fanout" -> ((s, dir) =>
+      Profiler.joinFanoutHistogram(t(s, dir, "lineitem"), "l_orderkey")),
+
+    // Weekly ingest trend with week-over-week deltas.
+    "q187_weekly_trend" -> ((s, dir) =>
+      EventAnalytics.weeklyTrend(Tables.loadEvents(s, dir))),
+
+    // Estimator calibration: mean |est − exact| Jaccard by exact-J bin.
+    "q188_estimator_calibration" -> ((s, dir) =>
+      Dedup.estimatorCalibration(t(s, dir, "documents"))),
+
+    // Activity heatmap: (day-of-week, hour) cells with shares.
+    "q189_activity_heatmap" -> ((s, dir) =>
+      EventAnalytics.activityHeatmap(Tables.loadEvents(s, dir))),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -2081,5 +2104,13 @@ object SparkEntry {
     "q183_vocab_growth" -> OracleSql.vocabGrowthCurve(
       checkpoints = Seq(100L, 200L, 300L, 400L, 500L), idCol = "doc_id"),
     "q184_char_profile" -> OracleSql.charClassProfile(groupCol = "lang"),
+    "q185_exact_k_sample" -> OracleSql.consistentTopKSample(k = 100,
+      idCol = "doc_id"),
+    "q186_join_fanout" -> OracleSql.joinFanoutHistogram(
+      keyCol = "l_orderkey", table = "lineitem"),
+    "q187_weekly_trend" -> OracleSql.weeklyTrend,
+    "q188_estimator_calibration" -> OracleSql.estimatorCalibration(
+      bins = 10, k = 128, bands = 32, idCol = "doc_id"),
+    "q189_activity_heatmap" -> OracleSql.activityHeatmap,
   )
 }

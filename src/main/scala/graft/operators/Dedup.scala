@@ -820,6 +820,38 @@ object Dedup {
   }
 
   /**
+   * MinHash estimator calibration curve: [[minhashEstimatorReport]]'s
+   * per-pair errors binned by the EXACT Jaccard (floor(J·bins), the
+   * last bin closed) with per-bin pair counts and the mean absolute
+   * error — "how wrong is the estimator at similarity level x", the
+   * curve that sets a safe signature-only dedup threshold. The mean is
+   * the shared micro-integer trick (exact sum of `floor(err·10⁶+0.5)`,
+   * one final division) — a float mean over partition order would not
+   * replay.
+   *
+   * Spark shape: the report's joins, then ONE bounded aggregation on
+   * ≤ bins+1 keys.
+   */
+  def estimatorCalibration(docs: DataFrame, bins: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      k: Int = 128, bands: Int = 32): DataFrame = {
+    require(bins >= 1, s"bins=$bins must be >= 1")
+    val report = minhashEstimatorReport(docs, idCol, textCol, n, k, bands)
+    report
+      .withColumn("bin", least(floor(col("jaccard_exact") * bins).cast("long"),
+        lit(bins - 1L)))
+      .withColumn("__e", floor(col("abs_err") * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__e")).as("__se"),
+        max(col("abs_err")).as("max_abs_err"))
+      .select(col("bin"), col("n_pairs"),
+        (col("__se").cast("double") /
+          (col("n_pairs").cast("double") * 1000000.0)).as("mean_abs_err"),
+        col("max_abs_err"))
+  }
+
+  /**
    * Source-level content overlap via MERGED MinHash signatures: the
    * signature of a shingle-set UNION is the elementwise MIN of member
    * signatures, so each source's signature folds from its docs' without

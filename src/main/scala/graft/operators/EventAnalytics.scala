@@ -345,6 +345,52 @@ object EventAnalytics {
   }
 
   /**
+   * Weekly trend report: events per Monday-aligned calendar week with
+   * the week-over-week delta and relative change — the smallest
+   * honest trend table (daily is too noisy, monthly too slow for
+   * ingest monitoring). The relative change is one division of exact
+   * integer counts; the first week's delta is against 0.
+   *
+   * Spark shape: ONE hash aggregation on the truncated week (map-side
+   * partials; output bounded by the time span), then a lag window over
+   * those few rows.
+   */
+  def weeklyTrend(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = events
+      .groupBy(date_trunc("week", col(tsCol)).as("week_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val prev = lag(col("n_events"), 1).over(Window.orderBy(col("week_start")))
+    weekly
+      .withColumn("wow_delta", col("n_events") - coalesce(prev, lit(0L)))
+      .withColumn("wow_pct", when(prev.isNull, lit(null).cast("double"))
+        .otherwise((col("n_events") - prev).cast("double") /
+          prev.cast("double")))
+  }
+
+  /**
+   * Activity heatmap: event counts by (day-of-week, hour-of-day) with
+   * each cell's share of the total — the ops-calendar view (when do
+   * users actually show up) and the input to maintenance-window and
+   * rate-limit schedules. Day 1 = Sunday (Spark's `dayofweek`
+   * convention, mirrored explicitly in the oracle).
+   *
+   * Spark shape: ONE hash aggregation over the ≤ 168 cell keys
+   * (map-side partials) plus one scalar total broadcast back.
+   */
+  def activityHeatmap(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val cells = events.select(dayofweek(col(tsCol)).cast("long").as("dow"),
+      hour(col(tsCol)).cast("long").as("hour_of_day"))
+    val total = cells.agg(count(lit(1)).as("__t"))
+    cells.groupBy(col("dow"), col("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(total))
+      .select(col("dow"), col("hour_of_day"), col("n_events"),
+        (col("n_events").cast("double") / col("__t").cast("double"))
+          .as("share"))
+  }
+
+  /**
    * Session-duration histogram: sessions from the shared
    * `session_window` sessionizer, durations bucketed into power-of-two
    * SECONDS bands (the q47 log-histogram trick — `length(bin(x))` is

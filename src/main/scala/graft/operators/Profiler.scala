@@ -466,6 +466,26 @@ object Profiler {
     * answer. Derived stats (here `avg_v`) are computed AFTER the merge,
     * one exact-integer division each — never merged themselves. */
   /**
+   * Join fan-out histogram: the multiplicity DISTRIBUTION of a join
+   * key — how many keys match once, how many 2–3×, how many thousands —
+   * in power-of-two bands (q47's log2 trick). [[joinSizeEstimate]]
+   * predicts the output total and [[keySkewReport]] names the top keys;
+   * this is the shape in between, the histogram a join-strategy choice
+   * (broadcast / salt / plain) actually reads.
+   *
+   * Spark shape: ONE hash aggregation to per-key counts (bounded by key
+   * cardinality, map-side partials), then ONE bounded aggregation on
+   * the ≤ 64 bucket keys. The raw table never shuffles.
+   */
+  def joinFanoutHistogram(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("__m"))
+      .withColumn("bucket", expr("length(bin(__m))"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("__m")).as("n_rows"),
+        min(col("__m")).as("min_multiplicity"),
+        max(col("__m")).as("max_multiplicity"))
+
+  /**
    * Gini concentration of a count distribution: how unequally a
    * measure (events, tokens, bytes) distributes over entities — the
    * "do 1% of users/domains generate 90% of the data?" number a

@@ -370,6 +370,34 @@ object Sampling {
   }
 
   /**
+   * Exact-k consistent sample: the k rows with the smallest Knuth-mix
+   * id hashes — a uniform sample of EXACTLY k (the pct-based
+   * [[hashSample]] only lands near its rate), still deterministic,
+   * rerun-stable, and NESTED (the k-sample is a prefix of the
+   * k+1-sample, so growing a debugging sample never churns rows).
+   * `sample_rank` is the stable enumeration order a downstream "first
+   * m of the sample" cut uses.
+   *
+   * Spark shape: a narrow hash projection and ONE distributed
+   * `TakeOrderedAndProject` under the total (hash, id) order — each
+   * map task forwards at most k rows, no global sort; the final rank
+   * window sees exactly k rows.
+   */
+  def consistentTopKSample(df: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k must be >= 1")
+    val h = graft.functions.TextFunctions.mix32(
+      pmod(col(idCol).cast("long"), lit(IdFold)))
+    df.withColumn("__h", h)
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .limit(k)
+      .withColumn("sample_rank", row_number()
+        .over(Window.orderBy(col("__h").asc, col(idCol).asc)).cast("long"))
+      .drop("__h")
+  }
+
+  /**
    * Reshard movement plan: when a content-addressed shard layout grows
    * from `oldN` to `newN` shards, which (old, new) cells carry how many
    * docs and which of those are MOVES — the cost estimate a storage

@@ -235,6 +235,64 @@ class CurationOpsSpec extends SparkSpec {
     assert(banded == naive && banded.nonEmpty)
   }
 
+  test("consistentTopKSample: exact k, rerun-stable, nested in k") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "lang", "source")
+    val s50 = Sampling.consistentTopKSample(docs, k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s80 = Sampling.consistentTopKSample(docs, k = 80)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s50.size == 50 && s80.size == 80)
+    assert(s50.subsetOf(s80)) // nested: k-sample is a prefix
+    val again = Sampling.consistentTopKSample(docs.repartition(7), k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == s50) // layout-independent
+  }
+
+  test("joinFanoutHistogram: bands partition the key space on a hand multiset") {
+    val df = (Seq.fill(1)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(8)(3L)).toDF("k")
+    val out = Profiler.joinFanoutHistogram(df, "k")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // mult 1 → bin '1' (len 1); mult 3 → '11' (2); mult 8 → '1000' (4)
+    assert(out == Map(1 -> ((1L, 1L)), 2 -> ((1L, 3L)), 4 -> ((1L, 8L))))
+  }
+
+  test("weeklyTrend: week alignment and deltas on a hand stream") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (2L, ts("2024-01-03 10:00:00")),
+      (3L, ts("2024-01-10 10:00:00"))
+    ).toDF("event_id", "ts")
+    val out = EventAnalytics.weeklyTrend(ev)
+      .orderBy("week_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 2L, 2L),  // Monday-aligned, first delta vs 0
+      ("2024-01-08 00:00:00.0", 1L, -1L)))
+  }
+
+  test("activityHeatmap shares sum to one and cells partition the stream") {
+    val events = graft.Tables.loadEvents(spark, sf())
+    val out = EventAnalytics.activityHeatmap(events).collect()
+    assert(out.map(_.getLong(2)).sum == events.count())
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    out.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 7)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23)
+    }
+  }
+
+  test("estimatorCalibration: duplicate-heavy corpus puts its mass in the top bin") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val out = Dedup.estimatorCalibration(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(9L -> ((3L, 0.0)))) // all pairs exact J=1 → bin 9, err 0
+  }
+
   test("burstCeiling: banded self-join equals the naive sliding-window max") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     // user 1: 3 events in 40s straddling a minute boundary (aligned
