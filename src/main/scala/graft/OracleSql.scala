@@ -2039,6 +2039,92 @@ object OracleSql {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** Mirror of TextAnalysis.langConfusionMatrix (q190): the q11 CTE
+    * joined to declared labels, bounded cells, per-row shares. */
+  def langConfusionMatrix(idCol: String): String =
+    s"""WITH li AS MATERIALIZED ($textLangId),
+       |cells AS (SELECT d.lang AS declared, li.lang_pred, count(*) AS n_docs
+       |          FROM documents d JOIN li USING ($idCol) GROUP BY 1, 2),
+       |rt AS (SELECT declared, CAST(sum(n_docs) AS BIGINT) AS t
+       |       FROM cells GROUP BY 1)
+       |SELECT c.declared, c.lang_pred, CAST(c.n_docs AS BIGINT) AS n_docs,
+       |  CAST(c.n_docs AS DOUBLE) / CAST(rt.t AS DOUBLE) AS row_share
+       |FROM cells c JOIN rt USING (declared)""".stripMargin
+
+  /** Mirror of Sampling.mixtureSchedule (q191): per-(bucket, stratum)
+    * ranks, the stride virtual-time key, per-bucket positions. */
+  def mixtureSchedule(weights: Seq[(String, Int)], strataCol: String,
+      idCol: String, nBuckets: Int): String = {
+    val cases = weights.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '${sqlLit(k)}' THEN $v" }.mkString(" ")
+    s"""WITH b AS (SELECT $idCol, $strataCol,
+       |    CASE $strataCol $cases ELSE 0 END AS w,
+       |    (${sampleBucket(idCol)}) % $nBuckets AS bucket
+       |  FROM documents),
+       |f AS (SELECT * FROM b WHERE w > 0),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY bucket, $strataCol
+       |          ORDER BY $idCol) AS rn FROM f),
+       |v AS (SELECT *, (rn * 100) // w AS vt FROM r)
+       |SELECT $idCol, $strataCol, bucket,
+       |  row_number() OVER (PARTITION BY bucket
+       |    ORDER BY vt, $strataCol, $idCol) AS schedule_pos
+       |FROM v""".stripMargin
+  }
+
+  /** Mirror of EventAnalytics.interEventGaps (q192): lag gaps in
+    * integer seconds, rank-exact lower medians. */
+  def interEventGaps: String =
+    s"""WITH g AS (SELECT user_id, event_id,
+       |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+       |       ORDER BY ts, event_id))) // 1000000 AS gap
+       |  FROM events),
+       |f AS (SELECT user_id, event_id, gap FROM g WHERE gap IS NOT NULL),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY gap, event_id) AS rn,
+       |        count(*) OVER (PARTITION BY user_id) AS n FROM f)
+       |SELECT user_id, CAST(max(n) AS BIGINT) AS n_gaps,
+       |  min(CASE WHEN rn * 2 = n + n % 2 THEN gap END) AS median_gap_s,
+       |  CAST(max(gap) AS BIGINT) AS max_gap_s
+       |FROM r GROUP BY 1""".stripMargin
+
+  /** Mirror of TextAnalysis.sourceRankStability (q193): the q63 battery
+    * CTE, per-half pass counts, the exact scaled-rate rank key. */
+  def sourceRankStability(newPct: Int, minTokens: Int, maxTokens: Int,
+      minMeanTokLen: Double, maxMeanTokLen: Double, maxTopTokRatio: Double,
+      minStopwords: Int, idCol: String): String = {
+    val qf = qualityFilter(injectPct = 0, injectSuffix = "unused",
+      minTokens, maxTokens, minMeanTokLen, maxMeanTokLen, maxTopTokRatio,
+      minStopwords, idCol)
+    s"""WITH qf AS MATERIALIZED ($qf),
+       |j AS (SELECT qf.$idCol, qf.keep, d.source,
+       |        ${sampleBucket(s"qf.$idCol")} < $newPct AS nw
+       |      FROM qf JOIN documents d USING ($idCol)),
+       |per AS (SELECT source, nw,
+       |          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS pass,
+       |          count(*) AS n FROM j GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY nw
+       |          ORDER BY (pass * 1000000) // n DESC, source ASC) AS r
+       |       FROM per)
+       |SELECT a.source, a.r AS rank_old, b.r AS rank_new,
+       |  b.r - a.r AS rank_shift, (b.r - a.r) * (b.r - a.r) AS d2
+       |FROM rk a JOIN rk b ON a.source = b.source AND NOT a.nw AND b.nw"""
+      .stripMargin
+  }
+
+  /** Mirror of Dedup.dedupSavingsBySource (q194): (source, md5) group
+    * states, keeper = min id, bounded per-source fold. */
+  def dedupSavingsBySource(idCol: String): String =
+    s"""WITH g AS (SELECT source, md5(text) AS h, count(*) AS n,
+       |    CAST(sum(length(text)) AS BIGINT) AS sb,
+       |    min(length(text)) AS kb
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(sum(sb) AS BIGINT) AS total_bytes,
+       |  CAST(sum(n - 1) AS BIGINT) AS dup_docs,
+       |  CAST(sum(sb - kb) AS BIGINT) AS dup_bytes,
+       |  CAST(sum(sb - kb) AS DOUBLE) / CAST(sum(sb) AS DOUBLE) AS savings_ratio
+       |FROM g GROUP BY 1""".stripMargin
+
   /** Mirror of Sampling.consistentTopKSample (q185): k smallest Knuth
     * hashes under the (hash, id) total order, stable rank. */
   def consistentTopKSample(k: Int, idCol: String): String =

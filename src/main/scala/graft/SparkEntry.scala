@@ -1687,6 +1687,30 @@ object SparkEntry {
     // Activity heatmap: (day-of-week, hour) cells with shares.
     "q189_activity_heatmap" -> ((s, dir) =>
       EventAnalytics.activityHeatmap(Tables.loadEvents(s, dir))),
+
+    // Language confusion matrix: declared × predicted cells with row
+    // shares — which languages get mistaken for which.
+    "q190_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusionMatrix(t(s, dir, "documents"))),
+
+    // Stride-scheduled mixture order: proportional interleave at every
+    // prefix, materialized per bucket (no global sort).
+    "q191_mixture_schedule" -> ((s, dir) =>
+      Sampling.mixtureSchedule(t(s, dir, "documents"), weights = MixTargets)),
+
+    // Engagement cadence: per-user inter-event gap count, exact median,
+    // max — the churn-definition input.
+    "q192_event_gaps" -> ((s, dir) =>
+      EventAnalytics.interEventGaps(Tables.loadEvents(s, dir))),
+
+    // Source quality-rank stability across hash-halves: rank shifts and
+    // the exact-integer Spearman d2 terms.
+    "q193_rank_stability" -> ((s, dir) =>
+      TextAnalysis.sourceRankStability(t(s, dir, "documents"))),
+
+    // Exact-dedup storage savings per source: reclaimable docs/bytes.
+    "q194_dedup_savings" -> ((s, dir) =>
+      Dedup.dedupSavingsBySource(t(s, dir, "documents"))),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -2112,5 +2136,15 @@ object SparkEntry {
     "q188_estimator_calibration" -> OracleSql.estimatorCalibration(
       bins = 10, k = 128, bands = 32, idCol = "doc_id"),
     "q189_activity_heatmap" -> OracleSql.activityHeatmap,
+    "q190_lang_confusion" -> OracleSql.langConfusionMatrix(idCol = "doc_id"),
+    "q191_mixture_schedule" -> OracleSql.mixtureSchedule(
+      weights = MixTargets.toSeq, strataCol = "lang", idCol = "doc_id",
+      nBuckets = 32),
+    "q192_event_gaps" -> OracleSql.interEventGaps,
+    "q193_rank_stability" -> OracleSql.sourceRankStability(newPct = 50,
+      minTokens = 15, maxTokens = 100000, minMeanTokLen = 4.0,
+      maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,
+      idCol = "doc_id"),
+    "q194_dedup_savings" -> OracleSql.dedupSavingsBySource(idCol = "doc_id"),
   )
 }

@@ -820,6 +820,41 @@ object Dedup {
   }
 
   /**
+   * Exact-dedup storage savings per source: bytes and documents that
+   * dropping non-representative exact duplicates (md5 groups, min-id
+   * keeper) would reclaim — the line item that justifies a dedup run
+   * to whoever pays for storage, per source so the blame lands where
+   * the duplication lives. `dup_bytes` counts every byte of every
+   * non-keeper; ratios are exact-integer divisions.
+   *
+   * Spark shape: ONE (source, md5) aggregation whose state is
+   * (count, total bytes, min bytes-of-keeper?) — no: keeper is min id,
+   * and its length must be excluded, so the group state carries
+   * (n, sum_bytes, keeper-by-min-(id)-struct's bytes) via the
+   * struct-min trick; then one bounded per-source fold. The corpus
+   * never shuffles raw — both shuffles carry aggregated rows.
+   */
+  def dedupSavingsBySource(docs: DataFrame, idCol: String = "doc_id",
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val perContent = docs
+      .select(col(sourceCol), md5(col(textCol)).as("__h"),
+        col(idCol).as("__id"), length(col(textCol)).cast("long").as("__b"))
+      .groupBy(col(sourceCol), col("__h"))
+      .agg(count(lit(1)).as("__n"), sum(col("__b")).as("__sb"),
+        min(struct(col("__id").as("i"), col("__b").as("b"))).as("__keep"))
+    perContent
+      .groupBy(col(sourceCol))
+      .agg(sum(col("__n")).as("n_docs"),
+        sum(col("__sb")).as("total_bytes"),
+        sum(col("__n") - 1L).as("dup_docs"),
+        sum(col("__sb") - col("__keep.b")).as("dup_bytes"))
+      .select(col(sourceCol), col("n_docs"), col("total_bytes"),
+        col("dup_docs"), col("dup_bytes"),
+        (col("dup_bytes").cast("double") / col("total_bytes").cast("double"))
+          .as("savings_ratio"))
+  }
+
+  /**
    * MinHash estimator calibration curve: [[minhashEstimatorReport]]'s
    * per-pair errors binned by the EXACT Jaccard (floor(J·bins), the
    * last bin closed) with per-bin pair counts and the mean absolute

@@ -345,6 +345,40 @@ object EventAnalytics {
   }
 
   /**
+   * Engagement cadence report: per-entity inter-event gap statistics —
+   * gap count, rank-exact lower-median gap, max gap (the dormancy
+   * ceiling), all in integer seconds — the input to churn definitions
+   * ("inactive = silent for 3× their median gap") and session-gap
+   * tuning, self-calibrated per entity like q74/q159. Entities with a
+   * single event have no gaps and drop out.
+   *
+   * Spark shape: one lag window and one rank window over the same
+   * (entity) partitioning — Spark reuses the Exchange, re-sorting
+   * locally; then ONE per-entity aggregation. Integer-exact
+   * throughout, so the report replays bit-identically.
+   */
+  def interEventGaps(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gaps = events
+      .select(col(userCol), col(idCol), expr(s"unix_micros($tsCol)").as("__us"))
+      .withColumn("__gap",
+        expr(s"(__us - lag(__us, 1) over (partition by $userCol" +
+          s" order by __us, $idCol)) div 1000000"))
+      .filter(col("__gap").isNotNull)
+    val rankW = Window.partitionBy(col(userCol))
+      .orderBy(col("__gap").asc, col(idCol).asc)
+    gaps
+      .withColumn("__rn", row_number().over(rankW).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(userCol))))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(when(col("__rn") * 2 === col("__n") + pmod(col("__n"), lit(2L)),
+          col("__gap"))).as("median_gap_s"),
+        max(col("__gap")).as("max_gap_s"))
+  }
+
+  /**
    * Weekly trend report: events per Monday-aligned calendar week with
    * the week-over-week delta and relative change — the smallest
    * honest trend table (daily is too noisy, monthly too slow for

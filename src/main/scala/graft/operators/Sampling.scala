@@ -370,6 +370,44 @@ object Sampling {
   }
 
   /**
+   * Deterministic mixture schedule via stride scheduling (Waldspurger &
+   * Weihl 1995): within each content-addressed bucket, documents of
+   * each stratum are enumerated and assigned the virtual-time key
+   * `rank·100 div weight` — ordering by it interleaves strata
+   * PROPORTIONALLY to their weights at every prefix (a 70/30 mix is
+   * 70/30 after every ~10 rows, not just at the end), which is what a
+   * training loader needs from a materialized mixture order. All
+   * integer arithmetic; ties broken by (stratum, id).
+   *
+   * Spark shape: one shuffle on (bucket, stratum) for the per-stratum
+   * rank windows, then per-BUCKET schedule positions — the global
+   * order is (bucket, schedule_pos), so no global sort ever runs and
+   * buckets parallelize (the q84 epoch-shuffle scale argument).
+   * Zero-weight strata are excluded.
+   */
+  def mixtureSchedule(df: DataFrame, weights: Map[String, Int],
+      strataCol: String = "lang", idCol: String = "doc_id",
+      nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, v)) => when(col(strataCol) === s, lit(v.toLong)).otherwise(acc)
+    }
+    val bucketed = df.select(col(idCol), col(strataCol))
+      .withColumn("__w", w).filter(col("__w") > 0)
+      .withColumn("bucket", pmod(bucket(col(idCol)), lit(nBuckets.toLong)))
+    val rankW = Window.partitionBy(col("bucket"), col(strataCol))
+      .orderBy(col(idCol).asc)
+    val posW = Window.partitionBy(col("bucket"))
+      .orderBy(col("__vt").asc, col(strataCol).asc, col(idCol).asc)
+    bucketed
+      .withColumn("__rn", row_number().over(rankW).cast("long"))
+      .withColumn("__vt", expr("(__rn * 100) div __w"))
+      .withColumn("schedule_pos", row_number().over(posW).cast("long"))
+      .select(col(idCol), col(strataCol), col("bucket"), col("schedule_pos"))
+  }
+
+  /**
    * Exact-k consistent sample: the k rows with the smallest Knuth-mix
    * id hashes — a uniform sample of EXACTLY k (the pct-based
    * [[hashSample]] only lands near its rate), still deterministic,

@@ -945,6 +945,78 @@ object TextAnalysis {
   }
 
   /**
+   * Source quality-ranking stability: rank sources by q63 pass rate on
+   * two hash-halves independently and report the rank shift per source
+   * plus the squared difference (the per-source term of Spearman's
+   * footrule/ρ numerator — left as exact integers rather than a
+   * correlation, so the report replays bit-identically and the big
+   * movers are named, not averaged away). A stable ranking means
+   * source-level curation decisions generalize; a large d² flags a
+   * source whose quality verdict depends on which half you sampled.
+   *
+   * Spark shape: the battery's per-row projection, ONE aggregation to
+   * (source, half) pass counts (bounded by 2·|sources|), two rank
+   * windows over that bounded table, one equi-join on the source.
+   * Ranks order by (pass-rate desc, source asc) via exact integer
+   * cross-multiplied comparison — no float rate enters the ordering.
+   */
+  def sourceRankStability(docs: DataFrame, newPct: Int = 50,
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qf = qualityFilter(docs.select(col(idCol), col("text")))
+      .select(col(idCol), col("keep"))
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .withColumn("__new", Sampling.bucket(col(idCol)) < newPct)
+    val per = qf.groupBy(col(sourceCol), col("__new"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("__pass"),
+        count(lit(1)).as("__n"))
+    // Rank by pass rate without a float in the ordering: the exact
+    // integer key pass·10⁶ div n preserves the rate order down to 1e-6
+    // rate differences (below that the source tiebreak pins the order,
+    // identically in both engines, so the report still replays
+    // exactly); 10⁶ keeps the product inside int64 even at
+    // trillion-row sources.
+    val key = expr("(__pass * 1000000) div __n")
+    val w = Window.partitionBy(col("__new"))
+      .orderBy(key.desc, col(sourceCol).asc)
+    val ranked = per.withColumn("__rk", row_number().over(w).cast("long"))
+    val a = ranked.filter(!col("__new"))
+      .select(col(sourceCol), col("__rk").as("rank_old"))
+    val b = ranked.filter(col("__new"))
+      .select(col(sourceCol), col("__rk").as("rank_new"))
+    a.join(b, Seq(sourceCol))
+      .select(col(sourceCol), col("rank_old"), col("rank_new"),
+        (col("rank_new") - col("rank_old")).as("rank_shift"),
+        ((col("rank_new") - col("rank_old")) *
+          (col("rank_new") - col("rank_old"))).as("d2"))
+  }
+
+  /**
+   * Language confusion matrix: declared metadata label × q11-predicted
+   * label with cell counts and row shares — the classifier-eval
+   * artifact behind q176's per-doc verdicts (which languages get
+   * mistaken for which, not just how often). Row share is one exact
+   * integer division per cell.
+   *
+   * Spark shape: the detector's per-row codegen'd projection, one
+   * equi-join on the id, ONE hash aggregation on ≤ |langs|² cells, and
+   * a broadcast of per-declared-label totals back onto the cells.
+   */
+  def langConfusionMatrix(docs: DataFrame, idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    val cells = languageId(docs.select(col(idCol), col("text")))
+      .join(docs.select(col(idCol), col(langCol).as("declared")), Seq(idCol))
+      .groupBy(col("declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val rowTotals = cells.groupBy(col("declared"))
+      .agg(sum(col("n_docs")).as("__rt"))
+    cells.join(broadcast(rowTotals), Seq("declared"))
+      .select(col("declared"), col("lang_pred"), col("n_docs"),
+        (col("n_docs").cast("double") / col("__rt").cast("double"))
+          .as("row_share"))
+  }
+
+  /**
    * Vocabulary growth curve (Heaps' law measurement): distinct-token
    * vocabulary size after the first c documents (by id order) at each
    * literal checkpoint — the "is the corpus still teaching new words?"

@@ -235,6 +235,71 @@ class CurationOpsSpec extends SparkSpec {
     assert(banded == naive && banded.nonEmpty)
   }
 
+  test("mixtureSchedule: every prefix tracks the weight mix; zero-weight strata drop") {
+    // supply matches the weights (75 en / 25 de): the prefix property
+    // only holds while every stratum still has documents to schedule
+    val docs = (1 to 100).map(i =>
+      (i.toLong, if (i % 4 != 0) "en" else "de", "x")).toDF("doc_id", "lang", "text")
+    val out = Sampling.mixtureSchedule(docs,
+      weights = Map("en" -> 75, "de" -> 25, "zz" -> 0), nBuckets = 1)
+      .orderBy("schedule_pos").collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    assert(out.length == 100)
+    // proportionality at every prefix: en count within 2 of 75% of k
+    (10 to 100 by 10).foreach { k =>
+      val en = out.take(k).count(_._1 == "en")
+      assert(math.abs(en - 0.75 * k) <= 2.0, s"k=$k en=$en")
+    }
+  }
+
+  test("interEventGaps: exact gaps on a hand stream; singletons drop") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L), (2L, ts("2024-01-01 00:00:10"), 1L),
+      (3L, ts("2024-01-01 00:01:10"), 1L), (4L, ts("2024-01-01 05:00:00"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventAnalytics.interEventGaps(ev)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // user 1 gaps: 10s, 60s → median (lower) 10, max 60; user 2 drops
+    assert(out == Map(1L -> ((2L, 10L, 60L))))
+  }
+
+  test("sourceRankStability: identical halves give zero shifts") {
+    // duplicate every doc id into both halves via bucket-symmetric ids?
+    // simplest strong property on the fixture: d2 >= 0 and each half's
+    // ranks are a permutation of 1..|sources|
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = TextAnalysis.sourceRankStability(docs).collect()
+    val n = out.length
+    assert(out.map(_.getLong(1)).sorted.toSeq == (1L to n).toSeq)
+    assert(out.map(_.getLong(2)).sorted.toSeq == (1L to n).toSeq)
+    out.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3) * r.getLong(3)) // d2 == shift²
+    }
+  }
+
+  test("dedupSavingsBySource: exact byte accounting on a hand corpus") {
+    val docs = Seq(
+      (1L, "web", "aaaa"), (2L, "web", "aaaa"), (3L, "web", "aaaa"), // 3× 4B
+      (4L, "web", "bb"), (5L, "book", "cc")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.dedupSavingsBySource(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("web") == ((4L, 14L, 2L, 8L, 8.0 / 14.0)))
+    assert(out("book") == ((1L, 2L, 0L, 0L, 0.0)))
+  }
+
+  test("langConfusionMatrix: row shares sum to one per declared label") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = TextAnalysis.langConfusionMatrix(docs).collect()
+    assert(out.map(_.getLong(2)).sum == docs.count())
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("consistentTopKSample: exact k, rerun-stable, nested in k") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "lang", "source")
