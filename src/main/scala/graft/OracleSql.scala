@@ -2039,6 +2039,93 @@ object OracleSql {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** Mirror of Dedup.duplicateNgramCoverage (q195): multiset shingle
+    * occurrences, per-(lang, shingle) occ + doc-frequency, conditional
+    * per-lang fold. */
+  def duplicateNgramCoverage(n: Int, minDf: Int, groupCol: String,
+      idCol: String): String =
+    s"""WITH occ AS (SELECT $groupCol AS g, $idCol AS d,
+       |    unnest(${shingleHashesAllN(n)}) AS h FROM documents),
+       |ps AS (SELECT g, h, count(*) AS occ, count(DISTINCT d) AS df
+       |       FROM occ GROUP BY 1, 2)
+       |SELECT g AS $groupCol, CAST(sum(occ) AS BIGINT) AS total_ngrams,
+       |  CAST(sum(CASE WHEN df >= $minDf THEN occ ELSE 0 END) AS BIGINT)
+       |    AS dup_ngrams,
+       |  CAST(sum(CASE WHEN df >= $minDf THEN occ ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(occ) AS DOUBLE) AS dup_coverage
+       |FROM ps GROUP BY 1""".stripMargin
+
+  /** Mirror of EventAnalytics.lifecycleStages (q196): per-entity
+    * min/max, integer epoch window arithmetic. */
+  def lifecycleStages(reference: String, windowDays: Int): String = {
+    val winUs = windowDays * 86400L * 1000000L
+    val refUs = s"epoch_us(TIMESTAMP '$reference')"
+    s"""WITH a AS (SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+       |             count(*) AS n_events FROM events GROUP BY 1)
+       |SELECT user_id, first_seen, last_seen, CAST(n_events AS BIGINT) AS n_events,
+       |  CASE WHEN epoch_us(first_seen) >= $refUs - $winUs THEN 'new'
+       |       WHEN epoch_us(last_seen) < $refUs - $winUs THEN 'churned'
+       |       ELSE 'active' END AS stage
+       |FROM a""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.distinctiveVocab (q197): per-million
+    * integer rates, scaled ratio rank key, per-source top-k. */
+  def distinctiveVocab(k: Int, minCount: Int, sourceCol: String): String =
+    s"""WITH tok AS (SELECT $sourceCol AS g, unnest($toks) AS tok FROM documents),
+       |bs AS (SELECT g, tok, count(*) AS n_source FROM tok GROUP BY 1, 2),
+       |bc AS (SELECT tok, count(*) AS n_corpus FROM tok GROUP BY 1),
+       |ct AS (SELECT count(*) AS t FROM tok),
+       |j AS (SELECT bs.g, bs.tok, bs.n_source, bc.n_corpus,
+       |        sum(bs.n_source) OVER (PARTITION BY bs.g) AS st, ct.t
+       |      FROM bs JOIN bc USING (tok), ct),
+       |l AS (SELECT g, tok, n_source, n_corpus,
+       |        ((n_source * 1000000) // st) * 1000
+       |          // greatest((n_corpus * 1000000) // t, 1) AS lift_millis
+       |      FROM j WHERE n_source >= $minCount)
+       |SELECT g AS $sourceCol, tok, n_source, n_corpus, lift_millis,
+       |  row_number() OVER (PARTITION BY g
+       |    ORDER BY lift_millis DESC, tok ASC) AS rank
+       |FROM l QUALIFY rank <= $k""".stripMargin
+
+  /** Mirror of Dedup.transitivityAudit (q198) over the q14 pair set:
+    * ordered open wedges anti-joined against the closing edge. */
+  def transitivityAudit(threshold: Double, maxDocFreq: Int): String =
+    s"""WITH pairs AS MATERIALIZED (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |canon AS (SELECT DISTINCT least(id_a, id_b) AS a,
+       |            greatest(id_a, id_b) AS b FROM pairs),
+       |sym AS (SELECT a AS ctr, b AS sp FROM canon
+       |        UNION ALL SELECT b, a FROM canon),
+       |w AS (SELECT x.ctr AS center, x.sp AS spoke_a, y.sp AS spoke_c
+       |      FROM sym x JOIN sym y ON x.ctr = y.ctr AND x.sp < y.sp)
+       |SELECT w.* FROM w
+       |WHERE NOT EXISTS (SELECT 1 FROM canon c
+       |                  WHERE c.a = w.spoke_a AND c.b = w.spoke_c)""".stripMargin
+
+  /** Mirror of SimilaritySearch.quantizationErrorReport (q199): the
+    * q59 scale/code chains, per-component abs errors, nano-integer
+    * mean. */
+  def quantizationErrorReport(dim: Int): String = {
+    val absmax = (1 to dim).map(i => s"abs(embedding[$i]::DOUBLE)")
+      .mkString("greatest(", ", ", ")")
+    val eDefs = (1 to dim).map(i =>
+      s"""abs(embedding[$i]::DOUBLE - (CASE WHEN scale = 0 THEN 0
+         |    ELSE floor(embedding[$i]::DOUBLE / scale + 0.5) END) * scale) AS e$i"""
+        .stripMargin).mkString(",\n    ")
+    val maxE = (1 to dim).map(i => s"e$i").mkString("greatest(", ", ", ")")
+    val sumNano = (1 to dim)
+      .map(i => s"CAST(floor(e$i * 1000000000.0 + 0.5) AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH s AS (SELECT vec_id, embedding, $absmax / 127.0 AS scale
+       |           FROM embeddings),
+       |e AS (SELECT vec_id, scale,
+       |    $eDefs
+       |  FROM s)
+       |SELECT vec_id, scale, $maxE AS max_abs_err,
+       |  CAST($sumNano AS DOUBLE) / ${dim.toDouble * 1000000000.0} AS mean_abs_err
+       |FROM e""".stripMargin
+  }
+
   /** Mirror of TextAnalysis.langConfusionMatrix (q190): the q11 CTE
     * joined to declared labels, bounded cells, per-row shares. */
   def langConfusionMatrix(idCol: String): String =

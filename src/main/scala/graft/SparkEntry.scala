@@ -1711,6 +1711,33 @@ object SparkEntry {
     // Exact-dedup storage savings per source: reclaimable docs/bytes.
     "q194_dedup_savings" -> ((s, dir) =>
       Dedup.dedupSavingsBySource(t(s, dir, "documents"))),
+
+    // Duplicated-n-gram coverage per language: sub-document duplication
+    // intensity as one row per lang.
+    "q195_ngram_coverage" -> ((s, dir) =>
+      Dedup.duplicateNgramCoverage(t(s, dir, "documents"))),
+
+    // User lifecycle stages (new / active / churned) at a reference
+    // instant, integer epoch arithmetic.
+    "q196_lifecycle" -> ((s, dir) =>
+      EventAnalytics.lifecycleStages(Tables.loadEvents(s, dir),
+        reference = "2024-01-28 00:00:00")),
+
+    // Distinctive vocabulary per source: top-k tokens by integer-exact
+    // scaled lift — domain profiling.
+    "q197_distinctive_vocab" -> ((s, dir) =>
+      TextAnalysis.distinctiveVocab(t(s, dir, "documents"))),
+
+    // Near-dup transitivity audit: open wedges missing their closing
+    // edge — the pairwise-vs-clustering judgment input.
+    "q198_transitivity" -> ((s, dir) =>
+      Dedup.transitivityAudit(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.6)
+          .select("id_a", "id_b"))),
+
+    // Int8 reconstruction-error audit per vector (trusts q59's codes).
+    "q199_quantization_error" -> ((s, dir) =>
+      SimilaritySearch.quantizationErrorReport(t(s, dir, "embeddings"))),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -2146,5 +2173,14 @@ object SparkEntry {
       maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,
       idCol = "doc_id"),
     "q194_dedup_savings" -> OracleSql.dedupSavingsBySource(idCol = "doc_id"),
+    "q195_ngram_coverage" -> OracleSql.duplicateNgramCoverage(n = 3,
+      minDf = 2, groupCol = "lang", idCol = "doc_id"),
+    "q196_lifecycle" -> OracleSql.lifecycleStages(
+      reference = "2024-01-28 00:00:00", windowDays = 7),
+    "q197_distinctive_vocab" -> OracleSql.distinctiveVocab(k = 5,
+      minCount = 5, sourceCol = "source"),
+    "q198_transitivity" -> OracleSql.transitivityAudit(threshold = 0.6,
+      maxDocFreq = 10000),
+    "q199_quantization_error" -> OracleSql.quantizationErrorReport(dim = 64),
   )
 }

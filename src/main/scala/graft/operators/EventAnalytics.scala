@@ -345,6 +345,34 @@ object EventAnalytics {
   }
 
   /**
+   * User lifecycle stages at a reference instant: per entity, first/
+   * last activity and the classic three-way verdict — `new` (first
+   * event within `windowDays` of the reference), `churned` (last event
+   * more than `windowDays` before it), `active` otherwise — the
+   * segmentation every growth/retention report starts from, pinned to
+   * integer epoch-day arithmetic so the cut replays exactly.
+   *
+   * Spark shape: ONE hash aggregation per entity (min/max timestamps,
+   * map-side partials), then a per-row CASE — the event table never
+   * shuffles raw.
+   */
+  def lifecycleStages(events: DataFrame, reference: String,
+      windowDays: Int = 7, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"windowDays=$windowDays must be >= 1")
+    val refUs = expr(s"unix_micros(CAST('$reference' AS TIMESTAMP))")
+    val winUs = windowDays * 86400L * 1000000L
+    events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("first_seen"), max(col(tsCol)).as("last_seen"),
+        count(lit(1)).as("n_events"))
+      .select(col(userCol), col("first_seen"), col("last_seen"),
+        col("n_events"),
+        when(expr("unix_micros(first_seen)") >= refUs - winUs, lit("new"))
+          .when(expr("unix_micros(last_seen)") < refUs - winUs, lit("churned"))
+          .otherwise(lit("active")).as("stage"))
+  }
+
+  /**
    * Engagement cadence report: per-entity inter-event gap statistics —
    * gap count, rank-exact lower-median gap, max gap (the dormancy
    * ceiling), all in integer seconds — the input to churn definitions

@@ -150,6 +150,41 @@ object SimilaritySearch {
       hash.as("q_hash"))
   }
 
+  /**
+   * Int8 quantization-error report per vector: the max and micro-exact
+   * mean absolute reconstruction error `|v_i − q_i·scale|` of
+   * [[quantizeInt8]]'s symmetric codes — the number that decides
+   * whether 4× compression is safe for a given recall target (the
+   * trust audit for q59's codes, the way q175 audits q89's
+   * signatures). Per-component errors are the same fixed double chains
+   * both engines replay; the MEAN rides the shared `floor(·10⁹+0.5)`
+   * integer sum (nano-scaled — errors live near zero, so micro would
+   * quantize them away).
+   *
+   * Spark shape: a pure per-row projection (scale, codes, errors all
+   * in one narrow pass) — zero shuffle, zero joins.
+   */
+  def quantizationErrorReport(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val absmax = greatest((1 to dim).map(i =>
+      abs(element_at(col(vecCol), i).cast("double"))): _*)
+    val base = df.select(col(idCol), col(vecCol), (absmax / 127.0).as("scale"))
+    val errCols = (1 to dim).map { i =>
+      val v = element_at(col(vecCol), i).cast("double")
+      val q = when(col("scale") === 0.0, lit(0L))
+        .otherwise(floor(v / col("scale") + 0.5))
+      abs(v - q * col("scale")).as(s"__e$i")
+    }
+    val e = base.select(col(idCol) +: col("scale") +: errCols: _*)
+    val sumNano = (1 to dim).map(i =>
+      floor(col(s"__e$i") * lit(1000000000.0) + lit(0.5)).cast("long"))
+      .reduce(_ + _)
+    e.select(col(idCol), col("scale"),
+      greatest((1 to dim).map(i => col(s"__e$i")): _*).as("max_abs_err"),
+      (sumNano.cast("double") / lit(dim.toDouble * 1000000000.0))
+        .as("mean_abs_err"))
+  }
+
   /** IVF-style ANN top-k: a small centroid table partitions the corpus
     * into `nlist` cells; the query probes its `nprobe` nearest cells and
     * re-ranks candidates by exact cosine.

@@ -945,6 +945,51 @@ object TextAnalysis {
   }
 
   /**
+   * Distinctive vocabulary per source: the top-k tokens whose in-source
+   * occurrence share most exceeds their corpus share — domain profiling
+   * ("what is this source actually about") via the lift of exact
+   * counts. Ordering uses integer-only arithmetic sized to stay inside
+   * int64 at ANY corpus scale: per-million occurrence rates
+   * (`n·10⁶ div total`, ≤ 10⁶ by construction) and their scaled ratio
+   * `rate_src·10³ div max(rate_corpus, 1)` — no float enters the rank,
+   * ties break by token, and a min-count floor keeps one-off tokens
+   * off the list.
+   *
+   * Spark shape: one (source, token) aggregation and one token
+   * aggregation (both map-side partial, vocab-bounded), an equi-join
+   * on the token, per-source totals by a window over the BOUNDED
+   * (source, token) table, and the per-source top-k cut as a rank
+   * window (`WindowGroupLimit`).
+   */
+  def distinctiveVocab(docs: DataFrame, k: Int = 5, minCount: Int = 5,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minCount >= 1, "k and minCount must be >= 1")
+    val tok = docs.select(col(sourceCol).as("g"),
+      explode(tokens(col(textCol))).as("tok"))
+    val bySrc = tok.groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("n_source"))
+    val byCorpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_corpus"))
+    val srcTotal = Window.partitionBy(col("g"))
+    val joined = bySrc.join(byCorpus, Seq("tok"))
+      .withColumn("__st", sum(col("n_source")).over(srcTotal))
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("__ct"))))
+      .filter(col("n_source") >= minCount)
+      // per-million rates: n·10⁶ stays in int64 up to 9.2e12 occurrences
+      // of one token in one source (beyond any real corpus); the corpus
+      // rate floors at 1 so the ratio never divides by zero
+      .withColumn("__rs", expr("(n_source * 1000000) div __st"))
+      .withColumn("__rc", expr("greatest((n_corpus * 1000000) div __ct, 1)"))
+      .withColumn("__lift", expr("(__rs * 1000) div __rc"))
+    val rank = Window.partitionBy(col("g"))
+      .orderBy(col("__lift").desc, col("tok").asc)
+    joined.withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("g").as(sourceCol), col("tok"), col("n_source"),
+        col("n_corpus"), col("__lift").as("lift_millis"), col("rank"))
+  }
+
+  /**
    * Source quality-ranking stability: rank sources by q63 pass rate on
    * two hash-halves independently and report the rank shift per source
    * plus the squared difference (the per-source term of Spearman's

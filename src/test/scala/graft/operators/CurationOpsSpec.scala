@@ -235,6 +235,62 @@ class CurationOpsSpec extends SparkSpec {
     assert(banded == naive && banded.nonEmpty)
   }
 
+  test("duplicateNgramCoverage: exact multiset accounting on a hand corpus") {
+    val docs = Seq(
+      (1L, "en", "a b c d"),   // shingles: abc, bcd
+      (2L, "en", "a b c e"),   // shingles: abc, bce → abc df=2
+      (3L, "de", "x y z")      // shingle: xyz, df=1
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.duplicateNgramCoverage(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("en" -> ((4L, 2L)), "de" -> ((1L, 0L))))
+  }
+
+  test("transitivityAudit finds exactly the open wedges of a hand graph") {
+    // path 1-2-3 (open), triangle 4-5-6 (closed), star 7-{8,9} (open)
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (7L, 8L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.transitivityAudit(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 1L, 3L), (7L, 8L, 9L)))
+  }
+
+  test("lifecycleStages: three-way verdicts on a hand stream") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-26 00:00:00"), 1L),  // first within 7d of ref → new
+      (2L, ts("2024-01-02 00:00:00"), 2L),  // last long before → churned
+      (3L, ts("2024-01-05 00:00:00"), 3L),  // old first, recent last → active
+      (4L, ts("2024-01-24 00:00:00"), 3L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventAnalytics.lifecycleStages(ev, reference = "2024-01-28 00:00:00")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out == Map(1L -> "new", 2L -> "churned", 3L -> "active"))
+  }
+
+  test("distinctiveVocab surfaces a source-exclusive token at rank 1") {
+    val docs = (1 to 20).map(i => (i.toLong, "web",
+        "common words here " + (if (i <= 10) "zebra" else "other"))) ++
+      (21 to 40).map(i => (i.toLong, "book", "common words here filler"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = TextAnalysis.distinctiveVocab(df, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(5)))
+    // the two web-exclusive tokens (10× each) take both top slots, tie
+    // broken by token asc ("other" < "zebra")
+    assert(out.contains(("web", "other", 1)) && out.contains(("web", "zebra", 2)))
+  }
+
+  test("quantizationErrorReport: zero error for exactly-representable vectors") {
+    val exact = Array.fill(64)(0f); exact(0) = 127f; exact(1) = -127f
+    val off = Array.fill(64)(0f); off(0) = 127f; off(1) = 0.4f
+    val df = Seq((1L, exact.toSeq), (2L, off.toSeq)).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.quantizationErrorReport(df)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((0.0, 0.0))) // codes ±127 at scale 1 — exact
+    val (mx, mean) = out(2L)
+    assert(mx > 0.0 && mean > 0.0 && mx <= 0.5 && mean <= mx)
+  }
+
   test("mixtureSchedule: every prefix tracks the weight mix; zero-weight strata drop") {
     // supply matches the weights (75 en / 25 de): the prefix property
     // only holds while every stratum still has documents to schedule
