@@ -378,8 +378,8 @@ object OracleSql {
     * pair graph; component = least reachable id. Closure is fine at
     * oracle scale — the engine's label propagation is the scale path. */
   def dedupComponents(threshold: Double, maxDocFreq: Int): String =
-    s"""WITH RECURSIVE pairs AS (${ngramJaccardPairs(threshold, maxDocFreq)}),
-       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
        |        UNION SELECT id_b, id_a FROM pairs),
        |reach(a, b) AS (
        |  SELECT a, b FROM sym
@@ -1169,8 +1169,8 @@ object OracleSql {
     * the COMPONENT id. */
   def leakageSafeSplit(threshold: Double, maxDocFreq: Int,
       testPct: Int): String =
-    s"""WITH RECURSIVE pairs AS (${ngramJaccardPairs(threshold, maxDocFreq)}),
-       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
        |        UNION SELECT id_b, id_a FROM pairs),
        |reach(a, b) AS (
        |  SELECT a, b FROM sym
@@ -1711,7 +1711,7 @@ object OracleSql {
     * document-frequency table and join back; one exact division. */
   def bigramNovelty(minDocs: Int, idCol: String): String =
     s"""WITH $bigramCtes,
-       |dbg AS (SELECT DISTINCT doc_id AS $idCol, ctx, nxt FROM bg),
+       |dbg AS MATERIALIZED (SELECT DISTINCT doc_id AS $idCol, ctx, nxt FROM bg),
        |dfreq AS (SELECT ctx, nxt, count(*) AS df FROM dbg GROUP BY 1, 2)
        |SELECT d.$idCol, count(*) AS n_bigrams,
        |  CAST(sum(CASE WHEN f.df >= $minDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
@@ -1731,7 +1731,7 @@ object OracleSql {
     val n2x = dotTerms("e.embedding", "e.embedding", dim)
     val n2c = (1 to dim).map(d => s"${cd(d)} * ${cd(d)}").mkString(" + ")
     val score = s"($dotC) / (sqrt($n2x) * sqrt($n2c))"
-    s"""WITH j AS (SELECT e.vec_id, e.embedding, d.lang
+    s"""WITH j AS MATERIALIZED (SELECT e.vec_id, e.embedding, d.lang
        |           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
        |c AS (SELECT lang, count(*) AS n, $sums FROM j e GROUP BY lang)
        |SELECT e.vec_id, e.lang, $score AS cos_centroid,
@@ -1854,9 +1854,9 @@ object OracleSql {
        |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
        |    AS BIGINT) AS sum_bpe,
        |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
-       |    AS DOUBLE) / CAST(sum(len($toks)) AS DOUBLE) AS bpe_per_word,
+       |    AS DOUBLE) / CAST(NULLIF(sum(len($toks)), 0) AS DOUBLE) AS bpe_per_word,
        |  CAST(sum(length(text)) AS DOUBLE) /
-       |    CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+       |    CAST(NULLIF(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))), 0)
        |      AS DOUBLE) AS chars_per_bpe
        |FROM documents GROUP BY 1, 2""".stripMargin
 
@@ -2018,7 +2018,7 @@ object OracleSql {
     val cases = marks.map { case (l, mk) =>
       s"WHEN lang = '${sqlLit(l)}' THEN text || ' ${sqlLit(mk)} ${sqlLit(mk)}'"
     }.mkString(" ")
-    s"""WITH dm AS (SELECT $idCol, lang,
+    s"""WITH dm AS MATERIALIZED (SELECT $idCol, lang,
        |             CASE $cases ELSE text END AS text FROM documents),
        |tri AS (SELECT lang, unnest(list_transform(range(1, length(text) - 1),
        |               i -> substr(text, i, 3))) AS tri
@@ -2146,7 +2146,8 @@ object OracleSql {
       .map { case (k, v) => s"WHEN '${sqlLit(k)}' THEN $v" }.mkString(" ")
     s"""WITH b AS (SELECT $idCol, $strataCol,
        |    CASE $strataCol $cases ELSE 0 END AS w,
-       |    (${sampleBucket(idCol)}) % $nBuckets AS bucket
+       |    ((($idCol % ${graft.operators.Sampling.IdFold}) * $Mix)
+       |      % ${TextFunctions.TwoPow32}) % $nBuckets AS bucket
        |  FROM documents),
        |f AS (SELECT * FROM b WHERE w > 0),
        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket, $strataCol
@@ -2295,16 +2296,16 @@ object OracleSql {
        |   / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS gini
        |FROM r""".stripMargin
 
-  /** Mirror of EventAnalytics.burstCeiling (q182): the banding is
-    * lossless, so the oracle is the naive per-entity window count. */
+  /** Mirror of EventAnalytics.burstCeiling (q182): the same range-frame
+    * window count (events of the same user in [t, t+window)), per-user
+    * max — linear sliding frame in both engines, never the naive
+    * per-entity quadratic self-join. */
   def burstCeiling(windowSeconds: Int): String = {
     val winUs = windowSeconds * 1000000L
-    s"""WITH b AS (SELECT user_id AS u, event_id AS i, epoch_us(ts) AS us
-       |           FROM events),
-       |c AS (SELECT x.u, x.i, count(*) AS w
-       |      FROM b x JOIN b y ON x.u = y.u
-       |        AND y.us >= x.us AND y.us < x.us + $winUs
-       |      GROUP BY 1, 2)
+    s"""WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+       |c AS (SELECT u, count(*) OVER (PARTITION BY u ORDER BY us
+       |        RANGE BETWEEN CURRENT ROW AND ${winUs - 1L} FOLLOWING) AS w
+       |      FROM b)
        |SELECT u AS user_id, CAST(max(w) AS BIGINT) AS burst_max
        |FROM c GROUP BY 1""".stripMargin
   }
@@ -2346,7 +2347,7 @@ object OracleSql {
        |  CAST(sum(up) AS BIGINT) AS n_upper, CAST(sum(di) AS BIGINT) AS n_digit,
        |  CAST(sum(sp) AS BIGINT) AS n_space,
        |  CAST(sum(n) - sum(lo) - sum(up) - sum(di) - sum(sp) AS BIGINT) AS n_other,
-       |  CAST(sum(lo) + sum(up) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS alpha_ratio
+       |  CAST(sum(lo) + sum(up) AS DOUBLE) / CAST(NULLIF(sum(n), 0) AS DOUBLE) AS alpha_ratio
        |FROM p GROUP BY 1""".stripMargin
 
   /** Mirror of Dedup.minhashEstimatorReport (q175): the q15 band-key

@@ -46,8 +46,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // DuckDB memory posture, prepended to every oracle: an in-memory
+    // DuckDB connection has NO temp_directory, so it cannot spill — under
+    // host memory pressure a long sweep dies with bad_alloc on tiny
+    // blocks (the r6 q77–q88 window: 10 previously-green oracles OOMed at
+    // 32 KB allocations). SET persists per connection, but prefixing every
+    // oracle also covers a fresh-connection-per-query runner. Settings are
+    // session-scoped: they change where DuckDB puts bytes, never results.
+    // duckdb-python `execute()` runs multi-statement SQL and exposes the
+    // last statement's cursor, so the compare loop is unaffected
+    // (verified against duckdb 1.0.0).
+    val prologue = "SET memory_limit='8GB'; SET threads=16; " +
+      "SET temp_directory='/tmp/graft_duckdb_spill'; "
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(prologue + v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

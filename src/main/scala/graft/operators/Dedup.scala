@@ -1030,9 +1030,15 @@ object Dedup {
    *
    * Spark shape: two equi-joins attach endpoint labels (the label table
    * is (id, split) — narrow), one bounded hash aggregation on the
-   * canonicalized label pair (≤ splits² rows), one scalar total
-   * broadcast back. Pair order is canonicalized with least/greatest so
-   * (train,test) and (test,train) collapse deterministically.
+   * canonicalized label pair (≤ splits² rows), and the scalar total as a
+   * single-partition window over THAT bounded cell table — the expensive
+   * pair subtree (typically an inverted-index join) is evaluated exactly
+   * once. (An earlier shape aggregated the total from the labeled pair
+   * frame directly, which re-ran the whole pair join a second time —
+   * q168's bench floor was 8.9 s vs the ~2 s pairs cost.) The window runs
+   * over ≤ splits² rows, so the single partition is metadata-scale. Pair
+   * order is canonicalized with least/greatest so (train,test) and
+   * (test,train) collapse deterministically.
    */
   def splitContamination(pairs: DataFrame, splits: DataFrame,
       idCol: String = "doc_id", splitCol: String = "split"): DataFrame = {
@@ -1044,14 +1050,15 @@ object Dedup {
       .join(lb, col(pb) === col("__idb"))
       .select(least(col("__sa"), col("__sb")).as("split_a"),
         greatest(col("__sa"), col("__sb")).as("split_b"))
-    val total = labeled.agg(count(lit(1)).as("__t"))
-    labeled.groupBy(col("split_a"), col("split_b"))
+    val cells = labeled.groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
-      .crossJoin(broadcast(total))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
       .select(col("split_a"), col("split_b"), col("n_pairs"),
         (col("split_a") =!= col("split_b")).as("is_leak"),
-        (col("n_pairs").cast("double") / col("__t").cast("double"))
-          .as("pair_share"))
+        (col("n_pairs").cast("double") /
+          sum(col("n_pairs")).over(w).cast("double")).as("pair_share"))
   }
 
   /**

@@ -438,18 +438,19 @@ object EventAnalytics {
    * convention, mirrored explicitly in the oracle).
    *
    * Spark shape: ONE hash aggregation over the ≤ 168 cell keys
-   * (map-side partials) plus one scalar total broadcast back.
+   * (map-side partials); the total folds out of the cell table
+   * with a metadata-scale window, so the event table is scanned once.
    */
   def activityHeatmap(events: DataFrame, tsCol: String = "ts"): DataFrame = {
     val cells = events.select(dayofweek(col(tsCol)).cast("long").as("dow"),
       hour(col(tsCol)).cast("long").as("hour_of_day"))
-    val total = cells.agg(count(lit(1)).as("__t"))
+    // total via a window over the ≤ 168 cell rows — one event-table scan
+    val totalW = Window.partitionBy()
     cells.groupBy(col("dow"), col("hour_of_day"))
       .agg(count(lit(1)).as("n_events"))
-      .crossJoin(broadcast(total))
       .select(col("dow"), col("hour_of_day"), col("n_events"),
-        (col("n_events").cast("double") / col("__t").cast("double"))
-          .as("share"))
+        (col("n_events").cast("double") /
+          sum(col("n_events")).over(totalW).cast("double")).as("share"))
   }
 
   /**
@@ -482,29 +483,26 @@ object EventAnalytics {
    * of its events inside ANY `windowSeconds` sliding window — the
    * rate-limit / bot-detection number an aligned (tumbling) count
    * understates by up to 2× when a burst straddles a boundary. Exact
-   * via the banded self-join: an event only joins candidates in its
-   * own and the next time band (lossless for windows ≤ the band width,
-   * the q174 pigeonhole argument in time), so the join is an equi-join
-   * on (entity, band) with fan-out 2 — never a cross join, and never a
-   * full per-entity quadratic unless the entity's events genuinely
-   * pack into one window.
+   * via a range-frame window: each event anchors a frame of its own
+   * user's events in `[t, t + window)` (`rangeBetween` on the
+   * microsecond key), and the per-user max of the frame counts is the
+   * ceiling. Spark's range frame advances two sliding pointers over the
+   * sorted partition, so the cost is one shuffle on the entity plus an
+   * amortized-linear per-partition scan — m events packed into a single
+   * window (precisely the bot case the operator exists to flag) cost
+   * O(m log m) sort, not the m² join rows a banded self-join degenerates
+   * to on that input.
    */
   def burstCeiling(events: DataFrame, windowSeconds: Int = 60,
       userCol: String = "user_id", tsCol: String = "ts",
       idCol: String = "event_id"): DataFrame = {
     require(windowSeconds >= 1, s"windowSeconds=$windowSeconds must be >= 1")
     val winUs = windowSeconds * 1000000L
-    val base = events.select(col(userCol).as("u"), col(idCol).as("i"),
-        expr(s"unix_micros($tsCol)").as("us"))
-      .withColumn("b", expr(s"us div $winUs"))
-    val probe = base.select(col("u"), col("i"), col("us"),
-      explode(array(col("b"), col("b") + 1L)).as("pb"))
-    probe.as("x").join(base.as("y"),
-        col("x.u") === col("y.u") && col("x.pb") === col("y.b") &&
-          col("y.us") >= col("x.us") && col("y.us") < col("x.us") + winUs)
-      .groupBy(col("x.u").as(userCol), col("x.i").as("__anchor"))
-      .agg(count(lit(1)).as("__w"))
-      .groupBy(col(userCol))
+    val frame = Window.partitionBy(col("u")).orderBy(col("us"))
+      .rangeBetween(Window.currentRow, winUs - 1L)
+    events.select(col(userCol).as("u"), expr(s"unix_micros($tsCol)").as("us"))
+      .withColumn("__w", count(lit(1)).over(frame))
+      .groupBy(col("u").as(userCol))
       .agg(max(col("__w")).as("burst_max"))
   }
 

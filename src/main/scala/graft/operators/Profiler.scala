@@ -86,8 +86,11 @@ object Profiler {
    * key cardinality.
    */
   def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
-    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
-      .agg(count(lit(1)).as("n"))
+    // cached: both the stats scalar and the top-k cut read this reduced
+    // table — uncached, each reference would re-scan the raw input
+    val counts = graft.SparkUtil.trackCache(
+      df.groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("n")))
     val stats = counts.agg(sum(col("n")).as("__total"),
       percentile(col("n"), lit(0.5)).as("__median"))
     counts.orderBy(col("n").desc, col("key").asc).limit(topK)
@@ -104,20 +107,30 @@ object Profiler {
    * as a nonzero orphan rate on every child table). Call once per
    * relationship and union the one-row results into the release report.
    *
-   * Spark shape: the child reduces to its non-null FK column (scan-side
-   * projection), the parent to its DISTINCT key; one LEFT ANTI equi-join
-   * finds orphans and one scalar agg counts them. At 100 TB the anti-join
-   * is the standard shuffled hash anti (or broadcast when the parent key
-   * set fits); nothing wider than the key column ever moves.
+   * Spark shape: ONE pass — the child reduces to its FK column
+   * (scan-side projection), the parent to its DISTINCT key, and a single
+   * left-outer probe marks each child row matched or orphaned; one
+   * scalar agg reads off total, orphan rows, and orphan keys together.
+   * At 100 TB the probe is the standard shuffled hash join (or broadcast
+   * when the parent key set fits); nothing wider than the key column
+   * ever moves, and the child is scanned exactly once.
    */
   def refIntegrityAudit(child: DataFrame, parent: DataFrame,
       fkCol: String, pkCol: String, relationship: String): DataFrame = {
-    val totals = child.agg(count(lit(1)).as("__n"))
-    val orphans = child.select(col(fkCol)).filter(col(fkCol).isNotNull)
-      .join(parent.select(col(pkCol)).distinct(),
-        col(fkCol) === col(pkCol), "left_anti")
-      .agg(count(lit(1)).as("__no"), count_distinct(col(fkCol)).as("__nok"))
-    totals.crossJoin(broadcast(orphans))
+    // one pass over the child: a left-outer probe against the DISTINCT
+    // parent-key set (no fan-out possible) marks each row matched or
+    // orphaned, and a single aggregate reads off total + orphan counts —
+    // the earlier two-scan shape (scalar count, then a separate anti-join
+    // scan) read the child twice for the same numbers
+    val parentKeys = parent.select(col(pkCol)).distinct()
+      .withColumn("__hit", lit(1))
+    val isOrphan = col(fkCol).isNotNull && col("__hit").isNull
+    val orphans = child.select(col(fkCol))
+      .join(parentKeys, col(fkCol) === col(pkCol), "left_outer")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(isOrphan, 1L).otherwise(0L)).as("__no"),
+        count_distinct(when(isOrphan, col(fkCol))).as("__nok"))
+    orphans
       .select(lit(relationship).as("relationship"),
         col("__n").as("n_child_rows"),
         col("__no").as("n_orphan_rows"),
@@ -239,15 +252,17 @@ object Profiler {
       nBins: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBins >= 1, s"nBins=$nBins must be >= 1")
-    val vals = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    // cached: the cumulative ranks and the scalar total both read this
+    // reduced table — the total as sum(c) rather than a second raw scan
+    val vals = graft.SparkUtil.trackCache(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")))
     val w = Window.orderBy(col("v").asc)
     val cum = vals
       .select(col("v"), col("c"), sum(col("c")).over(w).as("hi_rank"))
       .select(col("v"), (col("hi_rank") - col("c") + 1).as("lo_rank"),
         col("hi_rank"))
-    val tot = df.filter(col(valueCol).isNotNull)
-      .agg(count(lit(1)).as("__n"))
+    val tot = vals.agg(sum(col("c")).as("__n"))
     val b = col("bin").cast("long")
     val q = expr(s"__n div $nBins")
     val rem = col("__n") % nBins
@@ -286,6 +301,18 @@ object Profiler {
    * shuffle is one moment row), then a single projection explodes the
    * pair list. O(k²) state per partition, one scan regardless of k.
    *
+   * Moment width: decimal(38,0) sums are exact for any input but their
+   * aggregation is ~3–5× slower than long sums (software 128-bit adds vs
+   * codegen'd 64-bit). A cheap pre-pass (count + per-column max |x| —
+   * narrow codegen'd scan) proves when every moment fits int64:
+   * `n · maxMicroᵢ · maxMicroⱼ < 2⁶²` for all pairs (2⁶² not 2⁶³ —
+   * headroom for the +0.5 rounding and the double-precision guard
+   * arithmetic itself). When the bound holds the micro values sum as
+   * longs; otherwise the decimal(38,0) path is kept. Both paths produce
+   * identical integer moments, so the final double chain — and the
+   * oracle — are unchanged. NaN/null maxima fail the bound and fall to
+   * the decimal path (the conservative, previous behavior).
+   *
    * Precondition: complete rows — `n` counts every row while a null cell
    * silently drops out of its sums, skewing that column's moments (the
    * oracle replays the same rule, so the result stays deterministic, but
@@ -296,9 +323,21 @@ object Profiler {
       scale: Long = 1000000L): DataFrame = {
     require(cols.size >= 2, "correlationMatrix needs at least two columns")
     val idx = cols.indices
+    val guardRow = df.agg(count(lit(1)).as("__n"),
+      cols.map(c => max(abs(col(c).cast("double"))).as(s"__m_$c")): _*).head()
+    val nRows = guardRow.getLong(0)
+    val maxMicro = idx.map { i =>
+      val m = if (guardRow.isNullAt(i + 1)) 0.0 else guardRow.getDouble(i + 1)
+      m * scale.toDouble + 1.0
+    }
+    val longSafe = nRows > 0 && maxMicro.forall(m => !m.isNaN) &&
+      (for { i <- idx; j <- idx if i <= j }
+        yield nRows.toDouble * maxMicro(i) * maxMicro(j))
+        .forall(_ < math.pow(2.0, 62))
+    val microType = if (longSafe) "long" else "decimal(19,0)"
     def micro(c: String): Column =
       floor(col(c).cast("double") * lit(scale.toDouble) + lit(0.5))
-        .cast("decimal(19,0)")
+        .cast(microType)
     val moments =
       idx.map(i => sum(micro(cols(i))).as(s"__s$i")) ++
       idx.map(i => sum(micro(cols(i)) * micro(cols(i))).as(s"__q$i")) ++
@@ -326,8 +365,9 @@ object Profiler {
    * row in that class is re-identifiable among fewer than k candidates).
    *
    * Spark shape: ONE hash aggregation keyed on the quasi-id tuple (map-side
-   * partial counts — the table never shuffles raw), plus one scalar total
-   * broadcast back. Output cardinality is the quasi-id space, orders of
+   * partial counts — the table never shuffles raw); the total folds out of
+   * the class table with a metadata-scale window, so the raw table is
+   * scanned once. Output cardinality is the quasi-id space, orders of
    * magnitude under the row count; share is a single double division of
    * exact integers so the oracle replays it bit-identically.
    */
@@ -336,12 +376,15 @@ object Profiler {
     require(quasiCols.nonEmpty, "anonymityAudit needs at least one quasi-id column")
     val classes = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("class_size"))
-    val total = df.agg(count(lit(1)).as("__n"))
-    classes.crossJoin(broadcast(total))
+    // total = sum of class sizes via a single-partition window over the
+    // already-reduced class table (quasi-id space, orders of magnitude
+    // under the row count) — not a second scan of the raw table
+    val totalW = org.apache.spark.sql.expressions.Window.partitionBy()
+    classes
       .select(quasiCols.map(col) ++ Seq(
         col("class_size"),
-        (col("class_size").cast("double") / col("__n").cast("double"))
-          .as("share"),
+        (col("class_size").cast("double") /
+          sum(col("class_size")).over(totalW).cast("double")).as("share"),
         (col("class_size") < k).as("at_risk")): _*)
   }
 
@@ -577,9 +620,11 @@ object Profiler {
    * folded per language in a second bounded aggregation; sources/tokens
    * ride ONE direct per-language aggregation (map-side partials,
    * exact distinct bounded by the source space); the two |langs|-sized
-   * results join broadcast, and the corpus total is one scalar broadcast
-   * back. The corpus itself is scanned twice, shuffled never (both
-   * shuffles carry aggregated rows).
+   * results join broadcast, and the corpus total folds out of the
+   * per-language counts with a window over the |langs|-sized join — no
+   * extra pass. The corpus is scanned exactly twice (content hashes,
+   * per-language sums), shuffled never (both shuffles carry aggregated
+   * rows).
    */
   def datasetCard(docs: DataFrame, groupCol: String = "lang",
       sourceCol: String = "source", textCol: String = "text"): DataFrame = {
@@ -595,12 +640,14 @@ object Profiler {
         countDistinct(col(sourceCol)).as("n_sources"),
         sum(size(graft.functions.TextFunctions.tokens(col(textCol)))
           .cast("long")).as("sum_tokens"))
-    val total = docs.agg(count(lit(1)).as("__total"))
+    // corpus total = sum of per-language counts via a window over the
+    // |langs|-sized join result — not a third scan of the corpus
+    val totalW = org.apache.spark.sql.expressions.Window.partitionBy()
     perLang.join(perContent, Seq(groupCol))
-      .crossJoin(broadcast(total))
       .select(col(groupCol), col("n_docs"), col("n_sources"),
         col("sum_tokens"), col("n_exact_dup_docs"),
-        (col("n_docs").cast("double") / col("__total").cast("double"))
+        (col("n_docs").cast("double") /
+          sum(col("n_docs")).over(totalW).cast("double"))
           .as("corpus_share"))
   }
 

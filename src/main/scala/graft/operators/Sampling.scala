@@ -393,9 +393,14 @@ object Sampling {
     val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
       case (acc, (s, v)) => when(col(strataCol) === s, lit(v.toLong)).otherwise(acc)
     }
+    // Hash straight into [0, nBuckets) — composing the percent bucket
+    // (mod 100) with mod nBuckets would hand buckets 0..(100 % nBuckets - 1)
+    // a systematically larger share (4/100 vs 3/100 at nBuckets = 32),
+    // skewing "equal" parallel buckets by a third.
     val bucketed = df.select(col(idCol), col(strataCol))
       .withColumn("__w", w).filter(col("__w") > 0)
-      .withColumn("bucket", pmod(bucket(col(idCol)), lit(nBuckets.toLong)))
+      .withColumn("bucket", pmod(graft.functions.TextFunctions.mix32(
+        pmod(col(idCol).cast("long"), lit(IdFold))), lit(nBuckets.toLong)))
     val rankW = Window.partitionBy(col("bucket"), col(strataCol))
       .orderBy(col(idCol).asc)
     val posW = Window.partitionBy(col("bucket"))
@@ -444,22 +449,23 @@ object Sampling {
    * deterministic and reproducible by any engine from ids alone.
    *
    * Spark shape: one narrow projection + ONE bounded hash aggregation
-   * (≤ oldN·newN rows) with map-side partials; one scalar total
-   * broadcast back for the moved share.
+   * (≤ oldN·newN rows) with map-side partials; the total folds out of
+   * the cell table with a metadata-scale window for the moved share.
    */
   def reshardPlan(df: DataFrame, oldN: Int, newN: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(oldN >= 1 && newN >= 1, "shard counts must be >= 1")
     val b = bucket(col(idCol))
     val cells = df.select((b % oldN).as("old_shard"), (b % newN).as("new_shard"))
-    val total = cells.agg(count(lit(1)).as("__t"))
+    // total via a window over the ≤ oldN·newN cell table — one scan,
+    // never a second pass over the raw table for the same number
+    val totalW = org.apache.spark.sql.expressions.Window.partitionBy()
     cells.groupBy(col("old_shard"), col("new_shard"))
       .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(total))
       .select(col("old_shard"), col("new_shard"), col("n_docs"),
         (col("old_shard") =!= col("new_shard")).as("moves"),
-        (col("n_docs").cast("double") / col("__t").cast("double"))
-          .as("doc_share"))
+        (col("n_docs").cast("double") /
+          sum(col("n_docs")).over(totalW).cast("double")).as("doc_share"))
   }
 
   /**

@@ -955,11 +955,15 @@ object TextAnalysis {
    * ties break by token, and a min-count floor keeps one-off tokens
    * off the list.
    *
-   * Spark shape: one (source, token) aggregation and one token
-   * aggregation (both map-side partial, vocab-bounded), an equi-join
-   * on the token, per-source totals by a window over the BOUNDED
-   * (source, token) table, and the per-source top-k cut as a rank
-   * window (`WindowGroupLimit`).
+   * Spark shape: the corpus tokenization explode runs ONCE — the
+   * (source, token) aggregation is cached (vocab × sources bounded), and
+   * every other count derives from it: corpus counts by re-aggregating
+   * the cached table on the token, per-source totals by a window, and
+   * the corpus total by a single-partition window over the same bounded
+   * join (metadata-scale — never the raw explode again). The per-source
+   * top-k cut is a rank window (`WindowGroupLimit`). (An earlier shape
+   * re-derived the explode three times — per-source, corpus, and the
+   * broadcast corpus-total crossJoin — tripling the tokenization scan.)
    */
   def distinctiveVocab(docs: DataFrame, k: Int = 5, minCount: Int = 5,
       sourceCol: String = "source", textCol: String = "text"): DataFrame = {
@@ -967,13 +971,15 @@ object TextAnalysis {
     require(k >= 1 && minCount >= 1, "k and minCount must be >= 1")
     val tok = docs.select(col(sourceCol).as("g"),
       explode(tokens(col(textCol))).as("tok"))
-    val bySrc = tok.groupBy(col("g"), col("tok"))
-      .agg(count(lit(1)).as("n_source"))
-    val byCorpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_corpus"))
+    val bySrc = graft.SparkUtil.trackCache(tok.groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("n_source")))
+    val byCorpus = bySrc.groupBy(col("tok"))
+      .agg(sum(col("n_source")).as("n_corpus"))
     val srcTotal = Window.partitionBy(col("g"))
+    val corpusTotal = Window.partitionBy()
     val joined = bySrc.join(byCorpus, Seq("tok"))
       .withColumn("__st", sum(col("n_source")).over(srcTotal))
-      .crossJoin(broadcast(tok.agg(count(lit(1)).as("__ct"))))
+      .withColumn("__ct", sum(col("n_source")).over(corpusTotal))
       .filter(col("n_source") >= minCount)
       // per-million rates: n·10⁶ stays in int64 up to 9.2e12 occurrences
       // of one token in one source (beyond any real corpus); the corpus
@@ -1063,12 +1069,21 @@ object TextAnalysis {
 
   /**
    * Vocabulary growth curve (Heaps' law measurement): distinct-token
-   * vocabulary size after the first c documents (by id order) at each
-   * literal checkpoint — the "is the corpus still teaching new words?"
-   * curve that decides whether more crawl is worth ingesting. Exact:
-   * each token's FIRST document is a min aggregation; a checkpoint's
-   * vocabulary is the count of tokens whose first doc precedes it —
-   * no per-checkpoint rescan, the corpus is tokenized once.
+   * vocabulary size at each literal id checkpoint — the "is the corpus
+   * still teaching new words?" curve that decides whether more crawl is
+   * worth ingesting. Exact: each token's FIRST document is a min
+   * aggregation; a checkpoint's vocabulary is the count of tokens whose
+   * first doc id precedes it — no per-checkpoint rescan, the corpus is
+   * tokenized once.
+   *
+   * PRECONDITION — checkpoints are ID thresholds, not row counts: a
+   * checkpoint c means "vocabulary among docs with id < c", which equals
+   * "vocabulary after the first c documents" ONLY when ids are dense and
+   * 0-based (true for the fixture corpus). With sparse or offset ids,
+   * pick checkpoints in id space, or pre-rank: an exact distributed
+   * dense rank needs a range-partitioned sort plus a per-partition
+   * offset cumsum (a global `row_number` window would single-partition
+   * the corpus — the anti-pattern this operator deliberately avoids).
    *
    * Spark shape: distinct (token, doc) pairs → ONE min aggregation per
    * token (bounded by vocabulary), then `stack` over the literal
@@ -1126,8 +1141,11 @@ object TextAnalysis {
         col("n_upper"), col("n_digit"), col("n_space"),
         (col("n_chars") - col("n_lower") - col("n_upper") - col("n_digit") -
           col("n_space")).as("n_other"),
-        ((col("n_lower") + col("n_upper")).cast("double") /
-          col("n_chars").cast("double")).as("alpha_ratio"))
+        // guarded like tokenizerFertility: NULL (not IEEE inf/nan) when a
+        // group holds only empty texts, in lockstep with the oracle's NULLIF
+        when(col("n_chars") > 0, (col("n_lower") + col("n_upper"))
+          .cast("double") / col("n_chars").cast("double"))
+          .as("alpha_ratio"))
   }
 
   /**
@@ -1280,10 +1298,14 @@ object TextAnalysis {
         sum(col("__bpe")).as("sum_bpe"))
       .select(col(groupCol), col(sourceCol), col("n_docs"),
         col("sum_chars"), col("sum_words"), col("sum_bpe"),
-        (col("sum_bpe").cast("double") / col("sum_words").cast("double"))
-          .as("bpe_per_word"),
-        (col("sum_chars").cast("double") / col("sum_bpe").cast("double"))
-          .as("chars_per_bpe"))
+        // guarded: a group of empty-text docs has sum_words = sum_bpe = 0,
+        // where Spark's Divide yields NULL but DuckDB's double division
+        // follows IEEE (inf/nan) — the explicit when() pins both engines
+        // (oracle: NULLIF) to NULL on the degenerate group
+        when(col("sum_words") > 0, col("sum_bpe").cast("double") /
+          col("sum_words").cast("double")).as("bpe_per_word"),
+        when(col("sum_bpe") > 0, col("sum_chars").cast("double") /
+          col("sum_bpe").cast("double")).as("chars_per_bpe"))
 
   /**
    * T5-style span-corruption plan: for each document, a deterministic
