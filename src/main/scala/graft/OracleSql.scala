@@ -2639,6 +2639,55 @@ object OracleSql {
        |SELECT d.id, d.degree, COALESCE(pt.nt, 0)::BIGINT AS n_triangles
        |FROM deg d LEFT JOIN pt USING (id)""".stripMargin
 
+  /** Mirror of GraphOps.kCore over the q14 pair graph: `rounds` unrolled
+    * synchronous peel stages (degree -> survivors -> filtered edges),
+    * then the final within-core degrees at >= k. */
+  def kCore(k: Int, rounds: Int, threshold: Double,
+      maxDocFreq: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT id, count(*) AS deg FROM (
+         |    SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY 1),
+         |s$i AS (SELECT id FROM d$i WHERE deg >= $k),
+         |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN s$i sa ON e.a = sa.id
+         |        JOIN s$i sb ON e.b = sb.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |e0 AS (SELECT DISTINCT least(id_a, id_b) AS a,
+       |         greatest(id_a, id_b) AS b FROM pairs WHERE id_a <> id_b),
+       |$stages
+       |SELECT id, count(*)::BIGINT AS core_degree FROM (
+       |  SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
+  }
+
+  /** Mirror of GraphOps.degreeBands over the q14 pair graph: degrees,
+    * bit-length bands, bounded band histogram. */
+  def degreeBands(threshold: Double, maxDocFreq: Int): String =
+    s"""WITH p AS (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       |      FROM p WHERE id_a <> id_b),
+       |deg AS (SELECT id, count(*) AS deg FROM (
+       |    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+       |SELECT CAST(length(bin(deg)) AS INTEGER) AS band,
+       |  count(*)::BIGINT AS n_nodes,
+       |  min(deg)::BIGINT AS min_degree, max(deg)::BIGINT AS max_degree
+       |FROM deg GROUP BY 1""".stripMargin
+
+  /** Mirror of Dedup.clusterPurity: the recursive closure's components
+    * joined to the documents' label columns, per-component distincts. */
+  def clusterPurity(threshold: Double, maxDocFreq: Int,
+      labelA: String = "lang", labelB: String = "source"): String =
+    s"""WITH RECURSIVE ${closureCtes(threshold, maxDocFreq)}
+       |SELECT c.component, count(*)::BIGINT AS n_members,
+       |  count(DISTINCT d.$labelA)::BIGINT AS n_langs,
+       |  count(DISTINCT d.$labelB)::BIGINT AS n_sources,
+       |  count(DISTINCT d.$labelA) > 1 AS mixed_lang,
+       |  count(DISTINCT d.$labelB) > 1 AS mixed_source
+       |FROM comp c JOIN documents d ON c.id = d.doc_id
+       |GROUP BY 1""".stripMargin
+
   /** Mirror of Profiler.correlationMatrix over lineitem: micro-scaled
     * HUGEINT moment sums, the identical double combination chain. */
   def correlationMatrix(cols: Seq[String], scale: Long,

@@ -276,7 +276,7 @@ object SparkEntry {
     // closure — and this query's oracle — are unchanged.
     "q28_dedup_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLshPairs(docs).select("id_a", "id_b")
+      val pairs = Artifacts.lshPairs(s, dir)
       ConnectedComponents(pairs, vertices = Some(docs.select("doc_id")))
         .select(col("id").as("doc_id"), col("component"))
     }),
@@ -412,7 +412,7 @@ object SparkEntry {
     // the artifact a training pipeline actually ships.
     "q51_dedup_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLshPairs(docs).select("id_a", "id_b")
+      val pairs = Artifacts.lshPairs(s, dir)
       val reps = ConnectedComponents(pairs, vertices = Some(docs.select("doc_id")))
         .filter(col("id") === col("component"))
         .select(col("id").as("__rep"))
@@ -725,7 +725,7 @@ object SparkEntry {
     "q85_cluster_best" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLshPairs(docs).select("id_a", "id_b")
+      val pairs = Artifacts.lshPairs(s, dir)
       val comp = ConnectedComponents(pairs, vertices = Some(docs.select("doc_id")))
       val sizes = docs.select(col("doc_id"), col("n_chars"))
       val w = Window.partitionBy(col("component"))
@@ -766,7 +766,7 @@ object SparkEntry {
     // lead actually asks for after a dedup run.
     "q90_cluster_histogram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLshPairs(docs).select("id_a", "id_b")
+      val pairs = Artifacts.lshPairs(s, dir)
       ConnectedComponents(pairs, vertices = Some(docs.select("doc_id")))
         .groupBy(col("component")).agg(count(lit(1)).as("__sz"))
         .groupBy(col("__sz").as("cluster_size"))
@@ -835,8 +835,7 @@ object SparkEntry {
     // plain id-hash split on duplicated corpora.
     "q111_leakage_safe_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.6)
-        .select("id_a", "id_b")
+      val pairs = Artifacts.jaccardPairs(s, dir)
       Sampling.leakageSafeSplit(docs, pairs, testPct = 20)
     }),
 
@@ -871,8 +870,7 @@ object SparkEntry {
     // transitive closure over the whole pair graph).
     "q130_incremental_components" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val pairs = graft.SparkUtil.trackCache(
-        Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"))
+      val pairs = Artifacts.jaccardPairs(s, dir)
       val bothOld = Sampling.bucket(col("id_a")) < 50 &&
         Sampling.bucket(col("id_b")) < 50
       val oldLabels = ConnectedComponents(pairs.filter(bothOld),
@@ -953,8 +951,7 @@ object SparkEntry {
     // star-shaped accidental chains (collapsing merges unrelated docs).
     "q123_graph_stats" -> ((s, dir) =>
       GraphOps.nodeStats(
-        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.6)
-          .select("id_a", "id_b"))),
+        Artifacts.jaccardPairs(s, dir))),
 
     // Exact distributed Pearson correlation matrix over lineitem's
     // numeric columns — feature redundancy / leakage screening with
@@ -968,8 +965,7 @@ object SparkEntry {
     // favor of (transitive links resolve to ONE keeper).
     "q121_dedup_provenance" -> ((s, dir) =>
       Dedup.dedupProvenance(
-        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.6)
-          .select("id_a", "id_b"))),
+        Artifacts.jaccardPairs(s, dir))),
 
     // Per-source effective corpus size — the dedup discount: unique
     // near-dup clusters vs raw docs per source; mixture weights computed
@@ -977,7 +973,7 @@ object SparkEntry {
     "q122_effective_size" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Dedup.effectiveSizeByGroup(d,
-        Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"))
+        Artifacts.jaccardPairs(s, dir))
     }),
 
     // RELEASE BUNDLE — the round-4 end-to-end: quality curation, then a
@@ -1281,7 +1277,7 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       GraphOps.labelPropagation(
           d.select(col("doc_id"), col("lang")),
-          Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"),
+          Artifacts.jaccardPairs(s, dir),
           rounds = 2)
         .select(col("id").as("doc_id"), col("label"), col("changed"))
     }),
@@ -1519,7 +1515,7 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Dedup.preferencePairs(
         d.select("doc_id"),
-        Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"),
+        Artifacts.jaccardPairs(s, dir),
         TextAnalysis.linearScore(d).select(col("doc_id"), col("score")))
     }),
 
@@ -1559,7 +1555,7 @@ object SparkEntry {
     "q168_split_contamination" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Dedup.splitContamination(
-        Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"),
+        Artifacts.jaccardPairs(s, dir),
         Sampling.trainTestSplit(d, testPct = 20).select("doc_id", "split"))
     }),
 
@@ -1732,12 +1728,30 @@ object SparkEntry {
     // edge — the pairwise-vs-clustering judgment input.
     "q198_transitivity" -> ((s, dir) =>
       Dedup.transitivityAudit(
-        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.6)
-          .select("id_a", "id_b"))),
+        Artifacts.jaccardPairs(s, dir))),
 
     // Int8 reconstruction-error audit per vector (trusts q59's codes).
     "q199_quantization_error" -> ((s, dir) =>
       SimilaritySearch.quantizationErrorReport(t(s, dir, "embeddings"))),
+
+    // k-core of the near-dup graph: synchronous peeling to the subgraph
+    // where every member keeps >= k within-core neighbors — separates
+    // interlinked clone clusters from weakly-attached pendant edges.
+    "q200_kcore" -> ((s, dir) =>
+      GraphOps.kCore(Artifacts.jaccardPairs(s, dir), k = 2, rounds = 3)),
+
+    // Cluster-purity audit: per multi-member near-dup cluster, distinct
+    // langs/sources among members — a cluster spanning languages is a
+    // mislabeling smoking gun; spanning sources is a mirror signature.
+    "q201_cluster_purity" -> ((s, dir) =>
+      Dedup.clusterPurity(t(s, dir, "documents"),
+        Artifacts.jaccardPairs(s, dir))),
+
+    // Degree distribution of the near-dup graph in power-of-two bands —
+    // the bounded-size hub-shape report (fat top band = boilerplate
+    // magnets).
+    "q202_degree_bands" -> ((s, dir) =>
+      GraphOps.degreeBands(Artifacts.jaccardPairs(s, dir))),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -2182,5 +2196,11 @@ object SparkEntry {
     "q198_transitivity" -> OracleSql.transitivityAudit(threshold = 0.6,
       maxDocFreq = 10000),
     "q199_quantization_error" -> OracleSql.quantizationErrorReport(dim = 64),
+    "q200_kcore" -> OracleSql.kCore(k = 2, rounds = 3, threshold = 0.6,
+      maxDocFreq = 10000),
+    "q201_cluster_purity" -> OracleSql.clusterPurity(threshold = 0.6,
+      maxDocFreq = 10000),
+    "q202_degree_bands" -> OracleSql.degreeBands(threshold = 0.6,
+      maxDocFreq = 10000),
   )
 }

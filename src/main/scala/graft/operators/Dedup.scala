@@ -1102,6 +1102,40 @@ object Dedup {
       .where(col("chosen_score") > col("rejected_score"))
   }
 
+  /**
+   * Cluster-purity audit over the near-dup graph: for every multi-member
+   * cluster, member count and the number of DISTINCT values of two
+   * metadata labels (language, source) among its members, with a mixed
+   * flag per label. A near-dup cluster spanning languages is a
+   * mistagged-language smoking gun (the same text cannot be two
+   * languages); one spanning sources is a mirror/syndication signature
+   * that the q118 source-matrix shows in aggregate — this names the
+   * actual clusters. The governance sibling of [[dedupProvenance]]:
+   * provenance says what a dedup pass removes, purity says whether the
+   * clusters it would collapse are safe to collapse.
+   *
+   * Spark shape: components from [[ConnectedComponents]] over the PAIR
+   * GRAPH only (no corpus vertices — singleton docs have no purity
+   * question), ONE equi-join to the label columns, ONE aggregation on
+   * the component key (count + two bounded distinct counts) with
+   * map-side partials. Output is bounded by the cluster count.
+   */
+  def clusterPurity(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", labelA: String = "lang",
+      labelB: String = "source"): DataFrame = {
+    val comp = ConnectedComponents(pairs)
+    comp.join(docs.select(col(idCol), col(labelA), col(labelB)),
+        comp("id") === docs(idCol))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col(labelA)).as("n_langs"),
+        countDistinct(col(labelB)).as("n_sources"))
+      .select(col("component"), col("n_members"), col("n_langs"),
+        col("n_sources"),
+        (col("n_langs") > 1).as("mixed_lang"),
+        (col("n_sources") > 1).as("mixed_source"))
+  }
+
   def stitchCandidates(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tks = tokens(col(textCol))

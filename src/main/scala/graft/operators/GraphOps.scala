@@ -129,6 +129,76 @@ object GraphOps {
       .select(col("id"), col("rank"), col("degree"))
   }
 
+  /**
+   * k-core of an undirected pair graph by synchronous peeling (Seidman,
+   * "Network structure and minimum degree", Social Networks 1983): each
+   * round drops every node whose CURRENT degree is below k, with all its
+   * edges; after `rounds` rounds the survivors with final degree >= k
+   * are reported with their within-core degree. When a round removes
+   * nothing the iteration has reached the true k-core (peeling is
+   * confluent — removal order never changes the fixpoint), which the
+   * caller can assert by comparing `rounds` and `rounds + 1` outputs.
+   * The training-data face: the near-dup graph's 2-core separates
+   * genuinely interlinked clone clusters from the pendant/chain edges a
+   * single boilerplate overlap creates — CC says WHICH docs cluster,
+   * nodeStats says how tight each node is, the k-core says which part
+   * of the graph survives when weakly-attached members are discarded.
+   *
+   * Scale shape: per round ONE degree aggregation (map-side partials)
+   * and TWO left-semi equi-joins on node ids, all over the PAIR TABLE
+   * (dedup output, orders under the corpus) — the [[labelPropagation]]
+   * iteration budget. Each round's edge set is localCheckpointed (the
+   * [[ConnectedComponents]] treatment): a round references its
+   * predecessor three times (two degree-union scans + the semi-join
+   * probe), so without lineage truncation the logical plan is 3^rounds
+   * copies of the upstream pair-generation subtree — AQE's per-update
+   * explainString alone OOMs on that before any data moves. Exact
+   * integer counts — bit-identical SQL replay as unrolled CTE stages.
+   */
+  def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(rounds >= 1 && rounds <= 8, s"rounds=$rounds must be in [1, 8]")
+    var e = canonical(edges).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val surv = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("id"))
+      e = e.join(surv.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(surv.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+  }
+
+  /**
+   * Degree distribution of an undirected pair graph in power-of-two
+   * bands (band = bit length of the degree, the q47 `length(bin(v))`
+   * trick): node counts per band with the band's exact [lo, hi] degree
+   * range — the one-page shape report behind hub detection (a fat top
+   * band = boilerplate magnets) at bounded output size (<= 63 rows)
+   * regardless of graph size.
+   *
+   * Scale shape: one degree aggregation over the pair table (map-side
+   * partials, bounded by node count), then ONE hash aggregation on the
+   * band key — the corpus-scale analogue never shuffles anything wider
+   * than the node id. Exact integer arithmetic throughout.
+   */
+  def degreeBands(edges: DataFrame): DataFrame = {
+    val e = canonical(edges)
+    e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__deg"))
+      .select(col("id"), length(bin(col("__deg"))).cast("int").as("band"),
+        col("__deg"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("__deg")).as("min_degree"),
+        max(col("__deg")).as("max_degree"))
+  }
+
   /** Per-node degree and triangle count over an undirected pair table:
     * one row per node appearing in an edge, with `degree` (distinct
     * neighbors) and `n_triangles` (triangles the node participates in). */

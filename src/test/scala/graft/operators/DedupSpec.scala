@@ -570,4 +570,22 @@ class DedupSpec extends SparkSpec {
     assert(curated.nonEmpty && curated.size < d.count(),
       "curation must keep some docs and drop some docs")
   }
+
+  test("clusterPurity: per-cluster label distincts and mixed flags, hand graph") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "en", "web"), (2L, "de", "web"),            // mixed-lang pair
+      (3L, "en", "web"), (4L, "en", "books"), (5L, "en", "web"), // mixed-source triple
+      (6L, "fr", "web")                                // singleton: no purity row
+    ).toDF("doc_id", "lang", "source")
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterPurity(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 2L, 1L, true, false)),
+      3L -> ((3L, 1L, 2L, false, true))))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
 }

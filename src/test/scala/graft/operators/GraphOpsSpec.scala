@@ -84,6 +84,49 @@ class GraphOpsSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("kCore: cascading peel empties a path; a triangle survives with its tail gone") {
+    val spark0 = spark
+    import spark0.implicits._
+    // path 1-2-3-4-5, k=2: round 1 peels the endpoints, round 2 peels
+    // the new endpoints, round 3 leaves nothing — a single round would
+    // wrongly keep {2,3,4}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(GraphOps.kCore(path, k = 2, rounds = 3).count() == 0)
+    val oneRound = GraphOps.kCore(path, k = 2, rounds = 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(oneRound == Set(3L)) // 3 keeps both neighbors after one peel... but its
+    // neighbors are gone next round — the cascade is the point
+    // triangle 1-2-3 with tail 3-4: tail peels, the clique is the 2-core
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val core = GraphOps.kCore(tri, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("kCore reaches its fixpoint on the near-dup graph: rounds+1 changes nothing") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b")
+    val at3 = GraphOps.kCore(pairs, k = 2, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at4 = GraphOps.kCore(pairs, k = 2, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at3 == at4, "peeling had not converged at rounds=3")
+    assert(at3.nonEmpty)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("degreeBands: bit-length bands with exact ranges on a star graph") {
+    val spark0 = spark
+    import spark0.implicits._
+    // star: center 0 with 5 spokes -> degree 5 (band 3); spokes degree 1
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val out = GraphOps.degreeBands(star).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(1 -> ((5L, 1L, 1L)), 3 -> ((1L, 5L, 5L))))
+  }
+
   test("nodeStats on the near-dup graph: degree bounds and triangle symmetry") {
     val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b")
