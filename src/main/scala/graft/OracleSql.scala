@@ -2688,6 +2688,72 @@ object OracleSql {
        |FROM comp c JOIN documents d ON c.id = d.doc_id
        |GROUP BY 1""".stripMargin
 
+  /** Mirror of Profiler.benfordAudit: leading digit of the floored
+    * value, per-mille observed shares vs the literal Benford table. */
+  def benfordAudit(table: String, valueCol: String): String = {
+    val expected = Seq(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L,
+      5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+    val cases = expected.map { case (d, e) => s"WHEN digit = $d THEN $e" }
+      .mkString(" ")
+    s"""WITH d AS (SELECT CAST(substring(CAST(CAST(floor($valueCol) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |    FROM $table WHERE $valueCol >= 1),
+       |c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+       |o AS (SELECT digit, n,
+       |        CAST((n * 1000) // sum(n) OVER () AS BIGINT) AS observed_per_mille,
+       |        CAST(CASE $cases END AS BIGINT) AS expected_per_mille
+       |      FROM c)
+       |SELECT digit, n, observed_per_mille, expected_per_mille,
+       |  abs(observed_per_mille - expected_per_mille) AS dev_per_mille
+       |FROM o""".stripMargin
+  }
+
+  /** Mirror of Profiler.candidateKeyAudit: per declared combo, row
+    * count vs distinct-tuple count, unioned long-form. */
+  def candidateKeyAudit(table: String, combos: Seq[Seq[String]]): String =
+    combos.map { cs =>
+      val tup = cs.mkString("(", ", ", ")")
+      s"""SELECT '${cs.mkString(",")}' AS combo,
+         |  count(*)::BIGINT AS n_rows,
+         |  count(DISTINCT $tup)::BIGINT AS n_distinct,
+         |  count(DISTINCT $tup) = count(*) AS is_key
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Mirror of Profiler.functionalDependencyAudit: per declared rule,
+    * determinant groups with >1 distinct dependent, unioned long-form. */
+  def functionalDependencyAudit(table: String,
+      rules: Seq[(String, String)]): String =
+    rules.map { case (det, dep) =>
+      s"""SELECT '$det->$dep' AS rule, count(*)::BIGINT AS n_keys,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  CAST(max(nd) AS BIGINT) AS max_deps,
+         |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT $det, count(DISTINCT $dep) AS nd FROM $table
+         |      GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Mirror of Profiler.concentrationCurve: per-entity counts, the
+    * (count desc, key asc) rank/cumsum windows, ceiling checkpoint
+    * ranks, per-mille integer share. */
+  def concentrationCurve(table: String, keyCol: String,
+      checkpoints: Seq[Int]): String =
+    s"""WITH c AS (SELECT $keyCol AS k, count(*)::BIGINT AS c
+       |           FROM $table GROUP BY 1),
+       |r AS (SELECT k, c,
+       |        row_number() OVER (ORDER BY c DESC, k ASC) AS r,
+       |        sum(c) OVER (ORDER BY c DESC, k ASC
+       |                     ROWS UNBOUNDED PRECEDING) AS cum,
+       |        count(*) OVER () AS n, sum(c) OVER () AS tot
+       |      FROM c),
+       |e AS (SELECT unnest([${checkpoints.mkString(", ")}]) AS pct)
+       |SELECT e.pct, r.r AS top_entities, CAST(r.n AS BIGINT) AS n_entities,
+       |  CAST(r.cum AS BIGINT) AS events_covered,
+       |  CAST(r.tot AS BIGINT) AS total_events,
+       |  CAST((r.cum * 1000) // r.tot AS BIGINT) AS share_per_mille
+       |FROM r JOIN e ON r.r = (e.pct * r.n + 99) // 100""".stripMargin
+
   /** Mirror of Profiler.correlationMatrix over lineitem: micro-scaled
     * HUGEINT moment sums, the identical double combination chain. */
   def correlationMatrix(cols: Seq[String], scale: Long,

@@ -1752,6 +1752,34 @@ object SparkEntry {
     // magnets).
     "q202_degree_bands" -> ((s, dir) =>
       GraphOps.degreeBands(Artifacts.jaccardPairs(s, dir))),
+
+    // Benford first-digit forensic screen on order totals: observed vs
+    // the literal log-law per-mille table — fabricated/synthetic
+    // magnitudes (like this fixture's uniform prices) light up.
+    "q203_benford" -> ((s, dir) =>
+      Profiler.benfordAudit(t(s, dir, "orders"), "o_totalprice")),
+
+    // Candidate-key audit: declared combos checked for tuple
+    // uniqueness — the fixture's (l_orderkey, l_linenumber) is a trap
+    // (TPC-H proper keys it; this synthetic table doesn't).
+    "q204_candidate_keys" -> ((s, dir) =>
+      Profiler.candidateKeyAudit(t(s, dir, "lineitem"), Seq(
+        Seq("l_orderkey"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")))),
+
+    // Functional-dependency audit on orders: the unique-key rule holds,
+    // the key->priority rule is violated — both verdict branches fire.
+    "q205_fd_audit" -> ((s, dir) =>
+      Profiler.functionalDependencyAudit(t(s, dir, "orders"), Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_custkey" -> "o_orderpriority"))),
+
+    // Lorenz concentration checkpoints over the event stream: the exact
+    // activity share of the top 1/5/10/25/50% of users — the curve
+    // behind q181's Gini scalar.
+    "q206_concentration_curve" -> ((s, dir) =>
+      Profiler.concentrationCurve(t(s, dir, "events"), "user_id")),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -2202,5 +2230,15 @@ object SparkEntry {
       maxDocFreq = 10000),
     "q202_degree_bands" -> OracleSql.degreeBands(threshold = 0.6,
       maxDocFreq = 10000),
+    "q203_benford" -> OracleSql.benfordAudit("orders", "o_totalprice"),
+    "q204_candidate_keys" -> OracleSql.candidateKeyAudit("lineitem", Seq(
+      Seq("l_orderkey"),
+      Seq("l_orderkey", "l_linenumber"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))),
+    "q205_fd_audit" -> OracleSql.functionalDependencyAudit("orders", Seq(
+      "o_orderkey" -> "o_custkey",
+      "o_custkey" -> "o_orderpriority")),
+    "q206_concentration_curve" -> OracleSql.concentrationCurve(
+      "events", "user_id", Seq(1, 5, 10, 25, 50)),
   )
 }

@@ -546,6 +546,150 @@ object Profiler {
    * partition; shard by a salt and merge the partial sums when they
    * don't.
    */
+  /**
+   * Benford first-digit audit of a positive numeric column (Benford,
+   * "The law of anomalous numbers", Proc. Am. Phil. Soc. 1938; Hill,
+   * Statistical Science 1995 for the modern treatment): observed
+   * first-significant-digit counts against the canonical log10(1+1/d)
+   * distribution — the classic forensic screen for fabricated or
+   * synthetic numeric data (organic multiplicative magnitudes follow
+   * the curve; generated/uniform ones don't, which is precisely what
+   * the audit should surface). Expected shares ride as integer
+   * PER-MILLE LITERALS (301, 176, ...) rather than engine-computed
+   * log10 calls — no libm in the comparison, so observed, expected,
+   * and deviation all replay bit-identically. Rows with value < 1 are
+   * out of scope (their first significant digit needs decimal-shift
+   * normalization; the audit's classic form is for magnitudes >= 1).
+   *
+   * Spark shape: one narrow projection (floor -> long -> leading
+   * char) + ONE hash aggregation on the 9-value digit key with
+   * map-side partials; the scalar total comes from a window over the
+   * <= 9-row digit table, never a second scan.
+   */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expected = Seq(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L,
+      5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+    val digits = df.filter(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val exp = expected.tail.foldLeft(
+        when(col("digit") === expected.head._1, lit(expected.head._2))) {
+      case (acc, (d, e)) => acc.when(col("digit") === d, lit(e))
+    }
+    digits
+      .withColumn("observed_per_mille",
+        expr("(n * 1000) div sum(n) over ()"))
+      .select(col("digit"), col("n"), col("observed_per_mille"),
+        exp.as("expected_per_mille"),
+        abs(col("observed_per_mille") - exp).as("dev_per_mille"))
+  }
+
+  /**
+   * Candidate-key audit: for each declared column combination, the
+   * exact distinct-tuple count against the row count and the is-key
+   * verdict — the uniqueness contract check run at ingestion before
+   * anything joins on, dedups by, or partitions over a "key" that
+   * quietly stopped being one (the fixture's (l_orderkey,
+   * l_linenumber) is exactly such a trap: TPC-H proper keys it, this
+   * synthetic one doesn't). Combos are declared, not discovered —
+   * discovery is a combinatorial search that can't be a fixed-schema
+   * report (the q156 honest-columns reasoning).
+   *
+   * Spark shape: one branch per combo — each a pruned scan of just
+   * that combo's columns with count + the standard two-phase distinct
+   * aggregation (the q100 per-column-branch reasoning; a single-pass
+   * multi-distinct would Expand on the union of all combos' columns).
+   * Declared columns must be non-null for the combo to be meaningful
+   * (SQL count-distinct-tuple and multi-arg countDistinct diverge on
+   * null tuples).
+   */
+  def candidateKeyAudit(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty && combos.forall(_.nonEmpty),
+      "need at least one non-empty combo")
+    combos.map { cs =>
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(cs.head, cs.tail: _*).as("n_distinct"))
+        .select(lit(cs.mkString(",")).as("combo"), col("n_rows"),
+          col("n_distinct"),
+          (col("n_distinct") === col("n_rows")).as("is_key"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Functional-dependency audit: for each declared (determinant ->
+   * dependent) rule, the number of determinant values, how many of
+   * them map to MORE than one dependent value, the worst fan-out, and
+   * the holds verdict — the schema-semantics check behind "can I
+   * safely pick any_value(dep) per det", denormalization, and
+   * dimension extraction. Violated dependencies on supposedly-derived
+   * columns are how silent data corruption usually first shows up.
+   *
+   * Spark shape: one branch per rule — a (det, dep)-pruned scan, one
+   * hash aggregation to per-determinant distinct-dependent counts
+   * (bounded by determinant cardinality), one scalar fold. Exact
+   * integer counts throughout.
+   */
+  def functionalDependencyAudit(df: DataFrame,
+      rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    rules.map { case (det, dep) =>
+      df.groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("__nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("__nd")).as("max_deps"))
+        .select(lit(s"$det->$dep").as("rule"), col("n_keys"),
+          col("n_violating"), col("max_deps"),
+          (col("n_violating") === 0L).as("holds"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Concentration (Lorenz) curve checkpoints: for each literal top-K%
+   * checkpoint, the exact share of total activity carried by the
+   * heaviest K% of entities — "do 1% of users generate 90% of events"
+   * answered with the actual curve points instead of [[giniConcentration]]'s
+   * single scalar. Checkpoint rank is the ceiling `⌈pct·n/100⌉` under
+   * the deterministic (count desc, entity asc) total order, so every
+   * reported number is a real prefix of the real ranking; shares are
+   * per-mille integer floors plus one final double division — both
+   * replay bit-identically.
+   *
+   * Spark shape: ONE hash aggregation to per-entity counts (bounded by
+   * entity cardinality), one rank+cumsum window over THAT table (the
+   * q181 posture — the unpartitioned window sorts entity counts, never
+   * raw rows), then a <= |checkpoints| fan-out explode and a rank-match
+   * filter. Nothing wider than the entity id ever shuffles.
+   */
+  def concentrationCurve(df: DataFrame, keyCol: String,
+      checkpoints: Seq[Int] = Seq(1, 5, 10, 25, 50)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(checkpoints.nonEmpty && checkpoints.forall(p => p >= 1 && p <= 100),
+      s"checkpoints $checkpoints must be percents in [1, 100]")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val ord = Window.orderBy(col("__c").desc, col(keyCol).asc)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("__r", row_number().over(ord).cast("long"))
+      .withColumn("__cum", sum(col("__c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__tot", sum(col("__c")).over(all))
+    ranked
+      .select(explode(array(checkpoints.map(lit(_)): _*)).as("pct"),
+        col("__r"), col("__cum"), col("__n"), col("__tot"))
+      .filter(col("__r") === expr("(pct * __n + 99) div 100"))
+      .select(col("pct"), col("__r").as("top_entities"),
+        col("__n").as("n_entities"), col("__cum").as("events_covered"),
+        col("__tot").as("total_events"),
+        expr("(__cum * 1000) div __tot").as("share_per_mille"))
+  }
+
   def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__x"))

@@ -315,4 +315,55 @@ class ProfilerSpec extends SparkSpec {
       .toMap
     assert(out == Map(1L -> ((2L, 2L)), 2L -> ((1L, 1L)), 3L -> ((0L, 0L))))
   }
+
+  test("benfordAudit: leading digits, per-mille shares, sub-1 values out of scope") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(1.5, 19.0, 199.99, 2.0, 0.5).toDF("v") // 0.5 excluded
+    val out = Profiler.benfordAudit(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // digit 1: n=3 of 4 -> 750 per-mille, expected 301, dev 449
+    assert(out == Map(1 -> ((3L, 750L, 301L, 449L)),
+      2 -> ((1L, 250L, 176L, 74L))))
+  }
+
+  test("candidateKeyAudit: single and composite combos, both verdicts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("a", "b")
+    val out = Profiler.candidateKeyAudit(df, Seq(Seq("a"), Seq("a", "b")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out == Map("a" -> ((3L, 2L, false)), "a,b" -> ((3L, 3L, true))))
+  }
+
+  test("functionalDependencyAudit: held and violated rules with exact fan-outs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "x", "p"), (1L, "x", "q"), (2L, "y", "p"))
+      .toDF("k", "d1", "d2")
+    val out = Profiler.functionalDependencyAudit(df,
+        Seq("k" -> "d1", "k" -> "d2")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out == Map("k->d1" -> ((2L, 0L, 1L, true)),
+      "k->d2" -> ((2L, 1L, 2L, false))))
+  }
+
+  test("concentrationCurve: exact Lorenz checkpoints under the total order") {
+    val spark0 = spark
+    import spark0.implicits._
+    // users with 4, 3, 2, 1 events (total 10)
+    val events = Seq.tabulate(4)(i => (i + 1).toLong)
+      .flatMap(u => Seq.fill(5 - u.toInt)(u)).toDF("user_id")
+    val out = Profiler.concentrationCurve(events, "user_id",
+        checkpoints = Seq(25, 50, 100)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5))))
+      .toMap
+    // top 25% of 4 users = rank 1 (user 1, 4 events) -> 400 per-mille
+    assert(out == Map(25 -> ((1L, 4L, 400L)), 50 -> ((2L, 7L, 700L)),
+      100 -> ((4L, 10L, 1000L))))
+  }
 }
