@@ -2247,6 +2247,92 @@ object OracleSql {
        |         / CAST(lag(n) OVER (ORDER BY week_start) AS DOUBLE) END AS wow_pct
        |FROM w""".stripMargin
 
+  /** Mirror of EventAnalytics.dailyVolumeAnomalies: bounded daily
+    * counts, rank-exact lower median and MAD, k·MAD flag. */
+  def dailyVolumeAnomalies(k: Int): String =
+    s"""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |                 count(*)::BIGINT AS n_events FROM events GROUP BY 1),
+       |med AS (SELECT n_events AS median_daily FROM (
+       |    SELECT n_events, day,
+       |      row_number() OVER (ORDER BY n_events ASC, day ASC) AS rn,
+       |      count(*) OVER () AS n FROM daily)
+       |  WHERE rn = (n + 1) // 2),
+       |dev AS (SELECT day, n_events, median_daily,
+       |          abs(n_events - median_daily) AS deviation FROM daily, med),
+       |mad AS (SELECT deviation AS mad FROM (
+       |    SELECT deviation, day,
+       |      row_number() OVER (ORDER BY deviation ASC, day ASC) AS rn,
+       |      count(*) OVER () AS n FROM dev)
+       |  WHERE rn = (n + 1) // 2)
+       |SELECT day, n_events, median_daily, mad, deviation,
+       |  deviation > $k * mad AS is_anomaly
+       |FROM dev, mad""".stripMargin
+
+  /** Mirror of EventAnalytics.typeAudienceOverlap: distinct (type,
+    * user) incidence, entity-key self-join, audience Jaccard. */
+  def typeAudienceOverlap: String =
+    s"""WITH inc AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+       |sz AS (SELECT t, count(*)::BIGINT AS nu FROM inc GROUP BY 1),
+       |sh AS (SELECT x.t AS type_a, y.t AS type_b, count(*)::BIGINT AS n_shared
+       |       FROM inc x JOIN inc y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2)
+       |SELECT type_a, type_b, a.nu AS users_a, b.nu AS users_b, n_shared,
+       |  CAST(n_shared AS DOUBLE)
+       |    / CAST(a.nu + b.nu - n_shared AS DOUBLE) AS jaccard
+       |FROM sh JOIN sz a ON sh.type_a = a.t
+       |JOIN sz b ON sh.type_b = b.t""".stripMargin
+
+  /** Mirror of EventAnalytics.activationLag: first-two event times per
+    * entity, Monday-aligned cohorts, activated-only lower-median lag. */
+  def activationLag: String =
+    s"""WITH r AS (SELECT user_id, ts,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY ts, event_id) AS rn FROM events),
+       |ft AS (SELECT user_id,
+       |         min(CASE WHEN rn = 1 THEN ts END) AS t1,
+       |         min(CASE WHEN rn = 2 THEN ts END) AS t2
+       |       FROM r WHERE rn <= 2 GROUP BY 1),
+       |pu AS (SELECT user_id,
+       |         CAST(date_trunc('week', t1) AS TIMESTAMP) AS cohort_week,
+       |         (epoch_us(t2) - epoch_us(t1)) // 1000000 AS lag FROM ft),
+       |tot AS (SELECT cohort_week, count(*)::BIGINT AS n_users,
+       |          count(lag)::BIGINT AS n_activated FROM pu GROUP BY 1),
+       |md AS (SELECT cohort_week, lag AS median_lag_s FROM (
+       |    SELECT cohort_week, lag, user_id,
+       |      row_number() OVER (PARTITION BY cohort_week
+       |                         ORDER BY lag ASC, user_id ASC) AS rn,
+       |      count(*) OVER (PARTITION BY cohort_week) AS na
+       |    FROM pu WHERE lag IS NOT NULL)
+       |  WHERE rn = (na + 1) // 2)
+       |SELECT t.cohort_week, t.n_users, t.n_activated, md.median_lag_s
+       |FROM tot t LEFT JOIN md USING (cohort_week)""".stripMargin
+
+  /** Mirror of EventAnalytics.dauStickiness: distinct (user, day)
+    * activity, forward 7-day fan-out, per-active-day DAU/WAU ratio. */
+  def dauStickiness: String =
+    s"""WITH act AS (SELECT DISTINCT user_id AS u,
+       |               CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+       |             FROM events),
+       |da AS (SELECT d, count(*)::BIGINT AS dau FROM act GROUP BY 1),
+       |win AS (SELECT DISTINCT u, d + i * INTERVAL '1 day' AS wd
+       |        FROM act, (SELECT unnest(range(0, 7)) AS i)),
+       |wa AS (SELECT wd AS d, count(*)::BIGINT AS wau7 FROM win GROUP BY 1)
+       |SELECT da.d AS day, da.dau, wa.wau7,
+       |  CAST((da.dau * 1000) // wa.wau7 AS BIGINT) AS stickiness_per_mille
+       |FROM da JOIN wa USING (d)""".stripMargin
+
+  /** Mirror of EventAnalytics.propsFieldStats: JSON field extraction
+    * and per-type integer stats. */
+  def propsFieldStats(jsonPath: String): String =
+    s"""SELECT event_type, count(*)::BIGINT AS n_events,
+       |  count(v)::BIGINT AS n_with_field,
+       |  min(v) AS min_v, max(v) AS max_v,
+       |  CAST(sum(v) AS BIGINT) AS sum_v,
+       |  count(DISTINCT v)::BIGINT AS n_distinct_v
+       |FROM (SELECT event_type,
+       |        CAST(json_extract_string(props, '$jsonPath') AS BIGINT) AS v
+       |      FROM events)
+       |GROUP BY 1""".stripMargin
+
   /** Mirror of Dedup.estimatorCalibration (q188): the q175 report CTE
     * binned by exact Jaccard, micro-integer mean error. */
   def estimatorCalibration(bins: Int, k: Int, bands: Int,

@@ -1780,6 +1780,34 @@ object SparkEntry {
     // behind q181's Gini scalar.
     "q206_concentration_curve" -> ((s, dir) =>
       Profiler.concentrationCurve(t(s, dir, "events"), "user_id")),
+
+    // Daily ingest-volume anomaly heartbeat: days beyond 3x the MAD of
+    // all daily counts — partial-delivery / double-delivery detection,
+    // self-calibrated (q159's machinery at corpus level).
+    "q207_daily_anomalies" -> ((s, dir) =>
+      EventAnalytics.dailyVolumeAnomalies(Tables.loadEvents(s, dir))),
+
+    // Event-type audience overlap: per type pair, shared entities and
+    // audience Jaccard — the adoption cross-map, inverted-index shaped.
+    "q208_type_overlap" -> ((s, dir) =>
+      EventAnalytics.typeAudienceOverlap(Tables.loadEvents(s, dir))),
+
+    // Activation lag by first-week cohort: who came back, and the
+    // rank-exact median time to the second event.
+    "q209_activation_lag" -> ((s, dir) =>
+      EventAnalytics.activationLag(Tables.loadEvents(s, dir))),
+
+    // DAU / trailing-7-day WAU stickiness per active day — the
+    // engagement-frequency dial, computed with a forward fan-out
+    // explode instead of a range self-join.
+    "q210_dau_stickiness" -> ((s, dir) =>
+      EventAnalytics.dauStickiness(Tables.loadEvents(s, dir))),
+
+    // Semi-structured payload profiling: the props JSON field per event
+    // type — the exploration step before promoting hot fields to
+    // columns.
+    "q211_props_stats" -> ((s, dir) =>
+      EventAnalytics.propsFieldStats(Tables.loadEvents(s, dir))),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -2240,5 +2268,10 @@ object SparkEntry {
       "o_custkey" -> "o_orderpriority")),
     "q206_concentration_curve" -> OracleSql.concentrationCurve(
       "events", "user_id", Seq(1, 5, 10, 25, 50)),
+    "q207_daily_anomalies" -> OracleSql.dailyVolumeAnomalies(k = 3),
+    "q208_type_overlap" -> OracleSql.typeAudienceOverlap,
+    "q209_activation_lag" -> OracleSql.activationLag,
+    "q210_dau_stickiness" -> OracleSql.dauStickiness,
+    "q211_props_stats" -> OracleSql.propsFieldStats("$.k"),
   )
 }

@@ -554,6 +554,189 @@ object EventAnalytics {
         col("n_events"))
   }
 
+  /**
+   * Corpus-level daily-volume anomaly report — the ingest-pipeline
+   * heartbeat check ("did Tuesday's crawl partially fail / double-
+   * deliver?"): per calendar day, the event count against the rank-
+   * exact lower median and MAD of ALL daily counts, flagging days whose
+   * absolute deviation exceeds k·MAD. The corpus-level sibling of
+   * [[madOutliers]] (per-entity values) and [[activitySpikes]]
+   * (per-entity hours) — self-calibrating, immune to mean-dragging by
+   * the anomalous days themselves, and exact-integer end to end.
+   *
+   * Spark shape: ONE hash aggregation to per-day counts (output bounded
+   * by the calendar span — ≤ 366 rows/year at ANY corpus scale), then
+   * rank windows and the MAD join all over that bounded table. The
+   * event table never shuffles raw.
+   */
+  def dailyVolumeAnomalies(events: DataFrame, k: Int = 3,
+      tsCol: String = "ts"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.orderBy(col(v).asc, col("day").asc)
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(all))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col(v).as(out))
+    }
+    val med = lowerMedian(daily, "n_events", "median_daily")
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("deviation", abs(col("n_events") - col("median_daily")))
+    val mad = lowerMedian(dev.select(col("day"), col("deviation")),
+      "deviation", "mad")
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n_events"), col("median_daily"), col("mad"),
+        col("deviation"),
+        (col("deviation") > lit(k.toLong) * col("mad")).as("is_anomaly"))
+  }
+
+  /**
+   * Event-type audience overlap: for every unordered type pair, the
+   * exact count of entities active in both and the Jaccard of their
+   * audiences — the feature-adoption cross-sell map ("do purchasers
+   * also search?") and the redundancy check before merging event
+   * taxonomies. The inverted-index shape of q14 applied to (type,
+   * entity) incidence: a shared entity costs one join row per type
+   * pair it supports, never |entities|².
+   *
+   * Spark shape: events reduce to DISTINCT (type, entity) in one
+   * map-side-partial aggregation (bounded by types × entities); the
+   * self-equi-join on the entity key and all counts run over that
+   * reduced table; output is bounded by |types|². One double division
+   * per pair.
+   */
+  def typeAudienceOverlap(events: DataFrame,
+      typeCol: String = "event_type",
+      userCol: String = "user_id"): DataFrame = {
+    val inc = graft.SparkUtil.trackCache(
+      events.select(col(typeCol).as("t"), col(userCol).as("u")).distinct())
+    val sizes = inc.groupBy(col("t")).agg(count(lit(1)).as("nu"))
+    val shared = inc.as("x").join(inc.as("y"),
+        col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("t").as("type_a"), col("nu").as("users_a")),
+        Seq("type_a"))
+      .join(sizes.select(col("t").as("type_b"), col("nu").as("users_b")),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("users_a") + col("users_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /**
+   * Activation-lag cohort report: per first-activity week (Monday-
+   * aligned, the q187 convention), how many entities ever appeared, how
+   * many came back for a second event, and the rank-exact lower-median
+   * seconds between first and second event among those who did — the
+   * "time to second visit" product metric, and for an ingest stream the
+   * source-revisit cadence that sizes incremental-crawl scheduling.
+   *
+   * Spark shape: ONE rank window per entity partition extracts the
+   * first two event times as a two-struct aggregation state (min and
+   * conditional min — no collect, no full sort beyond the entity
+   * partition); the per-user (cohort, lag) table is entity-bounded, and
+   * the cohort median window runs over THAT. Integer micros → seconds
+   * by integer division, exact end to end.
+   */
+  def activationLag(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val firstTwo = events
+      .select(col(userCol), col(tsCol), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col(userCol))
+      .agg(min(when(col("__rn") === 1, col(tsCol))).as("__t1"),
+        min(when(col("__rn") === 2, col(tsCol))).as("__t2"))
+      .select(col(userCol),
+        date_trunc("week", col("__t1")).as("cohort_week"),
+        expr("(unix_micros(__t2) - unix_micros(__t1)) div 1000000")
+          .as("__lag"))
+    val totals = firstTwo.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("__lag")).as("n_activated"))
+    // median ranks ONLY over activated rows — ranking the full table
+    // would interleave null-lag (single-event) users into the ranks
+    val wm = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("__lag").asc, col(userCol).asc)
+    val wc = Window.partitionBy(col("cohort_week"))
+    val med = firstTwo.filter(col("__lag").isNotNull)
+      .withColumn("__rn", row_number().over(wm))
+      .withColumn("__na", count(lit(1)).over(wc))
+      .filter(col("__rn") === expr("(__na + 1) div 2"))
+      .select(col("cohort_week"), col("__lag").as("median_lag_s"))
+    totals.join(med, Seq("cohort_week"), "left_outer")
+      .select(col("cohort_week"), col("n_users"), col("n_activated"),
+        col("median_lag_s"))
+  }
+
+  /**
+   * DAU / trailing-WAU stickiness: per calendar day, distinct active
+   * entities that day, distinct entities active in the trailing 7-day
+   * window, and the DAU/WAU per-mille ratio — the engagement-frequency
+   * dial every product and crawl-freshness report carries.
+   *
+   * Spark shape: events reduce to DISTINCT (entity, day) once
+   * (map-side partials); each activity day then explodes into the <= 7
+   * future window-days it supports (narrow `sequence` fan-out — the
+   * q182 pigeonhole idea run forward), so the trailing-window distinct
+   * is a plain (window-day, entity) distinct aggregation — an
+   * EQUI-join shape, never a range self-join. The final equi-join with
+   * the DAU table keeps exactly the observed days (fan-out days past
+   * the span, or spanning a zero-event gap day, have no DAU row and
+   * drop — the report is per ACTIVE day by contract).
+   */
+  def dauStickiness(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val act = graft.SparkUtil.trackCache(events
+      .select(col(userCol).as("u"), date_trunc("day", col(tsCol)).as("d"))
+      .distinct())
+    val dau = act.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val win = act
+      .select(col("u"), explode(expr(
+        "sequence(d, d + interval 6 days, interval 1 day)")).as("d"))
+      .distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau7"))
+    dau.join(win, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("wau7"),
+        expr("(dau * 1000) div wau7").as("stickiness_per_mille"))
+  }
+
+  /**
+   * Semi-structured payload rollup: a JSON field extracted from the
+   * event `props` column (`get_json_object` — codegen'd, no UDF) and
+   * profiled per event type with exact counts and integer stats — the
+   * first query anyone runs against a telemetry stream whose payload
+   * schema is still soft. At 100 TB the same shape applies after
+   * promoting hot fields to real columns with `from_json`; this is the
+   * exploration step that decides WHICH fields to promote.
+   *
+   * Spark shape: one narrow projection (JSON path + cast) and ONE hash
+   * aggregation on the type key with map-side partials; distincts are
+   * bounded by the field's value cardinality.
+   */
+  def propsFieldStats(events: DataFrame, jsonPath: String = "$.k",
+      typeCol: String = "event_type"): DataFrame =
+    events
+      .select(col(typeCol),
+        get_json_object(col("props"), jsonPath).cast("long").as("__v"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("__v")).as("n_with_field"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"),
+        sum(col("__v")).as("sum_v"),
+        countDistinct(col("__v")).as("n_distinct_v"))
+
   def timeSplitAudit(events: DataFrame, cutoff: String,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     val cut = lit(cutoff).cast("timestamp")

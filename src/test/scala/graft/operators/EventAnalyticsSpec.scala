@@ -3,6 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
@@ -246,5 +247,85 @@ class EventAnalyticsSpec extends SparkSpec {
     out.foreach { r =>
       assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
     }
+  }
+
+  test("dailyVolumeAnomalies: median/MAD over daily counts, MAD-zero edge") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 4 days of 2 events, one day of 6: median 2, deviations {0,0,0,0,4},
+    // MAD 0 -> any positive deviation is an anomaly
+    val rows = (1 to 4).flatMap(d => Seq.fill(2)(s"2024-03-0$d 10:00:00")) ++
+      Seq.fill(6)("2024-03-05 10:00:00")
+    val events = rows.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val out = EventAnalytics.dailyVolumeAnomalies(events).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5))))
+      .toMap
+    assert(out("2024-03-01") == ((2L, 2L, 0L, false)))
+    assert(out("2024-03-05") == ((6L, 2L, 0L, true)))
+  }
+
+  test("typeAudienceOverlap: exact shared counts and audience Jaccard") {
+    val spark0 = spark
+    import spark0.implicits._
+    val events = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("event_type", "user_id")
+    val out = EventAnalytics.typeAudienceOverlap(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet == Set(("a", "b")))
+    val (ua, ub, sh, j) = out(("a", "b"))
+    assert(ua == 2L && ub == 2L && sh == 1L)
+    assert(math.abs(j - 1.0 / 3.0) < 1e-15)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("activationLag: single-event users counted but never ranked into the median") {
+    val spark0 = spark
+    import spark0.implicits._
+    val events = Seq(
+      (1L, 10L, "2024-03-04 00:00:00", "2024-03-04 00:00:10"), // lag 10
+      (2L, 20L, "2024-03-05 00:00:00", "2024-03-05 00:05:00"), // lag 300
+      (3L, 30L, "2024-03-06 00:00:00", null)                   // single event
+    ).flatMap { case (u, id, t1, t2) =>
+      Seq((id, u, t1)) ++ Option(t2).map(t => (id + 1L, u, t))
+    }.toDF("event_id", "user_id", "s")
+      .select(col("event_id"), col("user_id"),
+        col("s").cast("timestamp").as("ts"))
+    val out = EventAnalytics.activationLag(events).collect()
+    assert(out.length == 1) // all first-events fall in the same Monday week
+    val r = out.head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getLong(3) == 10L)
+  }
+
+  test("dauStickiness: forward fan-out equals the trailing-window definition") {
+    val spark0 = spark
+    import spark0.implicits._
+    // u1 active d1+d3, u2 d3, u3 d1: DAU d1=2 d3=2; trailing-7 d1={u1,u3},
+    // d3={u1,u2,u3} -> stickiness 1000 and 666
+    val events = Seq((1L, "2024-03-01"), (1L, "2024-03-03"),
+        (2L, "2024-03-03"), (3L, "2024-03-01"))
+      .toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val out = EventAnalytics.dauStickiness(events).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map("2024-03-01" -> ((2L, 2L, 1000L)),
+      "2024-03-03" -> ((2L, 3L, 666L))))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("propsFieldStats: JSON field extraction with missing-field rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val events = Seq(("a", """{"k": 5}"""), ("a", """{"k": 7}"""),
+        ("a", """{"x": 1}"""), ("b", """{"k": 5}"""))
+      .toDF("event_type", "props")
+    val out = EventAnalytics.propsFieldStats(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out == Map("a" -> ((3L, 2L, 5L, 7L, 12L, 2L)),
+      "b" -> ((1L, 1L, 5L, 5L, 5L, 1L))))
   }
 }
