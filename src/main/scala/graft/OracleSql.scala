@@ -339,6 +339,61 @@ object OracleSql {
        |QUALIFY row_number() OVER (PARTITION BY p.event_id
        |  ORDER BY t.ts DESC NULLS LAST, t.event_id DESC NULLS LAST) = 1""".stripMargin
 
+  /** Mirror of the q215 forward as-of composition: each error event's
+    * NEXT user action within the window, earliest-first pick. */
+  def errorRecovery(maxStalenessMinutes: Long): String =
+    s"""SELECT e.event_id, e.ts, e.user_id,
+       |  t.event_id AS next_id, t.event_type AS next_type,
+       |  t.ts AS next_ts
+       |FROM (SELECT * FROM events WHERE event_type = 'error') e
+       |LEFT JOIN (SELECT * FROM events
+       |           WHERE event_type IN ('click', 'view', 'purchase', 'signup')) t
+       |  ON e.user_id = t.user_id AND t.ts >= e.ts
+       |  AND t.ts <= e.ts + INTERVAL $maxStalenessMinutes MINUTES
+       |QUALIFY row_number() OVER (PARTITION BY e.event_id
+       |  ORDER BY t.ts ASC NULLS LAST, t.event_id DESC NULLS LAST) = 1""".stripMargin
+
+  /** Mirror of Dedup.prefixDupGroups: first-k-token rolling hash,
+    * multiplicity >= 2 groups. */
+  def prefixDupGroups(k: Int): String =
+    s"""WITH p AS (SELECT doc_id, ${rh(s"array_to_string(list_slice($toks, 1, $k), ' ')")}
+       |             AS prefix_hash
+       |           FROM documents WHERE len($toks) >= $k)
+       |SELECT prefix_hash, count(*)::BIGINT AS n_docs,
+       |  min(doc_id)::BIGINT AS keeper_id
+       |FROM p GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
+  /** Mirror of the q213 composition: embeddings unioned with a re-id'd
+    * hash-sampled copy (the q53 injection pattern — the fixture has no
+    * natural exact-dup vectors), micro-quantized md5 content key,
+    * multiplicity >= 2 groups. */
+  def exactDupVectors(injectPct: Int, idOffset: Long): String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $idOffset, embedding FROM embeddings
+       |  WHERE ${sampleBucket("vec_id")} < $injectPct),
+       |k AS (SELECT vec_id, md5(array_to_string(list_transform(embedding,
+       |        x -> CAST(CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)
+       |               AS VARCHAR)), ',')) AS vec_key
+       |      FROM base)
+       |SELECT vec_key, count(*)::BIGINT AS n_vectors,
+       |  min(vec_id)::BIGINT AS keeper_id
+       |FROM k GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
+  /** Mirror of SimilaritySearch.pairDistanceHistogram: id-bucket
+    * sample, all sample pairs, floor(cos*10) bins. */
+  def pairDistanceHistogram(samplePct: Int, dim: Int): String = {
+    val n2 = dotTerms("embedding", "embedding", dim)
+    val dotXY = dotTerms("x.v", "y.v", dim)
+    s"""WITH s AS (SELECT vec_id AS id, embedding AS v, ($n2) AS n2
+       |           FROM embeddings WHERE ${sampleBucket("vec_id")} < $samplePct),
+       |c AS (SELECT ($dotXY) / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+       |      FROM s x JOIN s y ON x.id < y.id)
+       |SELECT CAST(floor(cos * 10) AS INTEGER) AS bin,
+       |  count(*)::BIGINT AS n_pairs, min(cos) AS min_cos, max(cos) AS max_cos
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
   /** Mirror of Sampling.topShareSelection on documents (score = n_chars,
     * group = lang): exclusive running mass cross-multiplied vs total. */
   def topShareSelection(sharePct: Int): String =

@@ -1808,6 +1808,52 @@ object SparkEntry {
     // columns.
     "q211_props_stats" -> ((s, dir) =>
       EventAnalytics.propsFieldStats(Tables.loadEvents(s, dir))),
+
+    // Shared-prefix duplicate groups: identical first-12-token openings
+    // — template intros and form letters, caught by a plain group-by
+    // (no pair join at all).
+    "q212_prefix_dup" -> ((s, dir) =>
+      Dedup.prefixDupGroups(t(s, dir, "documents"))),
+
+    // Exact-duplicate embedding groups over a micro-quantized content
+    // key; the fixture has no natural bit-identical vectors, so a
+    // hash-sampled re-id'd copy is injected INSIDE the query (q53
+    // pattern) — the dup branch actually fires under the oracle.
+    "q213_vector_dup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val injected = e.filter(Sampling.bucket(col("vec_id")) < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      SimilaritySearch.exactDupVectors(
+        e.select("vec_id", "embedding").unionByName(injected))
+    }),
+
+    // Pairwise-cosine histogram over a 20% content-addressed sample —
+    // the threshold-calibration curve read before any semantic dedup
+    // (the embedding face of q113's Jaccard sweep).
+    "q214_distance_histogram" -> ((s, dir) =>
+      SimilaritySearch.pairDistanceHistogram(t(s, dir, "embeddings"))),
+
+    // FORWARD as-of: each error event's next user action within 30
+    // minutes (earliest-first pick) — the error-recovery forensic,
+    // pandas merge_asof direction='forward'.
+    "q215_error_recovery" -> ((s, dir) => {
+      val e = Tables.loadEvents(s, dir)
+      AsOfJoin(
+        e.filter(col("event_type") === "error")
+          .select("event_id", "ts", "user_id"),
+        e.filter(col("event_type").isin("click", "view", "purchase",
+            "signup"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        leftId = "event_id",
+        rightCols = Seq("event_id" -> "next_id",
+          "event_type" -> "next_type", "ts" -> "next_ts"),
+        tieBreakCols = Seq("event_id"),
+        maxStalenessMinutes = Some(30L),
+        forward = true)
+    }),
   )
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
@@ -2273,5 +2319,12 @@ object SparkEntry {
     "q209_activation_lag" -> OracleSql.activationLag,
     "q210_dau_stickiness" -> OracleSql.dauStickiness,
     "q211_props_stats" -> OracleSql.propsFieldStats("$.k"),
+    "q212_prefix_dup" -> OracleSql.prefixDupGroups(k = 12),
+    "q213_vector_dup" -> OracleSql.exactDupVectors(injectPct = 10,
+      idOffset = 1000000L),
+    "q214_distance_histogram" -> OracleSql.pairDistanceHistogram(
+      samplePct = 20, dim = 64),
+    "q215_error_recovery" -> OracleSql.errorRecovery(
+      maxStalenessMinutes = 30L),
   )
 }

@@ -56,6 +56,14 @@ object AsOfJoin {
    *                     multiplication from O(full history) to
    *                     O(history within the window), which is the main
    *                     reason to set it at scale.
+   * @param forward flip the direction (pandas `merge_asof
+   *                     direction='forward'`): pick the EARLIEST right
+   *                     row at or after the left time instead of the
+   *                     latest at or before — "what happened next"
+   *                     (error → next user action, order → first
+   *                     shipment event). The staleness bound becomes a
+   *                     forward window (`right <= left + m`), shrinking
+   *                     the join the same way.
    */
   def apply(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -63,21 +71,29 @@ object AsOfJoin {
       leftId: String,
       rightCols: Seq[(String, String)],
       tieBreakCols: Seq[String],
-      maxStalenessMinutes: Option[Long] = None): DataFrame = {
+      maxStalenessMinutes: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val l = left.as("l")
     val r = right.as("r")
     val base = col(s"l.$leftKey") === col(s"r.$rightKey") &&
-      col(s"r.$rightTime") <= col(s"l.$leftTime")
+      (if (forward) col(s"r.$rightTime") >= col(s"l.$leftTime")
+       else col(s"r.$rightTime") <= col(s"l.$leftTime"))
     val cond = maxStalenessMinutes.fold(base)(m =>
-      base && col(s"r.$rightTime") >=
-        col(s"l.$leftTime") - expr(s"INTERVAL $m MINUTES"))
+      if (forward)
+        base && col(s"r.$rightTime") <=
+          col(s"l.$leftTime") + expr(s"INTERVAL $m MINUTES")
+      else
+        base && col(s"r.$rightTime") >=
+          col(s"l.$leftTime") - expr(s"INTERVAL $m MINUTES"))
     val joined = l.join(r, cond, "left_outer")
     // (key, leftId) partitioning: HashPartitioning(key) from the join
     // satisfies ClusteredDistribution(key, leftId), so no extra Exchange
     // is planned for the window — only a local sort.
+    val timeOrd = if (forward) col(s"r.$rightTime").asc_nulls_last
+      else col(s"r.$rightTime").desc_nulls_last
     val pick = Window.partitionBy(col(s"l.$leftKey"), col(s"l.$leftId"))
       .orderBy(
-        (col(s"r.$rightTime").desc_nulls_last +:
+        (timeOrd +:
           tieBreakCols.map(c => col(s"r.$c").desc_nulls_last)): _*)
     joined
       .withColumn("__rn", row_number().over(pick))

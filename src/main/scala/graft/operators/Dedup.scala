@@ -1136,6 +1136,35 @@ object Dedup {
         (col("n_sources") > 1).as("mixed_source"))
   }
 
+  /**
+   * Shared-prefix duplicate groups: documents whose FIRST k tokens are
+   * identical, grouped by the prefix's rolling hash — the template-intro
+   * detector (autogenerated headers, boilerplate openings, form letters)
+   * that whole-document similarity misses once the bodies diverge. The
+   * directional sibling of [[boilerplateSpans]] (any-position spans) and
+   * [[stitchCandidates]] (suffix-meets-prefix seams): here the SAME
+   * boundary is compared on both sides, so matching is a plain group-by,
+   * not a join at all. Docs shorter than k tokens are out of scope.
+   *
+   * Spark shape: one narrow codegen'd projection (token slice → rolling
+   * hash) and ONE hash aggregation on the prefix key with map-side
+   * partials — no pair join anywhere; output is bounded by the number of
+   * duplicated prefixes. Hash equality is the group key on both engines,
+   * so collisions cannot cause oracle drift.
+   */
+  def prefixDupGroups(docs: DataFrame, k: Int = 12, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val tks = tokens(col(textCol))
+    graft.SparkUtil.ensureParallelism(docs)
+      .filter(size(tks) >= k)
+      .select(col(idCol).as("id"),
+        rollingHash(array_join(slice(tks, 1, k), " ")).as("prefix_hash"))
+      .groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keeper_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
   def stitchCandidates(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tks = tokens(col(textCol))

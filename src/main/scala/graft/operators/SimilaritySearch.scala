@@ -67,6 +67,67 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /**
+   * Exact-duplicate vector groups: embeddings identical after
+   * micro-integer quantization (`floor(x·10⁶ + 0.5)` per coordinate —
+   * the q82/q169 determinism contract), keyed by the md5 of the joined
+   * coordinate string. The embedding-store face of [[Dedup.exact]]:
+   * re-encoded batches, retried writes, and copy-pasted rows produce
+   * bit-identical vectors that no similarity threshold is needed to
+   * catch — and that silently skew any centroid/kNN statistic until
+   * removed. Micro-quantization (not raw float formatting) makes the
+   * key portable across engines and storage round-trips.
+   *
+   * Spark shape: one narrow codegen'd projection (transform + hash) and
+   * ONE hash aggregation on the content key with map-side partials —
+   * never a pair join; output is bounded by the duplicated subset.
+   */
+  def exactDupVectors(vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val key = md5(array_join(transform(col(vecCol), x =>
+      floor(x.cast("double") * lit(1000000d) + lit(0.5)).cast("string")), ","))
+    graft.SparkUtil.ensureParallelism(vectors)
+      .select(col(idCol).as("id"), key.as("vec_key"))
+      .groupBy(col("vec_key"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("id")).as("keeper_id"))
+      .filter(col("n_vectors") >= 2)
+  }
+
+  /**
+   * Pairwise-cosine distance histogram over a content-addressed sample:
+   * pair counts per 0.1-wide cosine bin — the distribution a curator
+   * reads to SET a near-dup/semantic-dedup threshold before running
+   * [[cosineNearDupPairsLsh]] or [[semanticDedup]] at full scale (the
+   * embedding-space face of the q113 Jaccard threshold sweep). A
+   * well-separated corpus shows a low bulk and a high duplicate spike;
+   * a smeared distribution warns that no single τ is safe.
+   *
+   * Spark shape: the deterministic id-bucket sample bounds the pair
+   * space (samplePct² of all pairs, rerun-stable — never `rand()`), the
+   * self-join is over the SAMPLE only (documented bounded-n, the q18
+   * contract: calibration needs a sample, not the corpus), and the
+   * result reduces to ≤ 21 bins. Bin = `floor(cos·10)` of the shared
+   * left-assoc double chain — bit-stable cross-engine.
+   */
+  def pairDistanceHistogram(vectors: DataFrame, samplePct: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    require(samplePct >= 1 && samplePct <= 100,
+      s"samplePct=$samplePct must be in [1, 100]")
+    val sample = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(vectors)
+        .filter(Sampling.bucket(col(idCol)) < samplePct)
+        .select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm2(col(vecCol), dim).as("n2")))
+    sample.as("x").join(sample.as("y"), col("x.id") < col("y.id"))
+      .select(cosineWithNorms(dot(col("x.v"), col("y.v"), dim),
+        col("x.n2"), col("y.n2")).as("__cos"))
+      .select(floor(col("__cos") * 10).cast("int").as("bin"), col("__cos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("__cos")).as("min_cos"),
+        max(col("__cos")).as("max_cos"))
+  }
+
   /** Exact all-pairs cosine near-duplicates: (a, b), a < b, with
     * cosine >= threshold. Quadratic by construction; norms precomputed. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

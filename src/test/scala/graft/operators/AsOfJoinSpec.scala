@@ -116,6 +116,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(big2 == big1)
   }
 
+  test("forward direction: earliest at-or-after pick, forward window expiry") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ls = Seq(L(1, 10, ts("2024-01-05 00:00:00")),
+      L(2, 10, ts("2024-01-08 00:00:00")),
+      L(3, 20, ts("2024-01-05 00:00:00")))
+    val rs = Seq(
+      R(10, ts("2024-01-04 00:00:00"), 100, "past"),     // before: never picked
+      R(10, ts("2024-01-05 00:00:00"), 101, "now"),      // exact time included
+      R(10, ts("2024-01-06 00:00:00"), 102, "later"),
+      R(20, ts("2024-01-09 00:00:00"), 103, "too_far")) // beyond the window
+    val out = AsOfJoin(ls.toDF(), rs.toDF(),
+      leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "t",
+      leftId = "id", rightCols = Seq("rid" -> "rid", "v" -> "v"),
+      tieBreakCols = Seq("rid"),
+      maxStalenessMinutes = Some(2L * 24 * 60), forward = true)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(out(1L) == Some("now"))   // earliest >= Jan 5 is the exact hit
+    assert(out(2L) == None)          // nothing at or after Jan 8 for key 10
+    assert(out(3L) == None)          // Jan 9 is outside the 2-day window
+  }
+
   test("unionSorted fails fast when an input uses a reserved internal name") {
     val spark0 = spark
     import spark0.implicits._

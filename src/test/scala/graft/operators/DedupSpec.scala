@@ -571,6 +571,19 @@ class DedupSpec extends SparkSpec {
       "curation must keep some docs and drop some docs")
   }
 
+  test("prefixDupGroups: identical openings group; short docs out of scope") {
+    val spark0 = spark
+    import spark0.implicits._
+    val opening = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$opening tail one"), (2L, s"$opening different tail"),
+      (3L, "another opening " + (1 to 10).map(_ => "x").mkString(" ")),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = Dedup.prefixDupGroups(docs, k = 12).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 1L)
+  }
+
   test("clusterPurity: per-cluster label distincts and mixed flags, hand graph") {
     val spark0 = spark
     import spark0.implicits._

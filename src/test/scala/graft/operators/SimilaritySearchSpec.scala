@@ -544,4 +544,34 @@ class SimilaritySearchSpec extends SparkSpec {
     info(f"IVF-PQ mean recall@10 = $mean%.3f over ${recalls.size} queries")
     assert(mean >= 0.6, f"mean recall@10 dropped to $mean%.3f")
   }
+
+  test("exactDupVectors: micro-quantized groups, distinct vectors stay out") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.25f)), (2L, Array(0.5f, 0.25f)), // exact dup
+      (3L, Array(0.5f, 0.2500011f)),                      // differs at 1e-6 scale
+      (4L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.exactDupVectors(vecs).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 1L)
+  }
+
+  test("pairDistanceHistogram: known cosines land in the right bins; mass conserved") {
+    val spark0 = spark
+    import spark0.implicits._
+    // e1 vs e1-copy: cos 1.0 -> bin 10; e1 vs e2: cos 0 -> bin 0;
+    // e1 vs -e1: cos -1 -> bin -10
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch.pairDistanceHistogram(vecs, samplePct = 100,
+        dim = 2).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 6L) // all C(4,2) pairs binned exactly once
+    assert(out(10) == 1L)        // the identical pair
+    assert(out(-10) == 2L)       // (1,4) and (2,4)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
 }
