@@ -394,6 +394,101 @@ object OracleSql {
        |FROM c GROUP BY 1""".stripMargin
   }
 
+  /** Mirror of SimilaritySearch.dimensionAudit: per-position explode
+    * via the range cross join, micro-integer mean/variance chains. */
+  def dimensionAudit(dim: Int): String =
+    s"""WITH ex AS (SELECT CAST(i AS INTEGER) AS dim_pos,
+       |              embedding[i]::DOUBLE AS x
+       |            FROM embeddings,
+       |              (SELECT unnest(range(1, ${dim + 1})) AS i)),
+       |m AS (SELECT dim_pos, x,
+       |        CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS mm FROM ex),
+       |a AS (SELECT dim_pos, count(*)::BIGINT AS n, min(x) AS min_v,
+       |        max(x) AS max_v, CAST(sum(mm) AS BIGINT) AS sm,
+       |        CAST(sum(mm * mm) AS BIGINT) AS ss
+       |      FROM m GROUP BY 1)
+       |SELECT dim_pos, n, min_v, max_v,
+       |  CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean_v,
+       |  (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)))
+       |    / 1000000000000.0 AS var_v
+       |FROM a""".stripMargin
+
+  /** Mirror of Sampling.groupHoldout: the content-addressed bucket of
+    * the GROUP value decides the side for every member row. */
+  def groupHoldout(groupCol: String, testPct: Int): String =
+    s"""SELECT *, CASE WHEN CAST(concat('0x', substr(md5($groupCol), 1, 15))
+       |    AS BIGINT) % 100 < $testPct
+       |  THEN 'test' ELSE 'train' END AS split
+       |FROM documents""".stripMargin
+
+  /** Mirror of Profiler.stringLengthProfile: per-column single-scan
+    * folds, unioned long-form. */
+  def stringLengthProfile(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      val nn = s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"
+      val sl = s"sum(COALESCE(length($c), 0))"
+      s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+         |  CAST($nn AS BIGINT) AS n_null,
+         |  CAST(sum(CASE WHEN length($c) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_empty,
+         |  CAST(min(length($c)) AS BIGINT) AS min_len,
+         |  CAST(max(length($c)) AS BIGINT) AS max_len,
+         |  CAST($sl AS BIGINT) AS sum_len,
+         |  CAST($sl AS DOUBLE) / CAST(count(*) - $nn AS DOUBLE) AS mean_len
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Mirror of the q219 composition: tag injection on a hash-sampled
+    * slice, then TextAnalysis.markupDensity's length-difference and
+    * tag-count chains. */
+  def markupDensity(injectPct: Int, maxPerMille: Int): String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN ${sampleBucket("doc_id")} < $injectPct
+       |      THEN '<div><p>' || text || '</p></div>' ELSE text END AS text
+       |  FROM documents),
+       |x AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '</?[a-z]+>')) AS BIGINT)
+       |      AS n_tags,
+       |    CAST(length(text) - length(regexp_replace(text, '</?[a-z]+>',
+       |      '', 'g')) AS BIGINT) AS markup_chars,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM d),
+       |p AS (SELECT doc_id, n_tags, markup_chars, n_chars,
+       |    CASE WHEN n_chars > 0 THEN (markup_chars * 1000) // n_chars
+       |         ELSE 0 END AS markup_per_mille
+       |  FROM x)
+       |SELECT doc_id, n_tags, markup_chars, n_chars, markup_per_mille,
+       |  markup_per_mille <= $maxPerMille AS keep
+       |FROM p""".stripMargin
+
+  /** Mirror of the q220 composition: multi-sentence suffix injection on
+    * a hash-sampled slice, then TextAnalysis.sentenceStats' explode →
+    * per-doc → per-language rollup. */
+  def sentenceStats(injectPct: Int, suffix: String): String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    CASE WHEN ${sampleBucket("doc_id")} < $injectPct
+       |      THEN text || '${suffix.replace("'", "''")}'
+       |      ELSE text END AS text
+       |  FROM documents),
+       |s AS (SELECT lang, doc_id, unnest(string_split(text, '. ')) AS sent
+       |      FROM d),
+       |st AS (SELECT lang, doc_id,
+       |         CAST(len(string_split(sent, ' ')) AS BIGINT) AS stoks
+       |       FROM s),
+       |pd AS (SELECT lang, doc_id, count(*)::BIGINT AS ns,
+       |         CAST(sum(stoks) AS BIGINT) AS toks, max(stoks) AS maxs
+       |       FROM st GROUP BY 1, 2)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(ns) AS BIGINT) AS n_sentences,
+       |  max(maxs) AS max_sentence_tokens,
+       |  CAST(sum(ns) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS mean_sentences_per_doc,
+       |  CAST(sum(toks) AS DOUBLE) / CAST(sum(ns) AS DOUBLE)
+       |    AS mean_tokens_per_sentence
+       |FROM pd GROUP BY 1""".stripMargin
+
   /** Mirror of Sampling.topShareSelection on documents (score = n_chars,
     * group = lang): exclusive running mass cross-multiplied vs total. */
   def topShareSelection(sharePct: Int): String =

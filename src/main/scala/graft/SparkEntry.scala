@@ -1854,7 +1854,48 @@ object SparkEntry {
         maxStalenessMinutes = Some(30L),
         forward = true)
     }),
+
+    // Per-dimension embedding audit: dead dimensions and scale drift,
+    // micro-exact mean/variance per coordinate — 64 rows out.
+    "q216_dimension_audit" -> ((s, dir) =>
+      SimilaritySearch.dimensionAudit(t(s, dir, "embeddings"))),
+
+    // Group-level holdout: whole SOURCES held out together (the
+    // generalize-to-unseen-sources split; per-row splits let every
+    // test source be seen in training).
+    "q217_group_holdout" -> ((s, dir) =>
+      Sampling.groupHoldout(t(s, dir, "documents"), "source",
+        testPct = 30)),
+
+    // String-length profile of the documents table — the encoding
+    // sanity sheet (a lang column holding full texts, an empty text
+    // column from a dead extractor).
+    "q218_string_lengths" -> ((s, dir) =>
+      Profiler.stringLengthProfile(t(s, dir, "documents"),
+        Seq("text", "lang", "source"))),
+
+    // Markup-density audit with tags injected on a hash-sampled slice
+    // (the fixture has no markup) — extraction-debris detection.
+    "q219_markup_density" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.markupDensity(d.withColumn("text",
+        when(Sampling.bucket(col("doc_id")) < 15,
+          concat(lit("<div><p>"), col("text"), lit("</p></div>")))
+          .otherwise(col("text"))))
+    }),
+
+    // Sentence-shape profile per language, with a multi-sentence
+    // suffix injected on a slice so the split actually fires.
+    "q220_sentence_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.sentenceStats(d.withColumn("text",
+        when(Sampling.bucket(col("doc_id")) < 25,
+          concat(col("text"), lit(SentenceSuffix))).otherwise(col("text"))))
+    }),
   )
+
+  /** q220 injection suffix — shared with the oracle builder. */
+  val SentenceSuffix = ". second sentence here. third one"
 
   /** q156 pivot-value list; q158 rule list — shared with the oracle
     * builders so the two sides cannot drift. */
@@ -2326,5 +2367,13 @@ object SparkEntry {
       samplePct = 20, dim = 64),
     "q215_error_recovery" -> OracleSql.errorRecovery(
       maxStalenessMinutes = 30L),
+    "q216_dimension_audit" -> OracleSql.dimensionAudit(dim = 64),
+    "q217_group_holdout" -> OracleSql.groupHoldout("source", testPct = 30),
+    "q218_string_lengths" -> OracleSql.stringLengthProfile("documents",
+      Seq("text", "lang", "source")),
+    "q219_markup_density" -> OracleSql.markupDensity(injectPct = 15,
+      maxPerMille = 100),
+    "q220_sentence_stats" -> OracleSql.sentenceStats(injectPct = 25,
+      suffix = SentenceSuffix),
   )
 }

@@ -547,6 +547,34 @@ object Profiler {
    * don't.
    */
   /**
+   * String-length profile: per declared string column, row/null/empty
+   * counts and exact min/max/sum lengths with a mean — the five-second
+   * encoding sanity sheet next to [[profile]]'s value stats (a `lang`
+   * column whose max length is 4000 is holding full texts; a `text`
+   * column with thousands of empties means the extractor died). Long
+   * form, one row per column, so versions diff row-by-row.
+   *
+   * Spark shape: one branch per column, each a single-column pruned
+   * scan folding to one scalar row (the q100 reasoning); sums are
+   * exact longs, the mean one final division.
+   */
+  def stringLengthProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(length(col(c)) === 0, 1L).otherwise(0L)).as("n_empty"),
+          min(length(col(c)).cast("long")).as("min_len"),
+          max(length(col(c)).cast("long")).as("max_len"),
+          sum(coalesce(length(col(c)).cast("long"), lit(0L))).as("sum_len"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_empty"), col("min_len"), col("max_len"), col("sum_len"),
+          (col("sum_len").cast("double") /
+            (col("n_rows") - col("n_null")).cast("double")).as("mean_len"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
    * Benford first-digit audit of a positive numeric column (Benford,
    * "The law of anomalous numbers", Proc. Am. Phil. Soc. 1938; Hill,
    * Statistical Science 1995 for the modern treatment): observed

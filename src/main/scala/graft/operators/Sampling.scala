@@ -137,6 +137,30 @@ object Sampling {
     df.filter(contentBucket(col(keyCol)) < pct)
 
   /**
+   * Group-level holdout split (sklearn GroupKFold's holdout cousin):
+   * the split unit is an entire GROUP (source, domain, author) — every
+   * row of a group lands on the same side by construction, because the
+   * side is a pure function of the group VALUE (the content-addressed
+   * [[contentBucket]]). The third member of the leakage-guard family:
+   * [[trainTestSplit]] splits ids (fine for i.i.d. rows),
+   * [[leakageSafeSplit]] splits near-dup clusters (content leakage),
+   * this splits provenance groups — the right unit when a model must
+   * generalize to UNSEEN SOURCES, where a per-row split lets every
+   * test source be seen in training.
+   *
+   * Spark shape: a pure narrow codegen'd projection — no join against
+   * a group table, no shuffle; rerun- and relayout-stable.
+   */
+  def groupHoldout(df: DataFrame, groupCol: String,
+      testPct: Int): DataFrame = {
+    require(testPct >= 1 && testPct <= 99,
+      s"testPct=$testPct must be in [1, 99]")
+    df.withColumn("split",
+      when(contentBucket(col(groupCol)) < testPct, lit("test"))
+        .otherwise(lit("train")))
+  }
+
+  /**
    * Temperature-style language rebalancing (the mC4/XLM-R recipe at
    * T=2): expected kept rows per stratum proportional to `sqrt(count)`,
    * with the SMALLEST stratum kept at 100% — downsamples dominant

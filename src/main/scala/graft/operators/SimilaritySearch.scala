@@ -128,6 +128,43 @@ object SimilaritySearch {
         max(col("__cos")).as("max_cos"))
   }
 
+  /**
+   * Per-dimension embedding audit: for every coordinate position,
+   * count, min/max, and micro-exact mean and variance — the
+   * dead-dimension / scale-drift detector run next to [[normAudit]]
+   * before trusting an encoder (a dimension with ~zero variance is
+   * wasted index width; one with a wildly different scale breaks any
+   * unnormalized distance). Mean and variance derive from exact
+   * integer micro-sums (`floor(x·10⁶ + 0.5)` and its square — the
+   * q82/q169 order-invariance contract), so the whole sheet replays
+   * bit-identically; at 10⁹+ rows the squared sums approach 2^63 and
+   * the decimal widening swap applies (the q124 regime note).
+   *
+   * Spark shape: one narrow posexplode (row expansion, no shuffle) and
+   * ONE hash aggregation on the dimension key with map-side partials —
+   * output is exactly `dim` rows.
+   */
+  def dimensionAudit(vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val ex = graft.SparkUtil.ensureParallelism(vectors)
+      .select(posexplode(col(vecCol)).as(Seq("__p", "__xf")))
+      .select((col("__p") + 1).as("dim_pos"),
+        col("__xf").cast("double").as("__x"))
+      .withColumn("__m",
+        floor(col("__x") * lit(1000000d) + lit(0.5)).cast("long"))
+    ex.groupBy(col("dim_pos"))
+      .agg(count(lit(1)).as("n"), min(col("__x")).as("min_v"),
+        max(col("__x")).as("max_v"), sum(col("__m")).as("__sm"),
+        sum(col("__m") * col("__m")).as("__ss"))
+      .select(col("dim_pos"), col("n"), col("min_v"), col("max_v"),
+        (col("__sm").cast("double") /
+          (col("n").cast("double") * lit(1000000d))).as("mean_v"),
+        ((col("__ss").cast("double") / col("n").cast("double") -
+          (col("__sm").cast("double") / col("n").cast("double")) *
+            (col("__sm").cast("double") / col("n").cast("double"))) /
+          lit(1000000000000d)).as("var_v"))
+  }
+
   /** Exact all-pairs cosine near-duplicates: (a, b), a < b, with
     * cosine >= threshold. Quadratic by construction; norms precomputed. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

@@ -1124,6 +1124,72 @@ object TextAnalysis {
    * Spark shape: one narrow codegen'd projection, ONE hash aggregation
    * with map-side partials; output is the language space.
    */
+  /**
+   * Markup-density audit: per document, the count of HTML-ish tags, the
+   * characters spent inside them, the per-mille markup share, and a
+   * keep verdict — the boilerplate-extraction health check of a web
+   * corpus (text that is mostly tags survived extraction badly and
+   * poisons token budgets). Tag chars are measured by the
+   * length-difference trick (`len(text) − len(regexp_replace(text,
+   * tag, ''))` — the q63 marker-count pattern), tag count by the
+   * native `regexp_count`; both in the Java-regex∩RE2 subset.
+   *
+   * Spark shape: a pure narrow codegen'd projection — zero joins, zero
+   * shuffles. The fixture corpus carries no markup, so the declared
+   * query injects tags on a hash-sampled slice (q53 pattern) — the
+   * non-trivial branch actually fires under the oracle.
+   */
+  def markupDensity(docs: DataFrame, maxPerMille: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pat = "</?[a-z]+>"
+    val t = col(textCol)
+    docs.select(col(idCol),
+        regexp_count(t, lit(pat)).cast("long").as("n_tags"),
+        (length(t) - length(regexp_replace(t, pat, "")))
+          .cast("long").as("markup_chars"),
+        length(t).cast("long").as("n_chars"))
+      .withColumn("markup_per_mille",
+        when(col("n_chars") > 0,
+          expr("(markup_chars * 1000) div n_chars")).otherwise(0L))
+      .withColumn("keep", col("markup_per_mille") <= maxPerMille)
+  }
+
+  /**
+   * Sentence-shape profile per language: documents split into
+   * sentences on the literal ". " boundary, rolled up to (docs,
+   * sentences, mean sentences/doc, mean tokens/sentence, longest
+   * sentence in tokens) — the run-on/fragment shape signal a quality
+   * gate reads next to [[quality]]'s flat token counts (a corpus of
+   * 200-token "sentences" is extraction debris, not prose).
+   *
+   * Spark shape: one narrow sentence explode (row expansion, no
+   * shuffle), one (group, doc) aggregation, one group aggregation —
+   * no higher-order lambdas (ArrayTransform/ArrayAggregate are
+   * CodegenFallback and would de-star the projection; the explode
+   * keeps everything in whole-stage codegen). Counts are exact
+   * integers; means are final single divisions.
+   */
+  def sentenceStats(docs: DataFrame, groupCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perSentence = docs
+      .select(col(groupCol), col(idCol),
+        explode(split(col(textCol), "\\. ")).as("__s"))
+      .select(col(groupCol), col(idCol),
+        size(split(col("__s"), " ")).cast("long").as("__stoks"))
+    val perDoc = perSentence
+      .groupBy(col(groupCol), col(idCol))
+      .agg(count(lit(1)).as("__ns"), sum(col("__stoks")).as("__toks"),
+        max(col("__stoks")).as("__maxs"))
+    perDoc.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ns")).as("n_sentences"),
+        max(col("__maxs")).as("max_sentence_tokens"),
+        (sum(col("__ns")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_sentences_per_doc"),
+        (sum(col("__toks")).cast("double") / sum(col("__ns")).cast("double"))
+          .as("mean_tokens_per_sentence"))
+  }
+
   def charClassProfile(docs: DataFrame, groupCol: String = "lang",
       textCol: String = "text"): DataFrame = {
     def cc(pat: String) =

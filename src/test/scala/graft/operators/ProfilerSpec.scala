@@ -316,6 +316,18 @@ class ProfilerSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 2L)), 2L -> ((1L, 1L)), 3L -> ((0L, 0L))))
   }
 
+  test("stringLengthProfile: null/empty accounting and exact length stats") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("abc", "x"), ("", "y"), (null, "zz"))
+      .toDF("a", "b")
+    val out = Profiler.stringLengthProfile(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    assert(out("a") == ((3L, 1L, 1L, 0L, 3L, 3L, 1.5)))
+    assert(out("b") == ((3L, 0L, 0L, 1L, 2L, 4L, 4.0 / 3.0)))
+  }
+
   test("benfordAudit: leading digits, per-mille shares, sub-1 values out of scope") {
     val spark0 = spark
     import spark0.implicits._

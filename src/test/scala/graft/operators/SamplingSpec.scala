@@ -317,4 +317,22 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.weightedSample(df, n = 10).collect().map(_.getLong(0)).toSet
     assert(again == out)
   }
+
+  test("groupHoldout: every row of a group lands on the same side; both sides used") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val out = Sampling.groupHoldout(docs, "source", testPct = 30)
+      .select("source", "split").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    bySource.foreach { case (src, sides) =>
+      assert(sides.size == 1, s"source $src split across sides")
+    }
+    val sides = out.map(_._2).toSet
+    assert(sides == Set("train", "test"), s"only $sides present")
+    // rerun-stable
+    val again = Sampling.groupHoldout(docs, "source", testPct = 30)
+      .select("source", "split").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(again == out.toSet)
+  }
 }

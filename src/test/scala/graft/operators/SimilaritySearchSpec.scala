@@ -557,6 +557,18 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 1L)
   }
 
+  test("dimensionAudit: exact micro-integer mean and variance per coordinate") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch.dimensionAudit(vecs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(4),
+        r.getDouble(5)))).toMap
+    assert(out(1) == ((2L, 0.5, 0.25)))
+    assert(out(2) == ((2L, 1.0, 1.0)))
+  }
+
   test("pairDistanceHistogram: known cosines land in the right bins; mass conserved") {
     val spark0 = spark
     import spark0.implicits._

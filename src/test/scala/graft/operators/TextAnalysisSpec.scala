@@ -568,4 +568,35 @@ class TextAnalysisSpec extends SparkSpec {
       .toMap
     assert(got == want)
   }
+
+  test("markupDensity: tag counts, markup chars, per-mille share, verdicts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "<div><p>hi there</p></div>"), // 4 tags, 18 markup chars of 26
+      (2L, "plain words only"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.markupDensity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((4L, 18L, 26L, 692L, false)))
+    assert(out(2L) == ((0L, 0L, 16L, 0L, true)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, true))) // empty text: guarded div
+  }
+
+  test("sentenceStats: explode rollup with exact counts and means") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "en", "one two. three four five. six"), // 3 sentences: 2,3,1 tokens
+      (2L, "en", "just one sentence")              // 1 sentence: 3 tokens
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.sentenceStats(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "en" && r.getLong(1) == 2L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 3L)            // longest sentence
+    assert(r.getDouble(4) == 2.0)         // 4 sentences / 2 docs
+    assert(r.getDouble(5) == 9.0 / 4.0)   // 9 tokens / 4 sentences
+  }
 }
