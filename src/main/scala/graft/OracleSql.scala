@@ -2041,9 +2041,10 @@ object OracleSql {
 
   /** Mirror of Profiler.datasetCard (q166): (lang, md5) multiplicity →
     * per-lang dup counts; direct per-lang aggregates; one scalar total. */
-  def datasetCard(groupCol: String, sourceCol: String): String =
-    s"""WITH pc AS (SELECT $groupCol, md5(text) AS h, count(*) AS c
-       |            FROM documents GROUP BY 1, 2),
+  def datasetCard(groupCol: String, sourceCol: String,
+      table: String = "documents", extraCtes: String = ""): String =
+    s"""WITH ${extraCtes}pc AS (SELECT $groupCol, md5(text) AS h, count(*) AS c
+       |            FROM $table GROUP BY 1, 2),
        |dup AS (SELECT $groupCol,
        |          CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
        |            AS n_exact_dup_docs
@@ -2051,12 +2052,71 @@ object OracleSql {
        |pl AS (SELECT $groupCol, count(*) AS n_docs,
        |         count(DISTINCT $sourceCol) AS n_sources,
        |         CAST(sum(len($toks)) AS BIGINT) AS sum_tokens
-       |       FROM documents GROUP BY 1),
-       |t AS (SELECT count(*) AS total FROM documents)
+       |       FROM $table GROUP BY 1),
+       |t AS (SELECT count(*) AS total FROM $table)
        |SELECT pl.$groupCol, pl.n_docs, pl.n_sources, pl.sum_tokens,
        |  dup.n_exact_dup_docs,
        |  CAST(pl.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE) AS corpus_share
        |FROM pl JOIN dup USING ($groupCol), t""".stripMargin
+
+  /** Mirror of the q223 composition: [[datasetCard]] over the q51
+    * dedup'd corpus (the cleaned-release card), corpus CTE reused
+    * verbatim so the composition cannot drift from its parts. */
+  def dedupDatasetCard(threshold: Double, maxDocFreq: Int,
+      groupCol: String, sourceCol: String): String =
+    datasetCard(groupCol, sourceCol, table = "corpus",
+      extraCtes = s"corpus AS MATERIALIZED (${dedupCorpus(threshold, maxDocFreq)}),\n")
+
+  /** Mirror of SimilaritySearch.neighborhoodPurity: the q58 kNN-graph
+    * SQL as a CTE, two label joins, exact per-mille purity. */
+  def neighborhoodPurity(k: Int, dim: Int, nPlanes: Int,
+      nTables: Int): String =
+    s"""WITH knn AS MATERIALIZED (${knnJoinLsh(k, dim, nPlanes, nTables)}),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |j AS (SELECT kk.query_id, lq.label AS qlabel,
+       |        (lc.label = lq.label) AS same
+       |      FROM knn kk JOIN lab lq ON kk.query_id = lq.vec_id
+       |      JOIN lab lc ON kk.cand_id = lc.vec_id)
+       |SELECT query_id, qlabel AS label, count(*)::BIGINT AS n_neighbors,
+       |  CAST(sum(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       |  CAST((sum(CASE WHEN same THEN 1 ELSE 0 END) * 1000) // count(*)
+       |    AS BIGINT) AS purity_per_mille
+       |FROM j GROUP BY 1, 2""".stripMargin
+
+  /** Mirror of SimilaritySearch.ivfCellBalance: the q30 seed-centroid
+    * assignment CTE reduced to per-cell counts and shares. */
+  def ivfCellBalance(dim: Int, nlist: Int): String = {
+    val n2e = dotTerms("e.embedding", "e.embedding", dim)
+    val n2c = dotTerms("c.cv", "c.cv", dim)
+    val dotEC = dotTerms("e.embedding", "c.cv", dim)
+    s"""WITH cent AS (SELECT vec_id AS ccid, embedding AS cv
+       |              FROM embeddings WHERE vec_id < $nlist),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.ccid AS cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ($dotEC) / (sqrt($n2e) * sqrt($n2c)) DESC,
+       |          c.ccid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |g AS (SELECT cid, count(*)::BIGINT AS n_vectors FROM assign
+       |      GROUP BY 1)
+       |SELECT cid, n_vectors,
+       |  CAST((n_vectors * 1000) // sum(n_vectors) OVER () AS BIGINT)
+       |    AS share_per_mille
+       |FROM g""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.zipfCheckpoints: token counts, total-order
+    * rank, literal checkpoint filter. */
+  def zipfCheckpoints(ranks: Seq[Int]): String =
+    s"""WITH c AS (SELECT tok AS token, count(*)::BIGINT AS freq
+       |           FROM (SELECT unnest($toks) AS tok FROM documents)
+       |           GROUP BY 1),
+       |r AS (SELECT token, freq,
+       |        row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+       |      FROM c)
+       |SELECT CAST(rank AS BIGINT) AS rank, token, freq,
+       |  CAST(rank * freq AS BIGINT) AS rank_times_freq
+       |FROM r WHERE rank IN (${ranks.mkString(", ")})""".stripMargin
 
   /** Mirror of TextAnalysis.qualityDrift (q167): the q63 battery CTE,
     * one pass of 2×5 conditional counts, 5-row long form (dqReport

@@ -1892,6 +1892,38 @@ object SparkEntry {
         when(Sampling.bucket(col("doc_id")) < 25,
           concat(col("text"), lit(SentenceSuffix))).otherwise(col("text"))))
     }),
+
+    // Neighborhood label purity over the q58 LSH kNN graph — the
+    // label-noise / encoder-quality probe (low-purity vectors are
+    // mislabeled rows or encoder failures).
+    "q221_knn_purity" -> ((s, dir) =>
+      SimilaritySearch.neighborhoodPurity(t(s, dir, "embeddings"))),
+
+    // IVF cell-occupancy balance — the ANN index capacity audit read
+    // before fixing nlist/nprobe (hot cells turn probes into scans).
+    "q222_ivf_balance" -> ((s, dir) =>
+      SimilaritySearch.ivfCellBalance(t(s, dir, "embeddings"))),
+
+    // Dataset card of the DEDUP'D corpus (q51's output) — the card a
+    // cleaned release actually ships; oracle reuses the q51 corpus CTE
+    // verbatim so the composition cannot drift from its parts.
+    "q223_dedup_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Artifacts.lshPairs(s, dir)
+      val reps = ConnectedComponents(pairs,
+          vertices = Some(docs.select("doc_id")))
+        .filter(col("id") === col("component"))
+        .select(col("id").as("__rep"))
+      Profiler.datasetCard(
+        docs.join(broadcast(reps), docs("doc_id") === col("__rep"),
+          "left_semi"))
+    }),
+
+    // Zipf rank-frequency checkpoints: rank x freq at literal ranks —
+    // the corpus-linguistics sanity probe (this synthetic fixture
+    // visibly bends the curve, which is the point).
+    "q224_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfCheckpoints(t(s, dir, "documents"))),
   )
 
   /** q220 injection suffix — shared with the oracle builder. */
@@ -2375,5 +2407,11 @@ object SparkEntry {
       maxPerMille = 100),
     "q220_sentence_stats" -> OracleSql.sentenceStats(injectPct = 25,
       suffix = SentenceSuffix),
+    "q221_knn_purity" -> OracleSql.neighborhoodPurity(k = 5, dim = 64,
+      nPlanes = 4, nTables = 8),
+    "q222_ivf_balance" -> OracleSql.ivfCellBalance(dim = 64, nlist = 16),
+    "q223_dedup_card" -> OracleSql.dedupDatasetCard(threshold = 0.6,
+      maxDocFreq = 10000, groupCol = "lang", sourceCol = "source"),
+    "q224_zipf" -> OracleSql.zipfCheckpoints(Seq(1, 2, 4, 8, 16)),
   )
 }

@@ -165,6 +165,71 @@ object SimilaritySearch {
           lit(1000000000000d)).as("var_v"))
   }
 
+  /**
+   * Neighborhood label purity over the LSH kNN graph: per vector, how
+   * many of its approximate nearest neighbors share its label, as an
+   * exact per-mille share — the standard label-noise / embedding-quality
+   * probe (a clean encoder + clean labels puts same-label points
+   * together; low-purity vectors are mislabeled rows or encoder
+   * failures, and the per-label rollup of this table is the confusion
+   * prior an active-learning loop samples from). Consumes the
+   * [[knnJoinLsh]] graph, so cost and approximation live in the index;
+   * the purity arithmetic is exact integers.
+   *
+   * Spark shape: the kNN graph is ALREADY bounded (≤ k rows/vector);
+   * two broadcast-sized label equi-joins and ONE aggregation on the
+   * query key. Nothing rescans raw vectors.
+   */
+  def neighborhoodPurity(vectors: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", dim: Int = 64, nPlanes: Int = 4,
+      nTables: Int = 8): DataFrame = {
+    val knn = knnJoinLsh(vectors, k, idCol, vecCol, dim, nPlanes, nTables)
+    val labels = vectors.select(col(idCol).as("__lid"),
+      col(labelCol).as("__lab"))
+    knn
+      .join(labels.select(col("__lid"), col("__lab").as("__qlab")),
+        col("query_id") === col("__lid")).drop("__lid")
+      .join(labels.select(col("__lid"), col("__lab").as("__clab")),
+        col("cand_id") === col("__lid")).drop("__lid")
+      .groupBy(col("query_id"), col("__qlab").as("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__clab") === col("__qlab"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("purity_per_mille",
+        expr("(n_same * 1000) div n_neighbors"))
+  }
+
+  /**
+   * IVF cell-occupancy balance: vectors per coarse cell with per-mille
+   * shares — the index capacity audit read before fixing nlist/nprobe
+   * (a hot cell turns every probe into a near-scan; empty cells waste
+   * list width). Uses the q30 seed-centroid codebook path so the cell
+   * assignment is the SAME zero-join literal-codebook projection the
+   * search operator runs — the audit measures exactly the index the
+   * queries will see.
+   *
+   * Spark shape: the codebook is a bounded driver artifact; assignment
+   * is one narrow codegen'd projection; then ONE hash aggregation on
+   * the cell key (≤ nlist rows) with the share from a window over that
+   * bounded table.
+   */
+  def ivfCellBalance(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64,
+      nlist: Int = 16): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val cents: Seq[(Long, Array[Float])] = df.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    require(cents.size >= 2, s"IVF needs >= 2 centroids, found ${cents.size}")
+    graft.SparkUtil.ensureParallelism(df)
+      .select(cellAssign(col(vecCol), cents, dim).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+      .withColumn("share_per_mille",
+        expr("(n_vectors * 1000) div sum(n_vectors) over ()"))
+  }
+
   /** Exact all-pairs cosine near-duplicates: (a, b), a < b, with
     * cosine >= threshold. Quadratic by construction; norms precomputed. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

@@ -221,6 +221,38 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /**
+   * Zipf rank-frequency checkpoints: token frequency at literal ranks
+   * under the (freq desc, token asc) total order, with the rank·freq
+   * product — the corpus-linguistics sanity probe (organic text keeps
+   * rank·freq roughly constant; synthetic or templated corpora bend
+   * the curve, which is exactly what this fixture shows). Ranks past
+   * the vocabulary simply have no row — absence IS the signal that the
+   * vocabulary is tiny.
+   *
+   * Spark shape: one token-count aggregation with map-side partials,
+   * a distributed TakeOrderedAndProject cut at max(ranks) (never a
+   * global sort), then a rank window over those ≤ max(ranks) rows.
+   * Exact integers end to end.
+   */
+  def zipfCheckpoints(docs: DataFrame,
+      ranks: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ranks.nonEmpty && ranks.forall(_ >= 1), s"bad ranks $ranks")
+    val maxR = ranks.max
+    val top = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(maxR)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("token").asc)).cast("long"))
+      .filter(col("rank").isin(ranks.map(_.toLong): _*))
+      .select(col("rank"), col("token"), col("freq"),
+        (col("rank") * col("freq")).as("rank_times_freq"))
+  }
+
   /** Language identification by stopword-marker voting: all marker lists
     * counted in ONE native tokenization pass projected into a counts
     * column, then the CASE-chain vote reads `element_at` off that array —

@@ -557,6 +557,30 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 1L)
   }
 
+  test("neighborhoodPurity: bounds hold and totals tie to the kNN graph") {
+    val e = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val purity = SimilaritySearch.neighborhoodPurity(e, k = 5).collect()
+    val knnRows = SimilaritySearch.knnJoinLsh(e, k = 5).count()
+    assert(purity.nonEmpty)
+    purity.foreach { r =>
+      val (n, same, pm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 1 && n <= 5 && same >= 0 && same <= n)
+      assert(pm == same * 1000 / n)
+    }
+    assert(purity.map(_.getLong(2)).sum == knnRows,
+      "every kNN edge must be counted exactly once")
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("ivfCellBalance: every vector lands in exactly one of nlist cells") {
+    val e = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val out = SimilaritySearch.ivfCellBalance(e, nlist = 16).collect()
+    assert(out.length <= 16)
+    assert(out.map(_.getLong(1)).sum == e.count())
+    val shares = out.map(_.getLong(2))
+    assert(shares.sum <= 1000 && shares.sum > 1000 - 16) // floor losses only
+  }
+
   test("dimensionAudit: exact micro-integer mean and variance per coordinate") {
     val spark0 = spark
     import spark0.implicits._

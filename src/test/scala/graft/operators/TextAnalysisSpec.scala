@@ -569,6 +569,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("zipfCheckpoints: exact rank-frequency rows under the total order") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfCheckpoints(docs, ranks = Seq(1, 2)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(1L -> (("a", 5L, 5L)), 2L -> (("b", 3L, 6L))))
+  }
+
   test("markupDensity: tag counts, markup chars, per-mille share, verdicts") {
     val spark0 = spark
     import spark0.implicits._
