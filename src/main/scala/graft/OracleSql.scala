@@ -814,6 +814,38 @@ object OracleSql {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirror of the q227 merged CMS grid — the construction half of
+    * [[cmsTokenFreq]] emitted as the (row_idx, col_idx, cnt) state
+    * table; the merge is exact, so the whole-corpus build IS the
+    * oracle for the shard-and-merge path. */
+  def cmsGrid(width: Int, depth: Int): String = {
+    val h = s"CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)"
+    val pos = s"((h >> 30) + i * ((h & 1073741823) * 2 + 1)) % $width"
+    s"""WITH occ AS (SELECT unnest($toks) AS token FROM documents),
+       |hh AS (SELECT token, $h AS h FROM occ),
+       |p AS (SELECT i, $pos AS pos FROM hh
+       |      CROSS JOIN (SELECT unnest(range(0, $depth)) AS i) ii)
+       |SELECT CAST(i AS INTEGER) AS row_idx, pos AS col_idx,
+       |  count(*)::BIGINT AS cnt
+       |FROM p GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Mirror of the q228 composition: the q32 split verdict plus two
+    * integer features, per-(split, feature) long-form parity rows. */
+  def splitFeatureParity(testPct: Int, idCol: String): String = {
+    val base = s"""SELECT CASE WHEN ${sampleBucket(idCol)} < $testPct
+                  |    THEN 'test' ELSE 'train' END AS split,
+                  |  n_chars, CAST(len($toks) AS BIGINT) AS n_tokens
+                  |FROM documents""".stripMargin
+    Seq("n_chars", "n_tokens").map { f =>
+      s"""SELECT split, '$f' AS feature, count(*)::BIGINT AS n,
+         |  CAST(min($f) AS BIGINT) AS min_v,
+         |  CAST(max($f) AS BIGINT) AS max_v,
+         |  CAST(sum($f) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_v
+         |FROM ($base) GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   /** Mirror of Sketches.histogramQuantiles: power-of-two buckets via
     * length(bin(v)), window cumsum, integer-until-one-division linear
     * interpolation in the straddling bucket. */

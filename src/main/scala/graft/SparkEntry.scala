@@ -1924,6 +1924,55 @@ object SparkEntry {
     // visibly bends the curve, which is the point).
     "q224_zipf" -> ((s, dir) =>
       TextAnalysis.zipfCheckpoints(t(s, dir, "documents"))),
+
+    // Quantile-sketch MERGE behind the gate (q70's fleet-composability
+    // proof for quantiles): two disjoint halves sketched independently,
+    // bucket counts folded by SUM, quantiles from the merged state ==
+    // the whole-corpus sketch the oracle computes.
+    "q225_quantile_merge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = Sketches.bucketCounts(
+        d.filter(Sampling.bucket(col("doc_id")) < 50), Seq("lang"), "n_chars")
+      val b = Sketches.bucketCounts(
+        d.filter(Sampling.bucket(col("doc_id")) >= 50), Seq("lang"), "n_chars")
+      Sketches.quantilesFromBucketCounts(
+        Sketches.mergeBucketCounts(a, b, Seq("lang")), Seq("lang"))
+    }),
+
+    // Bloom-filter MERGE behind the gate: halves OR-folded == the
+    // filter built over the whole corpus (bits only accumulate).
+    "q226_bloom_merge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sketches.mergeBloomWords(
+        Sketches.bloomWords(
+          d.filter(Sampling.bucket(col("doc_id")) < 50), "text"),
+        Sketches.bloomWords(
+          d.filter(Sampling.bucket(col("doc_id")) >= 50), "text"))
+    }),
+
+    // CMS grid MERGE behind the gate: halves cell-summed == the grid
+    // over all token occurrences.
+    "q227_cms_merge" -> ((s, dir) => {
+      val occ = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      Sketches.mergeCmsTables(
+        Sketches.cmsTable(
+          occ.filter(Sampling.bucket(col("doc_id")) < 50), "token"),
+        Sketches.cmsTable(
+          occ.filter(Sampling.bucket(col("doc_id")) >= 50), "token"))
+    }),
+
+    // Split feature parity: train-vs-test distribution of doc length
+    // and token count — the split-bias audit every eval number
+    // downstream inherits.
+    "q228_split_parity" -> ((s, dir) => {
+      val d = Sampling.trainTestSplit(t(s, dir, "documents"), testPct = 20)
+        .withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("long"))
+      Profiler.featureParity(
+        d.select(col("split"), col("n_chars"), col("n_tokens")),
+        "split", Seq("n_chars", "n_tokens"))
+    }),
   )
 
   /** q220 injection suffix — shared with the oracle builder. */
@@ -2413,5 +2462,12 @@ object SparkEntry {
     "q223_dedup_card" -> OracleSql.dedupDatasetCard(threshold = 0.6,
       maxDocFreq = 10000, groupCol = "lang", sourceCol = "source"),
     "q224_zipf" -> OracleSql.zipfCheckpoints(Seq(1, 2, 4, 8, 16)),
+    // merge == whole-corpus build, so the construction oracles serve
+    "q225_quantile_merge" -> OracleSql.histogramQuantiles(Seq(50, 90, 99)),
+    "q226_bloom_merge" -> OracleSql.bloomWords(
+      evalPct = 100, mBits = 1 << 16, k = 5, idCol = "doc_id"),
+    "q227_cms_merge" -> OracleSql.cmsGrid(width = 1024, depth = 4),
+    "q228_split_parity" -> OracleSql.splitFeatureParity(testPct = 20,
+      idCol = "doc_id"),
   )
 }

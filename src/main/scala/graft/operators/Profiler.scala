@@ -547,6 +547,35 @@ object Profiler {
    * don't.
    */
   /**
+   * Per-group feature-distribution parity: for each declared integer
+   * feature, count, min/max, and micro-exact mean per group — long
+   * form, one row per (group, feature). The split-bias audit run after
+   * ANY train/test split: if the test half's mean document length or
+   * token count drifts from train's, the split (or the id space it
+   * hashed) is biased and every eval number downstream inherits it.
+   * Also the cross-shard / cross-day parity check for ingestion.
+   *
+   * Spark shape: one branch per feature — each a (group, feature)-
+   * pruned scan with ONE hash aggregation on the group key (map-side
+   * partial sums of exact longs); means are final single divisions.
+   */
+  def featureParity(df: DataFrame, groupCol: String,
+      features: Seq[String]): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    features.map { f =>
+      df.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n"),
+          min(col(f).cast("long")).as("min_v"),
+          max(col(f).cast("long")).as("max_v"),
+          sum(col(f).cast("long")).as("__s"))
+        .select(col(groupCol), lit(f).as("feature"), col("n"),
+          col("min_v"), col("max_v"),
+          (col("__s").cast("double") / col("n").cast("double"))
+            .as("mean_v"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
    * String-length profile: per declared string column, row/null/empty
    * counts and exact min/max/sum lengths with a mean — the five-second
    * encoding sanity sheet next to [[profile]]'s value stats (a `lang`

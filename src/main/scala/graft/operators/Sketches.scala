@@ -137,6 +137,14 @@ object Sketches {
       .groupBy(col("word_idx"))
       .agg(expr("bit_or(__mask)").as("bits"))
 
+  /** Merge two Bloom word tables by element-wise OR — set bits only
+    * accumulate, so shard filters fold in any tree shape into exactly
+    * the filter built over the union of their inputs. */
+  def mergeBloomWords(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b)
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(bits)").as("bits"))
+
   /** Collect a word table into the dense long-array artifact (driver-side;
     * `mBits/63 + 1` longs — a 2^20-bit filter is ~16 KB). */
   def bloomArray(df: DataFrame, valueCol: String, mBits: Int = 1 << 16,
@@ -201,6 +209,14 @@ object Sketches {
       .groupBy(col("row_idx"), col("col_idx"))
       .agg(sum(col("__w")).as("cnt"))
 
+  /** Merge two CMS grids by cell-wise SUM — associative and commutative
+    * (counts only add), so shard grids fold in any tree shape into
+    * exactly the whole-corpus grid. */
+  def mergeCmsTables(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b)
+      .groupBy(col("row_idx"), col("col_idx"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Collect the grid into the dense artifact (row-major, depth×width
     * longs — 4×1024 is 32 KB). */
   def cmsArray(df: DataFrame, valueCol: String, width: Int = 1024,
@@ -247,14 +263,37 @@ object Sketches {
    * full materialization.
    */
   def histogramQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
-      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100))
-    val counts = df
-      .select((keys.map(col) :+
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    quantilesFromBucketCounts(bucketCounts(df, keys, valueCol), keys,
+      percentiles)
+
+  /** The sketch STATE: per-group counts over the data-independent
+    * power-of-two buckets — this is the table shards persist and
+    * [[mergeBucketCounts]] folds (buckets are value-determined, so
+    * partial counts from any shard partition sum to the whole-corpus
+    * counts exactly — the HLL/Bloom/CMS mergeability contract for
+    * quantiles). */
+  def bucketCounts(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    df.select((keys.map(col) :+
         length(bin(col(valueCol))).cast("int").as("bucket")): _*)
       .groupBy((keys.map(col) :+ col("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
+
+  /** Merge two bucket-count sketches by cell-wise SUM — associative and
+    * commutative, so any shard tree folds identically. */
+  def mergeBucketCounts(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame =
+    a.union(b)
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a (possibly merged) bucket-count table —
+    * [[histogramQuantiles]]'s estimation half exposed for merged state. */
+  def quantilesFromBucketCounts(counts: DataFrame, keys: Seq[String],
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(keys.map(col): _*)

@@ -316,6 +316,18 @@ class ProfilerSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 2L)), 2L -> ((1L, 1L)), 3L -> ((0L, 0L))))
   }
 
+  test("featureParity: long-form per-group feature stats, exact means") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("train", 10L, 2L), ("train", 20L, 4L), ("test", 30L, 6L))
+      .toDF("split", "f1", "f2")
+    val out = Profiler.featureParity(df, "split", Seq("f1", "f2")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(("train", "f1")) == ((2L, 10L, 20L, 15.0)))
+    assert(out(("test", "f2")) == ((1L, 6L, 6L, 6.0)))
+  }
+
   test("stringLengthProfile: null/empty accounting and exact length stats") {
     val spark0 = spark
     import spark0.implicits._

@@ -191,4 +191,45 @@ class SketchesSpec extends SparkSpec {
     // 9 non-null values; threshold n/3 = 3: only x (8) qualifies
     assert(got == Map("x" -> 8L))
   }
+
+  test("bucket-count sketches merged by SUM equal the whole-corpus sketch") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val half = graft.operators.Sampling.bucket(col("doc_id")) < 50
+    val merged = Sketches.quantilesFromBucketCounts(
+      Sketches.mergeBucketCounts(
+        Sketches.bucketCounts(d.filter(half), Seq("lang"), "n_chars"),
+        Sketches.bucketCounts(d.filter(!half), Seq("lang"), "n_chars"),
+        Seq("lang")),
+      Seq("lang")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val whole = Sketches.histogramQuantiles(d, Seq("lang"), "n_chars")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(merged == whole)
+  }
+
+  test("Bloom word tables merged by OR equal the whole-corpus filter") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val half = graft.operators.Sampling.bucket(col("doc_id")) < 50
+    val merged = Sketches.mergeBloomWords(
+        Sketches.bloomWords(d.filter(half), "text"),
+        Sketches.bloomWords(d.filter(!half), "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = Sketches.bloomWords(d, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == whole)
+  }
+
+  test("CMS grids merged by cell-wise SUM equal the whole-corpus grid") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val half = graft.operators.Sampling.bucket(col("doc_id")) < 50
+    val merged = Sketches.mergeCmsTables(
+        Sketches.cmsTable(d.filter(half), "token"),
+        Sketches.cmsTable(d.filter(!half), "token"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.cmsTable(d, "token")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
 }
