@@ -164,6 +164,67 @@ object StreamingOps {
         col("n_rows"), col("checksum"))
   }
 
+  /**
+   * Watermarked windowed Bloom word table: per (window, word_idx) the
+   * OR-folded bit mask over the window's content keys — a per-window
+   * membership sketch a downstream decontamination/lookup step ships
+   * instead of the window's raw keys (the q44/q150 sketch-shipping
+   * pattern, built incrementally). `bit_or` is commutative and
+   * idempotent, so the window's filter is FINAL at watermark close and
+   * merging across windows (or with a batch-built filter over the same
+   * rows) is element-wise OR — stream == batch spec-pinned.
+   */
+  def windowedBloom(rows: DataFrame, valueCol: String,
+      tsCol: String = "ts", mBits: Int = 1 << 16, k: Int = 5,
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (rows.isStreaming) rows.withWatermark(tsCol, watermark) else rows
+    val bits = graft.operators.Sketches.BloomWordBits
+    withWm.where(col(valueCol).isNotNull)
+      .select(window(col(tsCol), windowDuration).as("w"),
+        explode(array(graft.operators.Sketches.bloomPositions(
+          col(valueCol), mBits, k): _*)).as("__pos"))
+      .select(col("w"), expr(s"__pos div $bits").as("word_idx"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__pos % $bits AS INT))")
+          .as("__mask"))
+      .groupBy(col("w"), col("word_idx"))
+      .agg(expr("bit_or(__mask)").as("bits"))
+      .select(col("w.start").as("window_start"), col("word_idx"),
+        col("bits"))
+  }
+
+  /**
+   * Watermarked windowed CMS grid: per (window, row_idx, col_idx) the
+   * summed cell count over the window's values — the per-window
+   * frequency sketch (hot-key / trending-token detection without a
+   * full per-value aggregation downstream). SUM cells are mergeable
+   * across windows and with batch-built grids; stream == batch
+   * spec-pinned. Unlike the batch [[graft.operators.Sketches.cmsTable]]
+   * there is no pre-aggregation by value (streaming state is the grid
+   * itself, bounded at depth×width cells per window regardless of the
+   * value space — which is the point).
+   */
+  def windowedCms(rows: DataFrame, valueCol: String,
+      tsCol: String = "ts", width: Int = 1024, depth: Int = 4,
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (rows.isStreaming) rows.withWatermark(tsCol, watermark) else rows
+    withWm.where(col(valueCol).isNotNull)
+      .select(window(col(tsCol), windowDuration).as("w"),
+        explode(array(graft.operators.Sketches.bloomPositions(
+          col(valueCol), width, depth).zipWithIndex.map {
+          case (pos, i) => struct(lit(i).as("i"), pos.as("pos"))
+        }: _*)).as("__c"))
+      .select(col("w"), col("__c.i").as("row_idx"),
+        col("__c.pos").as("col_idx"))
+      .groupBy(col("w"), col("row_idx"), col("col_idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("row_idx"),
+        col("col_idx"), col("cnt"))
+  }
+
   def streamingDedup(stream: DataFrame, idCol: String = "doc_id",
       keyCol: String = "content_key",
       stateTimeout: Option[String] = None): DataFrame = {

@@ -104,6 +104,95 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedBloom: stream output equals the batch-built per-window filter") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val evs = Seq(
+      Ev(t("2024-01-01 10:05:00"), "alpha", 1L, 1.0),
+      Ev(t("2024-01-01 10:15:00"), "beta", 2L, 1.0),
+      Ev(t("2024-01-01 10:25:00"), "alpha", 3L, 1.0), // dup value -> same bits
+      Ev(t("2024-01-01 11:05:00"), "gamma", 4L, 1.0))
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.windowedBloom(input.toDF(), valueCol = "event_type")
+      .writeStream.format("memory").queryName("bloom_win")
+      .outputMode("complete").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val streamed = canon(spark.table("bloom_win"))
+      val batch = canon(StreamingOps.windowedBloom(evs.toDF(),
+        valueCol = "event_type"))
+      assert(streamed == batch && streamed.nonEmpty)
+      // window closure: the 10:00 window's filter equals the batch Bloom
+      // of exactly its values — the sketch a window SHIPS is final
+      val win10 = streamed.filter(_._1.startsWith("2024-01-01 10"))
+        .map { case (_, w, b) => (w, b) }.toMap
+      val direct = graft.operators.Sketches.bloomWords(
+          Seq("alpha", "beta", "alpha").toDF("v"), "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(win10 == direct)
+    } finally q.stop()
+  }
+
+  test("windowedCms: stream grid equals batch; cells count occurrences") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val evs = Seq(
+      Ev(t("2024-01-01 10:05:00"), "alpha", 1L, 1.0),
+      Ev(t("2024-01-01 10:25:00"), "alpha", 2L, 1.0),
+      Ev(t("2024-01-01 10:35:00"), "beta", 3L, 1.0),
+      Ev(t("2024-01-01 11:05:00"), "alpha", 4L, 1.0))
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.windowedCms(input.toDF(), valueCol = "event_type")
+      .writeStream.format("memory").queryName("cms_win")
+      .outputMode("complete").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+      val streamed = canon(spark.table("cms_win"))
+      val batch = canon(StreamingOps.windowedCms(evs.toDF(),
+        valueCol = "event_type"))
+      assert(streamed == batch && streamed.nonEmpty)
+      // depth cells per distinct value per window; alpha's 10:00 cells
+      // carry weight 2 (two occurrences), 11:00 cells weight 1
+      val w10 = streamed.filter(_._1.startsWith("2024-01-01 10"))
+      assert(w10.map(_._4).max == 2L)
+      assert(streamed.filter(_._1.startsWith("2024-01-01 11"))
+        .forall(_._4 == 1L))
+    } finally q.stop()
+  }
+
+  test("r7 narrow gates run unchanged on streams (markup density, group holdout)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "source")
+    val gated = graft.operators.Sampling.groupHoldout(
+      graft.operators.TextAnalysis.markupDensity(docs)
+        .join(docs, Seq("doc_id")), "source", testPct = 30)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "<div>x</div>", "a"), (2L, "plain words", "b"))
+      q.processAllAvailable()
+      val rows = spark.table("gate_stream")
+        .select("doc_id", "markup_per_mille", "split").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(rows.size == 2 && rows(2L)._1 == 0L)
+      assert(rows.values.map(_._2).forall(Set("train", "test")))
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based session merge with end = last event + gap") {
     val spark0 = spark
     import spark0.implicits._
