@@ -2575,6 +2575,52 @@ object OracleSql {
        |      FROM events)
        |GROUP BY 1""".stripMargin
 
+  /** Mirror of EventAnalytics.hourlyAutocorrelation: hourly counts,
+    * lag join, exact integer moments, the q124 combination chain. */
+  def hourlyAutocorrelation(lagHours: Int): String =
+    s"""WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+       |             count(*)::BIGINT AS c FROM events GROUP BY 1),
+       |p AS (SELECT a.c AS x, b.c AS y FROM h a
+       |      JOIN h b ON b.t = a.t + $lagHours),
+       |m AS (SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx,
+       |        CAST(sum(y * y) AS BIGINT) AS syy,
+       |        CAST(sum(x * y) AS BIGINT) AS sxy FROM p)
+       |SELECT $lagHours AS lag_hours, n AS n_pairs,
+       |  CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr
+       |FROM m""".stripMargin
+
+  /** Mirror of EventAnalytics.fanoBurstiness: (entity, hour) counts,
+    * per-entity exact moments, the identical double chain. */
+  def fanoBurstiness: String =
+    s"""WITH hc AS (SELECT user_id, date_trunc('hour', ts) AS h,
+       |              count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+       |m AS (SELECT user_id, count(*)::BIGINT AS n_hours,
+       |        CAST(sum(c) AS BIGINT) AS s,
+       |        CAST(sum(c * c) AS BIGINT) AS ss FROM hc GROUP BY 1)
+       |SELECT user_id, n_hours,
+       |  CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_hourly,
+       |  CAST(n_hours * ss - s * s AS DOUBLE)
+       |    / (CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE))
+       |    / (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)) AS fano
+       |FROM m""".stripMargin
+
+  /** Mirror of Profiler.topValuesProfile: per-column value counts,
+    * (count desc, value asc) rank, top-k cut, long-form union. */
+  def topValuesProfile(table: String, cols: Seq[String],
+      k: Int): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, value, cnt, rank FROM (
+         |  SELECT CAST($c AS VARCHAR) AS value, count(*)::BIGINT AS cnt,
+         |    row_number() OVER (ORDER BY count(*) DESC,
+         |      CAST($c AS VARCHAR) ASC) AS rank
+         |  FROM $table GROUP BY 1)
+         |WHERE rank <= $k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Mirror of Dedup.estimatorCalibration (q188): the q175 report CTE
     * binned by exact Jaccard, micro-integer mean error. */
   def estimatorCalibration(bins: Int, k: Int, bands: Int,

@@ -1973,6 +1973,23 @@ object SparkEntry {
         d.select(col("split"), col("n_chars"), col("n_tokens")),
         "split", Seq("n_chars", "n_tokens"))
     }),
+
+    // Diurnal periodicity: exact Pearson autocorrelation of hourly
+    // event counts at lag 24 — schedule maintenance and rate limits
+    // by hour iff this is high.
+    "q229_hourly_autocorr" -> ((s, dir) =>
+      EventAnalytics.hourlyAutocorrelation(Tables.loadEvents(s, dir))),
+
+    // Per-entity Fano factor over active hours: ~1 Poisson-like, >1
+    // bursty (bots, retry storms), <1 metronomic (schedulers).
+    "q230_fano_burstiness" -> ((s, dir) =>
+      EventAnalytics.fanoBurstiness(Tables.loadEvents(s, dir))),
+
+    // Top-k most frequent values per column — the "common values"
+    // profiling pane, rank-deterministic for version diffing.
+    "q231_top_values" -> ((s, dir) =>
+      Profiler.topValuesProfile(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"))),
   )
 
   /** q220 injection suffix — shared with the oracle builder. */
@@ -2469,5 +2486,9 @@ object SparkEntry {
     "q227_cms_merge" -> OracleSql.cmsGrid(width = 1024, depth = 4),
     "q228_split_parity" -> OracleSql.splitFeatureParity(testPct = 20,
       idCol = "doc_id"),
+    "q229_hourly_autocorr" -> OracleSql.hourlyAutocorrelation(lagHours = 24),
+    "q230_fano_burstiness" -> OracleSql.fanoBurstiness,
+    "q231_top_values" -> OracleSql.topValuesProfile("orders",
+      Seq("o_orderstatus", "o_orderpriority"), k = 5),
   )
 }

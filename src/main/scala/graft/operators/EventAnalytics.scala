@@ -737,6 +737,77 @@ object EventAnalytics {
         sum(col("__v")).as("sum_v"),
         countDistinct(col("__v")).as("n_distinct_v"))
 
+  /**
+   * Diurnal periodicity probe: the exact Pearson correlation between
+   * the corpus-level hourly event counts and the same series shifted
+   * by `lagHours` (24 = same-hour-tomorrow) — high lag-24
+   * autocorrelation means traffic is diurnal (schedule maintenance
+   * windows and rate limits by hour), near-zero means arrivals are
+   * pattern-free. Pairs where either hour is unobserved drop — the
+   * statistic is over observed-hour pairs by contract. Moment sums are
+   * exact integers (hour counts ARE integers); only the final q124
+   * combination chain is floating point, mirrored verbatim in SQL.
+   *
+   * Spark shape: events reduce to ≤ |span-hours| hourly rows in ONE
+   * map-side-partial aggregation; the lag join and the moment fold run
+   * over that calendar-bounded table (AQE broadcasts it). At 10⁹+
+   * rows/hour the integer products approach 2^63 and the q124 decimal
+   * regime applies.
+   */
+  def hourlyAutocorrelation(events: DataFrame, lagHours: Int = 24,
+      tsCol: String = "ts"): DataFrame = {
+    require(lagHours >= 1, s"lagHours=$lagHours must be >= 1")
+    val hourly = events
+      .groupBy(expr(s"unix_micros(date_trunc('hour', $tsCol))" +
+        " div 3600000000").as("t"))
+      .agg(count(lit(1)).as("c"))
+    hourly.as("a")
+      .join(hourly.as("b"), col("b.t") === col("a.t") + lagHours)
+      .select(col("a.c").as("x"), col("b.c").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(lit(lagHours).as("lag_hours"), col("n").as("n_pairs"),
+        (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+          (sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)")) *
+            sqrt(expr("CAST(n * syy - sy * sy AS DOUBLE)"))))
+          .as("autocorr"))
+  }
+
+  /**
+   * Per-entity burstiness via the Fano factor (index of dispersion,
+   * Fano 1947): variance/mean of the entity's per-hour event counts
+   * over its ACTIVE hours — ≈1 is Poisson-like arrival, >1 bursty
+   * (bot bursts, retry storms), <1 metronomic (schedulers, health
+   * checks). The distribution-shape companion to [[burstCeiling]]'s
+   * worst-window maximum and [[interEventGaps]]' gap quantiles.
+   * Absent hours are NOT zero-filled — the statistic describes
+   * intensity while active, by contract.
+   *
+   * Spark shape: ONE (entity, hour) aggregation with map-side partials
+   * (events never shuffle raw), ONE per-entity fold of exact integer
+   * moment sums; mean/variance/Fano are final double chains mirrored
+   * verbatim in SQL. Entities with a single active hour have no
+   * variance and report Fano 0.
+   */
+  def fanoBurstiness(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame =
+    events
+      .groupBy(col(userCol),
+        date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("__s"),
+        sum(col("c") * col("c")).as("__ss"))
+      .select(col(userCol), col("n_hours"),
+        (col("__s").cast("double") / col("n_hours").cast("double"))
+          .as("mean_hourly"),
+        (expr("CAST(n_hours * __ss - __s * __s AS DOUBLE)") /
+          expr("CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE)") /
+          (col("__s").cast("double") / col("n_hours").cast("double")))
+          .as("fano"))
+
   def timeSplitAudit(events: DataFrame, cutoff: String,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     val cut = lit(cutoff).cast("timestamp")

@@ -547,6 +547,35 @@ object Profiler {
    * don't.
    */
   /**
+   * Top-k most frequent values per declared column, long form with a
+   * deterministic rank under the (count desc, value asc) total order —
+   * the "common values" pane of every profiling tool, and the quick
+   * category-drift check between table versions (diff the ranked rows).
+   * Values are cast to string so heterogeneous columns share a schema
+   * (the [[profile]] min/max convention).
+   *
+   * Spark shape: one branch per column — a single-column pruned scan,
+   * a value-bounded count aggregation with map-side partials, a
+   * distributed TakeOrderedAndProject cut at k (never a global sort),
+   * then a rank window over the ≤ k surviving rows.
+   */
+  def topValuesProfile(df: DataFrame, cols: Seq[String],
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cols.nonEmpty && k >= 1, "need columns and k >= 1")
+    cols.map { c =>
+      df.select(col(c).cast("string").as("value"))
+        .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("value").asc)
+        .limit(k)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("value").asc)).cast("long"))
+        .select(lit(c).as("column_name"), col("value"), col("cnt"),
+          col("rank"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
    * Per-group feature-distribution parity: for each declared integer
    * feature, count, min/max, and micro-exact mean per group — long
    * form, one row per (group, feature). The split-bias audit run after

@@ -316,6 +316,41 @@ class EventAnalyticsSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("hourlyAutocorrelation: perfectly periodic counts correlate to 1.0") {
+    val spark0 = spark
+    import spark0.implicits._
+    // hourly counts 1,3,1,3,1,3 with lag 2 -> every pair is (1,1)/(3,3)
+    val rows = (0 until 6).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 3
+      Seq.fill(n)(s"2024-03-01 0$h:10:00")
+    }
+    val events = rows.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val out = EventAnalytics.hourlyAutocorrelation(events, lagHours = 2)
+      .collect().head
+    assert(out.getInt(0) == 2 && out.getLong(1) == 4L)
+    assert(out.getDouble(2) == 1.0)
+  }
+
+  test("fanoBurstiness: exact dispersion with the single-hour zero edge") {
+    val spark0 = spark
+    import spark0.implicits._
+    val events = Seq(
+      (1L, "2024-03-01 10:00:00"), (1L, "2024-03-01 10:30:00"),
+      (1L, "2024-03-01 11:00:00"), (1L, "2024-03-01 11:30:00"), // [2,2] -> 0
+      (2L, "2024-03-01 10:00:00"),
+      (2L, "2024-03-01 11:00:00"), (2L, "2024-03-01 11:20:00"),
+      (2L, "2024-03-01 11:40:00"),                              // [1,3] -> 0.5
+      (3L, "2024-03-01 10:00:00"))                              // single hour
+      .toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val out = EventAnalytics.fanoBurstiness(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 2.0, 0.0)))
+    assert(out(2L) == ((2L, 2.0, 0.5)))
+    assert(out(3L) == ((1L, 1.0, 0.0)))
+  }
+
   test("propsFieldStats: JSON field extraction with missing-field rows") {
     val spark0 = spark
     import spark0.implicits._

@@ -316,6 +316,19 @@ class ProfilerSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 2L)), 2L -> ((1L, 1L)), 3L -> ((0L, 0L))))
   }
 
+  test("topValuesProfile: deterministic top-k value ranks per column") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("x", 1), ("x", 2), ("y", 2), ("z", 2)).toDF("a", "b")
+    val out = Profiler.topValuesProfile(df, Seq("a", "b"), k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> ((r.getString(1),
+        r.getLong(2)))).toMap
+    assert(out(("a", 1L)) == (("x", 2L)))
+    assert(out(("a", 2L)) == (("y", 1L))) // tie with z broken by value asc
+    assert(out(("b", 1L)) == (("2", 3L)))
+    assert(out(("b", 2L)) == (("1", 1L)))
+  }
+
   test("featureParity: long-form per-group feature stats, exact means") {
     val spark0 = spark
     import spark0.implicits._
