@@ -1627,6 +1627,64 @@ object OracleSql {
        |FROM injected d JOIN top t USING ($idCol)""".stripMargin
   }
 
+  /** Mirror of the q232 composition: the q83 score and the q63 battery
+    * (no injection) joined per doc, keep rate per exact score value —
+    * both CTEs verbatim from the independently-oracled builders. */
+  def scoreCalibration(wTok: Long, wStop: Long, wDigit: Long,
+      wUpper: Long, threshold: Long, minTokens: Int, maxTokens: Int,
+      minMeanTokLen: Double, maxMeanTokLen: Double,
+      maxTopTokRatio: Double, minStopwords: Int, idCol: String): String =
+    s"""WITH qf AS MATERIALIZED (${qualityFilter(0, "", minTokens, maxTokens,
+          minMeanTokLen, maxMeanTokLen, maxTopTokRatio, minStopwords, idCol)}),
+       |ls AS MATERIALIZED (${linearScore(wTok, wStop, wDigit, wUpper,
+          threshold, idCol)}),
+       |j AS (SELECT ls.score, qf.keep FROM ls JOIN qf USING ($idCol))
+       |SELECT score, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*)
+       |    AS BIGINT) AS keep_per_mille
+       |FROM j GROUP BY 1""".stripMargin
+
+  /** Mirror of Dedup.signatureSizeSensitivity: the q175 candidate CTEs,
+    * per-pair prefix-estimator errors, per-k micro-integer means. */
+  def signatureSizeSensitivity(ks: Seq[Int], k: Int, bands: Int,
+      idCol: String): String = {
+    val r = k / bands
+    val sig =
+      s"""list_transform(range(0, $k), i ->
+         |  list_min(list_transform(hs, h -> ((2*i + 1)*h + $SigB*i + 1) % $P)))""".stripMargin
+    val errDefs = ks.map { kp =>
+      s"""abs(CAST(len(list_filter(range(1, ${kp + 1}),
+         |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${kp.toDouble}
+         |    - CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |      / CAST(a.sz + b.sz - len(list_intersect(a.hs, b.hs))
+         |        AS DOUBLE)) AS e$kp""".stripMargin
+    }.mkString(",\n")
+    val perK = ks.map { kp =>
+      s"""SELECT CAST($kp AS INTEGER) AS sig_k, count(*)::BIGINT AS n_pairs,
+         |  CAST(sum(CAST(floor(e$kp * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_abs_err,
+         |  max(e$kp) AS max_abs_err
+         |FROM e""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sets AS (SELECT $idCol AS id, $shingleHashes AS hs FROM documents),
+       |s2 AS (SELECT id, hs, len(hs) AS sz FROM sets WHERE len(hs) > 0),
+       |sigs AS (SELECT id, $sig AS sig FROM s2),
+       |bd AS (SELECT unnest(range(0, $bands)) AS band),
+       |bk AS (SELECT s.id, bd.band,
+       |         array_to_string(s.sig[bd.band*$r + 1 : bd.band*$r + $r], '_') AS key
+       |       FROM sigs s CROSS JOIN bd),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+       |           AND x.id < y.id),
+       |e AS MATERIALIZED (SELECT
+       |    $errDefs
+       |  FROM cand c
+       |    JOIN s2 a ON c.id_a = a.id JOIN s2 b ON c.id_b = b.id
+       |    JOIN sigs sa ON c.id_a = sa.id JOIN sigs sb ON c.id_b = sb.id)
+       |$perK""".stripMargin
+  }
+
   /** Mirror of TextAnalysis.chunk: chunk starts via range(0, n, stride)
     * (= Spark's sequence(0, n-1, stride) for n >= 1), 1-based inclusive
     * list_slice (clamped at the list end like Spark's slice), and the

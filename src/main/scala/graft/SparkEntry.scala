@@ -1990,6 +1990,26 @@ object SparkEntry {
     "q231_top_values" -> ((s, dir) =>
       Profiler.topValuesProfile(t(s, dir, "orders"),
         Seq("o_orderstatus", "o_orderpriority"))),
+
+    // Score-vs-quality-gate calibration: q63 keep rate per exact q83
+    // score value — does the cheap linear score rank what the full
+    // rule battery accepts? (the model-calibration curve)
+    "q232_score_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.linearScore(d).select(col("doc_id"), col("score"))
+        .join(TextAnalysis.qualityFilter(d).select(col("doc_id"), col("keep")),
+          Seq("doc_id"))
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("keep_per_mille", expr("(n_keep * 1000) div n_docs"))
+    }),
+
+    // Signature-size sensitivity: MinHash estimator error at 32/64/128
+    // prefix positions of one signature — what 4x less store memory
+    // costs in accuracy on THIS corpus.
+    "q233_signature_sizing" -> ((s, dir) =>
+      Dedup.signatureSizeSensitivity(t(s, dir, "documents"))),
   )
 
   /** q220 injection suffix — shared with the oracle builder. */
@@ -2490,5 +2510,12 @@ object SparkEntry {
     "q230_fano_burstiness" -> OracleSql.fanoBurstiness,
     "q231_top_values" -> OracleSql.topValuesProfile("orders",
       Seq("o_orderstatus", "o_orderpriority"), k = 5),
+    "q232_score_calibration" -> OracleSql.scoreCalibration(wTok = 2,
+      wStop = 5, wDigit = -3, wUpper = -1, threshold = 120,
+      minTokens = 15, maxTokens = 100000, minMeanTokLen = 4.0,
+      maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,
+      idCol = "doc_id"),
+    "q233_signature_sizing" -> OracleSql.signatureSizeSensitivity(
+      ks = Seq(32, 64, 128), k = 128, bands = 32, idCol = "doc_id"),
   )
 }

@@ -820,6 +820,75 @@ object Dedup {
   }
 
   /**
+   * Signature-size sensitivity audit: the MinHash estimator's error at
+   * several signature PREFIX lengths (k' = 32/64/128 positions of one
+   * k=128 signature) against exact shingle Jaccard, aggregated to
+   * per-k' mean/max absolute error — the sizing decision behind the
+   * signature store ([[minhashSignatures]]): at 100 TB the difference
+   * between k=128 and k=32 is 4× store memory, and this curve says
+   * what accuracy that buys on YOUR corpus (the k-axis companion to
+   * [[bbitSignaturePairs]]' b-axis compression and
+   * [[estimatorCalibration]]'s per-similarity binning). Prefixes of
+   * one signature — not three separate signatures — because that is
+   * exactly how a store would downsize in place.
+   *
+   * Spark shape: [[minhashEstimatorReport]]'s candidate machinery
+   * (band-bucket equi-joins, never all-pairs; cached shingle sets and
+   * signatures joined on bare ids), then one `stack` unpivot and ONE
+   * aggregation on the ≤ |ks| key space; means ride exact
+   * `floor(err·10⁶ + 0.5)` sums (the q188 contract — a float mean
+   * would not replay).
+   */
+  def signatureSizeSensitivity(docs: DataFrame,
+      ks: Seq[Int] = Seq(32, 64, 128), idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 128,
+      bands: Int = 32): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    require(ks.nonEmpty && ks.forall(kp => kp >= 1 && kp <= k),
+      s"ks=$ks must be in [1, $k]")
+    val r = k / bands
+    val sets = graft.SparkUtil.trackCache(withShingleSets(docs, idCol, textCol, n))
+    val sigs = graft.SparkUtil.trackCache(
+      sets.select(col("id"), minhashSignature(col("hs"), k).as("sig")))
+    val banded = bandKeys(sigs, r, bands)
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val base = candidates
+      .join(sets.select(col("id"), col("hs").as("hs_a"), col("sz").as("sz_a")),
+        col("id_a") === col("id")).drop("id")
+      .join(sets.select(col("id"), col("hs").as("hs_b"), col("sz").as("sz_b")),
+        col("id_b") === col("id")).drop("id")
+      .join(sigs.select(col("id"), col("sig").as("sig_a")),
+        col("id_a") === col("id")).drop("id")
+      .join(sigs.select(col("id"), col("sig").as("sig_b")),
+        col("id_b") === col("id")).drop("id")
+      .withColumn("__inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("__jx", col("__inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("__inter")).cast("double"))
+    val errCols = ks.map { kp =>
+      (expr(s"size(filter(zip_with(slice(sig_a, 1, $kp)," +
+        s" slice(sig_b, 1, $kp), (x, y) -> x = y), b -> b))")
+        .cast("double") / lit(kp.toDouble))
+    }.zip(ks).map { case (e, kp) => abs(e - col("__jx")).as(s"__e$kp") }
+    base.select(errCols: _*)
+      .select(expr(s"stack(${ks.size}, " +
+        ks.map(kp => s"$kp, __e$kp").mkString(", ") + ") AS (sig_k, abs_err)"))
+      .groupBy(col("sig_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("abs_err") * lit(1000000d) + lit(0.5)).cast("long"))
+          .as("__sm"),
+        max(col("abs_err")).as("max_abs_err"))
+      .select(col("sig_k"), col("n_pairs"),
+        expr("CAST(__sm AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1000000.0)")
+          .as("mean_abs_err"),
+        col("max_abs_err"))
+  }
+
+  /**
    * Duplicated-n-gram coverage per language: the share of ALL shingle
    * OCCURRENCES (multiset, not distinct) whose shingle appears in ≥
    * `minDf` documents of that language — corpus-level duplication

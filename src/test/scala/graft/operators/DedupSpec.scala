@@ -571,6 +571,27 @@ class DedupSpec extends SparkSpec {
       "curation must keep some docs and drop some docs")
   }
 
+  test("signatureSizeSensitivity: k=128 row ties to the estimator report; pair counts equal") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val out = Dedup.signatureSizeSensitivity(d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(out.keySet == Set(32, 64, 128))
+    // same candidate set at every k
+    assert(out.values.map(_._1).toSet.size == 1)
+    out.values.foreach { case (_, mean, mx) =>
+      assert(mean >= 0 && mean <= 1 && mx >= mean)
+    }
+    // the full-length row must equal the q175 report's error, recomputed
+    val report = Dedup.minhashEstimatorReport(d).collect()
+    val microMean = report.map(r =>
+      math.floor(r.getDouble(4) * 1e6 + 0.5).toLong).sum.toDouble /
+      (report.length.toDouble * 1e6)
+    assert(out(128)._1 == report.length.toLong)
+    assert(math.abs(out(128)._2 - microMean) < 1e-12)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("prefixDupGroups: identical openings group; short docs out of scope") {
     val spark0 = spark
     import spark0.implicits._

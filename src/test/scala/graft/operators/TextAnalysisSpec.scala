@@ -569,6 +569,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("score calibration composition: mass conserved, both verdicts represented") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val rows = graft.SparkEntry.queries("q232_score_calibration")(
+      spark, sf("sf0.01")).collect()
+    assert(rows.map(_.getLong(1)).sum == d.count())
+    rows.foreach { r =>
+      val (n, keep, pm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(keep >= 0 && keep <= n && pm == keep * 1000 / n)
+    }
+    val keeps = rows.map(_.getLong(2)).sum
+    assert(keeps > 0 && keeps < d.count(), "both verdict branches must fire")
+  }
+
   test("zipfCheckpoints: exact rank-frequency rows under the total order") {
     val spark0 = spark
     import spark0.implicits._
