@@ -452,6 +452,43 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("r7 narrow gates are shuffle-free codegen'd projections") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val pm = plan(TextAnalysis.markupDensity(d))
+    assert(!hasShuffle(pm), s"markupDensity shuffled:\n$pm")
+    assert(pm.contains("*(1) Project"), pm) // whole-stage codegen'd stage
+    val ph = plan(graft.operators.Sampling.groupHoldout(d, "source", 30))
+    assert(!hasShuffle(ph), s"groupHoldout shuffled:\n$ph")
+  }
+
+  test("dimension audit: one exchange (the dim-key agg), nothing wider") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = plan(SimilaritySearch.dimensionAudit(e))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("IVF cell balance: literal codebook, zero joins") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = plan(SimilaritySearch.ivfCellBalance(e))
+    assert(!p.contains("Join"), s"cell assignment must not join:\n$p")
+  }
+
+  test("exact vector dedup: one exchange on the content key, no pair join") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = plan(SimilaritySearch.exactDupVectors(e))
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("zipf checkpoints: TakeOrderedAndProject cut, never a corpus sort") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(TextAnalysis.zipfCheckpoints(d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("balanced assignment: the only single-partition work sees pre-aggregated keys") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
