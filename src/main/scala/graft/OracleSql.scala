@@ -1627,6 +1627,66 @@ object OracleSql {
        |FROM injected d JOIN top t USING ($idCol)""".stripMargin
   }
 
+  /** Mirror of SimilaritySearch.knnHubness: the q58 kNN graph CTE,
+    * reverse in-degrees with antihub zero-fill, bit-length bands. */
+  def knnHubness(k: Int, dim: Int, nPlanes: Int, nTables: Int): String =
+    s"""WITH knn AS MATERIALIZED (${knnJoinLsh(k, dim, nPlanes, nTables)}),
+       |ind AS (SELECT cand_id AS id, count(*)::BIGINT AS d FROM knn
+       |        GROUP BY 1),
+       |alln AS (SELECT e.vec_id AS id, COALESCE(ind.d, 0) AS in_degree
+       |         FROM embeddings e LEFT JOIN ind ON e.vec_id = ind.id),
+       |b AS (SELECT CASE WHEN in_degree = 0 THEN 0
+       |               ELSE CAST(length(bin(in_degree)) AS INTEGER) END AS band,
+       |        in_degree FROM alln)
+       |SELECT band, count(*)::BIGINT AS n_vectors,
+       |  CAST(min(in_degree) AS BIGINT) AS min_in_degree,
+       |  CAST(max(in_degree) AS BIGINT) AS max_in_degree
+       |FROM b GROUP BY 1""".stripMargin
+
+  /** Mirror of EventAnalytics.sessionConversion: the q23 gap-island
+    * sessions carrying a conversion indicator, per-day rollup. */
+  def sessionConversion(convertType: String, gapMinutes: Int): String = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapUs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, event_type,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged),
+       |s AS (SELECT user_id, sid, min(ts) AS session_start,
+       |        max(CASE WHEN event_type = '${sqlLit(convertType)}'
+       |              THEN 1 ELSE 0 END) AS conv
+       |      FROM sess GROUP BY 1, 2),
+       |d AS (SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP)
+       |        AS day, conv FROM s)
+       |SELECT day, count(*)::BIGINT AS n_sessions,
+       |  CAST(sum(conv) AS BIGINT) AS n_converting,
+       |  CAST((sum(conv) * 1000) // count(*) AS BIGINT)
+       |    AS conversion_per_mille
+       |FROM d GROUP BY 1""".stripMargin
+  }
+
+  /** Mirror of the q236 composition: the stub codec's frame-count
+    * formula per media type — the SQL replay of what the
+    * mapPartitions batch codec actually computes. */
+  def frameWorkload: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+       |      WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    1 + length(text) % 30 AS nf
+       |  FROM documents)
+       |SELECT media_type, count(*)::BIGINT AS n_media,
+       |  CAST(sum(nf) AS BIGINT) AS n_frames,
+       |  CAST(max(nf) AS BIGINT) AS max_frames,
+       |  CAST(sum(nf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_frames
+       |FROM m GROUP BY 1""".stripMargin
+
   /** Mirror of the q232 composition: the q83 score and the q63 battery
     * (no injection) joined per doc, keep rate per exact score value —
     * both CTEs verbatim from the independently-oracled builders. */

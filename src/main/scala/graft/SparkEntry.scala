@@ -2010,6 +2010,33 @@ object SparkEntry {
     // costs in accuracy on THIS corpus.
     "q233_signature_sizing" -> ((s, dir) =>
       Dedup.signatureSizeSensitivity(t(s, dir, "documents"))),
+
+    // kNN hubness: reverse-graph in-degree bands with antihubs at band
+    // 0 — the high-dimensional retrieval pathology check.
+    "q234_knn_hubness" -> ((s, dir) =>
+      SimilaritySearch.knnHubness(t(s, dir, "embeddings"))),
+
+    // Session conversion by day: per-SESSION purchase rate (the funnel
+    // denominator done right); session_window semantics, streaming-
+    // capable.
+    "q235_session_conversion" -> ((s, dir) =>
+      EventAnalytics.sessionConversion(Tables.loadEvents(s, dir))),
+
+    // Frame decode workload per media type through the batch codec —
+    // the transcode planning sheet (frames, not bytes: q179 prices
+    // storage, this prices compute).
+    "q236_frame_workload" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      val perMedia = Multimodal.sampleFrames(media).toDF()
+        .groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
+      media.select(col("media_id"), col("media_type"))
+        .join(perMedia, Seq("media_id"))
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_media"), sum(col("__nf")).as("n_frames"),
+          max(col("__nf")).as("max_frames"),
+          (sum(col("__nf")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_frames"))
+    }),
   )
 
   /** q220 injection suffix — shared with the oracle builder. */
@@ -2517,5 +2544,10 @@ object SparkEntry {
       idCol = "doc_id"),
     "q233_signature_sizing" -> OracleSql.signatureSizeSensitivity(
       ks = Seq(32, 64, 128), k = 128, bands = 32, idCol = "doc_id"),
+    "q234_knn_hubness" -> OracleSql.knnHubness(k = 5, dim = 64,
+      nPlanes = 4, nTables = 8),
+    "q235_session_conversion" -> OracleSql.sessionConversion(
+      convertType = "purchase", gapMinutes = 30),
+    "q236_frame_workload" -> OracleSql.frameWorkload,
   )
 }

@@ -738,6 +738,38 @@ object EventAnalytics {
         countDistinct(col("__v")).as("n_distinct_v"))
 
   /**
+   * Session conversion by day: gap-based sessions (the q23
+   * `session_window` semantics) flagged for containing a converting
+   * event type, rolled up to per-day session counts and an exact
+   * per-mille conversion rate — the product funnel's denominator done
+   * right (per SESSION, not per event or per user). Runs under
+   * Structured Streaming unchanged (session windows + watermark).
+   *
+   * Spark shape: ONE (session_window, user) aggregation carrying both
+   * the event count and the conversion flag (max of an indicator — no
+   * second pass over events), then ONE day-key rollup of the bounded
+   * session table.
+   */
+  def sessionConversion(events: DataFrame, convertType: String = "purchase",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    withWm
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col(typeCol) === convertType, 1L).otherwise(0L))
+          .as("__conv"))
+      .groupBy(date_trunc("day", col("sw.start")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("__conv")).as("n_converting"))
+      .withColumn("conversion_per_mille",
+        expr("(n_converting * 1000) div n_sessions"))
+  }
+
+  /**
    * Diurnal periodicity probe: the exact Pearson correlation between
    * the corpus-level hourly event counts and the same series shifted
    * by `lagHours` (24 = same-hour-tomorrow) — high lag-24

@@ -201,6 +201,38 @@ object SimilaritySearch {
   }
 
   /**
+   * kNN hubness audit (Radovanović et al., JMLR 2010): the in-degree
+   * distribution of the reverse kNN graph in power-of-two bands, with
+   * band 0 = antihubs (vectors NO other vector picks as a neighbor).
+   * High-dimensional spaces concentrate in-degree onto hub vectors —
+   * hubs dominate retrieval results and antihubs become unreachable,
+   * silently biasing any kNN-based dedup/curation; this is the
+   * one-page check for that pathology (the graph-shape companion to
+   * [[neighborhoodPurity]]'s label view).
+   *
+   * Spark shape: consumes the bounded [[knnJoinLsh]] graph; one
+   * in-degree aggregation, one left join against the id column so
+   * antihubs surface, one ≤ 64-row band aggregation.
+   */
+  def knnHubness(vectors: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    val knn = knnJoinLsh(vectors, k, idCol, vecCol, dim, nPlanes, nTables)
+    val indeg = knn.groupBy(col("cand_id").as("id"))
+      .agg(count(lit(1)).as("in_degree"))
+    vectors.select(col(idCol).as("id"))
+      .join(indeg, Seq("id"), "left_outer")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .select(when(col("in_degree") === 0, 0)
+        .otherwise(length(bin(col("in_degree"))).cast("int")).as("band"),
+        col("in_degree"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("in_degree")).as("min_in_degree"),
+        max(col("in_degree")).as("max_in_degree"))
+  }
+
+  /**
    * IVF cell-occupancy balance: vectors per coarse cell with per-mille
    * shares — the index capacity audit read before fixing nlist/nprobe
    * (a hot cell turns every probe into a near-scan; empty cells waste

@@ -316,6 +316,23 @@ class EventAnalyticsSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("sessionConversion: per-session flag, gap split, exact day rollup") {
+    val spark0 = spark
+    import spark0.implicits._
+    val events = Seq(
+      (1L, "view", "2024-03-01 10:00:00"),
+      (1L, "purchase", "2024-03-01 10:10:00"), // session 1: converts
+      (1L, "view", "2024-03-01 12:00:00"),     // > 30 min later: session 2
+      (2L, "view", "2024-03-01 11:00:00"))     // session 3: no purchase
+      .toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"),
+        col("s").cast("timestamp").as("ts"))
+    val out = EventAnalytics.sessionConversion(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getLong(3) == 333L)
+  }
+
   test("hourlyAutocorrelation: perfectly periodic counts correlate to 1.0") {
     val spark0 = spark
     import spark0.implicits._

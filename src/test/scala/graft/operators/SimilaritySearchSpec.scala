@@ -572,6 +572,23 @@ class SimilaritySearchSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("knnHubness: every vector banded once, in-degree mass equals graph size") {
+    val e = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val bands = SimilaritySearch.knnHubness(e, k = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bands.map(_._2).sum == e.count())
+    val edges = SimilaritySearch.knnJoinLsh(e, k = 5).count()
+    // min/max consistent with the band definition
+    bands.foreach { case (band, _, lo, hi) =>
+      assert(lo <= hi)
+      if (band == 0) assert(lo == 0 && hi == 0)
+      else assert(java.lang.Long.toBinaryString(lo).length == band &&
+        java.lang.Long.toBinaryString(hi).length == band)
+    }
+    assert(edges > 0)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("ivfCellBalance: every vector lands in exactly one of nlist cells") {
     val e = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
     val out = SimilaritySearch.ivfCellBalance(e, nlist = 16).collect()
