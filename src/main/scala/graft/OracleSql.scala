@@ -1627,6 +1627,62 @@ object OracleSql {
        |FROM injected d JOIN top t USING ($idCol)""".stripMargin
   }
 
+  /** Mirror of the q237 nearest as-of composition: closest action in
+    * either direction within the window, backward-preferred ties. */
+  def errorNearestAction(toleranceMinutes: Long): String =
+    s"""SELECT e.event_id, e.ts, e.user_id,
+       |  t.event_id AS near_id, t.event_type AS near_type,
+       |  t.ts AS near_ts
+       |FROM (SELECT * FROM events WHERE event_type = 'error') e
+       |LEFT JOIN (SELECT * FROM events
+       |           WHERE event_type IN ('click', 'view')) t
+       |  ON e.user_id = t.user_id
+       |  AND t.ts >= e.ts - INTERVAL $toleranceMinutes MINUTES
+       |  AND t.ts <= e.ts + INTERVAL $toleranceMinutes MINUTES
+       |QUALIFY row_number() OVER (PARTITION BY e.event_id
+       |  ORDER BY abs(epoch_us(t.ts) - epoch_us(e.ts)) ASC NULLS LAST,
+       |    t.ts ASC NULLS LAST, t.event_id DESC NULLS LAST) = 1""".stripMargin
+
+  /** Mirror of Dedup.survivorQualityAudit: the recursive closure's
+    * clusters, the q83 score CTE, per-cluster best vs the min-id
+    * representative. */
+  def survivorQualityAudit(threshold: Double, maxDocFreq: Int,
+      wTok: Long, wStop: Long, wDigit: Long, wUpper: Long,
+      scoreThreshold: Long, idCol: String): String =
+    s"""WITH RECURSIVE ${closureCtes(threshold, maxDocFreq)},
+       |ls AS MATERIALIZED (${linearScore(wTok, wStop, wDigit, wUpper,
+          scoreThreshold, idCol)}),
+       |j AS (SELECT c.component, c.id, ls.score
+       |      FROM comp c JOIN ls ON c.id = ls.$idCol),
+       |r AS (SELECT component, id, score, row_number() OVER (
+       |        PARTITION BY component ORDER BY score DESC, id ASC) AS rn
+       |      FROM j),
+       |rep AS (SELECT component, score AS rep_score FROM j
+       |        WHERE id = component),
+       |best AS (SELECT component, id AS best_id, score AS best_score
+       |         FROM r WHERE rn = 1)
+       |SELECT b.component AS rep_id, rep.rep_score, b.best_id,
+       |  b.best_score, b.best_score > rep.rep_score AS suboptimal
+       |FROM best b JOIN rep USING (component)""".stripMargin
+
+  /** Mirror of Dedup.spanDictionary with the q62 boilerplate injection:
+    * distinct span hashes, df >= minDocs, (df desc, span asc) top-k. */
+  def spanDictionary(injectPct: Int, suffix: String, n: Int,
+      minDocs: Int, k: Int, idCol: String): String =
+    s"""WITH injected AS (
+       |  SELECT $idCol, CASE WHEN ${sampleBucket(idCol)} < $injectPct
+       |    THEN text || ' ${sqlLit(suffix)}' ELSE text END AS text
+       |  FROM documents),
+       |sets AS (SELECT $idCol, ${shingleHashesN(n)} AS hs FROM injected),
+       |inv AS (SELECT $idCol, unnest(hs) AS span_hash FROM sets),
+       |g AS (SELECT span_hash, count(*)::BIGINT AS doc_freq,
+       |        min($idCol)::BIGINT AS example_doc
+       |      FROM inv GROUP BY 1 HAVING count(*) >= $minDocs),
+       |r AS (SELECT *, row_number() OVER (
+       |        ORDER BY doc_freq DESC, span_hash ASC) AS rank FROM g)
+       |SELECT span_hash, doc_freq, example_doc, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= $k""".stripMargin
+
   /** Mirror of SimilaritySearch.knnHubness: the q58 kNN graph CTE,
     * reverse in-degrees with antihub zero-fill, bit-length bands. */
   def knnHubness(k: Int, dim: Int, nPlanes: Int, nTables: Int): String =

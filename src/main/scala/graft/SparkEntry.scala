@@ -2022,6 +2022,46 @@ object SparkEntry {
     "q235_session_conversion" -> ((s, dir) =>
       EventAnalytics.sessionConversion(Tables.loadEvents(s, dir))),
 
+    // NEAREST as-of: the closest user action in either direction within
+    // 30 min of each error (pandas merge_asof direction='nearest',
+    // backward-preferred ties) — completes the direction trio.
+    "q237_error_nearest" -> ((s, dir) => {
+      val e = Tables.loadEvents(s, dir)
+      AsOfJoin.nearest(
+        e.filter(col("event_type") === "error")
+          .select("event_id", "ts", "user_id"),
+        e.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        leftId = "event_id",
+        rightCols = Seq("event_id" -> "near_id",
+          "event_type" -> "near_type", "ts" -> "near_ts"),
+        tieBreakCols = Seq("event_id"),
+        toleranceMinutes = 30L)
+    }),
+
+    // Survivor-quality audit: what the min-id keep rule costs — per
+    // near-dup cluster, the representative's score vs the true best.
+    "q238_survivor_quality" -> ((s, dir) =>
+      Dedup.survivorQualityAudit(
+        Artifacts.jaccardPairs(s, dir),
+        TextAnalysis.linearScore(t(s, dir, "documents"))
+          .select(col("doc_id"), col("score")))),
+
+    // Boilerplate span dictionary: the top repeated 8-token spans with
+    // an example doc — the template-stripper configuration artifact
+    // (q62 scores docs BY these spans; this names the spans).
+    "q239_span_dictionary" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val injected = d.select(col("doc_id"),
+        when(Sampling.bucket(col("doc_id")) < 15,
+          concat(col("text"), lit(" " + BoilerplateSuffix)))
+          .otherwise(col("text")).as("text"))
+      Dedup.spanDictionary(injected)
+    }),
+
     // Frame decode workload per media type through the batch codec —
     // the transcode planning sheet (frames, not bytes: q179 prices
     // storage, this prices compute).
@@ -2549,5 +2589,13 @@ object SparkEntry {
     "q235_session_conversion" -> OracleSql.sessionConversion(
       convertType = "purchase", gapMinutes = 30),
     "q236_frame_workload" -> OracleSql.frameWorkload,
+    "q237_error_nearest" -> OracleSql.errorNearestAction(
+      toleranceMinutes = 30L),
+    "q238_survivor_quality" -> OracleSql.survivorQualityAudit(
+      threshold = 0.6, maxDocFreq = 10000, wTok = 2, wStop = 5,
+      wDigit = -3, wUpper = -1, scoreThreshold = 120, idCol = "doc_id"),
+    "q239_span_dictionary" -> OracleSql.spanDictionary(injectPct = 15,
+      suffix = BoilerplateSuffix, n = 8, minDocs = 2, k = 20,
+      idCol = "doc_id"),
   )
 }

@@ -103,6 +103,46 @@ object AsOfJoin {
   }
 
   /**
+   * Nearest-direction as-of (pandas `merge_asof direction='nearest'`):
+   * the right row CLOSEST in time to each left row — before or after —
+   * within a required tolerance window. Ties at equal absolute distance
+   * break backward (the earlier right row), matching pandas; then the
+   * declared tie-break columns descending. The tolerance is mandatory:
+   * an unbounded nearest join would pull the entire per-key history
+   * into every probe (the bound is what makes this an interval-sized
+   * join, exactly the [[apply]] staleness argument on both sides).
+   */
+  def nearest(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      leftId: String,
+      rightCols: Seq[(String, String)],
+      tieBreakCols: Seq[String],
+      toleranceMinutes: Long): DataFrame = {
+    require(toleranceMinutes >= 1,
+      s"toleranceMinutes=$toleranceMinutes must be >= 1")
+    val l = left.as("l")
+    val r = right.as("r")
+    val cond = col(s"l.$leftKey") === col(s"r.$rightKey") &&
+      col(s"r.$rightTime") >=
+        col(s"l.$leftTime") - expr(s"INTERVAL $toleranceMinutes MINUTES") &&
+      col(s"r.$rightTime") <=
+        col(s"l.$leftTime") + expr(s"INTERVAL $toleranceMinutes MINUTES")
+    val joined = l.join(r, cond, "left_outer")
+    val dist = abs(expr(s"unix_micros(r.$rightTime)") -
+      expr(s"unix_micros(l.$leftTime)"))
+    val pick = Window.partitionBy(col(s"l.$leftKey"), col(s"l.$leftId"))
+      .orderBy(
+        (dist.asc_nulls_last +: col(s"r.$rightTime").asc_nulls_last +:
+          tieBreakCols.map(c => col(s"r.$c").desc_nulls_last)): _*)
+    joined
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(left.columns.toSeq.map(c => col(s"l.$c")) ++
+        rightCols.map { case (rc, alias) => col(s"r.$rc").as(alias) }: _*)
+  }
+
+  /**
    * Merge formulation of the same as-of semantics: tag and union both
    * sides, sort each key's timeline once, and forward-fill the most
    * recent right payload onto every left row (`last(..., ignoreNulls)`

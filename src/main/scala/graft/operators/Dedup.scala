@@ -820,6 +820,68 @@ object Dedup {
   }
 
   /**
+   * Survivor-quality audit: does the dedup keep rule retain the BEST
+   * member of each cluster? Per near-dup cluster, the min-id
+   * representative's quality score (the q51 keep rule — the component
+   * label IS the min reachable id, so the representative's score needs
+   * no extra pass) against the cluster's true best by (score desc, id
+   * asc), with a suboptimal flag — the governance number behind
+   * switching keep rules (q85 keeps longest; this says what min-id
+   * actually costs in quality). Clusters only (singletons keep
+   * themselves trivially).
+   *
+   * Spark shape: components over the PAIR GRAPH only, ONE score
+   * equi-join, ONE aggregation on the component key whose state is one
+   * struct plus one scalar regardless of cluster size (the
+   * [[preferencePairs]] argmax trick).
+   */
+  def survivorQualityAudit(pairs: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
+    val comp = ConnectedComponents(pairs)
+    comp.join(scores, comp("id") === scores(idCol))
+      .select(col("component"), col("id").as("__id"),
+        col(scoreCol).as("__s"))
+      .groupBy(col("component"))
+      .agg(
+        max(struct(col("__s").as("s"), (-col("__id")).as("negid"))).as("__b"),
+        min(when(col("__id") === col("component"), col("__s")))
+          .as("rep_score"))
+      .select(col("component").as("rep_id"), col("rep_score"),
+        (-col("__b.negid")).as("best_id"), col("__b.s").as("best_score"),
+        (col("__b.s") > col("rep_score")).as("suboptimal"))
+  }
+
+  /**
+   * Boilerplate span dictionary: the top-k most document-frequent
+   * n-token spans with an example document — the literal "compression
+   * dictionary" of a corpus's repeated chrome (navigation strings,
+   * license footers, form-letter fragments), the artifact a template
+   * stripper or substring-dedup pass ([[dedupSubstringRuns]]) is
+   * configured from. [[boilerplateSpans]] scores documents BY these
+   * spans; this names the spans themselves.
+   *
+   * Spark shape: the q62 distinct-span explode feeding ONE span-key
+   * aggregation (df + min example id in the same state), a distributed
+   * TakeOrderedAndProject cut under the (df desc, span asc) total
+   * order, and a rank window over the ≤ k survivors.
+   */
+  def spanDictionary(docs: DataFrame, k: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol).as("id"),
+        explode(shingleHashes(col(textCol), n)).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("doc_freq"), min(col("id")).as("example_doc"))
+      .filter(col("doc_freq") >= minDocs)
+      .orderBy(col("doc_freq").desc, col("span_hash").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("doc_freq").desc, col("span_hash").asc))
+        .cast("long"))
+  }
+
+  /**
    * Signature-size sensitivity audit: the MinHash estimator's error at
    * several signature PREFIX lengths (k' = 32/64/128 positions of one
    * k=128 signature) against exact shingle Jaccard, aggregated to

@@ -138,6 +138,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(3L) == None)          // Jan 9 is outside the 2-day window
   }
 
+  test("nearest direction: closest wins, equal-distance ties break backward") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ls = Seq(L(1, 10, ts("2024-01-05 12:00:00")),
+      L(2, 10, ts("2024-01-07 12:00:00")),
+      L(3, 20, ts("2024-01-05 12:00:00")))
+    val rs = Seq(
+      R(10, ts("2024-01-05 11:50:00"), 100, "ten_before"),
+      R(10, ts("2024-01-05 12:03:00"), 101, "three_after"),   // closest to L1
+      R(10, ts("2024-01-07 11:30:00"), 102, "thirty_before"), // tie for L2...
+      R(10, ts("2024-01-07 12:30:00"), 103, "thirty_after"),  // ...backward wins
+      R(20, ts("2024-01-05 14:00:00"), 104, "too_far"))       // outside 30 min
+    val out = AsOfJoin.nearest(ls.toDF(), rs.toDF(),
+      leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "t",
+      leftId = "id", rightCols = Seq("rid" -> "rid", "v" -> "v"),
+      tieBreakCols = Seq("rid"), toleranceMinutes = 30L)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(out(1L) == Some("three_after"))
+    assert(out(2L) == Some("thirty_before"))
+    assert(out(3L) == None)
+  }
+
   test("unionSorted fails fast when an input uses a reserved internal name") {
     val spark0 = spark
     import spark0.implicits._

@@ -571,6 +571,32 @@ class DedupSpec extends SparkSpec {
       "curation must keep some docs and drop some docs")
   }
 
+  test("survivorQualityAudit: min-id rep vs cluster best, hand clusters") {
+    val spark0 = spark
+    import spark0.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 5L), (2L, 7L), (3L, 9L), (4L, 8L), (5L, 2L))
+      .toDF("doc_id", "score")
+    val out = Dedup.survivorQualityAudit(pairs, scores).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out(1L) == ((5L, 3L, 9L, true)))  // rep 1 (score 5) vs best 3 (9)
+    assert(out(4L) == ((8L, 4L, 8L, false))) // rep already the best
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("spanDictionary: contiguous ranks, df threshold, descending order") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val out = Dedup.spanDictionary(d, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.map(_._3).sorted.toSeq == (1L to out.length).toSeq)
+    assert(out.forall(_._2 >= 2))
+    val byRank = out.sortBy(_._3).map(_._2)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("signatureSizeSensitivity: k=128 row ties to the estimator report; pair counts equal") {
     val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
     val out = Dedup.signatureSizeSensitivity(d).collect()
