@@ -1627,6 +1627,26 @@ object OracleSql {
        |FROM injected d JOIN top t USING ($idCol)""".stripMargin
   }
 
+  /** Mirror of Dedup.clusterCohesion: the recursive closure's clusters,
+    * canonical edges with their Jaccard, per-cluster edge stats and the
+    * identical density/mean chains. */
+  def clusterCohesion(threshold: Double, maxDocFreq: Int): String =
+    s"""WITH RECURSIVE ${closureCtes(threshold, maxDocFreq)},
+       |pw AS MATERIALIZED (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |mem AS (SELECT component, count(*)::BIGINT AS n_members FROM comp
+       |        GROUP BY 1),
+       |es AS (SELECT c.component, count(*)::BIGINT AS n_edges,
+       |         min(pw.jaccard) AS min_sim,
+       |         CAST(sum(CAST(floor(pw.jaccard * 1000000.0 + 0.5) AS BIGINT))
+       |           AS BIGINT) AS sm
+       |       FROM pw JOIN comp c ON pw.id_a = c.id GROUP BY 1)
+       |SELECT m.component, m.n_members, es.n_edges, es.min_sim,
+       |  CAST(es.sm AS DOUBLE) / (CAST(es.n_edges AS DOUBLE) * 1000000.0)
+       |    AS mean_sim,
+       |  CAST(2 * es.n_edges AS DOUBLE)
+       |    / CAST(m.n_members * (m.n_members - 1) AS DOUBLE) AS density
+       |FROM mem m JOIN es USING (component)""".stripMargin
+
   /** Mirror of the q237 nearest as-of composition: closest action in
     * either direction within the window, backward-preferred ties. */
   def errorNearestAction(toleranceMinutes: Long): String =

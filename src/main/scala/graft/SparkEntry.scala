@@ -2022,6 +2022,13 @@ object SparkEntry {
     "q235_session_conversion" -> ((s, dir) =>
       EventAnalytics.sessionConversion(Tables.loadEvents(s, dir))),
 
+    // Cluster cohesion: per near-dup cluster, edge density and the
+    // weakest/mean edge similarity — clique-of-clones vs chained
+    // cluster, the collapse-safety number next to q123's triangles.
+    "q240_cluster_cohesion" -> ((s, dir) =>
+      Dedup.clusterCohesion(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.6))),
+
     // NEAREST as-of: the closest user action in either direction within
     // 30 min of each error (pandas merge_asof direction='nearest',
     // backward-preferred ties) — completes the direction trio.
@@ -2597,5 +2604,7 @@ object SparkEntry {
     "q239_span_dictionary" -> OracleSql.spanDictionary(injectPct = 15,
       suffix = BoilerplateSuffix, n = 8, minDocs = 2, k = 20,
       idCol = "doc_id"),
+    "q240_cluster_cohesion" -> OracleSql.clusterCohesion(threshold = 0.6,
+      maxDocFreq = 10000),
   )
 }

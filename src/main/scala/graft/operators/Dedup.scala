@@ -820,6 +820,44 @@ object Dedup {
   }
 
   /**
+   * Cluster-cohesion report: per near-dup cluster, member/edge counts,
+   * the weakest and micro-exact mean edge similarity, and the edge
+   * density `2e/(m(m−1))` — the NUMERIC tightness summary next to
+   * [[graft.operators.GraphOps.nodeStats]]' per-node triangles and the
+   * q198 wedge audit: density 1 with high min similarity is a clique
+   * of true clones (collapse safely); low density or a weak minimum
+   * edge marks a chained cluster where transitive collapse merges
+   * unrelated docs. Takes the pair table WITH its similarity column
+   * (the generator's full output, not the id-only artifact).
+   *
+   * Spark shape: CC over the pair graph, one edge-to-component
+   * equi-join (either endpoint — components are closed over edges),
+   * ONE component-key aggregation each for edges and members; means
+   * ride exact `floor(sim·10⁶ + 0.5)` sums.
+   */
+  def clusterCohesion(pairsWithSim: DataFrame): DataFrame = {
+    val Seq(pa, pb, ps) = pairsWithSim.columns.toSeq.take(3)
+    val edges = pairsWithSim.select(col(pa).as("__a"), col(pb).as("__b"),
+      col(ps).cast("double").as("__s"))
+    val comp = ConnectedComponents(edges.select(col("__a"), col("__b")))
+    val members = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    val edgeStats = edges
+      .join(comp.select(col("id").as("__a"), col("component")), Seq("__a"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_edges"), min(col("__s")).as("min_sim"),
+        sum(floor(col("__s") * lit(1000000d) + lit(0.5)).cast("long"))
+          .as("__sm"))
+    members.join(edgeStats, Seq("component"))
+      .select(col("component"), col("n_members"), col("n_edges"),
+        col("min_sim"),
+        expr("CAST(__sm AS DOUBLE) / (CAST(n_edges AS DOUBLE) * 1000000.0)")
+          .as("mean_sim"),
+        expr("CAST(2 * n_edges AS DOUBLE)" +
+          " / CAST(n_members * (n_members - 1) AS DOUBLE)").as("density"))
+  }
+
+  /**
    * Survivor-quality audit: does the dedup keep rule retain the BEST
    * member of each cluster? Per near-dup cluster, the min-id
    * representative's quality score (the q51 keep rule — the component

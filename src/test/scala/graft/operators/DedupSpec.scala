@@ -571,6 +571,24 @@ class DedupSpec extends SparkSpec {
       "curation must keep some docs and drop some docs")
   }
 
+  test("clusterCohesion: hand triangle vs chain — density and edge stats") {
+    val spark0 = spark
+    import spark0.implicits._
+    // triangle {1,2,3} (density 1) and chain {4,5,6} (density 2/3)
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (1L, 3L, 0.7),
+      (4L, 5L, 0.65), (5L, 6L, 0.95)).toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.clusterCohesion(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val (m1, e1, lo1, mean1, d1) = out(1L)
+    assert(m1 == 3L && e1 == 3L && lo1 == 0.7 && d1 == 1.0)
+    assert(math.abs(mean1 - 0.8) < 1e-9)
+    val (m2, e2, lo2, _, d2) = out(4L)
+    assert(m2 == 3L && e2 == 2L && lo2 == 0.65)
+    assert(math.abs(d2 - 2.0 / 3.0) < 1e-12)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("survivorQualityAudit: min-id rep vs cluster best, hand clusters") {
     val spark0 = spark
     import spark0.implicits._
