@@ -1627,6 +1627,46 @@ object OracleSql {
        |FROM injected d JOIN top t USING ($idCol)""".stripMargin
   }
 
+  /** Mirror of the q241 composition: Jaccard-0.6 pairs vs SimHash-3
+    * pairs, canonicalized, full-outer agreement scalars. */
+  def methodAgreement(threshold: Double, maxDocFreq: Int,
+      maxHamming: Int): String =
+    s"""WITH jp AS MATERIALIZED (${ngramJaccardPairs(threshold, maxDocFreq)}),
+       |sp AS MATERIALIZED (${simhashPairs(maxHamming)}),
+       |cl AS (SELECT DISTINCT least(id_a, id_b) AS a,
+       |         greatest(id_a, id_b) AS b FROM jp WHERE id_a <> id_b),
+       |cr AS (SELECT DISTINCT least(id_a, id_b) AS a,
+       |         greatest(id_a, id_b) AS b FROM sp WHERE id_a <> id_b),
+       |j AS (SELECT COALESCE(cl.a, cr.a) AS a, COALESCE(cl.b, cr.b) AS b,
+       |        cl.a IS NOT NULL AS inl, cr.a IS NOT NULL AS inr
+       |      FROM cl FULL OUTER JOIN cr ON cl.a = cr.a AND cl.b = cr.b)
+       |SELECT CAST(sum(CASE WHEN inl THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+       |  CAST(sum(CASE WHEN inr THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+       |  CAST(sum(CASE WHEN inl AND inr THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_both,
+       |  count(*)::BIGINT AS n_union,
+       |  CAST(sum(CASE WHEN inl AND inr THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS agreement
+       |FROM j""".stripMargin
+
+  /** Mirror of the q242 composition: corpus vocabulary and token mass
+    * before vs after the q51 dedup, one scalar row. */
+  def dedupVocabImpact(threshold: Double, maxDocFreq: Int): String =
+    s"""WITH corpus AS MATERIALIZED (${dedupCorpus(threshold, maxDocFreq)}),
+       |f AS (SELECT count(DISTINCT tok)::BIGINT AS vocab_full,
+       |        count(*)::BIGINT AS tokens_full
+       |      FROM (SELECT unnest($toks) AS tok FROM documents)),
+       |d AS (SELECT count(DISTINCT tok)::BIGINT AS vocab_dedup,
+       |        count(*)::BIGINT AS tokens_dedup
+       |      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+       |            FROM corpus))
+       |SELECT f.vocab_full, d.vocab_dedup, f.tokens_full, d.tokens_dedup,
+       |  CAST(d.vocab_dedup AS DOUBLE) / CAST(f.vocab_full AS DOUBLE)
+       |    AS vocab_ratio,
+       |  CAST(d.tokens_dedup AS DOUBLE) / CAST(f.tokens_full AS DOUBLE)
+       |    AS token_ratio
+       |FROM f, d""".stripMargin
+
   /** Mirror of Dedup.clusterCohesion: the recursive closure's clusters,
     * canonical edges with their Jaccard, per-cluster edge stats and the
     * identical density/mean chains. */

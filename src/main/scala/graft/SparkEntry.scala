@@ -2022,6 +2022,41 @@ object SparkEntry {
     "q235_session_conversion" -> ((s, dir) =>
       EventAnalytics.sessionConversion(Tables.loadEvents(s, dir))),
 
+    // Detector agreement: exact-Jaccard pairs vs SimHash pairs on the
+    // same corpus — do the two methods even find the same duplicates?
+    "q241_method_agreement" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.pairSetAgreement(
+        Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"),
+        Dedup.simhashPairs(d).select("id_a", "id_b"))
+    }),
+
+    // Dedup impact on diversity: vocabulary and token mass before vs
+    // after the q51 pass — dedup removes tokens, rarely vocabulary;
+    // a big vocab drop means the removed docs carried unique content.
+    "q242_dedup_vocab_impact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val reps = ConnectedComponents(Artifacts.lshPairs(s, dir),
+          vertices = Some(d.select("doc_id")))
+        .filter(col("id") === col("component"))
+        .select(col("id").as("__rep"))
+      val kept = d.join(broadcast(reps), d("doc_id") === col("__rep"),
+        "left_semi")
+      val full = d.select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("vocab_full"),
+          count(lit(1)).as("tokens_full"))
+      val dd = kept.select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("vocab_dedup"),
+          count(lit(1)).as("tokens_dedup"))
+      full.crossJoin(dd)
+        .select(col("vocab_full"), col("vocab_dedup"), col("tokens_full"),
+          col("tokens_dedup"),
+          (col("vocab_dedup").cast("double") /
+            col("vocab_full").cast("double")).as("vocab_ratio"),
+          (col("tokens_dedup").cast("double") /
+            col("tokens_full").cast("double")).as("token_ratio"))
+    }),
+
     // Cluster cohesion: per near-dup cluster, edge density and the
     // weakest/mean edge similarity — clique-of-clones vs chained
     // cluster, the collapse-safety number next to q123's triangles.
@@ -2606,5 +2641,9 @@ object SparkEntry {
       idCol = "doc_id"),
     "q240_cluster_cohesion" -> OracleSql.clusterCohesion(threshold = 0.6,
       maxDocFreq = 10000),
+    "q241_method_agreement" -> OracleSql.methodAgreement(threshold = 0.6,
+      maxDocFreq = 10000, maxHamming = 3),
+    "q242_dedup_vocab_impact" -> OracleSql.dedupVocabImpact(
+      threshold = 0.6, maxDocFreq = 10000),
   )
 }

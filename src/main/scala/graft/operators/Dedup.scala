@@ -820,6 +820,39 @@ object Dedup {
   }
 
   /**
+   * Pair-set agreement between two candidate generators: canonicalized
+   * pair counts on each side, the intersection, the union, and their
+   * Jaccard — the method-choice audit ("do SimHash-3 and Jaccard-0.6
+   * even find the same duplicates on THIS corpus?") run before
+   * standardizing a pipeline on one detector. Generic over any two
+   * (id, id) pair tables (text vs text, text vs media signal, old vs
+   * new threshold).
+   *
+   * Spark shape: both sides canonicalize to distinct (a < b) pairs;
+   * ONE full-outer equi-join on the pair key; one scalar fold. Output
+   * is a single row.
+   */
+  def pairSetAgreement(left: DataFrame, right: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame = {
+      val Seq(ca, cb) = df.columns.toSeq.take(2)
+      df.select(least(col(ca), col(cb)).as("a"),
+          greatest(col(ca), col(cb)).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    canon(left).withColumn("__l", lit(1))
+      .join(canon(right).withColumn("__r", lit(1)), Seq("a", "b"),
+        "full_outer")
+      .agg(
+        sum(when(col("__l").isNotNull, 1L).otherwise(0L)).as("n_left"),
+        sum(when(col("__r").isNotNull, 1L).otherwise(0L)).as("n_right"),
+        sum(when(col("__l").isNotNull && col("__r").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        count(lit(1)).as("n_union"))
+      .withColumn("agreement",
+        col("n_both").cast("double") / col("n_union").cast("double"))
+  }
+
+  /**
    * Cluster-cohesion report: per near-dup cluster, member/edge counts,
    * the weakest and micro-exact mean edge similarity, and the edge
    * density `2e/(m(m−1))` — the NUMERIC tightness summary next to

@@ -571,6 +571,18 @@ class DedupSpec extends SparkSpec {
       "curation must keep some docs and drop some docs")
   }
 
+  test("pairSetAgreement: canonicalization, overlap counts, one scalar row") {
+    val spark0 = spark
+    import spark0.implicits._
+    // left {1-2, 2-3}; right {2-1 (mirror of 1-2), 3-4}: both=1, union=3
+    val l = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r = Seq((2L, 1L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.pairSetAgreement(l, r).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) == ((2L, 2L, 1L, 3L)))
+    assert(math.abs(out.getDouble(4) - 1.0 / 3.0) < 1e-15)
+  }
+
   test("clusterCohesion: hand triangle vs chain — density and edge stats") {
     val spark0 = spark
     import spark0.implicits._
