@@ -1627,6 +1627,40 @@ object OracleSql {
        |FROM injected d JOIN top t USING ($idCol)""".stripMargin
   }
 
+  /** Mirror of Profiler.massMedian: per-group cumulative mass under the
+    * (value, id) total order, cross-multiplied half-mass pick. */
+  def massMedian(table: String, groupCol: String, valueCol: String,
+      idCol: String): String =
+    s"""WITH r AS (SELECT $groupCol, $valueCol,
+       |    sum($valueCol) OVER (PARTITION BY $groupCol
+       |      ORDER BY $valueCol, $idCol ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum($valueCol) OVER (PARTITION BY $groupCol) AS tot
+       |  FROM $table)
+       |SELECT $groupCol, count(*)::BIGINT AS n_rows,
+       |  CAST(max(tot) AS BIGINT) AS total_mass,
+       |  CAST(min(CASE WHEN 2 * cum >= tot THEN $valueCol END) AS BIGINT)
+       |    AS mass_median
+       |FROM r GROUP BY 1""".stripMargin
+
+  /** Mirror of EventAnalytics.transitionDeterminism: the q75 lead
+    * edges, per-from totals, (count desc, to desc) argmax. */
+  def transitionDeterminism: String =
+    s"""WITH e AS (SELECT user_id, event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |c AS (SELECT from_type, to_type, count(*)::BIGINT AS c FROM e
+       |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |r AS (SELECT from_type, to_type, c,
+       |        sum(c) OVER (PARTITION BY from_type) AS tot,
+       |        row_number() OVER (PARTITION BY from_type
+       |          ORDER BY c DESC, to_type DESC) AS rn
+       |      FROM c)
+       |SELECT from_type, CAST(tot AS BIGINT) AS n_transitions,
+       |  to_type AS top_to, c AS top_count,
+       |  CAST((c * 1000) // tot AS BIGINT) AS det_per_mille
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** Mirror of the q241 composition: Jaccard-0.6 pairs vs SimHash-3
     * pairs, canonicalized, full-outer agreement scalars. */
   def methodAgreement(threshold: Double, maxDocFreq: Int,

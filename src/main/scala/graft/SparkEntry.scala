@@ -2022,6 +2022,19 @@ object SparkEntry {
     "q235_session_conversion" -> ((s, dir) =>
       EventAnalytics.sessionConversion(Tables.loadEvents(s, dir))),
 
+    // Mass-weighted median doc size per language: half the BYTES live
+    // in docs of at least this size — the storage statistic a row
+    // median hides on heavy tails.
+    "q243_mass_median" -> ((s, dir) =>
+      Profiler.massMedian(t(s, dir, "documents"), "lang", "n_chars",
+        "doc_id")),
+
+    // Transition determinism per state: the top next-type share of
+    // each from-type — scripted flows/bots score high, organic
+    // exploration flat.
+    "q244_transition_determinism" -> ((s, dir) =>
+      EventAnalytics.transitionDeterminism(Tables.loadEvents(s, dir))),
+
     // Detector agreement: exact-Jaccard pairs vs SimHash pairs on the
     // same corpus — do the two methods even find the same duplicates?
     "q241_method_agreement" -> ((s, dir) => {
@@ -2645,5 +2658,8 @@ object SparkEntry {
       maxDocFreq = 10000, maxHamming = 3),
     "q242_dedup_vocab_impact" -> OracleSql.dedupVocabImpact(
       threshold = 0.6, maxDocFreq = 10000),
+    "q243_mass_median" -> OracleSql.massMedian("documents", "lang",
+      "n_chars", "doc_id"),
+    "q244_transition_determinism" -> OracleSql.transitionDeterminism,
   )
 }

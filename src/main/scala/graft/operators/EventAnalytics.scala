@@ -738,6 +738,38 @@ object EventAnalytics {
         countDistinct(col("__v")).as("n_distinct_v"))
 
   /**
+   * Transition determinism per state: for each from-type, the total
+   * outgoing transitions, the most likely next type, and its exact
+   * per-mille share — the predictability summary of the q75 Markov
+   * edge list (a state whose top edge carries 900‰ is a scripted flow
+   * or a bot; a flat distribution is organic exploration). Tie-break
+   * for the argmax is (count desc, to-type desc) — deterministic via
+   * one struct-max aggregation state, no window.
+   *
+   * Spark shape: the q75 per-entity lead window, ONE (from, to) hash
+   * aggregation on the tiny type² space, ONE from-key fold with a
+   * one-struct state, a scalar division.
+   */
+  def transitionDeterminism(events: DataFrame,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val edges = events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("__c"))
+    edges.groupBy(col("from_type"))
+      .agg(sum(col("__c")).as("n_transitions"),
+        max(struct(col("__c").as("c"), col("to_type").as("t"))).as("__b"))
+      .select(col("from_type"), col("n_transitions"),
+        col("__b.t").as("top_to"), col("__b.c").as("top_count"),
+        expr("(__b.c * 1000) div n_transitions").as("det_per_mille"))
+  }
+
+  /**
    * Session conversion by day: gap-based sessions (the q23
    * `session_window` semantics) flagged for containing a converting
    * event type, rolled up to per-day session counts and an exact

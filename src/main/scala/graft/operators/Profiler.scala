@@ -547,6 +547,37 @@ object Profiler {
    * don't.
    */
   /**
+   * Mass-weighted lower median per group: the smallest value v such
+   * that rows with value <= v (under the (value, id) total order)
+   * carry at least HALF the group's total value mass — "half the
+   * corpus bytes live in documents of at least/most X chars", the
+   * storage-planning statistic a row-median hides completely on
+   * heavy-tailed sizes (a few giant docs carry most bytes while the
+   * row median stays tiny). Exact integer arithmetic: the qualifying
+   * condition is the cross-multiplied `2·cum >= total`.
+   *
+   * Spark shape: one shuffle on the group key, one cumulative window
+   * per group partition under the deterministic total order (the
+   * q125/q173 posture), ONE group aggregation.
+   */
+  def massMedian(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(idCol),
+        col(valueCol).cast("long").as("__v"))
+      .withColumn("__cum", sum(col("__v")).over(ord))
+      .withColumn("__tot", sum(col("__v")).over(all))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), max(col("__tot")).as("total_mass"),
+        min(when(lit(2) * col("__cum") >= col("__tot"), col("__v")))
+          .as("mass_median"))
+  }
+
+  /**
    * Top-k most frequent values per declared column, long form with a
    * deterministic rank under the (count desc, value asc) total order —
    * the "common values" pane of every profiling tool, and the quick

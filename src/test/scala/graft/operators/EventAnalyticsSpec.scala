@@ -3,7 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
@@ -314,6 +314,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out == Map("2024-03-01" -> ((2L, 2L, 1000L)),
       "2024-03-03" -> ((2L, 3L, 666L))))
     graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("transitionDeterminism: top next-type share with struct-max ties") {
+    val spark0 = spark
+    import spark0.implicits._
+    // user 1: a->b, b->a, a->b ; user 2: a->c
+    val events = Seq(
+      (1L, 1L, "a", "10:00:00"), (2L, 1L, "b", "10:01:00"),
+      (3L, 1L, "a", "10:02:00"), (4L, 1L, "b", "10:03:00"),
+      (5L, 2L, "a", "10:00:00"), (6L, 2L, "c", "10:01:00"))
+      .toDF("event_id", "user_id", "event_type", "hm")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        concat(lit("2024-03-01 "), col("hm")).cast("timestamp").as("ts"))
+    val out = EventAnalytics.transitionDeterminism(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((3L, "b", 2L, 666L))) // a->b twice, a->c once
+    assert(out("b") == ((1L, "a", 1L, 1000L)))
   }
 
   test("sessionConversion: per-session flag, gap split, exact day rollup") {

@@ -316,6 +316,19 @@ class ProfilerSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 2L)), 2L -> ((1L, 1L)), 3L -> ((0L, 0L))))
   }
 
+  test("massMedian: half-mass pick on a heavy tail where the row median lies") {
+    val spark0 = spark
+    import spark0.implicits._
+    // sizes 1,1,1,1,100: row median 1, but the mass median is 100
+    // (the giant doc carries 100 of 104 total)
+    val df = Seq((1L, "en", 1L), (2L, "en", 1L), (3L, "en", 1L),
+      (4L, "en", 1L), (5L, "en", 100L)).toDF("doc_id", "lang", "n_chars")
+    val out = Profiler.massMedian(df, "lang", "n_chars", "doc_id")
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((5L, 104L, 100L)))
+  }
+
   test("topValuesProfile: deterministic top-k value ranks per column") {
     val spark0 = spark
     import spark0.implicits._
