@@ -1627,6 +1627,34 @@ object OracleSql {
        |FROM injected d JOIN top t USING ($idCol)""".stripMargin
   }
 
+  /** Mirror of EventAnalytics.firstTouchAttribution: earliest touch in
+    * the preceding window, (ts asc, id asc) pick. */
+  def firstTouchAttribution(windowMinutes: Long): String =
+    s"""SELECT p.event_id, p.ts, p.user_id,
+       |  t.event_id AS touch_id, t.event_type AS touch_type,
+       |  t.ts AS touch_ts
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |LEFT JOIN (SELECT * FROM events
+       |           WHERE event_type IN ('click', 'view')) t
+       |  ON p.user_id = t.user_id AND t.ts <= p.ts
+       |  AND t.ts >= p.ts - INTERVAL $windowMinutes MINUTES
+       |QUALIFY row_number() OVER (PARTITION BY p.event_id
+       |  ORDER BY t.ts ASC NULLS LAST, t.event_id ASC NULLS LAST) = 1""".stripMargin
+
+  /** Mirror of EventAnalytics.gapHistogram: per-entity lag gaps, zero
+    * band, bit-length bands. */
+  def gapHistogram: String =
+    s"""WITH g AS (SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap
+       |    FROM events),
+       |b AS (SELECT CASE WHEN gap = 0 THEN 0
+       |        ELSE CAST(length(bin(gap)) AS INTEGER) END AS band, gap
+       |      FROM g WHERE gap IS NOT NULL)
+       |SELECT band, count(*)::BIGINT AS n_gaps,
+       |  CAST(min(gap) AS BIGINT) AS min_gap_s,
+       |  CAST(max(gap) AS BIGINT) AS max_gap_s
+       |FROM b GROUP BY 1""".stripMargin
+
   /** Mirror of Profiler.massMedian: per-group cumulative mass under the
     * (value, id) total order, cross-multiplied half-mass pick. */
   def massMedian(table: String, groupCol: String, valueCol: String,

@@ -2022,6 +2022,16 @@ object SparkEntry {
     "q235_session_conversion" -> ((s, dir) =>
       EventAnalytics.sessionConversion(Tables.loadEvents(s, dir))),
 
+    // FIRST-touch attribution: the discovering touch, vs q129's
+    // last-touch — run both; the delta is model sensitivity.
+    "q245_first_touch" -> ((s, dir) =>
+      EventAnalytics.firstTouchAttribution(Tables.loadEvents(s, dir))),
+
+    // Inter-event gap histogram in log2 second bands — the cadence
+    // valley that tunes the session gap.
+    "q246_gap_histogram" -> ((s, dir) =>
+      EventAnalytics.gapHistogram(Tables.loadEvents(s, dir))),
+
     // Mass-weighted median doc size per language: half the BYTES live
     // in docs of at least this size — the storage statistic a row
     // median hides on heavy tails.
@@ -2661,5 +2671,8 @@ object SparkEntry {
     "q243_mass_median" -> OracleSql.massMedian("documents", "lang",
       "n_chars", "doc_id"),
     "q244_transition_determinism" -> OracleSql.transitionDeterminism,
+    "q245_first_touch" -> OracleSql.firstTouchAttribution(
+      windowMinutes = 60L),
+    "q246_gap_histogram" -> OracleSql.gapHistogram,
   )
 }

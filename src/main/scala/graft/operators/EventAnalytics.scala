@@ -738,6 +738,74 @@ object EventAnalytics {
         countDistinct(col("__v")).as("n_distinct_v"))
 
   /**
+   * FIRST-touch attribution: each converting event takes the EARLIEST
+   * qualifying touch in the preceding window (vs [[AsOfJoin]]-based
+   * last-touch in q129 — marketing's other canonical model: last-touch
+   * credits the closer, first-touch credits the discoverer; run both
+   * and the difference IS the attribution-model sensitivity). Ties at
+   * equal touch time break by (touch id asc) — deterministic via one
+   * struct-min aggregation state, no window.
+   *
+   * Spark shape: type filters push to both scans, the window bound
+   * shrinks the join to O(window history), and the pick is ONE
+   * aggregation on the converting-event key whose state is a single
+   * struct regardless of how many touches qualify.
+   */
+  def firstTouchAttribution(events: DataFrame,
+      convertType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view"),
+      windowMinutes: Long = 60L, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val conv = events.filter(col(typeCol) === convertType)
+      .select(col(idCol), col(tsCol), col(userCol))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(tsCol).as("__tts"),
+        col(idCol).as("__tid"), col(typeCol).as("__tty"))
+    conv.join(touches,
+        col(userCol) === col("__u") && col("__tts") <= col(tsCol) &&
+          col("__tts") >= col(tsCol) -
+            expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .groupBy(col(idCol), col(tsCol), col(userCol))
+      .agg(min(struct(col("__tts").as("t"), col("__tid").as("i"),
+        col("__tty").as("y"))).as("__f"))
+      .select(col(idCol), col(tsCol), col(userCol),
+        col("__f.i").as("touch_id"), col("__f.y").as("touch_type"),
+        col("__f.t").as("touch_ts"))
+  }
+
+  /**
+   * Inter-event gap histogram in power-of-two second bands — the
+   * corpus-level cadence distribution behind session-gap tuning (the
+   * bounded-output rollup of [[interEventGaps]]' per-entity medians):
+   * the valley between the intra-session band mass and the
+   * between-visit mass IS the right session gap. Zero-second gaps
+   * (same-timestamp events) band at 0.
+   *
+   * Spark shape: one lag window per entity partition, ONE bounded
+   * (≤ 64-row) band aggregation.
+   */
+  def gapHistogram(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    events
+      .select(col(userCol), col(idCol),
+        expr(s"unix_micros($tsCol)").as("__us"))
+      .withColumn("__gap", expr(
+        s"(__us - lag(__us, 1) over (partition by $userCol" +
+          s" order by __us, $idCol)) div 1000000"))
+      .filter(col("__gap").isNotNull)
+      .select(when(col("__gap") === 0, 0)
+        .otherwise(length(bin(col("__gap"))).cast("int")).as("band"),
+        col("__gap"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("__gap")).as("min_gap_s"),
+        max(col("__gap")).as("max_gap_s"))
+  }
+
+  /**
    * Transition determinism per state: for each from-type, the total
    * outgoing transitions, the most likely next type, and its exact
    * per-mille share — the predictability summary of the q75 Markov

@@ -316,6 +316,32 @@ class EventAnalyticsSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("firstTouchAttribution picks the EARLIEST window touch; last-touch the latest") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:30:00", 1L, "view"),
+      (3L, "2024-01-01 10:45:00", 1L, "purchase"),
+      (4L, "2024-01-01 08:00:00", 2L, "click"), // outside the window
+      (5L, "2024-01-01 10:00:00", 2L, "purchase"))
+    val out = EventAnalytics.firstTouchAttribution(df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(out(3L) == Some("click")) // first touch, not the closer view
+    assert(out(5L) == None)          // stale touch never credited
+  }
+
+  test("gapHistogram: log2 second bands with the zero-gap band") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 10:00:00", 1L, "a"),  // 0 s -> band 0
+      (3L, "2024-01-01 10:00:03", 1L, "a"),  // 3 s -> band 2
+      (4L, "2024-01-01 10:00:11", 1L, "a"))  // 8 s -> band 4
+    val out = EventAnalytics.gapHistogram(df).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(0 -> ((1L, 0L, 0L)), 2 -> ((1L, 3L, 3L)),
+      4 -> ((1L, 8L, 8L))))
+  }
+
   test("transitionDeterminism: top next-type share with struct-max ties") {
     val spark0 = spark
     import spark0.implicits._
