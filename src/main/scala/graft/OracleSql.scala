@@ -1627,6 +1627,51 @@ object OracleSql {
        |FROM injected d JOIN top t USING ($idCol)""".stripMargin
   }
 
+  /** Mirror of EventAnalytics.freshnessAudit: per-type max timestamp,
+    * integer-minute staleness vs the literal reference. */
+  def freshnessAudit(reference: String, maxStalenessMinutes: Long): String =
+    s"""WITH a AS (SELECT event_type, max(ts) AS last_ts,
+       |             count(*)::BIGINT AS n_events FROM events GROUP BY 1)
+       |SELECT event_type, last_ts, n_events,
+       |  (epoch_us(TIMESTAMP '$reference') - epoch_us(last_ts))
+       |    // 60000000 AS staleness_minutes,
+       |  (epoch_us(TIMESTAMP '$reference') - epoch_us(last_ts))
+       |    // 60000000 <= $maxStalenessMinutes AS fresh
+       |FROM a""".stripMargin
+
+  /** Mirror of EventAnalytics.activeDayRatio: distinct epoch-days per
+    * entity, inclusive span, per-mille share. */
+  def activeDayRatio: String =
+    s"""WITH d AS (SELECT DISTINCT user_id,
+       |             epoch_us(date_trunc('day', ts)) // 86400000000 AS d
+       |           FROM events),
+       |a AS (SELECT user_id, count(*)::BIGINT AS active_days,
+       |        CAST(max(d) - min(d) + 1 AS BIGINT) AS span_days
+       |      FROM d GROUP BY 1)
+       |SELECT user_id, active_days, span_days,
+       |  CAST((active_days * 1000) // span_days AS BIGINT)
+       |    AS active_per_mille
+       |FROM a""".stripMargin
+
+  /** Mirror of EventAnalytics.weeklyMixDrift: (week, type) cells,
+    * window totals, the identical expected/chi-square chains. */
+  def weeklyMixDrift: String =
+    s"""WITH c AS (SELECT CAST(date_trunc('week', ts) AS TIMESTAMP)
+       |             AS week_start, event_type, count(*)::BIGINT AS n
+       |           FROM events GROUP BY 1, 2),
+       |t AS (SELECT week_start, event_type, n,
+       |        sum(n) OVER (PARTITION BY week_start) AS wt,
+       |        sum(n) OVER (PARTITION BY event_type) AS tt,
+       |        sum(n) OVER () AS gt
+       |      FROM c)
+       |SELECT week_start, event_type, n,
+       |  CAST(wt * tt AS DOUBLE) / CAST(gt AS DOUBLE) AS expected,
+       |  (CAST(n AS DOUBLE) - CAST(wt * tt AS DOUBLE) / CAST(gt AS DOUBLE))
+       |    * (CAST(n AS DOUBLE) - CAST(wt * tt AS DOUBLE) / CAST(gt AS DOUBLE))
+       |    / (CAST(wt * tt AS DOUBLE) / CAST(gt AS DOUBLE))
+       |    AS chi2_contribution
+       |FROM t""".stripMargin
+
   /** Mirror of EventAnalytics.firstTouchAttribution: earliest touch in
     * the preceding window, (ts asc, id asc) pick. */
   def firstTouchAttribution(windowMinutes: Long): String =

@@ -2022,6 +2022,24 @@ object SparkEntry {
     "q235_session_conversion" -> ((s, dir) =>
       EventAnalytics.sessionConversion(Tables.loadEvents(s, dir))),
 
+    // Freshness SLA per stream: staleness vs a literal reference — the
+    // "is yesterday's partition there" gate, per type so one stalled
+    // producer can't hide.
+    "q247_freshness" -> ((s, dir) =>
+      EventAnalytics.freshnessAudit(Tables.loadEvents(s, dir),
+        reference = "2024-01-31 00:00:00")),
+
+    // Active-day regularity: days active vs inclusive span — habit
+    // strength, the axis lifecycle verdicts flatten.
+    "q248_active_days" -> ((s, dir) =>
+      EventAnalytics.activeDayRatio(Tables.loadEvents(s, dir))),
+
+    // Weekly event-type mix drift: exact chi-square contribution per
+    // (week, type) cell — which week's composition moved, and which
+    // type moved it.
+    "q249_mix_drift" -> ((s, dir) =>
+      EventAnalytics.weeklyMixDrift(Tables.loadEvents(s, dir))),
+
     // FIRST-touch attribution: the discovering touch, vs q129's
     // last-touch — run both; the delta is model sensitivity.
     "q245_first_touch" -> ((s, dir) =>
@@ -2674,5 +2692,9 @@ object SparkEntry {
     "q245_first_touch" -> OracleSql.firstTouchAttribution(
       windowMinutes = 60L),
     "q246_gap_histogram" -> OracleSql.gapHistogram,
+    "q247_freshness" -> OracleSql.freshnessAudit(
+      reference = "2024-01-31 00:00:00", maxStalenessMinutes = 120L),
+    "q248_active_days" -> OracleSql.activeDayRatio,
+    "q249_mix_drift" -> OracleSql.weeklyMixDrift,
   )
 }

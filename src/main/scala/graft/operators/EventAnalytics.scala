@@ -738,6 +738,91 @@ object EventAnalytics {
         countDistinct(col("__v")).as("n_distinct_v"))
 
   /**
+   * Freshness SLA audit per stream: last event time, staleness against
+   * a literal reference instant in integer minutes, and the SLA
+   * verdict — the first data-quality gate every pipeline dashboard
+   * shows ("is yesterday's partition actually there"), per event type
+   * so one stalled producer can't hide behind the others. Reference
+   * passed literally (the q196 convention) so the report replays
+   * exactly.
+   *
+   * Spark shape: ONE hash aggregation on the type key (max + count,
+   * map-side partials); the verdict is a per-row projection.
+   */
+  def freshnessAudit(events: DataFrame, reference: String,
+      maxStalenessMinutes: Long = 120L, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    events.groupBy(col(typeCol))
+      .agg(max(col(tsCol)).as("last_ts"), count(lit(1)).as("n_events"))
+      // integer division — Spark's double-div-then-cast truncates while
+      // DuckDB's BIGINT cast rounds; `div` agrees everywhere
+      .withColumn("staleness_minutes",
+        expr(s"(unix_micros(CAST('$reference' AS TIMESTAMP))" +
+          " - unix_micros(last_ts)) div 60000000"))
+      .withColumn("fresh", col("staleness_minutes") <= maxStalenessMinutes)
+  }
+
+  /**
+   * Active-day regularity per entity: days active, span days (first to
+   * last activity inclusive), and the per-mille active-day share — the
+   * habit-strength segmentation next to [[lifecycleStages]]' verdicts
+   * (two users with 30 events differ enormously if one spread them
+   * over 30 days and the other over 2).
+   *
+   * Spark shape: events reduce to DISTINCT (entity, day) once, then
+   * ONE per-entity aggregation; span arithmetic is exact integer
+   * epoch-day subtraction.
+   */
+  def activeDayRatio(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame =
+    events
+      .select(col(userCol),
+        expr(s"unix_micros(date_trunc('day', $tsCol)) div 86400000000")
+          .as("__d"))
+      .distinct()
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("active_days"),
+        (max(col("__d")) - min(col("__d")) + 1L).as("span_days"))
+      .withColumn("active_per_mille",
+        expr("(active_days * 1000) div span_days"))
+
+  /**
+   * Weekly event-type mix drift: per (week, type) cell, observed vs
+   * expected counts under the whole-period type mix, with the exact
+   * chi-square contribution — which weeks' traffic composition moved,
+   * and which type moved it (the q101 corpus-drift machinery pointed
+   * at the time axis; a deploy that silently killed one event type
+   * lights up as that type's row in that week). Expected-count and
+   * contribution chains are the identical left-assoc double spellings
+   * on both engines.
+   *
+   * Spark shape: events reduce to (week, type) cells in ONE map-side-
+   * partial aggregation (output bounded by weeks × types); row/column
+   * totals come from windows over that bounded table, never a second
+   * scan.
+   */
+  def weeklyMixDrift(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val cells = events
+      .groupBy(date_trunc("week", col(tsCol)).as("week_start"),
+        col(typeCol))
+      .agg(count(lit(1)).as("n"))
+    val wWeek = Window.partitionBy(col("week_start"))
+    val wType = Window.partitionBy(col(typeCol))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("__wt", sum(col("n")).over(wWeek))
+      .withColumn("__tt", sum(col("n")).over(wType))
+      .withColumn("__gt", sum(col("n")).over(wAll))
+      .withColumn("expected",
+        expr("CAST(__wt * __tt AS DOUBLE) / CAST(__gt AS DOUBLE)"))
+      .select(col("week_start"), col(typeCol), col("n"), col("expected"),
+        expr("(CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)" +
+          " / expected").as("chi2_contribution"))
+  }
+
+  /**
    * FIRST-touch attribution: each converting event takes the EARLIEST
    * qualifying touch in the preceding window (vs [[AsOfJoin]]-based
    * last-touch in q129 — marketing's other canonical model: last-touch

@@ -316,6 +316,42 @@ class EventAnalyticsSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("freshnessAudit: integer-minute staleness, both verdicts") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "fresh_type"),
+      (2L, "2024-01-01 06:30:00", 1L, "stale_type"))
+    val out = EventAnalytics.freshnessAudit(df,
+        reference = "2024-01-01 11:00:00").collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("fresh_type") == ((60L, true)))
+    assert(out("stale_type") == ((270L, false)))
+  }
+
+  test("activeDayRatio: distinct days over inclusive span") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 11:00:00", 1L, "a"), // same day: still 1 active day
+      (3L, "2024-01-05 10:00:00", 1L, "a"), // span 5 days, 2 active
+      (4L, "2024-01-03 10:00:00", 2L, "a")) // singleton: span 1
+    val out = EventAnalytics.activeDayRatio(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 5L, 400L)))
+    assert(out(2L) == ((1L, 1L, 1000L)))
+  }
+
+  test("weeklyMixDrift: uniform mix contributes zero; totals conserved") {
+    // two weeks, identical type mix -> expected == observed everywhere
+    val df = events(
+      (1L, "2024-01-02 10:00:00", 1L, "a"), (2L, "2024-01-03 10:00:00", 1L, "b"),
+      (3L, "2024-01-09 10:00:00", 1L, "a"), (4L, "2024-01-10 10:00:00", 1L, "b"))
+    val out = EventAnalytics.weeklyMixDrift(df).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0)
+    }
+  }
+
   test("firstTouchAttribution picks the EARLIEST window touch; last-touch the latest") {
     val df = events(
       (1L, "2024-01-01 10:00:00", 1L, "click"),
