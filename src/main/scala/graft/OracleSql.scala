@@ -1627,6 +1627,34 @@ object OracleSql {
        |FROM injected d JOIN top t USING ($idCol)""".stripMargin
   }
 
+  /** Mirror of the q250 one-row corpus summary: each scalar the
+    * headline of an independently-oracled report, assembled with the
+    * component CTEs. */
+  def corpusSummary(threshold: Double, maxDocFreq: Int, minTokens: Int,
+      maxTokens: Int, minMeanTokLen: Double, maxMeanTokLen: Double,
+      maxTopTokRatio: Double, minStopwords: Int, idCol: String): String =
+    s"""WITH base AS (SELECT count(*)::BIGINT AS n_docs,
+       |    count(DISTINCT lang)::BIGINT AS n_langs,
+       |    count(DISTINCT source)::BIGINT AS n_sources,
+       |    CAST(sum(len($toks)) AS BIGINT) AS total_tokens
+       |  FROM documents),
+       |dup AS (SELECT CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+       |            AS BIGINT) AS n_exact_dup_docs
+       |        FROM (SELECT md5(text) AS h, count(*) AS c FROM documents
+       |              GROUP BY 1)),
+       |pr AS (SELECT count(*)::BIGINT AS n_near_dup_pairs
+       |       FROM (${ngramJaccardPairs(threshold, maxDocFreq)})),
+       |qf AS (SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_quality_keep
+       |       FROM (${qualityFilter(0, "", minTokens, maxTokens,
+          minMeanTokLen, maxMeanTokLen, maxTopTokRatio, minStopwords,
+          idCol)}))
+       |SELECT base.*, dup.n_exact_dup_docs, pr.n_near_dup_pairs,
+       |  qf.n_quality_keep,
+       |  CAST((qf.n_quality_keep * 1000) // base.n_docs AS BIGINT)
+       |    AS keep_per_mille
+       |FROM base, dup, pr, qf""".stripMargin
+
   /** Mirror of EventAnalytics.freshnessAudit: per-type max timestamp,
     * integer-minute staleness vs the literal reference. */
   def freshnessAudit(reference: String, maxStalenessMinutes: Long): String =

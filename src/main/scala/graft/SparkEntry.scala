@@ -2022,6 +2022,29 @@ object SparkEntry {
     "q235_session_conversion" -> ((s, dir) =>
       EventAnalytics.sessionConversion(Tables.loadEvents(s, dir))),
 
+    // One-row corpus executive summary: the numbers a data lead reads
+    // first, each the headline of an independently-oracled report
+    // (card, exact-dup count, near-dup pair count, quality pass rate)
+    // — assembled here so the oracle proves the whole sheet at once.
+    "q250_corpus_summary" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      val dup = d.groupBy(md5(col("text")).as("__h"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(sum(when(col("__c") >= 2, col("__c")).otherwise(0L))
+          .as("n_exact_dup_docs"))
+      val pairs = Artifacts.jaccardPairs(s, dir)
+        .agg(count(lit(1)).as("n_near_dup_pairs"))
+      val keep = TextAnalysis.qualityFilter(d)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_keep"))
+      base.crossJoin(dup).crossJoin(pairs).crossJoin(keep)
+        .withColumn("keep_per_mille",
+          expr("(n_quality_keep * 1000) div n_docs"))
+    }),
+
     // Freshness SLA per stream: staleness vs a literal reference — the
     // "is yesterday's partition there" gate, per type so one stalled
     // producer can't hide.
@@ -2696,5 +2719,9 @@ object SparkEntry {
       reference = "2024-01-31 00:00:00", maxStalenessMinutes = 120L),
     "q248_active_days" -> OracleSql.activeDayRatio,
     "q249_mix_drift" -> OracleSql.weeklyMixDrift,
+    "q250_corpus_summary" -> OracleSql.corpusSummary(threshold = 0.6,
+      maxDocFreq = 10000, minTokens = 15, maxTokens = 100000,
+      minMeanTokLen = 4.0, maxMeanTokLen = 12.0, maxTopTokRatio = 0.2,
+      minStopwords = 2, idCol = "doc_id"),
   )
 }

@@ -569,6 +569,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("corpus summary ties to its component reports") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val r = graft.SparkEntry.queries("q250_corpus_summary")(
+      spark, sf("sf0.01")).collect().head
+    assert(r.getLong(0) == d.count())
+    val keeps = TextAnalysis.qualityFilter(d)
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    assert(r.getLong(6) == keeps)
+    assert(r.getLong(4) >= 0 && r.getLong(5) >= 0)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("score calibration composition: mass conserved, both verdicts represented") {
     val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
     val rows = graft.SparkEntry.queries("q232_score_calibration")(
