@@ -50,13 +50,19 @@ object Artifacts {
     dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** The canonical 3-gram Jaccard >= 0.6 near-dup pair table over the
-    * full `documents` table — the edge list of the near-dup graph. */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    * full `documents` table, WITH the similarity column (one parquet
+    * artifact serves both the edge-list consumers and the
+    * weight-reading ones). */
+  def jaccardPairsWithSim(s: SparkSession, dir: String): DataFrame =
     shared(s, s"jacc06_${dirTag(dir)}") {
       operators.Dedup.ngramJaccardPairs(
-          Tables.load(s, dir, "documents"), threshold = 0.6)
-        .select("id_a", "id_b")
+        Tables.load(s, dir, "documents"), threshold = 0.6)
     }
+
+  /** The edge-list view of [[jaccardPairsWithSim]] — what the
+    * component/graph consumers take. */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsWithSim(s, dir).select("id_a", "id_b")
 
   /** The MinHash-LSH near-dup pair table (k=128, 32 bands, exact
     * verify) over the full `documents` table. */

@@ -2125,8 +2125,7 @@ object SparkEntry {
     // weakest/mean edge similarity — clique-of-clones vs chained
     // cluster, the collapse-safety number next to q123's triangles.
     "q240_cluster_cohesion" -> ((s, dir) =>
-      Dedup.clusterCohesion(
-        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.6))),
+      Dedup.clusterCohesion(Artifacts.jaccardPairsWithSim(s, dir))),
 
     // NEAREST as-of: the closest user action in either direction within
     // 30 min of each error (pandas merge_asof direction='nearest',
