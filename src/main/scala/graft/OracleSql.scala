@@ -1627,6 +1627,62 @@ object OracleSql {
        |FROM injected d JOIN top t USING ($idCol)""".stripMargin
   }
 
+  /** Mirror of TextAnalysis.ruleCofailureMatrix: the q63 battery CTE
+    * (with its injection), one scalar agg of all fail/both counts,
+    * 10-row union with NULLIF-guarded Jaccard. */
+  def ruleCofailureMatrix(injectPct: Int, injectSuffix: String,
+      minTokens: Int, maxTokens: Int, minMeanTokLen: Double,
+      maxMeanTokLen: Double, maxTopTokRatio: Double, minStopwords: Int,
+      idCol: String): String = {
+    val rules = Seq("ok_n_tokens", "ok_tok_len", "ok_repetition",
+      "ok_stopwords", "ok_blacklist")
+    val pairs = for {
+      i <- rules.indices; j <- (i + 1) until rules.size
+    } yield (rules(i), rules(j))
+    val failSums = rules.map(r =>
+      s"sum(CASE WHEN NOT $r THEN 1 ELSE 0 END) AS f_$r").mkString(",\n  ")
+    val bothSums = pairs.map { case (a, b) =>
+      s"sum(CASE WHEN NOT $a AND NOT $b THEN 1 ELSE 0 END) AS b_${a}__$b"
+    }.mkString(",\n  ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS rule_a, '$b' AS rule_b,
+         |  CAST(f_$a AS BIGINT) AS n_fail_a,
+         |  CAST(f_$b AS BIGINT) AS n_fail_b,
+         |  CAST(b_${a}__$b AS BIGINT) AS n_both_fail,
+         |  CAST(b_${a}__$b AS DOUBLE)
+         |    / NULLIF(CAST(f_$a + f_$b - b_${a}__$b AS DOUBLE), 0)
+         |    AS cofail_jaccard
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qf AS MATERIALIZED (${qualityFilter(injectPct, injectSuffix,
+          minTokens, maxTokens, minMeanTokLen, maxMeanTokLen,
+          maxTopTokRatio, minStopwords, idCol)}),
+       |a AS (SELECT
+       |  $failSums,
+       |  $bothSums
+       |FROM qf)
+       |$rows""".stripMargin
+  }
+
+  /** Mirror of SimilaritySearch.labelCentroidMatrix: per-label
+    * micro-integer centroid sums, all-pairs cosine over the bounded
+    * label table. */
+  def labelCentroidMatrix(dim: Int): String = {
+    val sums = (1 to dim).map(d =>
+      s"sum(CAST(floor(embedding[$d]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS s$d")
+      .mkString(", ")
+    def cd(p: String, d: Int) = s"($p.s$d::DOUBLE / ($p.n::DOUBLE * 1000000.0))"
+    val dotC = (1 to dim).map(d => s"${cd("x", d)} * ${cd("y", d)}").mkString(" + ")
+    val n2a = (1 to dim).map(d => s"${cd("x", d)} * ${cd("x", d)}").mkString(" + ")
+    val n2b = (1 to dim).map(d => s"${cd("y", d)} * ${cd("y", d)}").mkString(" + ")
+    s"""WITH c AS (SELECT label, count(*)::BIGINT AS n, $sums
+       |           FROM embeddings GROUP BY 1)
+       |SELECT x.label AS label_a, y.label AS label_b,
+       |  x.n AS n_a, y.n AS n_b,
+       |  ($dotC) / (sqrt($n2a) * sqrt($n2b)) AS centroid_cosine
+       |FROM c x JOIN c y ON x.label < y.label""".stripMargin
+  }
+
   /** Mirror of the q250 one-row corpus summary: each scalar the
     * headline of an independently-oracled report, assembled with the
     * component CTEs. */

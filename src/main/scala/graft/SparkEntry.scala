@@ -2022,6 +2022,25 @@ object SparkEntry {
     "q235_session_conversion" -> ((s, dir) =>
       EventAnalytics.sessionConversion(Tables.loadEvents(s, dir))),
 
+    // Quality-rule co-failure matrix: which battery rules are
+    // redundant on this corpus (near-1 overlap) vs catching disjoint
+    // failure modes — the rule-economics audit for a gate that runs
+    // on every document. Same injection as q63 so blacklist fires.
+    "q251_rule_cofailure" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val injected = d.select(col("doc_id"),
+        when(Sampling.bucket(col("doc_id")) < 10,
+          concat(col("text"), lit(" lorem ipsum dolor sit amet")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.ruleCofailureMatrix(injected)
+    }),
+
+    // Label-centroid confusability: pairwise cosine between per-label
+    // centroids — the embedding-side confusion prior naming the
+    // colliding class pairs.
+    "q252_label_confusability" -> ((s, dir) =>
+      SimilaritySearch.labelCentroidMatrix(t(s, dir, "embeddings"))),
+
     // One-row corpus executive summary: the numbers a data lead reads
     // first, each the headline of an independently-oracled report
     // (card, exact-dup count, near-dup pair count, quality pass rate)
@@ -2722,5 +2741,11 @@ object SparkEntry {
       maxDocFreq = 10000, minTokens = 15, maxTokens = 100000,
       minMeanTokLen = 4.0, maxMeanTokLen = 12.0, maxTopTokRatio = 0.2,
       minStopwords = 2, idCol = "doc_id"),
+    "q251_rule_cofailure" -> OracleSql.ruleCofailureMatrix(
+      injectPct = 10, injectSuffix = "lorem ipsum dolor sit amet",
+      minTokens = 15, maxTokens = 100000, minMeanTokLen = 4.0,
+      maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,
+      idCol = "doc_id"),
+    "q252_label_confusability" -> OracleSql.labelCentroidMatrix(dim = 64),
   )
 }

@@ -201,6 +201,41 @@ object SimilaritySearch {
   }
 
   /**
+   * Label-centroid confusability matrix: pairwise cosine between the
+   * per-label centroid vectors — the EMBEDDING-side confusion prior
+   * (two labels whose centroids sit at cosine 0.95 will confuse any
+   * nearest-centroid or kNN classifier regardless of label quality;
+   * [[neighborhoodPurity]] measures the symptom per vector, this names
+   * the colliding class pairs). Centroids are the q82 micro-scaled
+   * integer sums — order-invariant to the ulp and SQL-replayable.
+   *
+   * Spark shape: ONE map-side-partial aggregation to ≤ |labels|
+   * centroid rows (the shuffle is labels × dim integer sums; raw
+   * vectors never shuffle), then an all-pairs join over that bounded
+   * table (|labels|² cells).
+   */
+  def labelCentroidMatrix(vectors: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val micro = (1 to dim).map(d =>
+      sum(floor(element_at(col(vecCol), d).cast("double") * lit(1000000.0) +
+        lit(0.5)).cast("long")).as(s"__s$d"))
+    val stats = vectors.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("__n"), micro: _*)
+    def cent(p: String, d: Int): Column =
+      col(s"$p.__s$d").cast("double") /
+        (col(s"$p.__n").cast("double") * lit(1000000.0))
+    val dotC = (1 to dim).map(d => cent("x", d) * cent("y", d)).reduce(_ + _)
+    val n2a = (1 to dim).map(d => cent("x", d) * cent("x", d)).reduce(_ + _)
+    val n2b = (1 to dim).map(d => cent("y", d) * cent("y", d)).reduce(_ + _)
+    stats.as("x").join(stats.as("y"),
+        col(s"x.$labelCol") < col(s"y.$labelCol"))
+      .select(col(s"x.$labelCol").as("label_a"),
+        col(s"y.$labelCol").as("label_b"),
+        col("x.__n").as("n_a"), col("y.__n").as("n_b"),
+        (dotC / (sqrt(n2a) * sqrt(n2b))).as("centroid_cosine"))
+  }
+
+  /**
    * kNN hubness audit (Radovanović et al., JMLR 2010): the in-degree
    * distribution of the reverse kNN graph in power-of-two bands, with
    * band 0 = antihubs (vectors NO other vector picks as a neighbor).

@@ -1157,6 +1157,46 @@ object TextAnalysis {
    * with map-side partials; output is the language space.
    */
   /**
+   * Quality-rule co-failure matrix: for every unordered pair of the
+   * q63 battery's rules, the per-rule fail counts, the both-fail
+   * count, and the co-failure Jaccard — near-1 overlap means one rule
+   * is (on this corpus) redundant and its regex/scan cost is free to
+   * drop; near-0 means the rules catch disjoint failure modes and the
+   * battery earns its width. The rule-economics audit behind tuning a
+   * gate that runs on every document of a 100 TB corpus.
+   *
+   * Spark shape: ONE pass — all 5 + 10 conditional counts fold in a
+   * single scalar aggregation over the battery projection, then a
+   * `stack` unpivot to the 10-row long form (the q158 one-scan rule).
+   */
+  def ruleCofailureMatrix(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val battery = qualityFilter(docs, idCol, textCol)
+    val rules = Seq("ok_n_tokens", "ok_tok_len", "ok_repetition",
+      "ok_stopwords", "ok_blacklist")
+    val pairs = for {
+      i <- rules.indices; j <- (i + 1) until rules.size
+    } yield (rules(i), rules(j))
+    val failAggs = rules.map(r =>
+      sum(when(!col(r), 1L).otherwise(0L)).as(s"__f_$r"))
+    val bothAggs = pairs.map { case (a, b) =>
+      sum(when(!col(a) && !col(b), 1L).otherwise(0L)).as(s"__b_${a}__$b")
+    }
+    val all = failAggs ++ bothAggs
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', __f_$a, __f_$b, __b_${a}__$b"
+    }.mkString(", ")
+    battery.agg(all.head, all.tail: _*)
+      .select(expr(s"stack(${pairs.size}, $stackArgs)" +
+        " AS (rule_a, rule_b, n_fail_a, n_fail_b, n_both_fail)"))
+      .withColumn("cofail_jaccard",
+        when(col("n_fail_a") + col("n_fail_b") - col("n_both_fail") > 0,
+          col("n_both_fail").cast("double") /
+            (col("n_fail_a") + col("n_fail_b") - col("n_both_fail"))
+              .cast("double")))
+  }
+
+  /**
    * Markup-density audit: per document, the count of HTML-ish tags, the
    * characters spent inside them, the per-mille markup share, and a
    * keep verdict — the boilerplate-extraction health check of a web

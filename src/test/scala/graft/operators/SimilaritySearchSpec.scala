@@ -572,6 +572,21 @@ class SimilaritySearchSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("labelCentroidMatrix: identical-direction labels hit cosine 1, orthogonal 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 1), (2L, Array(2.0f, 0.0f), 1), // centroid +x
+      (3L, Array(3.0f, 0.0f), 2),                             // also +x
+      (4L, Array(0.0f, 1.0f), 3))                             // +y
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.labelCentroidMatrix(vecs, dim = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    assert(math.abs(out((1, 2)) - 1.0) < 1e-12)
+    assert(math.abs(out((1, 3))) < 1e-12)
+    assert(math.abs(out((2, 3))) < 1e-12)
+  }
+
   test("knnHubness: every vector banded once, in-degree mass equals graph size") {
     val e = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
     val bands = SimilaritySearch.knnHubness(e, k = 5).collect()

@@ -569,6 +569,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ruleCofailureMatrix: 10 pairs, bounds hold, overlap within fails") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val rows = TextAnalysis.ruleCofailureMatrix(d).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (fa, fb, both) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(both <= math.min(fa, fb))
+      if (fa + fb - both > 0)
+        assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // at least one rule actually fails on the raw fixture
+    assert(rows.map(_.getLong(2)).max > 0)
+  }
+
   test("corpus summary ties to its component reports") {
     val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
     val r = graft.SparkEntry.queries("q250_corpus_summary")(
