@@ -1627,6 +1627,46 @@ object OracleSql {
        |FROM injected d JOIN top t USING ($idCol)""".stripMargin
   }
 
+  /** Mirror of Dedup.bandTuningSweep: one signature CTE, per-config
+    * band-collision candidate counts. */
+  def bandTuningSweep(configs: Seq[(Int, Int)], k: Int,
+      idCol: String): String = {
+    val sig =
+      s"""list_transform(range(0, $k), i ->
+         |  list_min(list_transform(hs, h -> ((2*i + 1)*h + $SigB*i + 1) % $P)))""".stripMargin
+    val bkCtes = configs.map { case (bands, r) =>
+      s"""bk_$bands AS (SELECT s.id, bd.band,
+         |    array_to_string(s.sig[bd.band*$r + 1 : bd.band*$r + $r], '_') AS key
+         |  FROM sigs s CROSS JOIN
+         |    (SELECT unnest(range(0, $bands)) AS band) bd)""".stripMargin
+    }.mkString(",\n")
+    val rows = configs.map { case (bands, r) =>
+      s"""SELECT CAST($bands AS INTEGER) AS n_bands,
+         |  CAST($r AS INTEGER) AS rows_per_band,
+         |  (SELECT count(*) FROM (
+         |     SELECT DISTINCT x.id AS a, y.id AS b
+         |     FROM bk_$bands x JOIN bk_$bands y
+         |       ON x.band = y.band AND x.key = y.key AND x.id < y.id))::BIGINT
+         |    AS n_candidates""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sets AS (SELECT $idCol AS id, $shingleHashes AS hs FROM documents),
+       |s2 AS (SELECT id, hs FROM sets WHERE len(hs) > 0),
+       |sigs AS (SELECT id, $sig AS sig FROM s2),
+       |$bkCtes
+       |$rows""".stripMargin
+  }
+
+  /** Mirror of UrlOps.trackingParamProfile over the synthetic URL
+    * space: per-domain utm_ incidence. */
+  def trackingParamProfile(idCol: String): String =
+    s"""${urlCtes(idCol)}
+       |SELECT reg_domain, count(*)::BIGINT AS n_urls,
+       |  CAST(sum(CASE WHEN contains(url, '?utm_') OR contains(url, '&utm_')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tracking,
+       |  (sum(CASE WHEN contains(url, '?utm_') OR contains(url, '&utm_')
+       |    THEN 1 ELSE 0 END) * 1000) // count(*) AS tracking_per_mille
+       |FROM n GROUP BY 1""".stripMargin
+
   /** Mirror of TextAnalysis.ruleCofailureMatrix: the q63 battery CTE
     * (with its injection), one scalar agg of all fail/both counts,
     * 10-row union with NULLIF-guarded Jaccard. */

@@ -2022,6 +2022,20 @@ object SparkEntry {
     "q235_session_conversion" -> ((s, dir) =>
       EventAnalytics.sessionConversion(Tables.loadEvents(s, dir))),
 
+    // LSH band-tuning sweep: candidate counts at 16x8 / 32x4 / 64x2
+    // bandings of the SAME signature — pricing each S-curve operating
+    // point in verification work before committing a 100 TB run.
+    "q253_band_tuning" -> ((s, dir) =>
+      Dedup.bandTuningSweep(t(s, dir, "documents"))),
+
+    // Tracking-param incidence per registered domain — the
+    // pre-normalization audit predicting per-domain URL-dedup
+    // collapse; flags wholly campaign-tagged feeds.
+    "q254_tracking_profile" -> ((s, dir) =>
+      UrlOps.trackingParamProfile(
+        t(s, dir, "documents")
+          .select(UrlOps.syntheticUrl(col("doc_id")).as("url")))),
+
     // Quality-rule co-failure matrix: which battery rules are
     // redundant on this corpus (near-1 overlap) vs catching disjoint
     // failure modes — the rule-economics audit for a gate that runs
@@ -2747,5 +2761,9 @@ object SparkEntry {
       maxMeanTokLen = 12.0, maxTopTokRatio = 0.2, minStopwords = 2,
       idCol = "doc_id"),
     "q252_label_confusability" -> OracleSql.labelCentroidMatrix(dim = 64),
+    "q253_band_tuning" -> OracleSql.bandTuningSweep(
+      configs = Seq((16, 8), (32, 4), (64, 2)), k = 128, idCol = "doc_id"),
+    "q254_tracking_profile" -> OracleSql.trackingParamProfile(
+      idCol = "doc_id"),
   )
 }

@@ -953,6 +953,42 @@ object Dedup {
   }
 
   /**
+   * LSH band-tuning sweep: candidate-pair counts at several band
+   * configurations of the SAME k=128 signature — the S-curve operating
+   * point audit (more, shorter bands → a lower effective similarity
+   * threshold and more candidates; fewer, longer bands → tighter).
+   * Picking (bands, rows) from theory alone misjudges real corpora;
+   * this prices each configuration in actual verification work before
+   * a 100 TB run commits to one. The banding-axis companion to
+   * [[signatureSizeSensitivity]]'s k axis.
+   *
+   * Spark shape: ONE signature pass (cached), then per configuration
+   * one band-key equi-join counting DISTINCT collision pairs — never
+   * all-pairs; output is |configs| rows.
+   */
+  def bandTuningSweep(docs: DataFrame,
+      configs: Seq[(Int, Int)] = Seq((16, 8), (32, 4), (64, 2)),
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      k: Int = 128): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) => b * r == k },
+      s"each (bands, rows) must multiply to k=$k: $configs")
+    val sets = graft.SparkUtil.trackCache(withShingleSets(docs, idCol, textCol, n))
+    val sigs = graft.SparkUtil.trackCache(
+      sets.select(col("id"), minhashSignature(col("hs"), k).as("sig")))
+    configs.map { case (bands, r) =>
+      val banded = bandKeys(sigs, r, bands)
+      banded.as("x").join(banded.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id"), col("y.id")).distinct()
+        .agg(count(lit(1)).as("n_candidates"))
+        .select(lit(bands).as("n_bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
    * Signature-size sensitivity audit: the MinHash estimator's error at
    * several signature PREFIX lengths (k' = 32/64/128 positions of one
    * k=128 signature) against exact shingle Jaccard, aggregated to

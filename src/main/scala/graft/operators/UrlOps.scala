@@ -118,6 +118,36 @@ object UrlOps {
   }
 
   /**
+   * Tracking-parameter incidence per registered domain: how many of a
+   * domain's URLs carry `utm_`-style tracking params, as an exact
+   * per-mille share — the PRE-normalization audit that predicts how
+   * much URL dedup ([[normalizeUrl]]) will collapse per domain, and
+   * flags feeds whose links are wholly campaign-tagged (syndication/
+   * ad-network provenance).
+   *
+   * Spark shape: narrow URL projections then ONE hash aggregation on
+   * the registered domain (map-side partial conditional counts).
+   * Default prefixes profile `utm_` campaign tags specifically (the
+   * full [[TrackingPrefixes]] list includes `ref=`, which ordinary
+   * navigation links also carry — useful for normalization, too broad
+   * for a provenance signal).
+   */
+  def trackingParamProfile(urls: DataFrame,
+      prefixes: Seq[String] = Seq("utm_"),
+      urlCol: String = "url"): DataFrame = {
+    val hasTracking = prefixes
+      .map(p => col(urlCol).contains(s"?$p") || col(urlCol).contains(s"&$p"))
+      .reduce(_ || _)
+    urls
+      .select(registeredDomain(hostOf(col(urlCol))).as("reg_domain"),
+        when(hasTracking, 1L).otherwise(0L).as("__t"))
+      .groupBy(col("reg_domain"))
+      .agg(count(lit(1)).as("n_urls"), sum(col("__t")).as("n_tracking"))
+      .withColumn("tracking_per_mille",
+        expr("(n_tracking * 1000) div n_urls"))
+  }
+
+  /**
    * Domain-reputation filter — the web-corpus two-pass: pass 1
    * aggregates each registered domain's per-document quality pass rate;
    * pass 2 keeps every document of a domain clearing `minPassPct`.

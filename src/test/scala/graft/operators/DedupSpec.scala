@@ -571,6 +571,18 @@ class DedupSpec extends SparkSpec {
       "curation must keep some docs and drop some docs")
   }
 
+  test("bandTuningSweep: more, shorter bands never find fewer candidates") {
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val out = Dedup.bandTuningSweep(d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((16, 8), (32, 4), (64, 2)))
+    // shorter rows collide more easily: 64x2 >= 32x4 >= 16x8
+    assert(out((64, 2)) >= out((32, 4)))
+    assert(out((32, 4)) >= out((16, 8)))
+    assert(out((32, 4)) > 0) // the production banding finds the clones
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("pairSetAgreement: canonicalization, overlap counts, one scalar row") {
     val spark0 = spark
     import spark0.implicits._

@@ -89,4 +89,19 @@ class UrlOpsSpec extends SparkSpec {
       assert(dom == "good.com" && keep && nDocs == 2L && nOk == 2L)
     }
   }
+
+  test("trackingParamProfile: utm incidence per domain, exact per-mille") {
+    val spark0 = spark
+    import spark0.implicits._
+    val urls = Seq(
+      "https://a.com/x?utm_source=feed",  // leading utm
+      "https://a.com/y?q=1&utm_campaign=z", // embedded utm
+      "https://a.com/z?q=2&ref=home",     // ref= is NOT campaign tagging
+      "https://b.org/p?q=3").toDF("url")
+    val out = UrlOps.trackingParamProfile(urls).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out("a.com") == ((3L, 2L, 666L)))
+    assert(out("b.org") == ((1L, 0L, 0L)))
+  }
 }
