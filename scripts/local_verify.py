@@ -12,6 +12,7 @@ columns by name, canonically sort rows, and compare values.
 """
 import json
 import math
+import re
 import sys
 
 import duckdb
@@ -43,14 +44,47 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            mine = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            my_cols = [d[0] for d in mine.description]
+            mine = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            my_cols = list(mine.columns)
+            my_types = [str(t) for t in mine.types]
             my_rows = mine.fetchall()
-            oracle = con.execute(sql)
-            or_cols = [d[0] for d in oracle.description]
+            m = re.match(r"^(\s*(?:SET\s+[^;']*(?:'[^']*'[^;']*)*;\s*)*)", sql)
+            if m.group(1).strip():
+                con.execute(m.group(1))  # SET memory/threads/spill posture
+            oracle = con.sql(sql[m.end(1):])
+            or_cols = list(oracle.columns)
+            or_types = [str(t) for t in oracle.types]
             or_rows = oracle.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error {e}")
+            n_fail += 1
+            continue
+        # Type-kind guard: the driver's gate may fetch via pandas, where
+        # DuckDB HUGEINT/DECIMAL render as float64 ("727.0") while the
+        # engine's BIGINT renders "727" — rows+schema match but the hash
+        # doesn't (the r6/r7 q197+q254 flake). fetchall() hides this
+        # (HUGEINT -> Python int), so check declared types explicitly:
+        # any sum()/product-derived oracle column must be CAST to BIGINT
+        # or DOUBLE in OracleSql.scala.
+        def kind(t):
+            t = str(t).upper()
+            if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+                return "HUGE"
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            return t
+        my_kinds = {c: kind(t) for c, t in zip(my_cols, my_types)}
+        or_kinds = {c: kind(t) for c, t in zip(or_cols, or_types)}
+        huge = [c for c, k in or_kinds.items() if k == "HUGE"]
+        kind_diff = [c for c in my_kinds
+                     if c in or_kinds and my_kinds[c] != or_kinds[c]]
+        if huge or kind_diff:
+            print(f"FAIL {name}: TYPE HAZARD — oracle HUGEINT/DECIMAL cols "
+                  f"{huge}, kind mismatches {kind_diff} "
+                  f"(pandas-fetch drivers render these as floats)")
             n_fail += 1
             continue
         mc, mr = canon(my_rows, my_cols)

@@ -1663,8 +1663,8 @@ object OracleSql {
        |SELECT reg_domain, count(*)::BIGINT AS n_urls,
        |  CAST(sum(CASE WHEN contains(url, '?utm_') OR contains(url, '&utm_')
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tracking,
-       |  (sum(CASE WHEN contains(url, '?utm_') OR contains(url, '&utm_')
-       |    THEN 1 ELSE 0 END) * 1000) // count(*) AS tracking_per_mille
+       |  CAST((sum(CASE WHEN contains(url, '?utm_') OR contains(url, '&utm_')
+       |    THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS tracking_per_mille
        |FROM n GROUP BY 1""".stripMargin
 
   /** Mirror of TextAnalysis.ruleCofailureMatrix: the q63 battery CTE
@@ -2787,8 +2787,9 @@ object OracleSql {
        |        sum(bs.n_source) OVER (PARTITION BY bs.g) AS st, ct.t
        |      FROM bs JOIN bc USING (tok), ct),
        |l AS (SELECT g, tok, n_source, n_corpus,
-       |        ((n_source * 1000000) // st) * 1000
-       |          // greatest((n_corpus * 1000000) // t, 1) AS lift_millis
+       |        CAST(((n_source * 1000000) // st) * 1000
+       |          // greatest((n_corpus * 1000000) // t, 1) AS BIGINT)
+       |          AS lift_millis
        |      FROM j WHERE n_source >= $minCount)
        |SELECT g AS $sourceCol, tok, n_source, n_corpus, lift_millis,
        |  row_number() OVER (PARTITION BY g

@@ -24,9 +24,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Diagnosability sidecar: canonical md5 over the dump just
+        // written (read back, so it hashes exactly the bytes the
+        // driver's gate will read), using the documented
+        // local_verify.py normalization re-expressed in tools.Canon.
+        // A driver hash mismatch can then be triaged row-by-row with
+        // tools.HashCheck instead of replaying blind.
+        Files.writeString(Paths.get(s"$outDir/$name.hash"),
+          tools.Canon.sidecar(spark.read.parquet(s"$outDir/$name")))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Operator-internal caches (shingle sets, vector norms) are
