@@ -71,4 +71,18 @@ object Artifacts {
       operators.Dedup.minhashLshPairs(Tables.load(s, dir, "documents"))
         .select("id_a", "id_b")
     }
+
+  /** The q58 LSH kNN graph (SRP buckets, exact cosine, top-5 per
+    * vector) over the full `embeddings` table — columns (query_id,
+    * cand_id, score, rank). The persisted kNN graph is the standard
+    * shared index of an embedding-curation pipeline: the mutual-top-1
+    * miner (q137), label-purity probe (q221), and hubness audit (q234)
+    * all read THIS graph rather than re-running candidate generation
+    * per report, exactly as they would against the stored graph at
+    * 100 TB. */
+  def knnGraphLsh(s: SparkSession, dir: String): DataFrame =
+    shared(s, s"knn5lsh_${dirTag(dir)}") {
+      operators.SimilaritySearch.knnJoinLsh(
+        Tables.load(s, dir, "embeddings"), k = 5)
+    }
 }

@@ -429,10 +429,14 @@ object SparkEntry {
         docs.filter(Sampling.bucket(col("doc_id")) >= 50))
     }),
 
-    // Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin): must equal
-    // q14's output — shares its oracle.
+    // Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin) behind the
+    // adaptive df-concentration switch: must equal q14's output —
+    // shares its oracle. On this near-uniform fixture vocabulary the
+    // switch measures concentration ~1 and picks the plain index join
+    // (prefix machinery costs more than it saves here); a Zipfian
+    // shingle table flips it to the PPJoin path (spec-pinned).
     "q49_jaccard_prefix_filter" -> ((s, dir) =>
-      Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"))),
+      Dedup.ngramJaccardPairsAdaptive(t(s, dir, "documents"))),
 
     // Count-min token frequencies: the grid rides the plan as a literal;
     // estimates never underestimate (spec-pinned vs exact counts).
@@ -1309,10 +1313,10 @@ object SparkEntry {
 
     // Reciprocal nearest neighbors on the LSH kNN graph: pairs that are
     // each other's top-1 — the high-precision pair miner (hub documents
-    // stop absorbing clusters because hubs aren't mutual).
+    // stop absorbing clusters because hubs aren't mutual). Reads the
+    // shared q58 graph artifact (the persisted-index shape).
     "q137_mutual_knn" -> ((s, dir) =>
-      SimilaritySearch.mutualTop1(
-        SimilaritySearch.knnJoinLsh(t(s, dir, "embeddings"), k = 5))),
+      SimilaritySearch.mutualTop1(Artifacts.knnGraphLsh(s, dir))),
 
     // Equi-depth histogram of lineitem prices — the quantile-cut dual of
     // q127's equi-width buckets; distributed closed-form ntile vs the
@@ -1897,7 +1901,8 @@ object SparkEntry {
     // label-noise / encoder-quality probe (low-purity vectors are
     // mislabeled rows or encoder failures).
     "q221_knn_purity" -> ((s, dir) =>
-      SimilaritySearch.neighborhoodPurity(t(s, dir, "embeddings"))),
+      SimilaritySearch.neighborhoodPurity(t(s, dir, "embeddings"),
+        knnGraph = Some(Artifacts.knnGraphLsh(s, dir)))),
 
     // IVF cell-occupancy balance — the ANN index capacity audit read
     // before fixing nlist/nprobe (hot cells turn probes into scans).
@@ -2014,7 +2019,8 @@ object SparkEntry {
     // kNN hubness: reverse-graph in-degree bands with antihubs at band
     // 0 — the high-dimensional retrieval pathology check.
     "q234_knn_hubness" -> ((s, dir) =>
-      SimilaritySearch.knnHubness(t(s, dir, "embeddings"))),
+      SimilaritySearch.knnHubness(t(s, dir, "embeddings"),
+        knnGraph = Some(Artifacts.knnGraphLsh(s, dir)))),
 
     // Session conversion by day: per-SESSION purchase rate (the funnel
     // denominator done right); session_window semantics, streaming-
@@ -2121,12 +2127,12 @@ object SparkEntry {
 
     // Detector agreement: exact-Jaccard pairs vs SimHash pairs on the
     // same corpus — do the two methods even find the same duplicates?
-    "q241_method_agreement" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+    // Jaccard side reads the shared q14 pair-table artifact.
+    "q241_method_agreement" -> ((s, dir) =>
       Dedup.pairSetAgreement(
-        Dedup.ngramJaccardPairs(d, threshold = 0.6).select("id_a", "id_b"),
-        Dedup.simhashPairs(d).select("id_a", "id_b"))
-    }),
+        Artifacts.jaccardPairs(s, dir),
+        Dedup.simhashPairs(t(s, dir, "documents"))
+          .select("id_a", "id_b"))),
 
     // Dedup impact on diversity: vocabulary and token mass before vs
     // after the q51 pass — dedup removes tokens, rarely vocabulary;

@@ -190,7 +190,13 @@ object Dedup {
       textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
       maxDocFreq: Int = 10000): DataFrame = {
     val sets = graft.SparkUtil.trackCache(withShingleSets(docs, idCol, textCol, n))
-    val inv = invertedIndex(sets, maxDocFreq)
+    plainPairsFromIndex(invertedIndex(sets, maxDocFreq), threshold)
+  }
+
+  /** The plain inverted-index candidate join + count-based Jaccard,
+    * shared by [[ngramJaccardPairs]] and the adaptive dispatcher. */
+  private def plainPairsFromIndex(inv: DataFrame,
+      threshold: Double): DataFrame =
     inv.as("x").join(inv.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("x.sz").as("sz_a"),
@@ -200,6 +206,59 @@ object Dedup {
         (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /**
+   * Document-frequency concentration of an inverted index:
+   * `N · Σdf² / (Σdf)²` over the per-shingle document frequencies —
+   * exactly 1.0 when every shingle has the same df (the plain
+   * inverted-index join is already optimal: every shingle contributes
+   * equally, a prefix cannot prune the hot ones because there are
+   * none), growing with the tail weight (a few ubiquitous shingles
+   * dominate Σdf², i.e. dominate candidate-pair generation — the
+   * regime where prefix filtering pays). One bounded aggregation over
+   * the df table the prefix path needs anyway.
+   */
+  private[graft] def dfConcentration(inv: DataFrame): Double = {
+    val r = inv.groupBy("h").agg(count(lit(1)).as("__df"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__df").cast("double")).as("__s1"),
+        sum((col("__df") * col("__df")).cast("double")).as("__s2"))
+      .head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 1.0
+    else r.getDouble(0) * r.getDouble(2) / (r.getDouble(1) * r.getDouble(1))
+  }
+
+  /**
+   * Exact n-gram Jaccard pairs with an ADAPTIVE candidate strategy:
+   * measure the shingle-df concentration (one bounded pre-agg over the
+   * shared inverted index) and pick plain inverted-index
+   * ([[ngramJaccardPairs]]'s join) on near-uniform corpora vs PPJoin
+   * prefix filtering ([[ngramJaccardPairsPrefix]]'s) on heavy-tailed
+   * ones. The fixture corpus's tiny near-uniform shingle vocabulary is
+   * exactly the pathology where the prefix machinery (df-rank window +
+   * array-intersect verify) costs more than the candidates it saves;
+   * web-scale shingle tables are Zipfian and flip the decision. Both
+   * paths produce the same rows (spec- and oracle-pinned), so the
+   * switch is a pure plan choice — the hand-rolled analogue of a
+   * cost-based optimizer rule, decided from data statistics rather
+   * than guessed.
+   */
+  /** Spec probe: the concentration the adaptive dispatcher would
+    * measure for this corpus (same shingling + df cap). */
+  private[graft] def dfConcentrationOf(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      maxDocFreq: Int = 10000): Double =
+    dfConcentration(invertedIndex(withShingleSets(docs, idCol, textCol, n),
+      maxDocFreq))
+
+  def ngramJaccardPairsAdaptive(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
+      maxDocFreq: Int = 10000, minPrefixConcentration: Double = 4.0): DataFrame = {
+    val sets = graft.SparkUtil.trackCache(withShingleSets(docs, idCol, textCol, n))
+    val inv = graft.SparkUtil.trackCache(invertedIndex(sets, maxDocFreq))
+    if (dfConcentration(inv) >= minPrefixConcentration)
+      prefixPairsFromIndex(inv, threshold)
+    else plainPairsFromIndex(inv, threshold)
   }
 
   /**
@@ -407,6 +466,15 @@ object Dedup {
       maxDocFreq: Int = 10000): DataFrame = {
     val sets = withShingleSets(docs, idCol, textCol, n)
     val inv = graft.SparkUtil.trackCache(invertedIndex(sets, maxDocFreq))
+    prefixPairsFromIndex(inv, threshold)
+  }
+
+  /** The PPJoin prefix candidate join + capped-set verify, shared by
+    * [[ngramJaccardPairsPrefix]] and the adaptive dispatcher. `inv`
+    * must be cached — it is traversed three times (df ranks, prefix
+    * join, capped verify sets). */
+  private def prefixPairsFromIndex(inv: DataFrame,
+      threshold: Double): DataFrame = {
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col("id")).orderBy(col("__df").asc, col("h").asc)
     val prefix = inv.join(dfreq, "h")

@@ -137,8 +137,14 @@ object SimilaritySearch {
    * unnormalized distance). Mean and variance derive from exact
    * integer micro-sums (`floor(x·10⁶ + 0.5)` and its square — the
    * q82/q169 order-invariance contract), so the whole sheet replays
-   * bit-identically; at 10⁹+ rows the squared sums approach 2^63 and
-   * the decimal widening swap applies (the q124 regime note).
+   * bit-identically. At 10⁹+ rows the squared long sums approach 2^63,
+   * so the q124 guard applies STRUCTURALLY: a cheap pre-pass (count +
+   * global max |x|, one narrow codegen'd scan) proves when
+   * `n · maxMicro² < 2⁶²` holds and every moment fits int64; when it
+   * doesn't, micro values sum as decimals instead. Both paths produce
+   * identical integer moments (pinned in SimilaritySearchSpec on a
+   * magnitude-injected fixture), so the final double chain — and the
+   * oracle — are unchanged.
    *
    * Spark shape: one narrow posexplode (row expansion, no shuffle) and
    * ONE hash aggregation on the dimension key with map-side partials —
@@ -146,12 +152,29 @@ object SimilaritySearch {
    */
   def dimensionAudit(vectors: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val guard = vectors.agg(count(lit(1)).as("__n"),
+      max(expr(s"aggregate($vecCol, cast(0.0 as double), " +
+        "(acc, x) -> greatest(acc, abs(cast(x as double))))")).as("__m"))
+      .head()
+    val nRows = guard.getLong(0)
+    val maxMicro =
+      (if (guard.isNullAt(1)) 0.0 else guard.getDouble(1)) * 1000000d + 1.0
+    val longSafe = nRows > 0 && !maxMicro.isNaN &&
+      nRows.toDouble * maxMicro * maxMicro < math.pow(2.0, 62)
+    dimensionAuditWith(vectors, vecCol,
+      if (longSafe) "long" else "decimal(19,0)")
+  }
+
+  /** The moment pipeline behind [[dimensionAudit]], parameterized on
+    * the micro-sum width so the spec can pin long/decimal parity. */
+  private[graft] def dimensionAuditWith(vectors: DataFrame, vecCol: String,
+      microType: String): DataFrame = {
     val ex = graft.SparkUtil.ensureParallelism(vectors)
       .select(posexplode(col(vecCol)).as(Seq("__p", "__xf")))
       .select((col("__p") + 1).as("dim_pos"),
         col("__xf").cast("double").as("__x"))
       .withColumn("__m",
-        floor(col("__x") * lit(1000000d) + lit(0.5)).cast("long"))
+        floor(col("__x") * lit(1000000d) + lit(0.5)).cast(microType))
     ex.groupBy(col("dim_pos"))
       .agg(count(lit(1)).as("n"), min(col("__x")).as("min_v"),
         max(col("__x")).as("max_v"), sum(col("__m")).as("__sm"),
@@ -183,8 +206,11 @@ object SimilaritySearch {
   def neighborhoodPurity(vectors: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label", dim: Int = 64, nPlanes: Int = 4,
-      nTables: Int = 8): DataFrame = {
-    val knn = knnJoinLsh(vectors, k, idCol, vecCol, dim, nPlanes, nTables)
+      nTables: Int = 8, knnGraph: Option[DataFrame] = None): DataFrame = {
+    // `knnGraph`: a precomputed [[knnJoinLsh]] result (query_id,
+    // cand_id, ...) — the persisted-index path; None re-derives inline.
+    val knn = knnGraph.getOrElse(
+      knnJoinLsh(vectors, k, idCol, vecCol, dim, nPlanes, nTables))
     val labels = vectors.select(col(idCol).as("__lid"),
       col(labelCol).as("__lab"))
     knn
@@ -251,8 +277,10 @@ object SimilaritySearch {
    */
   def knnHubness(vectors: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    val knn = knnJoinLsh(vectors, k, idCol, vecCol, dim, nPlanes, nTables)
+      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8,
+      knnGraph: Option[DataFrame] = None): DataFrame = {
+    val knn = knnGraph.getOrElse(
+      knnJoinLsh(vectors, k, idCol, vecCol, dim, nPlanes, nTables))
     val indeg = knn.groupBy(col("cand_id").as("id"))
       .agg(count(lit(1)).as("in_degree"))
     vectors.select(col(idCol).as("id"))

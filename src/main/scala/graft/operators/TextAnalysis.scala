@@ -1116,6 +1116,12 @@ object TextAnalysis {
    * dense rank needs a range-partitioned sort plus a per-partition
    * offset cumsum (a global `row_number` window would single-partition
    * the corpus — the anti-pattern this operator deliberately avoids).
+   * The precondition is load-bearing, so by default (`strict = true`)
+   * it is ASSERTED with one cheap bounded aggregation (min/max/count of
+   * the id column — a narrow column scan, no shuffle beyond the
+   * single-row agg) and a sparse-id corpus fails loudly; pass
+   * `strict = false` to deliberately interpret checkpoints in raw id
+   * space.
    *
    * Spark shape: distinct (token, doc) pairs → ONE min aggregation per
    * token (bounded by vocabulary), then `stack` over the literal
@@ -1124,10 +1130,21 @@ object TextAnalysis {
    * new_tokens delta is a lag over ≤ |checkpoints| rows.
    */
   def vocabGrowthCurve(docs: DataFrame, checkpoints: Seq[Long],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      strict: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted,
       "checkpoints must be non-empty and ascending")
+    if (strict) {
+      val r = docs.agg(min(col(idCol)).cast("long"),
+        max(col(idCol)).cast("long"), count(col(idCol))).head()
+      val n = r.getLong(2)
+      require(n == 0 || (r.getLong(0) == 0L && r.getLong(1) == n - 1),
+        s"vocabGrowthCurve checkpoints are 'first c documents' only for " +
+          s"dense 0-based $idCol ids; got min=${r.get(0)} max=${r.get(1)} " +
+          s"n=$n. Pass strict = false to read checkpoints as raw id " +
+          "thresholds instead.")
+    }
     val firstDoc = docs
       .select(col(idCol).as("__d"), explode(array_distinct(
         tokens(col(textCol)))).as("__t"))

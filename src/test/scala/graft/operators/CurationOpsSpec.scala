@@ -440,13 +440,31 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("vocabGrowthCurve: first-occurrence counting on a hand corpus") {
+    // sparse ids used deliberately as raw id thresholds -> strict off
     val docs = Seq(
       (0L, "a b"), (1L, "a c"), (5L, "d"), (9L, "a d e")
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.vocabGrowthCurve(docs, checkpoints = Seq(1L, 6L, 10L))
+    val out = TextAnalysis.vocabGrowthCurve(docs,
+        checkpoints = Seq(1L, 6L, 10L), strict = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // first docs: a→0, b→0, c→1, d→5, e→9
     assert(out.toSeq == Seq((1L, 2L, 2L), (6L, 4L, 2L), (10L, 5L, 1L)))
+  }
+
+  test("vocabGrowthCurve: sparse/offset ids fail loudly unless strict is disabled") {
+    // With offset ids, "id < c" is NOT "first c documents" — the default
+    // must refuse rather than silently measure id space.
+    val offset = Seq((100L, "a b"), (101L, "a c"), (102L, "d"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.vocabGrowthCurve(offset, checkpoints = Seq(2L))
+    }
+    assert(e.getMessage.contains("dense 0-based"))
+    // dense 0-based ids pass the assert and count documents
+    val dense = Seq((0L, "a b"), (1L, "a c"), (2L, "d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowthCurve(dense, checkpoints = Seq(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 3L))) // a, b, c seen in first 2 docs
   }
 
   test("charClassProfile: exact class counts on a hand corpus") {

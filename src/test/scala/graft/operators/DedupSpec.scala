@@ -673,6 +673,42 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 1L)
   }
 
+  test("adaptive Jaccard: concentration picks plain on uniform, prefix on Zipfian; all paths agree") {
+    // Near-uniform df: every doc contributes mostly-unique shingles, so
+    // Σdf² ≈ Σdf and concentration ~1 — prefix filtering has no hot
+    // shingles to prune and the dispatcher must keep the plain join.
+    val uniform = docs((0 until 60).map(i => (i.toLong,
+      s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")): _*)
+    // Heavy tail: a shared header puts df=40 shingles next to df=1
+    // tails — the Zipfian regime where the hot shingles dominate
+    // candidate generation and the prefix path pays.
+    val zipf = docs((0 until 40).map(i => (i.toLong,
+      s"common shared header words here t${i}a t${i}b t${i}c t${i}d t${i}e")): _*)
+    val cUniform = Dedup.dfConcentrationOf(uniform)
+    val cZipf = Dedup.dfConcentrationOf(zipf)
+    assert(cUniform < 4.0, s"uniform corpus concentration $cUniform should pick plain")
+    assert(cZipf >= 4.0, s"zipfian corpus concentration $cZipf should pick prefix")
+    // Path equality on BOTH corpora: the switch is a pure plan choice.
+    def pairs(df: org.apache.spark.sql.DataFrame,
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(df).collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    for (corpus <- Seq(uniform, zipf)) {
+      val plain = pairs(corpus, d => Dedup.ngramJaccardPairs(d, threshold = 0.4))
+      val prefix = pairs(corpus, d => Dedup.ngramJaccardPairsPrefix(d, threshold = 0.4))
+      val adaptive = pairs(corpus, d => Dedup.ngramJaccardPairsAdaptive(d, threshold = 0.4))
+      assert(plain == prefix && plain == adaptive)
+    }
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("adaptive Jaccard: the real documents fixture measures near-uniform (plain path)") {
+    val real = spark.read.parquet(s"${sf()}/documents.parquet")
+    val c = Dedup.dfConcentrationOf(real)
+    assert(c < 4.0, s"fixture corpus concentration $c — q49 should run the plain join")
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("clusterPurity: per-cluster label distincts and mixed flags, hand graph") {
     val spark0 = spark
     import spark0.implicits._

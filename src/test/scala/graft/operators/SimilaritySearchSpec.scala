@@ -625,6 +625,34 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(out(2) == ((2L, 1.0, 1.0)))
   }
 
+  test("dimensionAudit: long and decimal moment paths agree; magnitude injection auto-widens") {
+    val spark0 = spark
+    import spark0.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    // 1. Width parity where both are exact: identical rows either way
+    //    (the q124 contract, made structural for q216).
+    val small = Seq((1L, Array(1.5f, 0.25f)), (2L, Array(-2.0f, 0.75f)),
+      (3L, Array(0.5f, -0.5f))).toDF("vec_id", "embedding")
+    assert(rows(SimilaritySearch.dimensionAuditWith(small, "embedding", "long")) ==
+      rows(SimilaritySearch.dimensionAuditWith(small, "embedding", "decimal(19,0)")))
+    // 2. Magnitude injection: a 3.3e6 coordinate makes maxMicro ~3.3e12,
+    //    so a squared long moment overflows int64 — under ANSI mode the
+    //    forced-long path must THROW (the failure the guard prevents)...
+    val big = Seq((1L, Array(3300000.0f, 0.25f)), (2L, Array(-3300000.0f, 0.75f)),
+      (3L, Array(0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val overflow = intercept[Exception] {
+      SimilaritySearch.dimensionAuditWith(big, "embedding", "long").collect()
+    }
+    assert(overflow.getMessage.contains("ARITHMETIC_OVERFLOW"))
+    // ...while the guarded public path auto-widens and stays exact.
+    val audited = rows(SimilaritySearch.dimensionAudit(big))
+    assert(audited == rows(
+      SimilaritySearch.dimensionAuditWith(big, "embedding", "decimal(19,0)")))
+    assert(audited.find(_._1 == 2).get._5 == (0.25 + 0.75 - 0.5) / 3.0)
+  }
+
   test("pairDistanceHistogram: known cosines land in the right bins; mass conserved") {
     val spark0 = spark
     import spark0.implicits._
