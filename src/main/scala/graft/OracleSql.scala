@@ -4244,4 +4244,55 @@ object OracleSql {
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |  AS depth
        |FROM agg""".stripMargin
+
+  /** The 60-bit md5-prefix hash of a string expression — the
+    * [[graft.operators.Sketches.hash60]] replay (q44/q45 contract). */
+  private def h60(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Mirror of StreamingOps.windowedBloom's BATCH twin over events
+    * (q255): per epoch-aligned hour window, the Kirsch-Mitzenmacher
+    * Bloom word table of `props`. Spark's tumbling 1-hour `window()`
+    * is epoch-aligned, so `date_trunc('hour', ts)` replays the window
+    * start exactly; the stream==batch equality of the operator itself
+    * is spec-pinned (StreamingOpsSpec), putting the streaming output
+    * transitively behind this gate. */
+  def windowedBloom(mBits: Int, k: Int): String =
+    s"""WITH e AS (SELECT date_trunc('hour', ts) AS window_start, props
+       |           FROM events WHERE props IS NOT NULL),
+       |h AS (SELECT window_start, ${h60("props")} AS h FROM e),
+       |p AS (SELECT window_start,
+       |        ((h >> 30) + i * ((h & 1073741823) * 2 + 1)) % $mBits AS pos
+       |      FROM h CROSS JOIN (SELECT unnest(range(0, $k)) AS i) ii)
+       |SELECT window_start,
+       |  pos // ${graft.operators.Sketches.BloomWordBits} AS word_idx,
+       |  bit_or(1::BIGINT << CAST(pos % ${graft.operators.Sketches.BloomWordBits}
+       |    AS INT)) AS bits
+       |FROM p GROUP BY 1, 2""".stripMargin
+
+  /** Mirror of StreamingOps.windowedCms's batch twin over events
+    * (q256): per hour window, the depth×width CMS occurrence grid of
+    * `props` (no pre-agg by value — each row is one occurrence). */
+  def windowedCms(width: Int, depth: Int): String =
+    s"""WITH e AS (SELECT date_trunc('hour', ts) AS window_start, props
+       |           FROM events WHERE props IS NOT NULL),
+       |hh AS (SELECT window_start, ${h60("props")} AS h FROM e),
+       |p AS (SELECT window_start, i,
+       |        ((h >> 30) + i * ((h & 1073741823) * 2 + 1)) % $width AS pos
+       |      FROM hh CROSS JOIN (SELECT unnest(range(0, $depth)) AS i) ii)
+       |SELECT window_start, CAST(i AS INTEGER) AS row_idx, pos AS col_idx,
+       |  count(*)::BIGINT AS cnt
+       |FROM p GROUP BY 1, 2, 3""".stripMargin
+
+  /** Mirror of StreamingOps.windowedManifest's batch twin over events
+    * (q257): per (hour window, id-bucket shard), row count and bit-XOR
+    * checksum of the 60-bit props hash. */
+  def windowedManifest(nShards: Int): String =
+    s"""WITH e AS (SELECT date_trunc('hour', ts) AS window_start,
+       |    (${sampleBucket("event_id")}) % $nShards AS shard_id,
+       |    ${h60("props")} AS h
+       |  FROM events)
+       |SELECT window_start, shard_id, count(*)::BIGINT AS n_rows,
+       |  bit_xor(h) AS checksum
+       |FROM e GROUP BY 1, 2""".stripMargin
 }

@@ -2042,6 +2042,26 @@ object SparkEntry {
         t(s, dir, "documents")
           .select(UrlOps.syntheticUrl(col("doc_id")).as("url")))),
 
+    // Windowed Bloom word table (q255): the continuous-exporter
+    // membership sketch, per hour window — the BATCH twin of the
+    // watermarked streaming operator (stream == batch is spec-pinned
+    // in StreamingOpsSpec, so the gate covers the streaming output
+    // transitively, the q225-q227 pattern applied to windows).
+    "q255_windowed_bloom" -> ((s, dir) =>
+      StreamingOps.windowedBloom(Tables.loadEvents(s, dir), "props")),
+
+    // Windowed CMS occurrence grid (q256): per-window hot-key sketch,
+    // state bounded at depth x width cells per window.
+    "q256_windowed_cms" -> ((s, dir) =>
+      StreamingOps.windowedCms(Tables.loadEvents(s, dir), "props")),
+
+    // Windowed shard manifest (q257): per-(window, shard) row count +
+    // XOR content checksum — the integrity artifact a continuous
+    // exporter publishes per window, final at watermark close.
+    "q257_windowed_manifest" -> ((s, dir) =>
+      StreamingOps.windowedManifest(Tables.loadEvents(s, dir),
+        contentHash = Sketches.hash60(col("props")))),
+
     // Quality-rule co-failure matrix: which battery rules are
     // redundant on this corpus (near-1 overlap) vs catching disjoint
     // failure modes — the rule-economics audit for a gate that runs
@@ -2771,5 +2791,8 @@ object SparkEntry {
       configs = Seq((16, 8), (32, 4), (64, 2)), k = 128, idCol = "doc_id"),
     "q254_tracking_profile" -> OracleSql.trackingParamProfile(
       idCol = "doc_id"),
+    "q255_windowed_bloom" -> OracleSql.windowedBloom(mBits = 1 << 16, k = 5),
+    "q256_windowed_cms" -> OracleSql.windowedCms(width = 1024, depth = 4),
+    "q257_windowed_manifest" -> OracleSql.windowedManifest(nShards = 8),
   )
 }
