@@ -4284,6 +4284,49 @@ object OracleSql {
        |  count(*)::BIGINT AS cnt
        |FROM p GROUP BY 1, 2, 3""".stripMargin
 
+  /** Shared CTE chain of the integer-exact BM25 scores (q258/q259):
+    * floor-log2 Robertson idf via bin-length + shift compare, 10T-scaled
+    * tf saturation at k1=1.2/b=0.75 as one exact integer division. */
+  private def bm25Scores(terms: Seq[String], idCol: String): String = {
+    val inList = terms.map(t => s"'${sqlLit(t)}'").mkString(", ")
+    s"""WITH tot AS (SELECT count(*)::BIGINT AS N,
+       |    CAST(sum(len($toks)) AS BIGINT) AS T FROM documents),
+       |base AS (SELECT $idCol, CAST(len($toks) AS BIGINT) AS dl,
+       |           unnest($toks) AS t
+       |         FROM documents),
+       |m AS (SELECT $idCol, dl, t, count(*)::BIGINT AS tf FROM base
+       |      WHERE t IN ($inList) GROUP BY 1, 2, 3),
+       |dfr AS (SELECT t, count(*)::BIGINT AS df FROM m GROUP BY 1),
+       |s AS (SELECT m.$idCol, m.dl, m.tf, tot.N, tot.T,
+       |        2 * (tot.N - dfr.df) + 1 AS num, 2 * dfr.df + 1 AS den
+       |      FROM m JOIN dfr USING (t), tot),
+       |f AS (SELECT *, CAST(length(bin(num)) - length(bin(den)) AS BIGINT)
+       |        AS L
+       |      FROM s WHERE num > den),
+       |i AS (SELECT *, CASE WHEN (den << L) <= num THEN L ELSE L - 1 END
+       |        AS idf
+       |      FROM f),
+       |sc AS (SELECT $idCol, count(*)::BIGINT AS n_terms,
+       |    CAST(sum(idf * ((22 * T * tf * 1000000)
+       |      // (10 * T * tf + 3 * T + 9 * dl * N))) AS BIGINT)
+       |      AS score_micro
+       |  FROM i GROUP BY 1)""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.bm25TopK (q258). */
+  def bm25TopK(terms: Seq[String], k: Int, idCol: String): String =
+    s"""${bm25Scores(terms, idCol)}
+       |SELECT $idCol, n_terms, score_micro FROM sc
+       |ORDER BY score_micro DESC, $idCol ASC LIMIT $k""".stripMargin
+
+  /** Mirror of TextAnalysis.bm25Decontaminate (q259). */
+  def bm25Decontaminate(terms: Seq[String], minScoreMicro: Long,
+      idCol: String): String =
+    s"""${bm25Scores(terms, idCol)}
+       |SELECT $idCol, n_terms, score_micro,
+       |  score_micro >= $minScoreMicro AS contaminated
+       |FROM sc""".stripMargin
+
   /** Mirror of StreamingOps.windowedManifest's batch twin over events
     * (q257): per (hour window, id-bucket shard), row count and bit-XOR
     * checksum of the 60-bit props hash. */

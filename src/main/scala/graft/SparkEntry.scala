@@ -2062,6 +2062,22 @@ object SparkEntry {
       StreamingOps.windowedManifest(Tables.loadEvents(s, dir),
         contentHash = Sketches.hash60(col("props")))),
 
+    // BM25 top-k retrieval (q258): integer-exact scoring (floor-log2
+    // idf + micro-exact tf saturation — no float in the rank). On this
+    // corpus "spark"/"merge" sit in >half the docs and take the
+    // stop-term cut; "dup" carries the signal — the operator
+    // demonstrating its own idf economics.
+    "q258_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"),
+        Seq("dup", "spark", "merge"), k = 20)),
+
+    // BM25 retrieval-based decontamination (q259): the ranked-retrieval
+    // member of the decon family (exact q33 / fuzzy q39 / Bloom q44) —
+    // catches topically-reworded eval leakage n-gram overlap misses.
+    "q259_bm25_decontaminate" -> ((s, dir) =>
+      TextAnalysis.bm25Decontaminate(t(s, dir, "documents"),
+        Seq("dup", "spark", "merge"), minScoreMicro = 4500000L)),
+
     // Quality-rule co-failure matrix: which battery rules are
     // redundant on this corpus (near-1 overlap) vs catching disjoint
     // failure modes — the rule-economics audit for a gate that runs
@@ -2794,5 +2810,10 @@ object SparkEntry {
     "q255_windowed_bloom" -> OracleSql.windowedBloom(mBits = 1 << 16, k = 5),
     "q256_windowed_cms" -> OracleSql.windowedCms(width = 1024, depth = 4),
     "q257_windowed_manifest" -> OracleSql.windowedManifest(nShards = 8),
+    "q258_bm25_topk" -> OracleSql.bm25TopK(
+      Seq("dup", "spark", "merge"), k = 20, idCol = "doc_id"),
+    "q259_bm25_decontaminate" -> OracleSql.bm25Decontaminate(
+      Seq("dup", "spark", "merge"), minScoreMicro = 4500000L,
+      idCol = "doc_id"),
   )
 }

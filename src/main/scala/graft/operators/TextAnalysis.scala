@@ -1504,4 +1504,107 @@ object TextAnalysis {
           .as("span_start"),
         lit(spanLen.toLong).as("span_len"), col("n_tokens"))
   }
+
+  /**
+   * INTEGER-EXACT BM25 term scores per (document, query term) — the
+   * shared core of [[bm25TopK]] (retrieval) and [[bm25Decontaminate]]
+   * (eval-query leakage flagging). BM25 as usually written mixes
+   * `ln((N-df+0.5)/(df+0.5))` idf into a float sum whose libm `ln`
+   * is NOT bit-identical across engines; this repo's rank invariant
+   * (no float enters a rank — the q68 principle) demands an exact
+   * formulation, so:
+   *
+   *   - idf is the FLOOR-LOG2 of the Robertson odds ratio, computed
+   *     exactly in integers: with num = 2(N−df)+1 and den = 2df+1,
+   *     `L = len(bin(num)) − len(bin(den))` and
+   *     `idf = L − [den·2^L > num]` — no rounding anywhere. Terms with
+   *     num ≤ den (df ≥ N/2: in more than half the corpus) carry
+   *     negative information and are DROPPED, the classic stop-term
+   *     cut. A coarser idf than ln (unit steps), but exact, monotone
+   *     in df, and engine-portable.
+   *   - the tf saturation `tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl))` at
+   *     the standard k1=1.2, b=0.75 multiplies through by 10T (T =
+   *     total corpus tokens, so avgdl = T/N never materializes as a
+   *     float): `tfn_micro = (22·T·tf·10⁶) div (10·T·tf + 3·T +
+   *     9·dl·N)` — exact integer division.
+   *   - a term's score is `idf · tfn_micro`; a document's score is
+   *     the integer sum over its surviving query terms.
+   *
+   * Overflow posture: the numerator `22·T·tf·10⁶` stays inside int64
+   * for T·tf < 4·10¹¹ (any single-shard corpus; the fixture is ~10⁶);
+   * past that the q124/q216 guarded decimal widening applies — the
+   * same structural note, not repeated machinery here.
+   *
+   * Spark shape: tokens explode → narrow IN-list filter down to query
+   * terms only (the corpus never aggregates un-queried tokens) → ONE
+   * (doc, term) tf agg; df and the corpus totals are BOUNDED tables
+   * (≤ |Q| rows and 1 row) broadcast back — the per-doc fold is the
+   * only real shuffle.
+   */
+  private def bm25TermScores(docs: DataFrame, queryTerms: Seq[String],
+      idCol: String, textCol: String): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val toks = split(col(textCol), " ")
+    val totals = docs.agg(count(lit(1)).as("__N"),
+      sum(size(toks).cast("long")).as("__T"))
+    val tf = docs
+      .select(col(idCol).as("__id"), size(toks).as("__dl"),
+        explode(toks).as("__term"))
+      .filter(col("__term").isInCollection(queryTerms))
+      .groupBy(col("__id"), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfTbl = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfTbl), "__term")
+      .crossJoin(broadcast(totals))
+      .withColumn("__num", lit(2L) * (col("__N") - col("__df")) + lit(1L))
+      .withColumn("__den", lit(2L) * col("__df") + lit(1L))
+      .filter(col("__num") > col("__den")) // drop df >= N/2 stop terms
+      .withColumn("__L",
+        (length(bin(col("__num"))) - length(bin(col("__den")))).cast("int"))
+      .withColumn("__idf",
+        when(expr("shiftleft(__den, __L)") <= col("__num"), col("__L"))
+          .otherwise(col("__L") - 1).cast("long"))
+      .withColumn("__tfn", expr(
+        "(22 * __T * __tf * 1000000) div (10 * __T * __tf + 3 * __T + 9 * __dl * __N)"))
+  }
+
+  /**
+   * BM25 top-k retrieval over the corpus for a literal query term set
+   * — the targeted-retrieval face of curation ("which training docs
+   * answer this eval query"), and the IR classic the keyword/cosine
+   * operators (q68, q17) bracket from either side. Integer-exact
+   * scoring per [[bm25TermScores]]; rank key is (score desc, id asc),
+   * so the top-k SET is total-order deterministic and SQL-replayable.
+   *
+   * Spark shape: the bounded per-doc fold then a global top-k via
+   * orderBy+limit — `TakeOrderedAndProject`, never a full sort.
+   */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25TermScores(docs, queryTerms, idCol, textCol)
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__idf") * col("__tfn")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+      .limit(k)
+
+  /**
+   * BM25 retrieval-based decontamination: every document MATCHING any
+   * discriminative eval-query term, with its exact BM25 score and the
+   * `contaminated` verdict at `minScoreMicro` — the ranked-retrieval
+   * member of the decontamination family (exact q33, fuzzy-shingle
+   * q39, Bloom-shipped q44): n-gram overlap catches verbatim leaks,
+   * BM25 catches topically-reworded ones a reviewer should eyeball.
+   * Output is bounded by the matching subset, never the corpus;
+   * non-matching docs are trivially clean and emit no row.
+   */
+  def bm25Decontaminate(docs: DataFrame, queryTerms: Seq[String],
+      minScoreMicro: Long, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bm25TermScores(docs, queryTerms, idCol, textCol)
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__idf") * col("__tfn")).as("score_micro"))
+      .withColumn("contaminated", col("score_micro") >= minScoreMicro)
 }

@@ -489,6 +489,39 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("kNN-graph consumers read the persisted artifact — no candidate generation in-plan") {
+    // r8: q137/q221/q234 consume Artifacts.knnGraphLsh (the stored-index
+    // shape). Their plans must scan the shared parquet and carry NONE of
+    // the q58 generator machinery (SRP table keys, bucket self-join,
+    // per-query rank window over candidates).
+    Seq("q137_mutual_knn", "q221_knn_purity", "q234_knn_hubness").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf()))
+      assert(p.contains("shared_artifacts"), s"$q does not scan the artifact:\n$p")
+      assert(!p.contains("__tb"), s"$q re-derives LSH candidates:\n$p")
+    }
+  }
+
+  test("method agreement reads the persisted Jaccard pairs; SimHash side still derives") {
+    val p = plan(SparkEntry.queries("q241_method_agreement")(spark, sf()))
+    assert(p.contains("shared_artifacts"), p)
+    assert(p.contains("FullOuter"), p) // the pair-key agreement join
+  }
+
+  test("adaptive Jaccard on the near-uniform fixture plans the PLAIN index join") {
+    // the prefix path's verify stage is the array_intersect over capped
+    // sets — its presence would mean the dispatcher chose PPJoin on a
+    // corpus where the plain join is cheaper (the r7 q49 weakness).
+    val p = plan(SparkEntry.queries("q49_jaccard_prefix_filter")(spark, sf()))
+    assert(!p.contains("array_intersect"), p)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("BM25 top-k: TakeOrderedAndProject cut, corpus filtered before any agg") {
+    val p = plan(SparkEntry.queries("q258_bm25_topk")(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // never a full sort
+  }
+
   test("balanced assignment: the only single-partition work sees pre-aggregated keys") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec

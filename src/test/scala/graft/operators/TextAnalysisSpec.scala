@@ -633,6 +633,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0L, 0L, true))) // empty text: guarded div
   }
 
+  test("bm25TopK: hand-computed integer score; stop-terms (df >= N/2) dropped") {
+    val spark0 = spark
+    import spark0.implicits._
+    // N=8 docs, T=20 tokens. "rare": df=1 -> num=15, den=3, L=2,
+    // 3<<2=12 <= 15 -> idf=2. "common": df=4 -> num=9=den -> DROPPED.
+    // d1: dl=4, tf(rare)=1 -> tfn = (22*20*1*1e6) div (200+60+288)
+    // = 440000000 div 548 = 802919; score = 2*802919 = 1605838.
+    val docs = Seq(
+      (1L, "rare common x1 x2"), (2L, "common y1 y2"), (3L, "common z1"),
+      (4L, "common w1 w2 w3"), (5L, "a1 a2"), (6L, "b1"), (7L, "c1 c2"),
+      (8L, "d1 d2")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("rare", "common"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs matching ONLY the dropped stop term emit no row at all
+    assert(out.toSeq == Seq((1L, 1L, 1605838L)))
+  }
+
+  test("bm25TopK: higher tf ranks higher at equal dl; k cuts; ties break by id") {
+    val spark0 = spark
+    import spark0.implicits._
+    // df=3 of N=16: num=27, den=7, L=2, 7<<2=28 > 27 -> idf = 1
+    val docs = (Seq(
+      (10L, "term term pad1 pad2"), (11L, "term pad3 pad4 pad5"),
+      (12L, "term pad6 pad7 pad8")) ++ // same (tf, dl) as 11 -> score tie
+      (13L to 25L).map(i => (i, s"pad${i}a pad${i}b pad${i}c pad${i}d")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("term"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.length == 2)
+    assert(out(0)._1 == 10L)                    // tf=2 wins
+    assert(out(1)._1 == 11L)                    // tie with 12 -> id asc
+    assert(out(0)._2 > out(1)._2)
+  }
+
+  test("bm25Decontaminate: verdicts split exactly at the threshold") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "leak leak leak pad"), (2L, "leak pad pad pad"),
+      (3L, "pad pad"), (4L, "x1"), (5L, "x2"), (6L, "x3"), (7L, "x4"),
+      (8L, "x5")).toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25Decontaminate(docs, Seq("leak"),
+        minScoreMicro = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores.keySet == Set(1L, 2L)) // only matching docs emit rows
+    assert(scores(1L) > scores(2L))
+    val tau = scores(1L) // threshold exactly at the top score
+    val verdicts = TextAnalysis.bm25Decontaminate(docs, Seq("leak"),
+        minScoreMicro = tau).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdicts == Map(1L -> true, 2L -> false))
+  }
+
   test("sentenceStats: explode rollup with exact counts and means") {
     val spark0 = spark
     import spark0.implicits._
