@@ -73,6 +73,17 @@ object Canon {
     if (micros == 0) base else f"$base.$micros%06d"
   }
 
+  /** TIMESTAMP_NTZ cells surface as java.time.LocalDateTime, whose
+    * toString is ISO ("1995-01-02T00:00") — render Python-style
+    * instead (the fixture's raw date columns are NTZ; event-derived
+    * outputs are normalized to TIMESTAMP by Tables.loadEvents). */
+  def pyLocalDateTime(ldt: java.time.LocalDateTime): String = {
+    val base = ldt.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val micros = ldt.getNano / 1000
+    if (micros == 0) base else f"$base.$micros%06d"
+  }
+
   def normCell(dt: DataType, v: Any): String = {
     if (v == null) return null
     dt match {
@@ -84,6 +95,8 @@ object Canon {
         if (f.isNaN) "NaN" else pyG10(f.toDouble)
       case BooleanType => if (v.asInstanceOf[Boolean]) "True" else "False"
       case TimestampType => pyTimestamp(v.asInstanceOf[java.sql.Timestamp])
+      case TimestampNTZType =>
+        pyLocalDateTime(v.asInstanceOf[java.time.LocalDateTime])
       case _ => v.toString
     }
   }

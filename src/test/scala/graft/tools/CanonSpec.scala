@@ -88,6 +88,14 @@ class CanonSpec extends AnyFunSuite {
       "2024-01-28 12:34:56.000700")
   }
 
+  test("TIMESTAMP_NTZ cells render Python-style, not ISO LocalDateTime") {
+    val ldt = java.time.LocalDateTime.parse("1995-01-02T00:00:00")
+    assert(Canon.normCell(TimestampNTZType, ldt) == "1995-01-02 00:00:00")
+    assert(Canon.normCell(TimestampNTZType,
+      java.time.LocalDateTime.parse("1995-01-02T12:34:56.000789")) ==
+      "1995-01-02 12:34:56.000789")
+  }
+
   test("normCell bool renders Python-style") {
     assert(Canon.normCell(BooleanType, true) == "True")
     assert(Canon.normCell(BooleanType, false) == "False")
