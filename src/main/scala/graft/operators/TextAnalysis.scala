@@ -1607,4 +1607,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"),
         sum(col("__idf") * col("__tfn")).as("score_micro"))
       .withColumn("contaminated", col("score_micro") >= minScoreMicro)
+
+  /**
+   * BATCH BM25: top-k retrieval for a whole TABLE of queries in ONE
+   * corpus pass — the shape eval-suite decontamination actually runs
+   * at 100 TB (thousands of benchmark queries against the corpus;
+   * per-query passes would rescan the corpus per query). Scoring is
+   * [[bm25TermScores]]'s exact integer chain; term statistics (tf, df,
+   * idf) are computed ONCE per distinct term across all queries, then
+   * fanned out to queries by a broadcast membership join (fan-out
+   * bounded by queries-per-term, never the corpus).
+   *
+   * `queries`: (queryIdCol, termCol) rows — one row per query term.
+   * Output: per (query, doc) the exact score with rank ≤ k; per-query
+   * top-k via WindowGroupLimit (map-side partial top-k), never a
+   * global sort. Queries none of whose terms survive the stop-term
+   * cut emit no rows.
+   */
+  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = queries.select(col(queryIdCol), col(termCol)).distinct()
+    val termList = terms.select(col(termCol)).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    bm25TermScores(docs, termList, idCol, textCol)
+      .join(broadcast(terms), col("__term") === col(termCol))
+      .groupBy(col(queryIdCol), col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__idf") * col("__tfn")).as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }
