@@ -65,6 +65,11 @@ def main(out_dir):
             continue
         want = dict(line.split("=", 1) for line in
                     open(sidecar).read().splitlines() if "=" in line)
+        if "md5" not in want or "rows" not in want:
+            # truncated/malformed sidecar: report, don't crash the sweep
+            print(f"DIFF {name}: malformed sidecar (missing md5/rows key)")
+            n_bad += 1
+            continue
         got_md5, got_rows = canon_md5(d)
         if got_md5 == want["md5"] and str(got_rows) == want["rows"]:
             n_ok += 1
@@ -77,4 +82,7 @@ def main(out_dir):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print("usage: check_sidecars.py <verify-out-dir>", file=sys.stderr)
+        sys.exit(2)
     sys.exit(main(sys.argv[1]))

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Build a 10x scale-stress corpus from sf0.1 (dev tool only — the
+shipped library has no Python dependency).
+
+The round-8 verdict asked for empirical proof of the 100 TB plan-shape
+claims: run the heaviest queries at sf0.1 and at a 10x replica and
+record per-query scaling exponents (BASELINE.md). This script writes
+that replica under target/sfprobe/sf1:
+
+  documents  x10 — doc_id shifted by k*N per replica k; replicas k>0
+              get one extra token " rk<k>" so no cross-replica exact
+              clones appear (clone GROUPS replicate disjointly —
+              linear growth, the honest scaling shape; pure
+              duplication would grow pair queries quadratically and
+              mis-measure); n_chars recomputed.
+  embeddings x10 — vec_id shifted; the vector is ROTATED by k
+              positions per replica (norm-preserving, low cosine to
+              the original), so within-replica neighborhood structure
+              replicates but cross-replica near-dup pairs do not.
+  events     x10 — event_id and user_id shifted per replica: 10x the
+              users, per-user history unchanged (the way traffic
+              actually grows), timestamps untouched.
+  TPC-H tables copied UNSCALED (the probe queries are
+              document/embedding/event-bound; noted in BASELINE.md).
+
+Usage: python3 scripts/make_scale_probe.py [out_dir] [replicas]
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main(out_dir, reps):
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+
+    n_doc = con.sql(f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
+    n_vec = con.sql(f"SELECT count(*) FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+    n_evt, n_usr = con.sql(
+        f"SELECT count(*), max(user_id)+1 FROM '{SRC}/events.parquet'").fetchone()
+
+    con.sql(f"""
+      COPY (
+        SELECT doc_id + k.k * {n_doc} AS doc_id,
+               CASE WHEN k.k = 0 THEN text
+                    ELSE text || ' rk' || k.k END AS text,
+               lang, source,
+               CAST(len(CASE WHEN k.k = 0 THEN text
+                             ELSE text || ' rk' || k.k END) AS BIGINT)
+                 AS n_chars
+        FROM '{SRC}/documents.parquet', (SELECT unnest(range({reps})) AS k) k
+      ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)""")
+
+    con.sql(f"""
+      COPY (
+        SELECT vec_id + k.k * {n_vec} AS vec_id,
+               CASE WHEN k.k = 0 THEN embedding
+                    ELSE list_concat(embedding[k.k + 1:],
+                                     embedding[:k.k]) END AS embedding,
+               label
+        FROM '{SRC}/embeddings.parquet', (SELECT unnest(range({reps})) AS k) k
+      ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)""")
+
+    con.sql(f"""
+      COPY (
+        SELECT event_id + k.k * {n_evt} AS event_id, ts,
+               user_id + k.k * {n_usr} AS user_id,
+               event_type, value, props
+        FROM '{SRC}/events.parquet', (SELECT unnest(range({reps})) AS k) k
+      ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)""")
+
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"]:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+
+    for t in ["documents", "embeddings", "events"]:
+        n = con.sql(f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "target/sfprobe/sf1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    main(out, reps)

@@ -1408,6 +1408,24 @@ object OracleSql {
        |       ELSE 'changed' END AS status
        |FROM a FULL OUTER JOIN b USING ($idCol)""".stripMargin
 
+  /** Mirror of StreamingOps.streamingCorpusDiff over the q104 fixture
+    * (q262): the three stream-observable verdicts — a LEFT join from
+    * the arriving side (no `removed`: absence is unobservable on an
+    * unbounded stream). */
+  def streamingCorpusDiff(oldMax: Int, newMin: Int, revEvery: Int,
+      idCol: String): String =
+    s"""WITH a AS (SELECT $idCol, md5(text) AS ha FROM documents
+       |           WHERE ${sampleBucket(idCol)} < $oldMax),
+       |b AS (SELECT $idCol,
+       |        md5(CASE WHEN $idCol % $revEvery = 0 THEN text || ' rev2'
+       |                 ELSE text END) AS hb
+       |      FROM documents WHERE ${sampleBucket(idCol)} >= $newMin)
+       |SELECT b.$idCol,
+       |  CASE WHEN ha IS NULL THEN 'added'
+       |       WHEN ha = hb THEN 'unchanged'
+       |       ELSE 'changed' END AS status
+       |FROM b LEFT JOIN a USING ($idCol)""".stripMargin
+
   /** Mirror of Profiler.anonymityAudit over customer: one class agg, one
     * scalar total, the identical double division. */
   def anonymityAudit(quasiCols: Seq[String], k: Int, table: String): String = {
@@ -4284,20 +4302,22 @@ object OracleSql {
        |  count(*)::BIGINT AS cnt
        |FROM p GROUP BY 1, 2, 3""".stripMargin
 
-  /** Shared CTE chain of the integer-exact BM25 scores (q258/q259):
-    * floor-log2 Robertson idf via bin-length + shift compare, 10T-scaled
-    * tf saturation at k1=1.2/b=0.75 as one exact integer division. */
-  private def bm25Scores(terms: Seq[String], idCol: String): String = {
+  /** CTE chain `tot..i` of the integer-exact per-(doc, term) BM25
+    * components over relation `from` (q258/q259/q260): floor-log2
+    * Robertson idf via bin-length + shift compare; tf/dl/N/T carried
+    * forward for the 10T-scaled saturation quotient. */
+  private def bm25TermCtes(terms: Seq[String], idCol: String,
+      from: String): String = {
     val inList = terms.map(t => s"'${sqlLit(t)}'").mkString(", ")
-    s"""WITH tot AS (SELECT count(*)::BIGINT AS N,
-       |    CAST(sum(len($toks)) AS BIGINT) AS T FROM documents),
+    s"""tot AS (SELECT count(*)::BIGINT AS N,
+       |    CAST(sum(len($toks)) AS BIGINT) AS T FROM $from),
        |base AS (SELECT $idCol, CAST(len($toks) AS BIGINT) AS dl,
        |           unnest($toks) AS t
-       |         FROM documents),
+       |         FROM $from),
        |m AS (SELECT $idCol, dl, t, count(*)::BIGINT AS tf FROM base
        |      WHERE t IN ($inList) GROUP BY 1, 2, 3),
        |dfr AS (SELECT t, count(*)::BIGINT AS df FROM m GROUP BY 1),
-       |s AS (SELECT m.$idCol, m.dl, m.tf, tot.N, tot.T,
+       |s AS (SELECT m.$idCol, m.t AS tok, m.dl, m.tf, tot.N, tot.T,
        |        2 * (tot.N - dfr.df) + 1 AS num, 2 * dfr.df + 1 AS den
        |      FROM m JOIN dfr USING (t), tot),
        |f AS (SELECT *, CAST(length(bin(num)) - length(bin(den)) AS BIGINT)
@@ -4305,13 +4325,17 @@ object OracleSql {
        |      FROM s WHERE num > den),
        |i AS (SELECT *, CASE WHEN (den << L) <= num THEN L ELSE L - 1 END
        |        AS idf
-       |      FROM f),
+       |      FROM f)""".stripMargin
+  }
+
+  /** The q258/q259 per-doc fold `sc` on top of [[bm25TermCtes]]. */
+  private def bm25Scores(terms: Seq[String], idCol: String): String =
+    s"""WITH ${bm25TermCtes(terms, idCol, "documents")},
        |sc AS (SELECT $idCol, count(*)::BIGINT AS n_terms,
        |    CAST(sum(idf * ((22 * T * tf * 1000000)
        |      // (10 * T * tf + 3 * T + 9 * dl * N))) AS BIGINT)
        |      AS score_micro
        |  FROM i GROUP BY 1)""".stripMargin
-  }
 
   /** Mirror of TextAnalysis.bm25TopK (q258). */
   def bm25TopK(terms: Seq[String], k: Int, idCol: String): String =
@@ -4326,6 +4350,38 @@ object OracleSql {
        |SELECT $idCol, n_terms, score_micro,
        |  score_micro >= $minScoreMicro AS contaminated
        |FROM sc""".stripMargin
+
+  /** Mirror of the q260 composition: TextAnalysis.bm25TopKBatch over
+    * documents with the two needle terms injected (doc_id % 37 →
+    * " needle alpha", else doc_id % 41 → " needle"). Term statistics
+    * come from ONE corpus pass over the union of all query terms;
+    * per-query top-k by (score desc, id asc). */
+  def bm25TopKBatch(queryTerms: Seq[(Long, String)], k: Int,
+      idCol: String): String = {
+    val values = queryTerms
+      .map { case (qid, t) => s"(CAST($qid AS BIGINT), '${sqlLit(t)}')" }
+      .mkString(", ")
+    val distinctTerms = queryTerms.map(_._2).distinct.sorted
+    s"""WITH injected AS (
+       |    SELECT doc_id,
+       |      CASE WHEN doc_id % 37 = 0 THEN text || ' needle alpha'
+       |           WHEN doc_id % 41 = 0 THEN text || ' needle'
+       |           ELSE text END AS text
+       |    FROM documents),
+       |q(query_id, term) AS (VALUES $values),
+       |${bm25TermCtes(distinctTerms, idCol, "injected")},
+       |j AS (SELECT q.query_id, i.$idCol,
+       |        idf * ((22 * T * tf * 1000000)
+       |          // (10 * T * tf + 3 * T + 9 * dl * N)) AS ts
+       |      FROM i JOIN q ON i.tok = q.term),
+       |sc AS (SELECT query_id, $idCol, count(*)::BIGINT AS n_terms,
+       |        CAST(sum(ts) AS BIGINT) AS score_micro
+       |       FROM j GROUP BY 1, 2)
+       |SELECT query_id, $idCol, n_terms, score_micro,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, $idCol ASC) AS rank
+       |FROM sc QUALIFY rank <= $k""".stripMargin
+  }
 
   /** Mirror of StreamingOps.windowedManifest's batch twin over events
     * (q257): per (hour window, id-bucket shard), row count and bit-XOR

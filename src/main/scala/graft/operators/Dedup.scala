@@ -242,6 +242,12 @@ object Dedup {
    * switch is a pure plan choice — the hand-rolled analogue of a
    * cost-based optimizer rule, decided from data statistics rather
    * than guessed.
+   *
+   * EAGER at construction: the concentration probe executes a Spark
+   * aggregation when this method is CALLED, not when the returned
+   * DataFrame is acted on (the dimensionAudit/bm25 guard pattern).
+   * graft.Bench times construction + execution together, so the probe
+   * cost IS inside the benchmarked region.
    */
   /** Spec probe: the concentration the adaptive dispatcher would
     * measure for this corpus (same shingling + df cap). */

@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
  *   - output is a typed Dataset with a stable schema, so downstream
  *     operators re-enter codegen land immediately.
  *
- * The actual byte decoding is STUBBED: this container has no image/audio
- * libraries, so `StubCodec` computes deterministic fake dimensions from a
- * rolling checksum of the payload (clearly marked below). The Spark-side
- * contract — schema, batching, partition behavior — is real and tested;
- * swapping in a production codec is implementing `MediaCodec.decode`.
+ * Codec status: IMAGES DECODE FOR REAL — [[ImageIoCodec]] reads
+ * PNG/BMP/GIF/JPEG through the pure-JDK `javax.imageio.ImageIO` (ships in
+ * every JRE, zero added dependencies) and reports true pixel dimensions,
+ * oracle-gated in q261 against fixtures whose dims are id-derived.
+ * Audio/video decoding stays STUBBED (`StubCodec`, deterministic fake
+ * dimensions from a rolling checksum — no ffmpeg in this container);
+ * the Spark-side contract — schema, batching, partition behavior — is
+ * identical for both, so swapping in a production AV codec is
+ * implementing `MediaCodec.decode`.
  */
 object Multimodal {
 
@@ -53,19 +57,82 @@ object Multimodal {
    *   height   = 64 + (checksum / 1856) % 1016
    *   n_frames = 1 + byte_len % 30
    */
-  object StubCodec extends MediaCodec {
+  /** Base-31 rolling checksum of a payload mod 1e9+7 — the shared
+    * content identity every codec reports (pHash, provenance, and the
+    * SQL oracle all replay it). */
+  def byteChecksum(bytes: Array[Byte]): Long = {
     import graft.functions.TextFunctions.{HashBase, HashPrime}
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * HashBase + (bytes(i) & 0xff)) % HashPrime
+      i += 1
+    }
+    h
+  }
+
+  object StubCodec extends MediaCodec {
     def decode(rec: MediaRecord): MediaMeta = {
-      var h = 0L
-      var i = 0
-      while (i < rec.content.length) {
-        h = (h * HashBase + (rec.content(i) & 0xff)) % HashPrime
-        i += 1
-      }
+      val h = byteChecksum(rec.content)
       MediaMeta(rec.media_id, rec.media_type, rec.content.length.toLong, h,
         64 + (h % 1856).toInt, 64 + ((h / 1856) % 1016).toInt,
         1 + (rec.content.length % 30))
     }
+  }
+
+  /**
+   * REAL image decode through the pure-JDK `javax.imageio.ImageIO`
+   * (PNG/BMP/GIF/JPEG — readers bundled with every JRE, zero added
+   * dependencies): `media_type == "image"` payloads report their TRUE
+   * pixel width/height (n_frames = 1; checksum stays the byte rolling
+   * hash — content identity, not pixel identity). Non-image modalities
+   * and undecodable/corrupt image payloads fall back to [[StubCodec]]
+   * (a real pipeline would route those to a quarantine table; the
+   * fallback keeps this operator total, and the spec pins it).
+   *
+   * ImageIO.read is partition-local imperative work — exactly what the
+   * [[MediaCodec]] `mapPartitions` escape hatch exists for; per-record
+   * cost is microseconds on thumbnail-scale fixtures and the decode
+   * never shuffles.
+   */
+  object ImageIoCodec extends MediaCodec {
+    def decode(rec: MediaRecord): MediaMeta = {
+      if (rec.media_type == "image") {
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.content))
+          catch { case _: java.io.IOException => null }
+        if (img != null)
+          return MediaMeta(rec.media_id, rec.media_type,
+            rec.content.length.toLong, byteChecksum(rec.content),
+            img.getWidth, img.getHeight, 1)
+      }
+      StubCodec.decode(rec)
+    }
+  }
+
+  /**
+   * Deterministic PNG fixture synthesis (pure JDK): a `width`×`height`
+   * RGB image whose pixel at (x, y) is an integer function of `seed` —
+   * real, decodable PNG bytes for q261 and the specs. Encoding runs
+   * inside the same partition-local region that consumes it, so fixture
+   * generation distributes like any other codec work.
+   */
+  def synthesizePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((seed * 31 + x * 7 + y * 13) & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Default decode batch size — sized like an Arrow record batch: large

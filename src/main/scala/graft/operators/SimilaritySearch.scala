@@ -149,6 +149,11 @@ object SimilaritySearch {
    * Spark shape: one narrow posexplode (row expansion, no shuffle) and
    * ONE hash aggregation on the dimension key with map-side partials —
    * output is exactly `dim` rows.
+   *
+   * EAGER at construction: the count+max guard executes a Spark
+   * aggregation when this method is CALLED, not when the returned
+   * DataFrame is acted on. graft.Bench times construction + execution
+   * together, so the guard scan IS inside the benchmarked region.
    */
   def dimensionAudit(vectors: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -1530,10 +1530,17 @@ object TextAnalysis {
    *   - a term's score is `idf · tfn_micro`; a document's score is
    *     the integer sum over its surviving query terms.
    *
-   * Overflow posture: the numerator `22·T·tf·10⁶` stays inside int64
-   * for T·tf < 4·10¹¹ (any single-shard corpus; the fixture is ~10⁶);
-   * past that the q124/q216 guarded decimal widening applies — the
-   * same structural note, not repeated machinery here.
+   * Overflow posture — STRUCTURAL (the q124/q216 pattern): the
+   * numerator `22·T·tf·10⁶` leaves int64 once T·tf ≥ ~4·10¹¹, so an
+   * EAGER pre-pass (one narrow codegen'd scan at DataFrame
+   * construction time — count, token total, max doc length; max dl
+   * bounds max tf) proves via [[bm25LongSafe]] whether every
+   * saturation numerator and denominator fits int64. When it does
+   * (any realistic single-shard corpus), the arithmetic runs in
+   * codegen'd longs; when it doesn't, the same expressions run over
+   * decimal(38,0) and cast the exact quotient back to long — both
+   * paths produce identical integers (parity-pinned in
+   * TextAnalysisSpec), so ranks and the oracle never change.
    *
    * Spark shape: tokens explode → narrow IN-list filter down to query
    * terms only (the corpus never aggregates un-queried tokens) → ONE
@@ -1543,6 +1550,31 @@ object TextAnalysis {
    */
   private def bm25TermScores(docs: DataFrame, queryTerms: Seq[String],
       idCol: String, textCol: String): DataFrame = {
+    val g = docs.agg(count(lit(1)).as("__n"),
+      sum(size(split(col(textCol), " ")).cast("long")).as("__t"),
+      max(size(split(col(textCol), " ")).cast("long")).as("__maxdl"))
+      .head()
+    val longSafe = g.isNullAt(1) ||
+      bm25LongSafe(g.getLong(1), g.getLong(2))
+    bm25TermScoresWith(docs, queryTerms, idCol, textCol, wide = !longSafe)
+  }
+
+  /** The int64-safety predicate behind [[bm25TermScores]]'s guard:
+    * with `maxDl ≥ max tf`, `22·T·maxDl·10⁶ < 2⁶²` bounds every
+    * saturation numerator (and a fortiori the denominator
+    * `10·T·tf + 3·T + 9·dl·N`) away from long overflow, with one
+    * spare bit for the double-precision comparison itself. */
+  private[graft] def bm25LongSafe(totalTokens: Long, maxDl: Long): Boolean =
+    22.0e6 * totalTokens.toDouble * maxDl.toDouble < math.pow(2.0, 62)
+
+  /** The scoring pipeline behind [[bm25TermScores]], parameterized on
+    * the saturation arithmetic width so the spec can pin long/decimal
+    * parity. `wide=false` is the codegen'd long fast path;
+    * `wide=true` widens the saturation quotient to decimal(38,0) and
+    * casts the (exact, ≤ 2.2·10⁶) result back to long. */
+  private[graft] def bm25TermScoresWith(docs: DataFrame,
+      queryTerms: Seq[String], idCol: String, textCol: String,
+      wide: Boolean): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
       "queryTerms must be non-empty and distinct")
     val toks = split(col(textCol), " ")
@@ -1565,8 +1597,14 @@ object TextAnalysis {
       .withColumn("__idf",
         when(expr("shiftleft(__den, __L)") <= col("__num"), col("__L"))
           .otherwise(col("__L") - 1).cast("long"))
-      .withColumn("__tfn", expr(
-        "(22 * __T * __tf * 1000000) div (10 * __T * __tf + 3 * __T + 9 * __dl * __N)"))
+      .withColumn("__tfn",
+        if (!wide) expr(
+          "(22 * __T * __tf * 1000000) div " +
+            "(10 * __T * __tf + 3 * __T + 9 * __dl * __N)")
+        else expr(
+          "cast((22 * cast(__T as decimal(38,0)) * __tf * 1000000) div " +
+            "(10 * cast(__T as decimal(38,0)) * __tf + 3 * __T + " +
+            "9 * cast(__dl as decimal(38,0)) * __N) as bigint)"))
   }
 
   /**
@@ -1619,18 +1657,26 @@ object TextAnalysis {
    * bounded by queries-per-term, never the corpus).
    *
    * `queries`: (queryIdCol, termCol) rows — one row per query term.
-   * Output: per (query, doc) the exact score with rank ≤ k; per-query
-   * top-k via WindowGroupLimit (map-side partial top-k), never a
-   * global sort. Queries none of whose terms survive the stop-term
-   * cut emit no rows.
+   * Null terms/query ids are dropped (a null term matches nothing by
+   * IN-list semantics anyway; dropping keeps the collected driver-side
+   * term list — a bounded artifact, ≤ distinct query vocabulary —
+   * total-order sortable). Output: per (query, doc) the exact score
+   * with rank ≤ k; per-query top-k via WindowGroupLimit (map-side
+   * partial top-k, plan-pinned in PlanContractSpec), never a global
+   * sort. Queries none of whose terms survive the stop-term cut emit
+   * no rows.
    */
   def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int = 20,
       idCol: String = "doc_id", textCol: String = "text",
       queryIdCol: String = "query_id", termCol: String = "term"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = queries.select(col(queryIdCol), col(termCol)).distinct()
+    val terms = queries.select(col(queryIdCol), col(termCol))
+      .filter(col(queryIdCol).isNotNull && col(termCol).isNotNull)
+      .distinct()
     val termList = terms.select(col(termCol)).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+    require(termList.nonEmpty,
+      "queries must contain at least one non-null (query_id, term) row")
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score_micro").desc, col(idCol).asc)
     bm25TermScores(docs, termList, idCol, textCol)

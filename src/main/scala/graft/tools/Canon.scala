@@ -97,6 +97,18 @@ object Canon {
       case TimestampType => pyTimestamp(v.asInstanceOf[java.sql.Timestamp])
       case TimestampNTZType =>
         pyLocalDateTime(v.asInstanceOf[java.time.LocalDateTime])
+      // Complex/binary cells have no pinned cross-language rendering:
+      // Scala would print WrappedArray(..)/[B@hash where the Python
+      // recompute (scripts/check_sidecars.py) prints [1, 2]/bytes —
+      // a sidecar that can never match, and for binary a JVM-identity
+      // hash that is nondeterministic across runs. No current query
+      // dump carries such a column (all 260 are scalar-typed); fail
+      // loudly at dump time rather than shipping a poisoned sidecar.
+      case _: ArrayType | _: StructType | _: MapType | BinaryType =>
+        throw new IllegalArgumentException(
+          s"Canon sidecar: unsupported cell type $dt — add an explicit " +
+            "cross-language rendering (Canon.normCell + " +
+            "scripts/check_sidecars.py) before dumping this column")
       case _ => v.toString
     }
   }

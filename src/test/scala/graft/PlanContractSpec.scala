@@ -522,6 +522,16 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p) // never a full sort
   }
 
+  test("batch BM25: per-query top-k cut via WindowGroupLimit, query table broadcast") {
+    val p = plan(SparkEntry.queries("q260_bm25_batch")(spark, sf()))
+    // the rank<=k filter must reach map-side partial top-k, not a full
+    // per-query sort + filter
+    assert(p.contains("WindowGroupLimit"), p)
+    // the (query_id, term) membership table rides as a broadcast, never
+    // an Exchange of the corpus-side term scores against a tiny table
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("balanced assignment: the only single-partition work sees pre-aggregated keys") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec

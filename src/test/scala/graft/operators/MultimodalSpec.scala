@@ -27,6 +27,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).media_type == "image")
   }
 
+  test("ImageIoCodec: true pixel dims from real PNG/BMP decode; stub " +
+      "fallback for corrupt payloads and non-image modalities") {
+    val spark0 = spark
+    import spark0.implicits._
+    val png = Multimodal.synthesizePng(17, 5, seed = 42L)
+    // a second container format, also decoded by the pure-JDK readers
+    val bmpImg = new java.awt.image.BufferedImage(9, 11,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bmpImg, "bmp", bos)
+    val df = Seq(
+      (1L, "image", png),
+      (2L, "image", bos.toByteArray),
+      (3L, "image", "not an image".getBytes("UTF-8")), // undecodable
+      (4L, "audio", png)) // declared non-image: stub path by contract
+      .toDF("media_id", "media_type", "content")
+    val out = Multimodal.decodeMeta(df, Multimodal.ImageIoCodec)
+      .collect().map(m => m.media_id -> m).toMap
+    assert((out(1L).width, out(1L).height, out(1L).n_frames) == ((17, 5, 1)))
+    assert((out(2L).width, out(2L).height) == ((9, 11)))
+    // checksum stays the byte rolling hash regardless of decode path
+    assert(out(1L).checksum == Multimodal.byteChecksum(png))
+    val stub3 = Multimodal.StubCodec.decode(
+      Multimodal.MediaRecord(3L, "image", "not an image".getBytes("UTF-8")))
+    assert((out(3L).width, out(3L).height) == ((stub3.width, stub3.height)))
+    val stub4 = Multimodal.StubCodec.decode(
+      Multimodal.MediaRecord(4L, "audio", png))
+    assert((out(4L).width, out(4L).height) == ((stub4.width, stub4.height)))
+  }
+
+  test("synthesizePng round-trips its own dimensions deterministically") {
+    val a = Multimodal.synthesizePng(13, 7, seed = 5L)
+    val b = Multimodal.synthesizePng(13, 7, seed = 5L)
+    assert(a.sameElements(b)) // same JRE, same bytes — rerun-stable fixture
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+    assert(img.getWidth == 13 && img.getHeight == 7)
+  }
+
   test("decodeMeta batches: results identical across batch sizes (incl. size 1)") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(50)
     val media = Multimodal.mediaFromDocuments(docs)

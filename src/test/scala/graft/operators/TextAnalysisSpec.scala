@@ -686,6 +686,84 @@ class TextAnalysisSpec extends SparkSpec {
     assert(verdicts == Map(1L -> true, 2L -> false))
   }
 
+  test("bm25TopKBatch: per-query results equal bm25TopK; nulls dropped; " +
+      "all-stop-term query emits no rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "rare common x1 x2"), (2L, "rare rare y1"), (3L, "common z1"),
+      (4L, "common w1 w2 w3"), (5L, "other a2"), (6L, "b1"), (7L, "c1 c2"),
+      (8L, "d1 d2")).toDF("doc_id", "text")
+    val qs = Seq(
+      (java.lang.Long.valueOf(1L), "rare"),
+      (java.lang.Long.valueOf(1L), "common"),
+      (java.lang.Long.valueOf(2L), "other"),
+      (java.lang.Long.valueOf(2L), "rare"),
+      (java.lang.Long.valueOf(3L), "common"),
+      (java.lang.Long.valueOf(3L), "z1"),       // df=1 term limited to doc 3
+      (java.lang.Long.valueOf(4L), null),       // null term: dropped, q4 emits nothing
+      (null.asInstanceOf[java.lang.Long], "rare") // null query id: dropped
+    ).toDF("query_id", "term")
+    val batch = TextAnalysis.bm25TopKBatch(docs, qs, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+      .groupBy(_._1)
+    // Oracle per query: the single-query operator on the same corpus.
+    def single(terms: Seq[String]) = TextAnalysis.bm25TopK(docs, terms, k = 5)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getLong(1), r.getLong(2), i + 1) }
+      .toSeq
+    // batch == per-query single runs, including ranks — proving the
+    // shared one-pass term stats (tf/df/idf computed once over the
+    // union vocabulary) reproduce the isolated per-query statistics.
+    for ((qid, terms) <- Seq(1L -> Seq("common", "rare"),
+        2L -> Seq("other", "rare"), 3L -> Seq("common", "z1"))) {
+      val got = batch.getOrElse(qid, Array.empty).toSeq.sortBy(_._5)
+        .map(t => (t._2, t._3, t._4, t._5))
+      assert(got == single(terms), s"query $qid")
+    }
+    assert(!batch.contains(4L)) // its only term row was null
+  }
+
+  test("bm25TopKBatch: all-null query table is rejected") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val qs = Seq((java.lang.Long.valueOf(1L), null.asInstanceOf[String]))
+      .toDF("query_id", "term")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKBatch(docs, qs, k = 5)
+    }
+  }
+
+  test("bm25LongSafe guard boundary; long and decimal paths produce " +
+      "identical scores (q124/q216 structural-widening pattern)") {
+    // Guard boundary: a laptop-scale corpus is long-safe; a corpus with
+    // T·maxDl past ~2·10^11 is not (22e6 · T · maxDl ≥ 2^62).
+    assert(TextAnalysis.bm25LongSafe(1000000L, 1000L))
+    assert(!TextAnalysis.bm25LongSafe(400000000000L, 1000000L))
+    assert(!TextAnalysis.bm25LongSafe(Long.MaxValue, Long.MaxValue))
+    val spark0 = spark
+    import spark0.implicits._
+    // Magnitude-injected fixture: tf up to 64 on a doc of dl 70 pushes
+    // the saturation numerator to ~10^11 — far into the long range but
+    // exercising multi-word carries in the decimal path.
+    val big = ("rare " * 64) + ("pad " * 5) + "end"
+    val docs = (Seq((1L, big.trim), (2L, "rare common x"),
+      (3L, "common y")) ++ (4L to 9L).map(i => (i, s"f$i g$i")))
+      .toDF("doc_id", "text")
+    def run(wide: Boolean) = TextAnalysis
+      .bm25TermScoresWith(docs, Seq("rare", "common"), "doc_id", "text",
+        wide = wide)
+      .select("__id", "__term", "__idf", "__tfn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val longPath = run(wide = false)
+    val decimalPath = run(wide = true)
+    assert(longPath.nonEmpty && longPath == decimalPath)
+  }
+
   test("sentenceStats: explode rollup with exact counts and means") {
     val spark0 = spark
     import spark0.implicits._
