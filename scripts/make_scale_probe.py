@@ -7,12 +7,15 @@ claims: run the heaviest queries at sf0.1 and at a 10x replica and
 record per-query scaling exponents (BASELINE.md). This script writes
 that replica under target/sfprobe/sf1:
 
-  documents  x10 — doc_id shifted by k*N per replica k; replicas k>0
-              get one extra token " rk<k>" so no cross-replica exact
-              clones appear (clone GROUPS replicate disjointly —
-              linear growth, the honest scaling shape; pure
-              duplication would grow pair queries quadratically and
-              mis-measure); n_chars recomputed.
+  documents  x10 — doc_id shifted by k*N per replica k; for k>0 EVERY
+              token gets a per-replica suffix "_rk<k>", so the
+              within-replica shingle/clone structure is isomorphic to
+              the original while cross-replica shingle overlap is
+              ZERO (a last-token-only tag leaves replicas ~0.95
+              Jaccard to each other — the pair queries would then
+              measure a genuinely 10x-duplicated corpus, quadratic by
+              the DATA, not the plan) and the vocabulary grows x10 —
+              the honest corpus-growth shape; n_chars recomputed.
   embeddings x10 — vec_id shifted; the vector is ROTATED by k
               positions per replica (norm-preserving, low cosine to
               the original), so within-replica neighborhood structure
@@ -45,14 +48,18 @@ def main(out_dir, reps):
 
     con.sql(f"""
       COPY (
-        SELECT doc_id + k.k * {n_doc} AS doc_id,
-               CASE WHEN k.k = 0 THEN text
-                    ELSE text || ' rk' || k.k END AS text,
-               lang, source,
-               CAST(len(CASE WHEN k.k = 0 THEN text
-                             ELSE text || ' rk' || k.k END) AS BIGINT)
-                 AS n_chars
-        FROM '{SRC}/documents.parquet', (SELECT unnest(range({reps})) AS k) k
+        WITH r AS (
+          SELECT doc_id + k.k * {n_doc} AS doc_id,
+                 CASE WHEN k.k = 0 THEN text
+                      ELSE array_to_string(list_transform(
+                             string_split(text, ' '),
+                             t -> t || '_rk' || k.k), ' ') END AS text,
+                 lang, source
+          FROM '{SRC}/documents.parquet',
+               (SELECT unnest(range({reps})) AS k) k)
+        SELECT doc_id, text, lang, source,
+               CAST(len(text) AS BIGINT) AS n_chars
+        FROM r
       ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)""")
 
     con.sql(f"""

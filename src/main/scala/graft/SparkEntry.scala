@@ -2139,6 +2139,18 @@ object SparkEntry {
       StreamingOps.streamingCorpusDiff(arriving, snapshot)
     }),
 
+    // Auto-sized LSH kNN graph (q264): q58 with the index width chosen
+    // FROM THE CORPUS COUNT (lshPlanesFor: planes = ceil(log2(n /
+    // targetBucket))) so bucket occupancy — and the candidate
+    // self-join — stays bounded at any scale. The round-9 10× scale
+    // probe showed fixed nPlanes=4 going 25× super-linear; this is the
+    // structural fix. At the sf0.01 correctness scale minPlanes binds,
+    // so the choice lands on q58's exact (4, 8) config and the same
+    // oracle covers the delegation; the sizing formula and the
+    // larger-corpus behavior are spec-pinned.
+    "q264_knn_lsh_auto" -> ((s, dir) =>
+      SimilaritySearch.knnJoinLshAuto(t(s, dir, "embeddings"), k = 5)),
+
     // Streaming first-seen dedup batch twin (q263): the
     // flatMapGroupsWithState keep-first-per-content-key operator run on
     // a batch frame (Spark invokes the state function once per group —
@@ -2446,6 +2458,9 @@ object SparkEntry {
     "q17_embed_topk" -> OracleSql.embedTopK(queryId = 0, k = 10, dim = 64),
     "q57_knn_join" -> OracleSql.knnJoin(queryMax = 5, k = 5, dim = 64),
     "q58_knn_join_lsh" -> OracleSql.knnJoinLsh(k = 5, dim = 64, nPlanes = 4, nTables = 8),
+    // at sf0.01's 200 vectors lshPlanesFor's minPlanes binds -> (4, 8),
+    // q58's exact config; larger-corpus sizing is spec-pinned
+    "q264_knn_lsh_auto" -> OracleSql.knnJoinLsh(k = 5, dim = 64, nPlanes = 4, nTables = 8),
     "q59_quantize_int8" -> OracleSql.quantizeInt8(dim = 64),
     "q18_embed_neardup" -> OracleSql.embedNearDup(threshold = 0.4, dim = 64),
     "q19_ann_lsh" -> OracleSql.annTopKLsh(queryId = 0, k = 10, dim = 64,

@@ -708,6 +708,53 @@ object SimilaritySearch {
    * vector join-back) — rows carrying float arrays would force a
    * sort-based aggregate.
    */
+  /**
+   * Index-width sizing for the SRP-LSH family: the number of hash
+   * planes must GROW with the corpus or bucket occupancy — and with it
+   * candidate-pair generation, which is Σ(bucket size²) per table —
+   * grows linearly in n and the join quadratically. The round-9 10×
+   * scale probe measured exactly that: fixed nPlanes=4 (16
+   * buckets/table) took [[knnJoinLsh]] from 1.2 s to 30 s at 10× rows
+   * (25×, super-linear) while every width-bounded operator scaled
+   * sub-linearly. This picks `nPlanes = ceil(log2(n / targetBucket))`
+   * (clamped to [minPlanes, 30]) so expected occupancy stays ≈
+   * `targetBucket` at ANY corpus size, then fits `nTables` into the
+   * 63-bit key budget (fewer, finer tables at extreme widths — the
+   * standard LSH recall/space re-trade, made explicit here).
+   * Pure function of the counts, so the sizing itself is unit-testable
+   * without data.
+   */
+  private[graft] def lshPlanesFor(n: Long, targetBucket: Int = 64,
+      minPlanes: Int = 4, maxTables: Int = 8): (Int, Int) = {
+    require(targetBucket >= 1 && minPlanes >= 1 && maxTables >= 1)
+    val want = math.max(1L, n / targetBucket)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(0L, want - 1)) // ceil(log2(want)); 0 for want == 1
+    val nPlanes = math.min(30, math.max(minPlanes, bits))
+    val nTables = math.max(1, math.min(maxTables, 63 / nPlanes))
+    (nPlanes, nTables)
+  }
+
+  /**
+   * [[knnJoinLsh]] with the index width sized from the corpus COUNT
+   * (one eager bounded pre-pass at construction — the dimensionAudit /
+   * bm25 guard pattern, and like them inside graft.Bench's timed
+   * region) via [[lshPlanesFor]]: bucket occupancy — hence per-vector
+   * candidate work — stays ≈ `targetBucket` at any scale, which is the
+   * difference between linear and quadratic growth for the self-join.
+   * On a corpus small enough that `minPlanes` binds, this is exactly
+   * the explicit call (spec-pinned), so the q58 oracle covers the
+   * delegation at the correctness scale.
+   */
+  def knnJoinLshAuto(df: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, targetBucket: Int = 64,
+      maxTables: Int = 8): DataFrame = {
+    val (nPlanes, nTables) = lshPlanesFor(df.count(), targetBucket,
+      maxTables = maxTables)
+    knnJoinLsh(df, k, idCol, vecCol, dim, nPlanes, nTables)
+  }
+
   def knnJoinLsh(df: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {

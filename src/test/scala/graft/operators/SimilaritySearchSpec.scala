@@ -186,6 +186,47 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("lshPlanesFor: bucket-bounded width at any corpus size; 63-bit " +
+      "key budget respected; auto call delegates to the explicit one") {
+    import SimilaritySearch.lshPlanesFor
+    // small corpora: minPlanes binds (the q58/q264 oracle-equivalence)
+    assert(lshPlanesFor(200L) == ((4, 8)))
+    assert(lshPlanesFor(0L) == ((4, 8)))
+    // 10x the bench corpus: one plane more — the scale-probe fix
+    assert(lshPlanesFor(2000L) == ((5, 8)))
+    assert(lshPlanesFor(20000L) == ((9, 7))) // re-fit into 63 bits
+    // exact power boundary: want = n div 64 crosses 32 at n = 64*33
+    assert(lshPlanesFor(64L * 32) == ((5, 8)))
+    assert(lshPlanesFor(64L * 32 + 1) == ((5, 8))) // floor div: want still 32
+    assert(lshPlanesFor(64L * 33) == ((6, 8)))
+    // web scale: width capped at 30, tables re-fit, budget respected
+    for (n <- Seq(1000000L, 1000000000L, Long.MaxValue)) {
+      val (p, t) = lshPlanesFor(n)
+      assert(p <= 30 && p * t <= 63 && t >= 1, s"n=$n -> ($p, $t)")
+    }
+    assert(lshPlanesFor(1000000000L)._1 == 24)
+    // expected occupancy n / 2^planes stays <= 2*targetBucket whenever
+    // the cap doesn't bind — the bound that kills the quadratic join
+    for (n <- Seq(1000L, 50000L, 3000000L)) {
+      val (p, _) = lshPlanesFor(n)
+      assert(n.toDouble / (1L << p) <= 128.0, s"n=$n planes=$p")
+    }
+    // the auto entry point is exactly the explicit call at the chosen
+    // width (same rows) on the fixture corpus
+    val e = emb.cache()
+    val n = e.count()
+    val (planes, tables) = lshPlanesFor(n)
+    val auto = SimilaritySearch.knnJoinLshAuto(e, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val explicit = SimilaritySearch
+      .knnJoinLsh(e, k = 5, nPlanes = planes, nTables = tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(auto.nonEmpty && auto == explicit)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("knnJoinLsh: exact scores over LSH candidates, WindowGroupLimit cut, sane recall") {
     val e = emb.cache()
     val knn = SimilaritySearch.knnJoinLsh(e, k = 5)
