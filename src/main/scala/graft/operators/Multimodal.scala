@@ -96,6 +96,11 @@ object Multimodal {
    * never shuffles.
    */
   object ImageIoCodec extends MediaCodec {
+    // ImageIO wraps InputStreams in a DISK-backed cache by default — a
+    // temp-file write per record on every executor. Payloads are already
+    // in memory; keep the decode heap-only. (Per-JVM global, set once at
+    // codec classload on each executor.)
+    javax.imageio.ImageIO.setUseCache(false)
     def decode(rec: MediaRecord): MediaMeta = {
       if (rec.media_type == "image") {
         val img =

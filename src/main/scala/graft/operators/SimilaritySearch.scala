@@ -704,9 +704,18 @@ object SimilaritySearch {
    * the SQL oracle replays exactly, so the output is deterministic and
    * exactly verifiable even though candidates (and hence each vector's
    * top-k pool) are approximate. Vectors whose buckets collide with
-   * nothing yield no rows. Candidate ids are deduped BARE (before the
-   * vector join-back) — rows carrying float arrays would force a
-   * sort-based aggregate.
+   * nothing yield no rows.
+   *
+   * Pair dedup happens AFTER scoring, by a hash aggregation over bare
+   * `(query_id, cand_id, score)` rows ([[annTopKLsh]]'s shape): the
+   * score is a pure function of the pair, so `max(score)` over its
+   * per-table occurrences is exact dedup, and the float vectors live
+   * only inside the bucket equi-join's codegen — they are never
+   * re-attached to the candidate set. The round-9 100× probe (2 M
+   * vectors) measured the alternative — `distinct()` on bare pairs
+   * followed by TWO vector join-backs — at ~500 M-row sort-merge
+   * joins spilling 40–90 GB; the agg shape shuffles only narrow pair
+   * rows and needs no broadcast size-guard at any scale.
    */
   /**
    * Index-width sizing for the SRP-LSH family: the number of hash
@@ -752,35 +761,71 @@ object SimilaritySearch {
       maxTables: Int = 8): DataFrame = {
     val (nPlanes, nTables) = lshPlanesFor(df.count(), targetBucket,
       maxTables = maxTables)
-    knnJoinLsh(df, k, idCol, vecCol, dim, nPlanes, nTables)
+    knnJoinLsh(df, k, idCol, vecCol, dim, nPlanes, nTables,
+      bucketCap = 4 * targetBucket)
   }
 
+  /** Dev hook (tools.ScaleDebug): the exploded (id, table-key) rows of
+    * the q58/q264 index, for occupancy diagnostics. */
+  private[graft] def lshKeyedForDebug(df: DataFrame, nPlanes: Int,
+      nTables: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64): DataFrame =
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits"))
+      .select(col("id"), srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
+
+  /**
+   * @param bucketCap hard per-(table, bucket) cap on the CANDIDATE side
+   *   of the self-join. SRP planes split uncorrelated mass, but a tight
+   *   semantic cluster shares sign bits at ANY width, so its bucket
+   *   grows with the corpus and contributes size² pairs — the round-9
+   *   100× probe measured Σ size² at 48× per 10× data (1.03 G pairs,
+   *   max bucket 3,840) under auto-sized planes. The cap restores
+   *   linear Σ size·min(size, cap) (199 M at the same point, cap 256)
+   *   the same way the text index caps df. Asymmetric: every row still
+   *   QUERIES; only its competitor pool in a degenerate bucket is
+   *   bounded, to `cap` pseudorandom members (rank by Knuth-mix32(id) —
+   *   deterministic, oracle-replayable, no popularity bias), which for
+   *   a top-k over a dense near-dup cluster is abundant. Default
+   *   `Int.MaxValue` = off (the q58 reference semantics); the capped
+   *   window rank sorts by the join key the sort-merge join sorts by
+   *   anyway, so enabling it adds no extra Exchange.
+   */
   def knnJoinLsh(df: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
+    require(bucketCap >= 1, s"bucketCap=$bucketCap must be >= 1")
     val base = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(df)
         .select(col(idCol).as("id"), col(vecCol).as("v"),
           norm2(col(vecCol), dim).as("n2"),
           lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits")))
-    val keys = base.select(col("id"),
+    val keyed = base.select(col("id"), col("v"), col("n2"),
       srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
-    val candidates = keys.as("x").join(keys.as("y"),
-        col("x.__tb") === col("y.__tb") && col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("query_id"), col("y.id").as("cand_id"))
-      .distinct()
+    val candSide = if (bucketCap == Int.MaxValue) keyed else {
+      val cw = Window.partitionBy(col("__tb")).orderBy(
+        graft.functions.TextFunctions.mix32(
+          pmod(col("id"), lit(Sampling.IdFold))),
+        col("id"))
+      keyed.withColumn("__cr", row_number().over(cw))
+        .filter(col("__cr") <= bucketCap).drop("__cr")
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
-    candidates
-      .join(base.select(col("id"), col("v").as("qv"), col("n2").as("qn2")),
-        col("query_id") === col("id")).drop("id")
-      .join(base.select(col("id"), col("v").as("cv"), col("n2").as("cn2")),
-        col("cand_id") === col("id")).drop("id")
-      .select(col("query_id"), col("cand_id"),
-        cosineWithNorms(dot(col("qv"), col("cv"), dim), col("qn2"), col("cn2"))
-          .as("score"))
+    // Score inside the bucket equi-join (both vectors are join inputs —
+    // codegen'd, never shuffled with the pair), then dedup the
+    // per-table occurrences by hash agg on narrow rows.
+    keyed.as("x").join(candSide.as("y"),
+        col("x.__tb") === col("y.__tb") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("query_id"), col("y.id").as("cand_id"),
+        cosineWithNorms(dot(col("x.v"), col("y.v"), dim),
+          col("x.n2"), col("y.n2")).as("score"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(max(col("score")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -809,36 +854,32 @@ object SimilaritySearch {
         .select(col(idCol).as("id"), col(vecCol).as("v"),
           norm2(col(vecCol), dim).as("n2"),
           lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits")))
-    // Candidate ids first, vectors later: the multi-table dedupe
-    // (`distinct`) runs over bare (id, id) pairs — hash-aggregable —
-    // instead of rows carrying float arrays, which would force a
-    // sort-based aggregate with two wide sorts. Same candidates-then-
-    // verify shape as Dedup.minhashLshPairs.
-    val keys = base.select(col("id"),
+    // Score inside the bucket equi-join (both vectors are join inputs —
+    // codegen'd, never shuffled with the pair), filter the threshold
+    // BEFORE the multi-table dedup so the hash agg sees only survivors,
+    // then dedup per-table occurrences on bare (id, id, cosine) rows.
+    // The score is a pure pair function, so max() is exact dedup — the
+    // [[knnJoinLsh]] shape, minus the rank window.
+    val keyed = base.select(col("id"), col("v"), col("n2"),
       srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
-    val candidates = keys.as("x").join(keys.as("y"),
+    keyed.as("x").join(keyed.as("y"),
         col("x.__tb") === col("y.__tb") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    candidates
-      .join(base.select(col("id"), col("v").as("va"), col("n2").as("na2")),
-        col("id_a") === col("id")).drop("id")
-      .join(base.select(col("id"), col("v").as("vb"), col("n2").as("nb2")),
-        col("id_b") === col("id")).drop("id")
-      .select(col("id_a"), col("id_b"),
-        cosineWithNorms(dot(col("va"), col("vb"), dim), col("na2"), col("nb2"))
-          .as("cosine"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosineWithNorms(dot(col("x.v"), col("y.v"), dim),
+          col("x.n2"), col("y.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
   }
 
   /**
    * Cross-corpus embedding near-dup pairs — the semantic sibling of
    * Dedup.crossCorpusPairs and the embedding face of the q89 signature
-   * store: the OLD corpus reduces to its SRP (table, bucket) key table
-   * (exactly what a persisted semantic signature store holds), NEW
-   * vectors bucket narrowly, candidates come from the store equi-join,
-   * and the exact cosine verify touches old vectors only for matched
-   * survivors. Incremental-ingest shape: the old side is never
+   * store: the OLD corpus reduces to its SRP (table, bucket, vector)
+   * index (what a persisted vector store holds), NEW vectors bucket
+   * narrowly, candidates come from the store equi-join, and the exact
+   * cosine scores inside that join — old vectors are read only for
+   * rows whose bucket collides. Incremental-ingest shape: the old side is never
    * re-compared against itself, so daily ingests pay |new| × bucket
    * collisions, not |corpus|².
    */
@@ -854,21 +895,18 @@ object SimilaritySearch {
           lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits")))
     val nb = side(newEmb)
     val ob = side(oldEmb)
-    def keys(b: DataFrame) = b.select(col("id"),
+    def keys(b: DataFrame) = b.select(col("id"), col("v"), col("n2"),
       srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
-    val candidates = keys(nb).as("x").join(keys(ob).as("y"),
+    // Score in the store equi-join, filter before the multi-table dedup
+    // — the [[cosineNearDupPairsLsh]] shape across two corpora.
+    keys(nb).as("x").join(keys(ob).as("y"),
         col("x.__tb") === col("y.__tb"))
-      .select(col("x.id").as("id_new"), col("y.id").as("id_old"))
-      .distinct()
-    candidates
-      .join(nb.select(col("id"), col("v").as("va"), col("n2").as("na2")),
-        col("id_new") === col("id")).drop("id")
-      .join(ob.select(col("id"), col("v").as("vb"), col("n2").as("nb2")),
-        col("id_old") === col("id")).drop("id")
-      .select(col("id_new"), col("id_old"),
-        cosineWithNorms(dot(col("va"), col("vb"), dim), col("na2"), col("nb2"))
-          .as("cosine"))
+      .select(col("x.id").as("id_new"), col("y.id").as("id_old"),
+        cosineWithNorms(dot(col("x.v"), col("y.v"), dim),
+          col("x.n2"), col("y.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .groupBy(col("id_new"), col("id_old"))
+      .agg(max(col("cosine")).as("cosine"))
   }
 
   /**

@@ -263,6 +263,43 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("knnJoinLsh bucketCap: no-op when above occupancy, bounds candidates " +
+      "when binding, deterministic, exact scores preserved") {
+    val e = emb.cache()
+    // a cap far above any fixture bucket is byte-identical to uncapped
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val uncapped = canon(SimilaritySearch.knnJoinLsh(e, k = 5))
+    assert(canon(SimilaritySearch.knnJoinLsh(e, k = 5,
+      bucketCap = 1 << 20)) == uncapped)
+    // 1 plane x 1 table = 2 giant buckets (~250 rows each on the
+    // 500-vector fixture): a cap of 40 must bind
+    val capped = SimilaritySearch.knnJoinLsh(e, k = 5, nPlanes = 1,
+      nTables = 1, bucketCap = 40)
+    val rows = canon(capped)
+    assert(rows.nonEmpty)
+    // every row still queries: with bucket size >> cap >> k, each vector
+    // has >= k capped candidates, so all n vectors keep k rows
+    assert(rows.map(_._1).distinct.size == e.count())
+    // candidate pool per bucket is bounded: across ALL queries of a
+    // bucket, at most `cap` distinct candidate ids appear (plus none
+    // from outside the bucket); with 2 buckets, <= 2*cap + tolerance
+    assert(rows.map(_._2).distinct.size <= 80,
+      s"capped candidate pool too large: ${rows.map(_._2).distinct.size}")
+    // deterministic across re-evaluation
+    assert(canon(SimilaritySearch.knnJoinLsh(e, k = 5, nPlanes = 1,
+      nTables = 1, bucketCap = 40)) == rows)
+    // scores remain exact cosines (the cap prunes candidates, never
+    // perturbs scoring)
+    val exact = SimilaritySearch.cosineNearDupPairs(e, threshold = -2.0)
+      .collect().flatMap(r =>
+        Seq((r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+          (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+    rows.foreach { case (q, c, s, _) => assert(exact((q, c)) == s) }
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("int8 quantization: codes bounded, absmax hits ±127, checksum content-exact") {
     val spark0 = spark
     import spark0.implicits._
