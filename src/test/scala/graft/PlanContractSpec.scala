@@ -507,6 +507,31 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p) // the pair-key agreement join
   }
 
+  test("capped kNN-LSH: the bucket-cap window rides the join's Exchange " +
+      "(same __tb shuffle count as uncapped) and cuts via WindowGroupLimit") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    def tbShuffles(p: String): Int =
+      "Exchange hashpartitioning\\(__tb".r.findAllIn(p).size
+    // the claim is about the at-scale regime, where the bucket self-join
+    // is sort-merge; at spec scale Spark would broadcast it (hiding the
+    // join's own __tb Exchanges), so pin with broadcast off
+    val bcThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (uncapped, capped) =
+      try (plan(SimilaritySearch.knnJoinLsh(e, k = 5)),
+        plan(SimilaritySearch.knnJoinLsh(e, k = 5, bucketCap = 64)))
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
+    // the cap must not add a __tb Exchange: its rank window sorts by the
+    // key the sort-merge join partitions by anyway
+    assert(tbShuffles(uncapped) == 2, s"expected 2 SMJ sides:\n$uncapped")
+    assert(tbShuffles(capped) == tbShuffles(uncapped),
+      s"capped plan added a __tb Exchange:\n$capped")
+    // both the cap rank and the final top-k rank cut map-side
+    assert("WindowGroupLimit".r.findAllIn(capped).size >= 2, capped)
+    assert(!capped.contains("CartesianProduct"), capped)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("adaptive Jaccard on the near-uniform fixture plans the PLAIN index join") {
     // the prefix path's verify stage is the array_intersect over capped
     // sets — its presence would mean the dispatcher chose PPJoin on a
