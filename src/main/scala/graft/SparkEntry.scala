@@ -2151,6 +2151,39 @@ object SparkEntry {
     "q264_knn_lsh_auto" -> ((s, dir) =>
       SimilaritySearch.knnJoinLshAuto(t(s, dir, "embeddings"), k = 5)),
 
+    // Auto-sized LSH near-dup pairs (q265): q41 with the index width
+    // from the corpus count — at fixed nPlanes=4 candidate generation
+    // is n²/16 per table (the round-9 100× probe point computes ~20 G
+    // pairs; killed after 25 min). No bucketCap for pair ops (a dense
+    // cluster's pair output is legitimately m²); the recall-vs-width
+    // trade is the documented LSH contract. minPlanes binds at sf0.01
+    // → q41's exact (4, 8) config, same-shape oracle.
+    "q265_neardup_lsh_auto" -> ((s, dir) =>
+      SimilaritySearch.cosineNearDupPairsLshAuto(t(s, dir, "embeddings"),
+        threshold = 0.4)),
+
+    // Auto-sized cross-corpus store check-in (q266): q103 with the
+    // index width from the STORE side's count (the side that grows
+    // with every ingest). minPlanes binds at sf0.01 → q103's exact
+    // (4, 8) config, same-shape oracle.
+    "q266_cross_corpus_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.crossCorpusNearDupLshAuto(
+        e.filter(Sampling.bucket(col("vec_id")) < 50),
+        e.filter(Sampling.bucket(col("vec_id")) >= 50), threshold = 0.4)
+    }),
+
+    // Auto-sized single-query ANN (q267): q19 with the index width from
+    // the corpus count — fixed nPlanes=4 makes every query touch
+    // ~n/16 × nTables corpus rows, a disguised per-query scan at scale;
+    // auto width keeps the candidate set ≈ targetBucket × nTables at
+    // any corpus size. minPlanes binds at sf0.01 → q19's exact (4, 15)
+    // config, same-shape oracle.
+    "q267_ann_lsh_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.annTopKLshAuto(e, e.filter(col("vec_id") === 0), k = 10)
+    }),
+
     // Streaming first-seen dedup batch twin (q263): the
     // flatMapGroupsWithState keep-first-per-content-key operator run on
     // a batch frame (Spark invokes the state function once per group —
@@ -2461,6 +2494,14 @@ object SparkEntry {
     // at sf0.01's 200 vectors lshPlanesFor's minPlanes binds -> (4, 8),
     // q58's exact config; larger-corpus sizing is spec-pinned
     "q264_knn_lsh_auto" -> OracleSql.knnJoinLsh(k = 5, dim = 64, nPlanes = 4, nTables = 8),
+    // q265-q267: the same minPlanes delegation for the pair, store,
+    // and single-query faces of the LSH family (q41/q103/q19 configs)
+    "q265_neardup_lsh_auto" -> OracleSql.embedNearDupLsh(
+      threshold = 0.4, dim = 64, nPlanes = 4, nTables = 8),
+    "q266_cross_corpus_auto" -> OracleSql.crossCorpusEmbedLsh(newPct = 50,
+      threshold = 0.4, dim = 64, nPlanes = 4, nTables = 8, idCol = "vec_id"),
+    "q267_ann_lsh_auto" -> OracleSql.annTopKLsh(queryId = 0, k = 10, dim = 64,
+      nPlanes = 4, nTables = 15),
     "q59_quantize_int8" -> OracleSql.quantizeInt8(dim = 64),
     "q18_embed_neardup" -> OracleSql.embedNearDup(threshold = 0.4, dim = 64),
     "q19_ann_lsh" -> OracleSql.annTopKLsh(queryId = 0, k = 10, dim = 64,

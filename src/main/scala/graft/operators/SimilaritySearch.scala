@@ -691,6 +691,27 @@ object SimilaritySearch {
   }
 
   /**
+   * [[annTopKLsh]] with the index width sized from the corpus count
+   * ([[lshPlanesFor]]): at fixed nPlanes=4 every query touches
+   * ~n/16 × nTables corpus rows — a per-query cost LINEAR in the
+   * corpus, i.e. a disguised scan at 100 TB. Width that grows with n
+   * keeps the per-query candidate set ≈ targetBucket × nTables at any
+   * scale (multiprobe adds its bounded (nPlanes+1)× on the query side
+   * only). On a corpus small enough that minPlanes binds this is
+   * exactly the explicit call — (4, 15) at the default maxTables, the
+   * q19 config — so the q19-shape oracle covers the delegation at
+   * correctness scale (spec-pinned).
+   */
+  def annTopKLshAuto(df: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, targetBucket: Int = 64, maxTables: Int = 15,
+      multiprobe: Boolean = true): DataFrame = {
+    val (nPlanes, nTables) = lshPlanesFor(df.count(), targetBucket,
+      maxTables = maxTables)
+    annTopKLsh(df, query, k, idCol, vecCol, dim, nPlanes, nTables, multiprobe)
+  }
+
+  /**
    * Approximate corpus-scale kNN join — [[knnJoin]]'s sibling for when
    * the query side IS the corpus ("attach top-k neighbors to every
    * document's embedding", the k-NN-graph step of semantic dedup and
@@ -873,6 +894,33 @@ object SimilaritySearch {
   }
 
   /**
+   * [[cosineNearDupPairsLsh]] with the index width sized from the
+   * corpus count ([[lshPlanesFor]] — the q264 treatment for the PAIR
+   * face of the family): at fixed nPlanes=4 the 16 buckets/table each
+   * hold n/16 vectors, so candidate generation is n²/16 per table —
+   * ~20 G pairs at the round-9 100× probe point (hours; the probe was
+   * killed). Width that grows with n keeps expected occupancy — and
+   * candidates — linear. Unlike the kNN graph there is NO bucketCap
+   * here: a pair op's output in a dense cluster is legitimately m²,
+   * and a cap would drop true near-dup pairs. The recall trade is the
+   * documented LSH contract — per-pair recall at angle θ is
+   * `1-(1-p^nPlanes)^nTables`, p = 1-θ/π, and wider indexes trade
+   * recall on LOW-cosine pairs for linear candidate volume; for the
+   * near-dup regime (cosine → 1, p → 1) recall stays high at any
+   * width. On a corpus small enough that minPlanes binds this is
+   * exactly the explicit call (spec-pinned), so the q41-shape oracle
+   * covers the delegation at correctness scale.
+   */
+  def cosineNearDupPairsLshAuto(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, targetBucket: Int = 64,
+      maxTables: Int = 8): DataFrame = {
+    val (nPlanes, nTables) = lshPlanesFor(df.count(), targetBucket,
+      maxTables = maxTables)
+    cosineNearDupPairsLsh(df, threshold, idCol, vecCol, dim, nPlanes, nTables)
+  }
+
+  /**
    * Cross-corpus embedding near-dup pairs — the semantic sibling of
    * Dedup.crossCorpusPairs and the embedding face of the q89 signature
    * store: the OLD corpus reduces to its SRP (table, bucket, vector)
@@ -907,6 +955,24 @@ object SimilaritySearch {
       .filter(col("cosine") >= threshold)
       .groupBy(col("id_new"), col("id_old"))
       .agg(max(col("cosine")).as("cosine"))
+  }
+
+  /**
+   * [[crossCorpusNearDupLsh]] with the index width sized from the OLD
+   * (store) side's count — the side that grows with every ingest and
+   * whose bucket occupancy decides candidate volume; the new side is a
+   * bounded daily batch. Same rationale and recall contract as
+   * [[cosineNearDupPairsLshAuto]]; same minPlanes delegation at
+   * correctness scale (spec-pinned).
+   */
+  def crossCorpusNearDupLshAuto(newEmb: DataFrame, oldEmb: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64,
+      targetBucket: Int = 64, maxTables: Int = 8): DataFrame = {
+    val (nPlanes, nTables) = lshPlanesFor(oldEmb.count(), targetBucket,
+      maxTables = maxTables)
+    crossCorpusNearDupLsh(newEmb, oldEmb, threshold, idCol, vecCol, dim,
+      nPlanes, nTables)
   }
 
   /**

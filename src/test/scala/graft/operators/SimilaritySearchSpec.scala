@@ -263,6 +263,38 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("auto-sized pair/store/query LSH delegate to the explicit call " +
+      "at the width lshPlanesFor picks (minPlanes regime)") {
+    val e = emb.cache()
+    val n = e.count()
+    val (planes, tables) = SimilaritySearch.lshPlanesFor(n)
+    def canon3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    // pair face (q265 ≡ q41 shape)
+    val autoPairs = canon3(
+      SimilaritySearch.cosineNearDupPairsLshAuto(e, threshold = 0.4))
+    assert(autoPairs.nonEmpty && autoPairs == canon3(SimilaritySearch
+      .cosineNearDupPairsLsh(e, 0.4, nPlanes = planes, nTables = tables)))
+    // store face (q266 ≡ q103 shape), sized from the OLD side
+    val newSide = e.filter(col("vec_id") % 2 === 0)
+    val oldSide = e.filter(col("vec_id") % 2 === 1)
+    val (op, ot) = SimilaritySearch.lshPlanesFor(oldSide.count())
+    val autoCross = canon3(SimilaritySearch.crossCorpusNearDupLshAuto(
+      newSide, oldSide, threshold = 0.4))
+    assert(autoCross.nonEmpty && autoCross == canon3(SimilaritySearch
+      .crossCorpusNearDupLsh(newSide, oldSide, 0.4, nPlanes = op, nTables = ot)))
+    // single-query face (q267 ≡ q19 shape) at the (4, 15) default
+    val q = e.filter(col("vec_id") === 0)
+    val (qp, qt) = SimilaritySearch.lshPlanesFor(n, maxTables = 15)
+    assert(qp == 4 && qt == 15) // the q19 config must bind on the fixture
+    def canon2(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val autoAnn = canon2(SimilaritySearch.annTopKLshAuto(e, q, k = 10))
+    assert(autoAnn.nonEmpty && autoAnn == canon2(
+      SimilaritySearch.annTopKLsh(e, q, k = 10, nPlanes = qp, nTables = qt)))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("knnJoinLsh bucketCap: no-op when above occupancy, bounds candidates " +
       "when binding, deterministic, exact scores preserved") {
     val e = emb.cache()
