@@ -2302,6 +2302,9 @@ object OracleSql {
     val n2e = dotTerms("e.embedding", "e.embedding", dim)
     val dotEC = dotTerms("e.embedding", "c.cv", dim)
     val dotXY = dotTerms("x.v", "y.v", dim)
+    // also q268's oracle: semanticDedupAuto's sub-split never fires at
+    // correctness scale (occupancy n/nlist < targetCell), so the auto
+    // rule degenerates to exactly this SQL
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $nlist),
        |assign AS (SELECT vec_id, v, n2, cid FROM (
        |    SELECT e.vec_id, e.embedding AS v, ($n2e) AS n2, c.cid,

@@ -2184,6 +2184,19 @@ object SparkEntry {
       SimilaritySearch.annTopKLshAuto(e, e.filter(col("vec_id") === 0), k = 10)
     }),
 
+    // Auto-sized semantic dedup (q268): q67's 16 literal centroids
+    // (sqrt-n nlist rejected: a 142-centroid codegen'd greatest chain
+    // measured 6x SLOWER than the join it shrinks) plus an SRP
+    // sub-bucket inside cells whose expected occupancy exceeds the
+    // target — the q264 width rule applied within the cell, keeping the
+    // compare space ~n·target instead of n²/16. Dense near-dup
+    // clusters share sign bits at any width, so dedup recall on true
+    // clusters survives the split. Occupancy is under target at
+    // sf0.01 -> zero sub-planes = q67's exact rule, same oracle.
+    "q268_semantic_dedup_auto" -> ((s, dir) =>
+      SimilaritySearch.semanticDedupAuto(t(s, dir, "embeddings"),
+        threshold = 0.4)),
+
     // Streaming first-seen dedup batch twin (q263): the
     // flatMapGroupsWithState keep-first-per-content-key operator run on
     // a batch frame (Spark invokes the state function once per group —
@@ -2502,6 +2515,10 @@ object SparkEntry {
       threshold = 0.4, dim = 64, nPlanes = 4, nTables = 8, idCol = "vec_id"),
     "q267_ann_lsh_auto" -> OracleSql.annTopKLsh(queryId = 0, k = 10, dim = 64,
       nPlanes = 4, nTables = 15),
+    // q268: occupancy 500/16 stays under the sub-split target at sf0.01
+    // -> zero sub-planes = q67's exact rule and oracle
+    "q268_semantic_dedup_auto" -> OracleSql.semanticDedup(threshold = 0.4,
+      dim = 64, nlist = 16),
     "q59_quantize_int8" -> OracleSql.quantizeInt8(dim = 64),
     "q18_embed_neardup" -> OracleSql.embedNearDup(threshold = 0.4, dim = 64),
     "q19_ann_lsh" -> OracleSql.annTopKLsh(queryId = 0, k = 10, dim = 64,

@@ -520,7 +520,47 @@ object SimilaritySearch {
   def semanticDedup(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nlist: Int = 16,
-      codebook: Option[Seq[Array[Float]]] = None): DataFrame = {
+      codebook: Option[Seq[Array[Float]]] = None): DataFrame =
+    semanticDedupImpl(df, threshold, idCol, vecCol, dim, nlist, codebook,
+      subPlanes = 0)
+
+  /**
+   * [[semanticDedup]] with the cell space sized from the corpus count.
+   * The SemDeDup ~sqrt(n) nlist recipe was tried first and REJECTED
+   * here: the codebook rides the plan as one literal codegen'd
+   * `greatest` chain (dim multiply-adds per centroid), so growing
+   * nlist past a few dozen centroids explodes the generated method
+   * past the JIT sweet spot — measured 6× SLOWER than fixed-16 at the
+   * 10× probe point with 142 centroids, the assignment dominating the
+   * join it was meant to shrink. Instead the codebook stays at q67's
+   * 16 literal centroids (fast, zero-shuffle) and when expected cell
+   * occupancy n/16 exceeds `targetCell`, cells split by an SRP
+   * sub-bucket of `ceil(log2(occ / targetCell))` planes — the q264
+   * width rule applied INSIDE the cell, one codegen'd native
+   * expression, keeping the within-cell compare space ≈ n·targetCell
+   * at any corpus size instead of n²/16. The added approximation
+   * (near-dups straddling a sub-bucket boundary are missed) lives in
+   * the index like the cell boundary itself, and a dense near-dup
+   * cluster — which shares SRP sign bits at any width — stays
+   * together, so dedup RECALL on true clusters is preserved while
+   * uncorrelated cell mass splits. At correctness scale occupancy is
+   * under the target → zero sub-planes → exactly q67's rule, so q67's
+   * oracle covers the delegation (spec-pinned).
+   */
+  def semanticDedupAuto(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, targetCell: Int = 64, nlist: Int = 16): DataFrame = {
+    val occ = df.count() / math.max(1, nlist)
+    val want = math.max(1L, occ / targetCell)
+    val subPlanes = math.min(12,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, want - 1)))
+    semanticDedupImpl(df, threshold, idCol, vecCol, dim, nlist, None,
+      subPlanes)
+  }
+
+  private def semanticDedupImpl(df: DataFrame, threshold: Double,
+      idCol: String, vecCol: String, dim: Int, nlist: Int,
+      codebook: Option[Seq[Array[Float]]], subPlanes: Int): DataFrame = {
     val session = df.sparkSession
     import session.implicits._
     val cents: Seq[(Long, Array[Float])] = codebook match {
@@ -530,13 +570,17 @@ object SimilaritySearch {
         .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
     }
     require(cents.size >= 2, s"semanticDedup needs >= 2 centroids, found ${cents.size}")
+    val sub = if (subPlanes > 0) lshBucket(col(vecCol), dim, subPlanes)
+      else lit(0L)
     val base = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(df)
         .select(col(idCol).as("id"), col(vecCol).as("v"),
           norm2(col(vecCol), dim).as("n2"),
-          cellAssign(col(vecCol), cents, dim).as("cell")))
+          cellAssign(col(vecCol), cents, dim).as("cell"),
+          sub.as("__sub")))
     val drops = base.as("x").join(base.as("y"),
-        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+        col("x.cell") === col("y.cell") && col("x.__sub") === col("y.__sub") &&
+          col("x.id") < col("y.id"))
       .filter(cosineWithNorms(dot(col("x.v"), col("y.v"), dim),
         col("x.n2"), col("y.n2")) >= threshold)
       .select(col("y.id").as("__drop")).distinct()

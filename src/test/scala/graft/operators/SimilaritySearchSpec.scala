@@ -295,6 +295,39 @@ class SimilaritySearchSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("semanticDedupAuto: delegates to q67's exact rule at fixture " +
+      "scale; a forced sub-split stays a subset that keeps clusters") {
+    val e = emb.cache()
+    // fixture occupancy n/16 is under the default target -> zero
+    // sub-planes -> exactly semanticDedup at q67's nlist=16
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq.sorted
+    val auto = ids(SimilaritySearch.semanticDedupAuto(e, threshold = 0.4))
+    assert(auto.nonEmpty &&
+      auto == ids(SimilaritySearch.semanticDedup(e, 0.4, nlist = 16)))
+    // force the sub-split regime: targetCell=1 makes want = occ, so
+    // sub-planes > 0 and cells split. The split only REMOVES candidate
+    // pairs, so the kept set can only grow (drops are a subset)...
+    val split = ids(SimilaritySearch.semanticDedupAuto(e, threshold = 0.4,
+      targetCell = 1))
+    assert(auto.toSet.subsetOf(split.toSet),
+      "sub-split must never drop a vector the unsplit run kept")
+    // ...and exact-duplicate clusters (identical vectors -> identical
+    // sign bits at ANY width) still dedup: every id the unsplit run
+    // dropped because of an IDENTICAL smaller-id twin stays dropped.
+    val spark0 = spark
+    import spark0.implicits._
+    val byVec = e.select(col("vec_id"),
+        md5(to_json(struct(col("embedding")))).as("h"))
+      .as[(Long, String)].collect().groupBy(_._2).values
+      .filter(_.length > 1).toSeq
+    val dupNonMin = byVec.flatMap(g => g.map(_._1).sorted.drop(1)).toSet
+    if (dupNonMin.nonEmpty)
+      assert(dupNonMin.forall(id => !split.contains(id)),
+        "an exact duplicate survived the sub-split run")
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("knnJoinLsh bucketCap: no-op when above occupancy, bounds candidates " +
       "when binding, deterministic, exact scores preserved") {
     val e = emb.cache()
