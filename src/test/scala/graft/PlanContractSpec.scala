@@ -532,6 +532,29 @@ class PlanContractSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("semantic dedup sub-split: widens the join key in place — zero added " +
+      "Exchanges, no cartesian, assignment stays join-free") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    def exchanges(p: String): Int = "Exchange ".r.findAllIn(p).size
+    // at-scale regime: the pair self-join is sort-merge, so any __sub
+    // mishandling (e.g. a separate re-bucketing shuffle) would surface
+    // as an extra Exchange; broadcast would hide the join's own ones
+    val bcThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (unsplit, split) =
+      try (plan(SimilaritySearch.semanticDedup(e, threshold = 0.4)),
+        plan(SimilaritySearch.semanticDedupAuto(e, threshold = 0.4,
+          targetCell = 1)))
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
+    assert(exchanges(split) == exchanges(unsplit),
+      s"sub-split added an Exchange:\n$split")
+    assert(!split.contains("CartesianProduct"), split)
+    // the SRP sub-bucket is one more codegen'd column in the SAME cached
+    // projection — the join keys must carry it (pair space shrinks)
+    assert(split.contains("__sub"), split)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("adaptive Jaccard on the near-uniform fixture plans the PLAIN index join") {
     // the prefix path's verify stage is the array_intersect over capped
     // sets — its presence would mean the dispatcher chose PPJoin on a
