@@ -137,6 +137,38 @@ object OracleSql {
        |WHERE $pop <= $maxHamming""".stripMargin
   }
 
+  /** Per-doc 64-bit SimHash as a CTE body, carried as TWO 32-bit halves
+    * (`sh_lo`, `sh_hi`): DuckDB BIGINT traps on overflow, so the
+    * combined value (bit 63 = sign) is never assembled — consumers sum
+    * per-half popcounts instead. `sh_lo` is bit-identical to the 32-bit
+    * [[simhashCte]] hash (same Mix — the Spark low-half identity pin),
+    * `sh_hi` is the same fold under Mix2. */
+  private val simhash64Cte: String =
+    s"""tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |th AS (SELECT doc_id,
+       |         (${rh("tok")} * $Mix) % ${TextFunctions.TwoPow32} AS h1,
+       |         (${rh("tok")} * ${TextFunctions.Mix2}) % ${TextFunctions.TwoPow32} AS h2
+       |       FROM tk),
+       |bits AS (SELECT doc_id, i,
+       |           SUM((((CASE WHEN i < 32 THEN h1 >> i ELSE h2 >> (i - 32) END)) & 1)*2 - 1) AS s
+       |         FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
+       |         GROUP BY 1, 2),
+       |sh AS (SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sh_lo,
+       |         CAST(SUM(CASE WHEN s > 0 AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS sh_hi
+       |       FROM bits GROUP BY 1)""".stripMargin
+
+  /** 64-bit SimHash near-dup pairs (q269): popcount as a 64-term sum
+    * over the two halves' XORs. */
+  def simhash64Pairs(maxHamming: Int): String = {
+    val pop = ((0 until 32).map(i => s"(((xor(x.sh_lo, y.sh_lo)) >> $i) & 1)") ++
+      (0 until 32).map(i => s"(((xor(x.sh_hi, y.sh_hi)) >> $i) & 1)")).mkString(" + ")
+    s"""WITH $simhash64Cte
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST($pop AS INTEGER) AS hamming
+       |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       |WHERE $pop <= $maxHamming""".stripMargin
+  }
+
   private def markerLen(listName: Seq[String]): String =
     s"len(list_filter($toks, t -> list_contains([${listName.map("'" + _ + "'").mkString(", ")}], t)))"
 
@@ -1460,11 +1492,13 @@ object OracleSql {
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
 
-  /** Mirror of the q99 multi-signal composition: SimHash text pairs and
-    * pHash media pairs union into one graph; components via the same
-    * transitive-closure replay as [[dedupComponents]]. */
+  /** Mirror of the q99 multi-signal composition: 64-bit SimHash text
+    * pairs (the at-scale hash — see [[simhash64Pairs]]; 32 bits
+    * manufacture ~160 K false pairs at 500 K docs, fusing unrelated
+    * components) and pHash media pairs union into one graph; components
+    * via the same transitive-closure replay as [[dedupComponents]]. */
   def multiSignalComponents(maxHamming: Int): String =
-    s"""WITH RECURSIVE tp AS (${simhashPairs(maxHamming)}),
+    s"""WITH RECURSIVE tp AS (${simhash64Pairs(maxHamming)}),
        |mp AS (${phashPairs(maxHamming)}),
        |pairs AS (SELECT id_a, id_b FROM tp
        |          UNION SELECT media_id_a, media_id_b FROM mp),

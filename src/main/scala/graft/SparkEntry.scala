@@ -1121,11 +1121,25 @@ object SparkEntry {
     // its rendering dedup together even when each signal alone misses).
     "q99_multisignal_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val textPairs = Dedup.simhashPairs(docs).select("id_a", "id_b")
-      val mediaPairs = Multimodal
-        .phashPairs(Multimodal.mediaFromDocuments(docs))
-        .select(col("media_id_a").as("id_a"), col("media_id_b").as("id_b"))
-      ConnectedComponents(textPairs.union(mediaPairs).distinct(),
+      // connectivity-preserving edge sets, NOT pair lists: the stub
+      // pHash's ~1.2 K-value range makes its pair list data-quadratic
+      // (the 100× probe failed outright on it); star-per-cluster +
+      // one-edge-per-value-pair keeps the SAME components at ~linear
+      // edges (Dedup.hammingComponentEdges; equivalence spec-pinned).
+      // Text signal is the 64-BIT SimHash (q269's hash): at 500 K docs
+      // the 32-bit hash manufactures ~160 K false pairs that fuse
+      // unrelated components AND its pigeonhole blocks are entropy-
+      // exhausted (measured 50 s candidate join at the 100× probe)
+      val textEdges = Dedup.simhashComponentEdges(docs)
+      val mediaEdges = Multimodal
+        .phashComponentEdges(Multimodal.mediaFromDocuments(docs))
+      // the edge form trades clique shortcuts for ~linear edge count, so
+      // component DIAMETER grows (pHash's dense value space chains
+      // rep-to-rep edges long — 13 min-label rounds measured at sf0.1);
+      // the CC engine's pointer-doubling jump makes that O(log diameter)
+      // no .distinct() here: CC symmetrizes + distincts the edge list
+      // itself, so a pre-distinct would just add a shuffle
+      ConnectedComponents(textEdges.union(mediaEdges),
           vertices = Some(docs.select("doc_id")))
         .select(col("id").as("doc_id"), col("component"))
     }),
@@ -2197,6 +2211,17 @@ object SparkEntry {
       SimilaritySearch.semanticDedupAuto(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // 64-bit SimHash near-dup pairs (q269) — the at-scale face of q16:
+    // past ~10^5 docs the 32-bit hash both manufactures false pairs
+    // (C(32,<=3)/2^32 = 1.3e-6 of all pairs — ~160 K at 500 K docs)
+    // and exhausts its pigeonhole block entropy (18-bit keys at depth
+    // 2: 230 M candidates, 92 s at the 100x probe). 64 bits push the
+    // false-pair rate to ~2e-15 and give 16-bit blocks (2^28-key
+    // depth 1 holds occupancy <= 4 past 10^9 docs). Low half == q16's
+    // hash (same mixer), so pairs are a strict subset — spec-pinned.
+    "q269_dedup_simhash64" -> ((s, dir) =>
+      Dedup.simhashPairs64(t(s, dir, "documents"))),
+
     // Streaming first-seen dedup batch twin (q263): the
     // flatMapGroupsWithState keep-first-per-content-key operator run on
     // a batch frame (Spark invokes the state function once per group —
@@ -2519,6 +2544,7 @@ object SparkEntry {
     // -> zero sub-planes = q67's exact rule and oracle
     "q268_semantic_dedup_auto" -> OracleSql.semanticDedup(threshold = 0.4,
       dim = 64, nlist = 16),
+    "q269_dedup_simhash64" -> OracleSql.simhash64Pairs(maxHamming = 3),
     "q59_quantize_int8" -> OracleSql.quantizeInt8(dim = 64),
     "q18_embed_neardup" -> OracleSql.embedNearDup(threshold = 0.4, dim = 64),
     "q19_ann_lsh" -> OracleSql.annTopKLsh(queryId = 0, k = 10, dim = 64,

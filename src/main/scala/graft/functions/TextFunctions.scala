@@ -36,6 +36,12 @@ object TextFunctions {
   val Mix = 2654435761L
   val TwoPow32 = 4294967296L
 
+  /** Second multiplicative mixer (xxHash's public PRIME32_2), filling the
+    * HIGH 32 bits of [[simhash64]] from the same per-token rolling hash.
+    * Like [[Mix]], the product with a mod-1e9+7 hash stays under 2⁶³, so
+    * the DuckDB oracle replays it in plain BIGINT arithmetic. */
+  val Mix2 = 2246822519L
+
   /** Whitespace tokenization. The corpus contract (TESTDATA.md documents
     * table) is single-space-separated tokens; `split` on a single space is
     * exactly mirrored by DuckDB's `string_split(text, ' ')`. */
@@ -128,6 +134,32 @@ object TextFunctions {
       .reduce(_ + _)
   }
 
+  /** 64-bit term-frequency SimHash — the scale face of [[simhash]]: the
+    * same per-token rolling hash drives two independent 32-bit mixes
+    * ([[Mix]] → low half, identical to [[simhash]]; [[Mix2]] → high
+    * half). 32 bits stop separating corpora past ~10⁵ docs (random pairs
+    * collide within Hamming ≤ 3 at C(32,≤3)/2³² ≈ 1.3e-6 — ~160 K false
+    * pairs at 500 K docs — and the pigeonhole blocks run out of entropy);
+    * 64 bits push the false-pair rate to ~2e-15 and give 16-bit blocks.
+    * Low-half identity `sh64 & 0xFFFFFFFF == sh32` is spec-pinned. */
+  def simhash64(toks: Column): Column = native(catalyst.SimHash64(expr(toks)))
+
+  /** Reference HOF formulation of [[simhash64]] (two 32-bit folds). */
+  def simhash64Hof(toks: Column): Column = {
+    def half(mixer: Long): Column = {
+      val signBits: Column => Column = h =>
+        array((0 until 32).map(i => (shiftright(h, i) % 2) * 2 - 1): _*)
+      val acc = aggregate(
+        transform(toks, t => (rollingHashHof(t) * mixer) % TwoPow32),
+        array_repeat(lit(0L), 32),
+        (a, h) => zip_with(a, signBits(h), (x, y) => x + y))
+      (0 until 32)
+        .map(i => when(element_at(acc, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }
+    half(Mix).bitwiseOR(shiftleft(half(Mix2), 32))
+  }
+
   /** Maximum term frequency of the text's tokens (repetition signal).
     * Native one-pass expression; HOF spelling kept for parity tests. */
   def topTokenCount(text: Column): Column =
@@ -153,6 +185,131 @@ object TextFunctions {
     array((0 until 4).map(b =>
       struct(lit(b).as("block_id"),
         (shiftright(sh, 8 * b) % 256).as("block_val"))): _*)
+
+  /**
+   * [[simhashBlocks]] with NESTED pigeonhole refinement — the scale fix
+   * for the 8-bit-block wall: 4 blocks of a 32-bit hash give only 256
+   * bucket values per block, so the blocked pair self-join's candidate
+   * volume grows ~n²/256 per block — quadratic at any corpus size (the
+   * round-9 100× probe killed q99 on exactly this).
+   *
+   * Each refinement level re-applies the pigeonhole argument INSIDE a
+   * block's bucket: for a pair within Hamming ≤ 3, some 8-bit block b is
+   * intact; all ≤ 3 differing bits then lie in b's 24-bit complement, so
+   * splitting that complement into 4 sub-blocks leaves ≥ 1 sub-block
+   * intact — key (b, s, both values) still collides for every true pair.
+   * Level 2 repeats on the 18-bit remainder (sub-widths 5/5/4/4). Each
+   * level multiplies emitted keys by 4 and widens the bucket key by 4-6
+   * bits, shrinking expected occupancy ~16-64× — candidates stay ~linear
+   * while the blocking stays LOSSLESS for maxHamming ≤ 3 at every depth
+   * (spec-pinned: pair sets identical across depths).
+   *
+   * Output schema matches [[simhashBlocks]] ((block_id, block_val)), so
+   * callers' join shape is unchanged; depth 0 IS [[simhashBlocks]].
+   * All widths are literal → one codegen'd projection, no shuffle.
+   */
+  def simhashBlocksAt(sh: Column, depth: Int): Column = {
+    require(depth >= 0 && depth <= 2, s"depth must be 0..2, got $depth")
+    // drop w bits at offset off (value keeps its remaining bits packed)
+    def rm(v: Column, off: Int, w: Int): Column =
+      v.bitwiseAND(lit((1L << off) - 1))
+        .bitwiseOR(shiftleft(shiftright(v, off + w), off))
+    def ext(v: Column, off: Int, w: Int): Column =
+      shiftright(v, off).bitwiseAND(lit((1L << w) - 1))
+    depth match {
+      case 0 => simhashBlocks(sh)
+      case 1 => array((for { b <- 0 until 4; s <- 0 until 4 } yield {
+        val compl = rm(sh, 8 * b, 8) // 24 bits
+        struct(lit(b * 4 + s).as("block_id"),
+          ext(sh, 8 * b, 8).bitwiseOR(shiftleft(ext(compl, 6 * s, 6), 8))
+            .as("block_val"))
+      }): _*)
+      case 2 =>
+        val off = Seq(0, 5, 10, 14); val w = Seq(5, 5, 4, 4)
+        array((for { b <- 0 until 4; s <- 0 until 4; t <- 0 until 4 } yield {
+          val compl = rm(sh, 8 * b, 8)   // 24 bits
+          val compl2 = rm(compl, 6 * s, 6) // 18 bits
+          struct(lit((b * 4 + s) * 4 + t).as("block_id"),
+            ext(sh, 8 * b, 8)
+              .bitwiseOR(shiftleft(ext(compl, 6 * s, 6), 8))
+              .bitwiseOR(shiftleft(ext(compl2, off(t), w(t)), 14))
+              .as("block_val"))
+        }): _*)
+    }
+  }
+
+  /** Refinement depth for [[simhashBlocksAt]] from the corpus count:
+    * smallest depth whose bucket-key space (2⁸ / 2¹⁴ / 2¹⁸) keeps
+    * expected occupancy ≤ `targetBucket` — the q264/q268 auto-sizing
+    * rule applied to the pigeonhole family. The default target folds in
+    * the empirically-measured ~16× bucket concentration of templated
+    * text over the uniform model (SimHash bits driven by ubiquitous
+    * tokens are near-constant corpus-wide, so blocks carry less entropy
+    * than their width; p99 occupancy at depth 0 measured 16× uniform on
+    * the synthetic corpus) — thresholds land at 2¹⁰ and 2¹⁶ values. */
+  def pigeonholeDepthFor(n: Long, targetBucket: Int = 4): Int =
+    if (n <= (1L << 8) * targetBucket) 0
+    else if (n <= (1L << 14) * targetBucket) 1
+    else 2
+
+  /**
+   * Pigeonhole blocks of a 64-bit SimHash with the same nested-refinement
+   * scheme as [[simhashBlocksAt]]: depth 0 = 4 blocks of 16 bits (any
+   * ≤ 3 bit flips leave one intact); depth 1 splits each block's 48-bit
+   * complement into 4×12 (28-bit keys, 16 tables); depth 2 splits the
+   * 36-bit remainder into 4×9 (37-bit keys, 64 tables). Lossless for
+   * maxHamming ≤ 3 at every depth by the same argument (spec-pinned).
+   *
+   * Key spaces per table — 2¹⁶ / 2²⁸ / 2³⁷ vs the 32-bit family's
+   * 2⁸ / 2¹⁴ / 2¹⁸ — are why this is the at-scale face: the 32-bit
+   * blocks exhaust their entropy near 10⁵ docs (230 M candidates at the
+   * round-9 100× probe point, depth 2 already maxed) while depth 1 here
+   * holds expected occupancy ≤ 4 past 10⁹ docs.
+   *
+   * Bit extraction uses AND masks (never `%`): bit 63 makes the hash a
+   * negative Long, and Spark's `shiftright` is arithmetic — the masks
+   * keep every key positive and the sign-extension bits are never read.
+   */
+  def simhash64BlocksAt(sh: Column, depth: Int): Column = {
+    require(depth >= 0 && depth <= 2, s"depth must be 0..2, got $depth")
+    // drop w bits at offset off (value keeps its remaining bits packed);
+    // only the low (64 - w - off) result bits are meaningful — callers
+    // never extract beyond them
+    def rm(v: Column, off: Int, w: Int): Column =
+      v.bitwiseAND(lit((1L << off) - 1))
+        .bitwiseOR(shiftleft(shiftright(v, off + w), off))
+    def ext(v: Column, off: Int, w: Int): Column =
+      shiftright(v, off).bitwiseAND(lit((1L << w) - 1))
+    depth match {
+      case 0 => array((0 until 4).map(b =>
+        struct(lit(b).as("block_id"),
+          ext(sh, 16 * b, 16).as("block_val"))): _*)
+      case 1 => array((for { b <- 0 until 4; s <- 0 until 4 } yield {
+        val compl = rm(sh, 16 * b, 16) // 48 valid bits
+        struct(lit(b * 4 + s).as("block_id"),
+          ext(sh, 16 * b, 16).bitwiseOR(shiftleft(ext(compl, 12 * s, 12), 16))
+            .as("block_val"))
+      }): _*)
+      case 2 =>
+        array((for { b <- 0 until 4; s <- 0 until 4; u <- 0 until 4 } yield {
+          val compl = rm(sh, 16 * b, 16)    // 48 valid bits
+          val compl2 = rm(compl, 12 * s, 12) // 36 valid bits
+          struct(lit((b * 4 + s) * 4 + u).as("block_id"),
+            ext(sh, 16 * b, 16)
+              .bitwiseOR(shiftleft(ext(compl, 12 * s, 12), 16))
+              .bitwiseOR(shiftleft(ext(compl2, 9 * u, 9), 28))
+              .as("block_val"))
+        }): _*)
+    }
+  }
+
+  /** [[pigeonholeDepthFor]] for the 64-bit block family (key spaces
+    * 2¹⁶ / 2²⁸ / 2³⁷). Depth 0 covers ~2.6·10⁵ docs at the default
+    * target, depth 1 past 10⁹ — depth 2 is headroom, not expectation. */
+  def pigeonholeDepthFor64(n: Long, targetBucket: Int = 4): Int =
+    if (n <= (1L << 16) * targetBucket) 0
+    else if (n <= (1L << 28) * targetBucket) 1
+    else 2
 
   /** "BPE-ish" token count: alpha runs, digit runs, and single punctuation
     * marks each count as one token (a crude subword proxy; same RE2/Java

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.TextFunctions.{HashBase, HashPrime, Mix, TwoPow32}
+import graft.functions.TextFunctions.{HashBase, HashPrime, Mix, Mix2, TwoPow32}
 
 /**
  * Native Catalyst expressions for the hash hot paths. The composable
@@ -116,6 +116,88 @@ case class SimHash32(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** 64-bit term-frequency SimHash: the scale face of [[SimHash32]]. Two
+  * independent 32-bit multiplicative mixes of the SAME per-token rolling
+  * hash fill the low (Mix — identical to SimHash32, so `sh64 & 0xFFFFFFFF
+  * == sh32`, spec-pinned) and high (Mix2) halves. 32 bits stop separating
+  * corpora past ~10⁵ docs — random pairs land within Hamming ≤ 3 at rate
+  * C(32,≤3)/2³² ≈ 1.3e-6, so a 500 K-doc corpus carries ~160 K FALSE
+  * near-dup pairs and the pigeonhole blocks run out of entropy (the
+  * round-9 100× probe's 230 M-candidate wall); at 64 bits the same rate
+  * is C(64,≤3)/2⁶⁴ ≈ 2e-15 — negligible at any corpus size, and the
+  * 16-bit blocks keep candidates ~linear. Both mix products stay under
+  * 2⁶³ (h < 1e9+7, mixer < 2³²), so the DuckDB oracle replays the fold
+  * in plain BIGINT arithmetic as two 32-bit halves. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = new Array[Long](64)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        val b = arr.getUTF8String(j).getBytes
+        var h = 0L
+        var i = 0
+        while (i < b.length) { h = (h * HashBase + (b(i) & 0xff)) % HashPrime; i += 1 }
+        val lo = (h * Mix) % TwoPow32
+        val hi = (h * Mix2) % TwoPow32
+        var k = 0
+        while (k < 32) {
+          cnt(k) += ((lo >> k) & 1L) * 2 - 1
+          cnt(k + 32) += ((hi >> k) & 1L) * 2 - 1
+          k += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) { if (cnt(k) > 0) out |= 1L << k; k += 1 }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cnt = ctx.freshName("cnt")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $cnt = new long[64];
+         |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  if (!$c.isNullAt($j)) {
+         |    byte[] $b = $c.getUTF8String($j).getBytes();
+         |    long $h = 0L;
+         |    for (int $i = 0; $i < $b.length; $i++) {
+         |      $h = ($h * ${HashBase}L + ($b[$i] & 0xff)) % ${HashPrime}L;
+         |    }
+         |    long $lo = ($h * ${Mix}L) % ${TwoPow32}L;
+         |    long $hi = ($h * ${Mix2}L) % ${TwoPow32}L;
+         |    for (int $k = 0; $k < 32; $k++) {
+         |      $cnt[$k] += (($lo >> $k) & 1L) * 2 - 1;
+         |      $cnt[$k + 32] += (($hi >> $k) & 1L) * 2 - 1;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $k = 0; $k < 64; $k++) { if ($cnt[$k] > 0) $out |= 1L << $k; }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 

@@ -737,27 +737,242 @@ object Dedup {
 
   /**
    * SimHash near-dup pairs: 32-bit term-frequency SimHash per doc, then all
-   * pairs within `maxHamming` bit flips. Candidate generation uses the
-   * 4-byte pigeonhole blocks (TextFunctions.simhashBlocks): for
-   * maxHamming ≤ 3 at least one byte is untouched, so blocking on byte
-   * value is lossless and the O(n²) cross join is avoided.
+   * pairs within `maxHamming` bit flips. Candidate generation uses
+   * pigeonhole blocks (TextFunctions.simhashBlocksAt): for maxHamming ≤ 3
+   * at least one block is untouched, so blocking on block value is
+   * lossless and the O(n²) cross join is avoided.
+   *
+   * `blockDepth` picks the nested-refinement depth (0 = the classic 4
+   * bytes; each level quarters-and-widens the buckets — see
+   * [[graft.functions.TextFunctions.simhashBlocksAt]]); the default -1
+   * auto-sizes it from an EAGER corpus count (materializing the cached
+   * hash projection it shares with the pair join) via
+   * `pigeonholeDepthFor` — 8-bit blocks alone make the candidate join
+   * ~n²/256 per block, which the round-9 100× probe measured as 17× per
+   * data decade and an outright failure at 500 K docs. Pair output is
+   * IDENTICAL at every depth (lossless; spec-pinned) — only candidate
+   * volume changes, so the fixture-scale oracle covers all regimes.
    */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      blockDepth: Int = -1): DataFrame = {
     require(maxHamming <= 3, "pigeonhole blocking over 4 bytes is only lossless for maxHamming <= 3")
+    // count the RAW input (parquet metadata / no hashing), not the hash
+    // projection — the dispatch must not cost a corpus pass on the
+    // small-corpus path
+    val n = docs.count()
     val hashed = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(docs)
         .select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("sh")))
-    val blocked = hashed.select(col("id"), col("sh"), explode(simhashBlocks(col("sh"))).as("b"))
-      .select(col("id"), col("sh"), col("b.block_id"), col("b.block_val"))
-    blocked.as("x").join(blocked.as("y"),
+    val (depth, dict) = pairDispatch(hashed, "sh", n, blockDepth)
+    hammingPairs(hashed, "id", "sh", maxHamming, depth, dict)
+  }
+
+  /**
+   * [[simhashPairs]] over the 64-BIT SimHash
+   * (TextFunctions.simhash64) — the at-scale face. Two independent walls
+   * fall past ~10⁵ docs on the 32-bit hash, and both are WIDTH problems,
+   * not plan problems (the round-9 100× probe, 500 K docs):
+   *
+   *  - precision: random pairs land within Hamming ≤ 3 at
+   *    C(32,≤3)/2³² ≈ 1.3e-6 — ~160 K FALSE near-dup pairs at 500 K
+   *    docs, growing n²; at 64 bits the rate is ~2e-15, negligible at
+   *    any corpus size;
+   *  - candidates: the 32-bit pigeonhole family tops out at ~18-bit
+   *    block keys (depth 2), measured 230 M candidates / 92 s; the
+   *    64-bit family's 16-bit base blocks and 2²⁸-key depth 1 keep
+   *    expected occupancy ≤ 4 past 10⁹ docs.
+   *
+   * Same dispatcher, same lossless-at-every-depth contract; pairs are a
+   * SUBSET of [[simhashPairs]]'s (the low half IS the 32-bit hash, so
+   * hamming64 ≥ hamming32 — spec-pinned).
+   */
+  def simhashPairs64(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3,
+      blockDepth: Int = -1): DataFrame = {
+    require(maxHamming <= 3, "pigeonhole blocking over 4 blocks is only lossless for maxHamming <= 3")
+    val n = docs.count()
+    val hashed = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(docs)
+        .select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sh")))
+    val (depth, dict) = pairDispatch(hashed, "sh", n, blockDepth, width = 64)
+    hammingPairs(hashed, "id", "sh", maxHamming, depth, dict, width = 64)
+  }
+
+  /** Block/width indirection for the two pigeonhole families. */
+  private def blocksAt(sh: Column, depth: Int, width: Int): Column =
+    if (width == 64) simhash64BlocksAt(sh, depth) else simhashBlocksAt(sh, depth)
+  private def depthFor(n: Long, width: Int): Int =
+    if (width == 64) pigeonholeDepthFor64(n) else pigeonholeDepthFor(n)
+
+  /**
+   * Plan choice for [[hammingPairs]] — a hand-rolled CBO rule (the q49
+   * dispatcher pattern) decided from two bounded statistics:
+   *
+   *  - corpora at or under `FlatSmallCutoff` take the FLAT branch with
+   *    no statistics pass at all: worst-case candidate volume at that
+   *    size is bounded regardless of skew, and the flat join's single
+   *    shuffle beats the dictionary's extra joins (measured 2× at 5 K).
+   *  - larger corpora pay ONE `approx_count_distinct` over the cached
+   *    hash projection (materializing a cache the pair join reuses) and
+   *    branch on the DUPLICATION FACTOR n/d: identical-hash clusters are
+   *    the flat join's only pathology (a cluster of m items costs
+   *    `keys×m²` candidate work per block table — measured 66 s vs 1.9 s
+   *    at the 10× probe point on the pHash corpus, n/d ≈ 41), while on
+   *    near-all-distinct corpora the flat join strictly beats the
+   *    dictionary's expansion joins (measured 3.2 s vs 7.1 s on the 10×
+   *    SimHash corpus, n/d ≈ 1.1). Depth is sized from the cardinality
+   *    the blocked join actually sees (d for dictionary, n for flat).
+   */
+  private[graft] def pairDispatch(hashed: DataFrame, hashCol: String, n: Long,
+      blockDepth: Int, width: Int = 32): (Int, Boolean) = {
+    if (n <= FlatSmallCutoff)
+      (if (blockDepth >= 0) blockDepth else depthFor(n, width), false)
+    else {
+      val d = hashed.agg(approx_count_distinct(col(hashCol)).as("d"))
+        .head.getLong(0)
+      val dict = n >= 4 * math.max(1L, d)
+      val sized = depthFor(if (dict) d else n, width)
+      (if (blockDepth >= 0) blockDepth else sized, dict)
+    }
+  }
+
+  /** Corpus size under which [[pairDispatch]] always picks the flat
+    * branch without any statistics pass. */
+  private[graft] val FlatSmallCutoff: Long = 8192L
+
+  /**
+   * Shared scale core of [[simhashPairs]] / `Multimodal.phashPairs`: all
+   * id pairs within `maxHamming` over a cached `(id, hash)` frame.
+   *
+   * Both branches use the lossless nested pigeonhole keys
+   * (TextFunctions.simhashBlocksAt) and return EXACTLY the same pairs
+   * (spec-pinned against brute force across depths and branches); the
+   * dispatcher — the q49 adaptive pattern, decided from the same eager
+   * count that sizes the depth — picks the cheaper plan:
+   *
+   *  - `dictionary = false` (small corpus): the classic flat blocked
+   *    self-join over per-item keys — one shuffle, no expansion joins.
+   *  - `dictionary = true` (large corpus): the blocked candidate join
+   *    runs over DISTINCT hash values, then expands back to ids through
+   *    output-bounded equi-joins. Two quadratic walls fall at once:
+   *    identical-hash clusters (exact clones) never enter the blocked
+   *    join — a cluster of m docs costs m² only in its legitimate output
+   *    (the same-value self-join), not `keys×m²` candidate work; and
+   *    cross-value candidates scale with DISTINCT values per bucket,
+   *    depth-bounded at any corpus size (measured 9.7 G → 230 M
+   *    candidates at the 100× probe point, where the flat 8-bit join
+   *    failed outright). The value-pair `.distinct()` dedups multi-block
+   *    discoveries at dictionary cardinality, so the expanded doc-pair
+   *    stream — the big one — never shuffles.
+   */
+  private[graft] def hammingPairs(hashed: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int, depth: Int,
+      dictionary: Boolean, width: Int = 32): DataFrame = {
+    if (!dictionary) {
+      val blocked = hashed.select(col(idCol).as("id"), col(hashCol).as("sh"),
+          explode(blocksAt(col(hashCol), depth, width)).as("b"))
+        .select(col("id"), col("sh"), col("b.block_id"), col("b.block_val"))
+      blocked.as("x").join(blocked.as("y"),
+          col("x.block_id") === col("y.block_id") &&
+            col("x.block_val") === col("y.block_val") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+    } else {
+      val dict = hashed.select(col(hashCol).as("sh")).distinct()
+      val blocked = dict.select(col("sh"),
+          explode(blocksAt(col("sh"), depth, width)).as("b"))
+        .select(col("sh"), col("b.block_id"), col("b.block_val"))
+      val valuePairs = blocked.as("x").join(blocked.as("y"),
+          col("x.block_id") === col("y.block_id") &&
+            col("x.block_val") === col("y.block_val") &&
+            col("x.sh") < col("y.sh"))
+        .select(col("x.sh").as("sh_a"), col("y.sh").as("sh_b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+      val same = hashed.as("p").join(hashed.as("q"),
+          col(s"p.$hashCol") === col(s"q.$hashCol") &&
+            col(s"p.$idCol") < col(s"q.$idCol"))
+        .select(col(s"p.$idCol").as("id_a"), col(s"q.$idCol").as("id_b"),
+          bit_count(col(s"p.$hashCol").bitwiseXOR(col(s"q.$hashCol")))
+            .as("hamming"))
+      val cross = valuePairs
+        .join(hashed.as("p"), col("sh_a") === col(s"p.$hashCol"))
+        .join(hashed.as("q"), col("sh_b") === col(s"q.$hashCol"))
+        .select(least(col(s"p.$idCol"), col(s"q.$idCol")).as("id_a"),
+          greatest(col(s"p.$idCol"), col(s"q.$idCol")).as("id_b"),
+          col("hamming"))
+      same.union(cross)
+    }
+  }
+
+  /**
+   * Connectivity-preserving Hamming edge set: the SAME connected
+   * components as [[hammingPairs]] with ~`n + |value pairs|` edges
+   * instead of Σ cluster², for consumers that feed a components pass
+   * (q99) rather than listing pairs. An identical-hash cluster of m
+   * items is connected by an m−1-edge STAR on its min-id representative
+   * (pair-listing it costs m² — data-quadratic on clustered hash spaces:
+   * the stub pHash holds ~1.2 K distinct values at ANY corpus size, so
+   * its clusters grow linearly with data and the pair list
+   * quadratically — the round-9 100× probe's q99 failure); a surviving
+   * cross-value pair contributes ONE representative-to-representative
+   * edge. Union connectivity is preserved exactly: every member reaches
+   * its representative, and two values' members are connected iff their
+   * representatives are (spec-pinned: components identical to the pair
+   * form). The blocked value join reuses the dictionary machinery of
+   * [[hammingPairs]] with depth sized from the measured distinct count.
+   */
+  private[graft] def hammingComponentEdges(hashed: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int, width: Int = 32,
+      nHint: Long = -1L): DataFrame = {
+    val reps = graft.SparkUtil.trackCache(
+      hashed.groupBy(col(hashCol).as("__rsh"))
+        .agg(min(col(idCol)).as("rep")))
+    // depth sized from the caller's row count (parquet-metadata cheap)
+    // when given, not an eager distinct count: d <= n so n-sizing only
+    // deepens — still lossless, and the blocked join explodes REPS (d
+    // rows), so the extra tables cost d x tables, never n x tables
+    val depth = depthFor(if (nHint >= 0) nHint else reps.count(), width)
+    val intra = hashed.join(reps, col(hashCol) === col("__rsh"))
+      .filter(col(idCol) =!= col("rep"))
+      .select(col("rep").as("id_a"), col(idCol).as("id_b"))
+    val blocked = reps.select(col("__rsh").as("sh"),
+        explode(blocksAt(col("__rsh"), depth, width)).as("b"))
+      .select(col("sh"), col("b.block_id"), col("b.block_val"))
+    val inter = blocked.as("x").join(blocked.as("y"),
         col("x.block_id") === col("y.block_id") &&
           col("x.block_val") === col("y.block_val") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+          col("x.sh") < col("y.sh"))
+      .filter(bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= maxHamming)
+      .select(col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .join(reps.select(col("__rsh").as("sh_a"), col("rep").as("id_a")), "sh_a")
+      .join(reps.select(col("__rsh").as("sh_b"), col("rep").as("id_b")), "sh_b")
+      .select(col("id_a"), col("id_b"))
+    intra.union(inter)
+  }
+
+  /** [[hammingComponentEdges]] over the SimHash of `textCol` — the
+    * CC-feeding face of [[simhashPairs]]/[[simhashPairs64]]. `width` 64
+    * (the default) is the at-scale hash: at 500 K docs the 32-bit blocks
+    * are entropy-exhausted (a measured 50 s / 230 M-candidate value
+    * join) AND the 32-bit hash itself manufactures ~160 K false pairs
+    * that fuse unrelated components — wrong, not just slow. */
+  def simhashComponentEdges(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3,
+      width: Int = 64): DataFrame = {
+    require(maxHamming <= 3, "pigeonhole blocking over 4 blocks is only lossless for maxHamming <= 3")
+    val hashFn = if (width == 64) simhash64 _ else simhash _
+    val hashed = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(docs)
+        .select(col(idCol).as("id"), hashFn(tokens(col(textCol))).as("sh")))
+    hammingComponentEdges(hashed, "id", "sh", maxHamming, width,
+      nHint = docs.count())
   }
 
   /**

@@ -297,25 +297,39 @@ object Multimodal {
    */
   def phashPairs(df: DataFrame, maxHamming: Int = 3,
       codec: MediaCodec = StubCodec, idCol: String = "media_id",
-      typeCol: String = "media_type", binCol: String = "content"): DataFrame = {
+      typeCol: String = "media_type", binCol: String = "content",
+      blockDepth: Int = -1): DataFrame = {
     require(maxHamming <= 3,
       "pigeonhole blocking over 4 bytes is only lossless for maxHamming <= 3")
-    import graft.functions.TextFunctions.simhashBlocks
+    // shared scale core + dispatcher with Dedup.simhashPairs; the raw
+    // count never decodes, and only the at-scale path pays the
+    // duplication probe (which materializes the cache the join reuses —
+    // pHash corpora cluster heavily: n/d ≈ 41 at the 10× probe, the
+    // dictionary branch's home turf)
+    val n = df.count()
     val hashed = graft.SparkUtil.trackCache(
       decodeMeta(df, codec, idCol, typeCol, binCol).toDF()
         .select(col("media_id"), perceptualHash(col("checksum")).as("ph")))
-    val blocked = hashed
-      .select(col("media_id").as("id"), col("ph"),
-        explode(simhashBlocks(col("ph"))).as("b"))
-      .select(col("id"), col("ph"), col("b.block_id"), col("b.block_val"))
-    blocked.as("x").join(blocked.as("y"),
-        col("x.block_id") === col("y.block_id") &&
-          col("x.block_val") === col("y.block_val") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("media_id_a"), col("y.id").as("media_id_b"),
-        bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val (depth, dict) = Dedup.pairDispatch(hashed, "ph", n, blockDepth)
+    Dedup.hammingPairs(hashed, "media_id", "ph", maxHamming, depth, dict)
+      .select(col("id_a").as("media_id_a"), col("id_b").as("media_id_b"),
+        col("hamming"))
+  }
+
+  /** `Dedup.hammingComponentEdges` over the pHash — the CC-feeding face
+    * of [[phashPairs]] (same components, ~linear edges; the stub pHash's
+    * ~1.2 K-value range makes the pair list data-quadratic, so q99-style
+    * consumers must never materialize it). */
+  def phashComponentEdges(df: DataFrame, maxHamming: Int = 3,
+      codec: MediaCodec = StubCodec, idCol: String = "media_id",
+      typeCol: String = "media_type", binCol: String = "content"): DataFrame = {
+    require(maxHamming <= 3,
+      "pigeonhole blocking over 4 bytes is only lossless for maxHamming <= 3")
+    val hashed = graft.SparkUtil.trackCache(
+      decodeMeta(df, codec, idCol, typeCol, binCol).toDF()
+        .select(col("media_id"), perceptualHash(col("checksum")).as("ph")))
+    Dedup.hammingComponentEdges(hashed, "media_id", "ph", maxHamming,
+      nHint = df.count())
   }
 
   /** Test/demo adapter: derive an opaque media table from the `documents`

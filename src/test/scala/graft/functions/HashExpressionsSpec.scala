@@ -28,6 +28,22 @@ class HashExpressionsSpec extends SparkSpec {
     assert(d.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("native simhash64 == HOF simhash64; low half == simhash32") {
+    val toks = split(col("text"), " ")
+    val d = docs.select(
+      TextFunctions.simhash64(toks).as("a"),
+      TextFunctions.simhash64Hof(toks).as("b"),
+      TextFunctions.simhash(toks).as("sh32"))
+    assert(d.filter(col("a") =!= col("b")).count() == 0)
+    // same Mix drives bits 0..31, so the 64-bit hash's low half IS the
+    // 32-bit hash — the identity that makes q269 pairs ⊆ q16 pairs
+    assert(d.filter(col("a").bitwiseAND(lit(0xFFFFFFFFL)) =!= col("sh32"))
+      .count() == 0)
+    // high half must actually differ from the low half (Mix2 at work)
+    assert(d.filter(shiftright(col("a"), 32).bitwiseAND(lit(0xFFFFFFFFL))
+      =!= col("a").bitwiseAND(lit(0xFFFFFFFFL))).count() > 0)
+  }
+
   test("native minhash signature == HOF signature on the corpus") {
     val hs = TextFunctions.shingleHashes(col("text"), 3)
     val d = docs.filter(size(split(col("text"), " ")) >= 3).select(

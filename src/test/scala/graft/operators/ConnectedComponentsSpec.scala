@@ -95,23 +95,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(viaStars == viaProp)
   }
 
-  test("alternating stars converges on a deep chain that defeats propagation") {
+  test("both engines converge on a deep chain inside the 25-round budget") {
     val spark0 = spark
     import spark0.implicits._
-    // a 201-vertex chain has diameter 200: propagation needs ~100+ rounds
-    // (over any sane cap); the star alternation is O(log^2) and must
-    // finish well inside the same 25-round budget
+    // a 201-vertex chain has diameter 200: plain min-label propagation
+    // would need ~200 rounds (over any sane cap). The star alternation
+    // is O(log^2); propagation's pointer-doubling jump (labels take
+    // their component's component each round) halves the remaining hop
+    // distance per round — O(log diameter), so BOTH must finish well
+    // inside the same 25-round budget (the q99 edge-form value chains
+    // are exactly this shape at corpus scale)
     val chain = (1L to 200L).map(i => (i - 1, i))
     val out = ConnectedComponents(chain.toDF("id_a", "id_b"),
         alternatingStars = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size == 201 && out.values.forall(_ == 0L))
-    // and propagation really does blow the round budget on this shape —
-    // the documented reason the alternation exists
-    intercept[IllegalArgumentException] {
-      ConnectedComponents(chain.toDF("id_a", "id_b"), maxIterations = 25)
-        .collect()
-    }
+    val viaProp = ConnectedComponents(chain.toDF("id_a", "id_b"),
+        maxIterations = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaProp == out)
   }
 
   test("incremental labeling == full recompute over the union pair graph") {

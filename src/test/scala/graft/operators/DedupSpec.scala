@@ -259,6 +259,88 @@ class DedupSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("simhash nested blocking is lossless at every depth: pair sets AND " +
+      "hammings identical to brute force at depths 0/1/2 and auto") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet").limit(400).cache()
+    val hs = d.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash(split(col("text"), " ")).as("sh"))
+    val brute = hs.as("x").join(hs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture slice must contain near-dup pairs")
+    assert(brute.exists(_._3 > 0), "fixture must exercise cross-value pairs")
+    // both dispatcher branches, every depth: flat (what the fixture-size
+    // auto path picks) and dictionary (the at-scale branch)
+    val hashed = hs.select(col("doc_id").as("id"), col("sh")).cache()
+    for (depth <- 0 to 2; dict <- Seq(false, true)) {
+      val got = Dedup.hammingPairs(hashed, "id", "sh", maxHamming = 3,
+          depth = depth, dictionary = dict)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute, s"depth=$depth dictionary=$dict diverged")
+    }
+    val auto = Dedup.simhashPairs(d, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto == brute)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("hammingComponentEdges: star + value-pair edges yield the SAME " +
+      "components as the full pair list, at no more edges — both widths") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet").limit(400).cache()
+    def components(edges: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val comp = graft.operators.ConnectedComponents(
+          edges.select(col("id_a"), col("id_b")),
+          vertices = Some(d.select(col("doc_id"))))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // canonicalize: group vertex sets by component label
+      comp.groupBy(_._2).map { case (_, vs) =>
+        val set = vs.map(_._1).toSet; (set.min, set)
+      }
+    }
+    val pairForm32 = Dedup.simhashPairs(d, maxHamming = 3)
+    val edgeForm32 = Dedup.simhashComponentEdges(d, maxHamming = 3, width = 32)
+    assert(components(edgeForm32) == components(pairForm32))
+    assert(edgeForm32.count() <= pairForm32.count(),
+      "the edge form must never emit more edges than the pair list")
+    val pairForm64 = Dedup.simhashPairs64(d, maxHamming = 3)
+    val edgeForm64 = Dedup.simhashComponentEdges(d, maxHamming = 3) // width=64 default
+    assert(components(edgeForm64) == components(pairForm64))
+    assert(edgeForm64.count() <= pairForm64.count())
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("simhash64 pairs: lossless at depths 0/1/2 and both branches; " +
+      "strict subset of the 32-bit pairs (low-half identity)") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet").limit(400).cache()
+    val hs = d.select(col("doc_id").as("id"),
+      graft.functions.TextFunctions.simhash64(split(col("text"), " ")).as("sh"))
+      .cache()
+    val brute = hs.as("x").join(hs.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture slice must contain 64-bit near-dup pairs")
+    for (depth <- 0 to 2; dict <- Seq(false, true)) {
+      val got = Dedup.hammingPairs(hs, "id", "sh", maxHamming = 3,
+          depth = depth, dictionary = dict, width = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute, s"width=64 depth=$depth dictionary=$dict diverged")
+    }
+    val auto = Dedup.simhashPairs64(d, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto == brute)
+    // hamming64 >= hamming32 bit-for-bit (low half IS the 32-bit hash),
+    // so the 64-bit pair set can only shrink
+    val pairs32 = Dedup.simhashPairs(d, maxHamming = 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.map(p => (p._1, p._2)).subsetOf(pairs32))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("boilerplateSpans: shared spans flagged, unique spans not, short docs ratio 0") {
     val df = docs(
       (1L, "a b c d e"),   // spans: "a b c","b c d","c d e"
