@@ -580,6 +580,27 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("simhash64 pairs: blocked candidate join is an equi-join, never a nested loop") {
+    val p = plan(SparkEntry.queries("q269_dedup_simhash64")(spark, sf()))
+    // the pigeonhole block key must reach the join as an equi-condition
+    // (hash-partitionable at any scale); a dropped block key would
+    // surface as a nested-loop over the corpus
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("q99 edge form: no pair-list m² anywhere — every join an equi-join, " +
+      "CC rounds see only checkpointed inputs") {
+    val p = plan(SparkEntry.queries("q99_multisignal_components")(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the final labels plan is one join away from checkpointed RDDs —
+    // iteration lineage must NOT accumulate into the output plan
+    assert(p.contains("Scan ExistingRDD"), p)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("balanced assignment: the only single-partition work sees pre-aggregated keys") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
