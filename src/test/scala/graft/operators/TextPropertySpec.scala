@@ -156,4 +156,43 @@ class TextPropertySpec extends SparkSpec {
       assert(kept(total + 1) == corpus.map(_._1).toSet)
     }
   }
+
+  test("pigeonhole blocks are lossless for any <=3-bit flip at every " +
+      "depth and both widths (random-hash property)") {
+    import org.apache.spark.sql.functions._
+    // random base hashes + random flip masks of 0..3 bits within the
+    // width; the blocking contract says the pair must share >= 1
+    // (block_id, block_val) key at EVERY depth — the invariant the
+    // whole SimHash/pHash candidate family stands on
+    val rnd = new scala.util.Random(7)
+    def cases(width: Int): Seq[(Long, Long)] = (0 until 300).map { _ =>
+      val h = if (width == 64) rnd.nextLong()
+        else rnd.nextLong() & 0xFFFFFFFFL
+      val k = rnd.nextInt(4) // 0..3 flips
+      val flipped = (0 until k).foldLeft(h)((v, _) =>
+        v ^ (1L << rnd.nextInt(width)))
+      (h, flipped)
+    }
+    val pairSchema = StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false)))
+    for (width <- Seq(32, 64); depth <- 0 to 2) {
+      val blocksOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => if (width == 64) TextFunctions.simhash64BlocksAt(c, depth)
+             else TextFunctions.simhashBlocksAt(c, depth)
+      val df = spark.createDataFrame(
+        cases(width).map { case (a, b) => Row(a, b) }.asJava, pairSchema)
+      val misses = df.select(
+          arrays_overlap(blocksOf(col("x")), blocksOf(col("y"))).as("hit"),
+          col("x"), col("y"))
+        .filter(!col("hit")).collect()
+      assert(misses.isEmpty,
+        s"width=$width depth=$depth lost ${misses.length} pairs, e.g. ${misses.take(2).mkString}")
+      // packing sanity: every block value must be non-negative (sign
+      // bits masked, never %'d) even when the hash is a negative Long
+      val neg = df.select(explode(blocksOf(col("x"))).as("b"))
+        .filter(col("b.block_val") < 0).count()
+      assert(neg == 0, s"width=$width depth=$depth emitted negative block values")
+    }
+  }
 }
