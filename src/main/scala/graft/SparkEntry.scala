@@ -2137,6 +2137,28 @@ object SparkEntry {
           col("height"), col("n_frames"))
     }),
 
+    // REAL audio decode (q270): the q261 pattern for WAV — per-doc PCM
+    // fixtures with id-derived sample rate / channels / frame count are
+    // synthesized (pure-JDK javax.sound encoder) and decoded back
+    // through Multimodal.AudioWavCodec; the reported fields are TRUE
+    // header facts read from the bytes, so the oracle (which knows the
+    // parameters only from the id arithmetic) proves a real decode.
+    // Video remains the one honestly-stubbed modality (no container
+    // bindings in the JDK).
+    "q270_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.synthesizeWav(8000 + (id % 5).toInt * 4000,
+              1 + (id % 2).toInt, 50 + (id % 97).toInt, id))
+        }.toDF()
+      Multimodal.decodeMeta(media, Multimodal.AudioWavCodec)
+        .select(col("media_id"), col("media_type"),
+          col("width").as("sample_rate"), col("height").as("channels"),
+          col("n_frames"))
+    }),
+
     // Streaming-CDC batch twin (q262): the three verdicts an unbounded
     // stream CAN observe (added/changed/unchanged — `removed` needs
     // absence, a batch-side anti-join at epoch close; documented
@@ -2997,6 +3019,15 @@ object SparkEntry {
         |  CAST(1 + doc_id % 13 AS INTEGER) AS width,
         |  CAST(1 + doc_id % 7 AS INTEGER) AS height,
         |  CAST(1 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+    // Same proof shape as q261: the oracle replays only the fixture's
+    // id arithmetic; the engine reports what javax.sound actually read
+    // out of the WAV header — a match proves a real decode.
+    "q270_wav_decode" ->
+      """SELECT doc_id AS media_id, 'audio' AS media_type,
+        |  CAST(8000 + (doc_id % 5) * 4000 AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(50 + doc_id % 97 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
     "q262_streaming_cdc" -> OracleSql.streamingCorpusDiff(oldMax = 70,
       newMin = 30, revEvery = 7, idCol = "doc_id"),

@@ -20,14 +20,16 @@ import org.apache.spark.sql.functions._
  *   - output is a typed Dataset with a stable schema, so downstream
  *     operators re-enter codegen land immediately.
  *
- * Codec status: IMAGES DECODE FOR REAL — [[ImageIoCodec]] reads
- * PNG/BMP/GIF/JPEG through the pure-JDK `javax.imageio.ImageIO` (ships in
- * every JRE, zero added dependencies) and reports true pixel dimensions,
- * oracle-gated in q261 against fixtures whose dims are id-derived.
- * Audio/video decoding stays STUBBED (`StubCodec`, deterministic fake
- * dimensions from a rolling checksum — no ffmpeg in this container);
- * the Spark-side contract — schema, batching, partition behavior — is
- * identical for both, so swapping in a production AV codec is
+ * Codec status: IMAGES AND WAV AUDIO DECODE FOR REAL — [[ImageIoCodec]]
+ * reads PNG/BMP/GIF/JPEG through the pure-JDK `javax.imageio.ImageIO`
+ * (oracle-gated in q261, true pixel dims) and [[AudioWavCodec]] reads
+ * WAV/AIFF/AU headers through the pure-JDK `javax.sound.sampled`
+ * (oracle-gated in q270, true sample rate / channels / frame count) —
+ * both ship with every JRE, zero added dependencies. Video decoding
+ * stays STUBBED (`StubCodec`, deterministic fake dimensions from a
+ * rolling checksum — no container/ffmpeg bindings in the JDK); the
+ * Spark-side contract — schema, batching, partition behavior — is
+ * identical for all three, so swapping in a production video codec is
  * implementing `MediaCodec.decode`.
  */
 object Multimodal {
@@ -114,6 +116,65 @@ object Multimodal {
       }
       StubCodec.decode(rec)
     }
+  }
+
+  /**
+   * REAL audio decode through the pure-JDK `javax.sound.sampled`
+   * (WAV/AIFF/AU readers bundled with every JRE — the same zero-added-
+   * dependency argument as [[ImageIoCodec]]): `media_type == "audio"`
+   * payloads report TRUE header facts read from the bytes, mapped onto
+   * the [[MediaMeta]] shape as
+   *   width    = sample rate (Hz)
+   *   height   = channel count
+   *   n_frames = PCM frame count
+   * (checksum stays the byte rolling hash — content identity). Non-audio
+   * modalities and undecodable payloads fall back to [[StubCodec]], same
+   * totality contract as the image codec (spec-pinned). Video remains
+   * honestly stubbed — no container/ffmpeg bindings ship with the JDK.
+   */
+  object AudioWavCodec extends MediaCodec {
+    def decode(rec: MediaRecord): MediaMeta = {
+      if (rec.media_type == "audio") {
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.content))
+          val f = ais.getFormat
+          return MediaMeta(rec.media_id, rec.media_type,
+            rec.content.length.toLong, byteChecksum(rec.content),
+            f.getSampleRate.toInt, f.getChannels, ais.getFrameLength.toInt)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException => ()
+        }
+      }
+      StubCodec.decode(rec)
+    }
+  }
+
+  /**
+   * Deterministic WAV fixture synthesis (pure JDK): 16-bit PCM
+   * little-endian, `nFrames` frames whose sample values are an integer
+   * function of `seed` — real, decodable WAV bytes for q270 and the
+   * specs, generated partition-local like [[synthesizePng]].
+   */
+  def synthesizeWav(sampleRate: Int, channels: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames * channels) {
+      val v = ((seed * 31 + i * 7) % 65536 - 32768).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /**

@@ -57,6 +57,41 @@ class MultimodalSpec extends SparkSpec {
     assert((out(4L).width, out(4L).height) == ((stub4.width, stub4.height)))
   }
 
+  test("AudioWavCodec: true sample rate / channels / frames from real WAV " +
+      "decode; stub fallback for corrupt payloads and non-audio modalities") {
+    val spark0 = spark
+    import spark0.implicits._
+    val wav = Multimodal.synthesizeWav(16000, 2, 123, seed = 42L)
+    val df = Seq(
+      (1L, "audio", wav),
+      (2L, "audio", "not a wav".getBytes("UTF-8")), // undecodable
+      (3L, "image", wav)) // declared non-audio: stub path by contract
+      .toDF("media_id", "media_type", "content")
+    val out = Multimodal.decodeMeta(df, Multimodal.AudioWavCodec)
+      .collect().map(m => m.media_id -> m).toMap
+    // width = sample rate, height = channels, n_frames = PCM frames —
+    // read from the WAV header, not the fixture arithmetic
+    assert((out(1L).width, out(1L).height, out(1L).n_frames) == ((16000, 2, 123)))
+    assert(out(1L).checksum == Multimodal.byteChecksum(wav))
+    val stub2 = Multimodal.StubCodec.decode(
+      Multimodal.MediaRecord(2L, "audio", "not a wav".getBytes("UTF-8")))
+    assert((out(2L).width, out(2L).height) == ((stub2.width, stub2.height)))
+    val stub3 = Multimodal.StubCodec.decode(
+      Multimodal.MediaRecord(3L, "image", wav))
+    assert((out(3L).width, out(3L).height) == ((stub3.width, stub3.height)))
+  }
+
+  test("synthesizeWav round-trips its own parameters deterministically") {
+    val a = Multimodal.synthesizeWav(8000, 1, 50, seed = 5L)
+    val b = Multimodal.synthesizeWav(8000, 1, 50, seed = 5L)
+    assert(a.sameElements(b)) // rerun-stable fixture
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(a))
+    assert(ais.getFormat.getSampleRate.toInt == 8000)
+    assert(ais.getFormat.getChannels == 1)
+    assert(ais.getFrameLength == 50L)
+  }
+
   test("synthesizePng round-trips its own dimensions deterministically") {
     val a = Multimodal.synthesizePng(13, 7, seed = 5L)
     val b = Multimodal.synthesizePng(13, 7, seed = 5L)
