@@ -2159,6 +2159,23 @@ object SparkEntry {
           col("n_frames"))
     }),
 
+    // REAL pixel-data features (q271): one step past q261's header
+    // proof — per-channel pixel SUMS from actually-decoded PNG pixels
+    // (correct dims could come from a header peek; matching channel
+    // sums require decoding every pixel). The fixture's pixels are
+    // id-derived integers, so the oracle replays the whole image in
+    // SQL without ever seeing the bytes.
+    "q271_image_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.synthesizePng(1 + (id % 13).toInt,
+              1 + (id % 7).toInt, id))
+        }.toDF()
+      Multimodal.imagePixelStats(media).toDF()
+    }),
+
     // Streaming-CDC batch twin (q262): the three verdicts an unbounded
     // stream CAN observe (added/changed/unchanged — `removed` needs
     // absence, a batch-side anti-join at epoch close; documented
@@ -3029,6 +3046,27 @@ object SparkEntry {
         |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
         |  CAST(50 + doc_id % 97 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
+    // The oracle reconstructs every pixel from the id arithmetic the
+    // fixture was synthesized with ((id*31 + 7x + 13y) & 0xFFFFFF) and
+    // sums the channel bytes; the engine sums what ImageIO actually
+    // decoded — a match proves the pixel DATA round-trips, not just
+    // the header.
+    "q271_image_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 13 AS INTEGER) AS w,
+        |    CAST(1 + doc_id % 7 AS INTEGER) AS h,
+        |    unnest(range(0, 1 + doc_id % 13)) AS x
+        |  FROM documents),
+        |pxy AS (SELECT doc_id, w, h, x,
+        |          unnest(range(0, CAST(h AS BIGINT))) AS y FROM px),
+        |v AS (SELECT doc_id, w, h,
+        |        ((doc_id * 31 + x * 7 + y * 13) & 16777215) AS v FROM pxy)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  CAST(sum((v >> 16) & 255) AS BIGINT) AS sum_r,
+        |  CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
+        |  CAST(sum(v & 255) AS BIGINT) AS sum_b
+        |FROM v GROUP BY 1, 2, 3""".stripMargin,
     "q262_streaming_cdc" -> OracleSql.streamingCorpusDiff(oldMax = 70,
       newMin = 30, revEvery = 7, idCol = "doc_id"),
     // min-id-per-content-hash IS the streaming keep-first contract on

@@ -225,6 +225,67 @@ object Multimodal {
     }
   }
 
+  /** Exact per-channel pixel sums of a decoded image — integer-exact so
+    * the SQL oracle can replay them (means would float-divide). */
+  case class ImagePixelStats(media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /**
+   * REAL pixel-data feature extraction: decode each `media_type ==
+   * "image"` payload through the pure-JDK ImageIO and report exact
+   * per-channel pixel SUMS — the step past q261's header proof (correct
+   * dims could in principle come from a header peek; matching channel
+   * sums require decoding every pixel). Undecodable or non-image rows
+   * emit NOTHING (a real pipeline's quarantine split — the metadata face
+   * [[decodeMeta]] is the total one). Integer sums, not means: exact,
+   * overflow-safe (≤ 255·wh ≪ 2⁶³), and SQL-replayable.
+   *
+   * Partition-local imperative work inside the same `mapPartitions`
+   * escape hatch as every codec; no shuffle; typed output re-enters
+   * codegen land.
+   */
+  def imagePixelStats(df: DataFrame,
+      idCol: String = "media_id", typeCol: String = "media_type",
+      binCol: String = "content",
+      batchSize: Int = DefaultBatchSize): Dataset[ImagePixelStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val records = df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(typeCol).as("media_type"),
+      col(binCol).as("content")).as[MediaRecord]
+    records.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { rec =>
+          if (rec.media_type != "image") Iterator.empty
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(rec.content))
+              catch { case _: java.io.IOException => null }
+            if (img == null) Iterator.empty
+            else {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val v = img.getRGB(x, y) & 0xFFFFFF
+                  sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              Iterator.single(ImagePixelStats(rec.media_id,
+                img.getWidth, img.getHeight, sr, sg, sb))
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** One sampled frame of a media payload (video/audio window or the
     * single image frame). */
   case class MediaFrame(media_id: Long, frame_id: Int, frame_checksum: Long)

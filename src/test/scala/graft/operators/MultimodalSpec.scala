@@ -81,6 +81,29 @@ class MultimodalSpec extends SparkSpec {
     assert((out(3L).width, out(3L).height) == ((stub3.width, stub3.height)))
   }
 
+  test("imagePixelStats: channel sums match a per-pixel Scala replay; " +
+      "non-image and corrupt rows emit nothing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val png = Multimodal.synthesizePng(6, 4, seed = 99L)
+    val df = Seq(
+      (1L, "image", png),
+      (2L, "image", "garbage".getBytes("UTF-8")),
+      (3L, "audio", png))
+      .toDF("media_id", "media_type", "content")
+    val out = Multimodal.imagePixelStats(df).collect()
+    assert(out.map(_.media_id).toSeq == Seq(1L)) // quarantine split
+    // replay the synthesis arithmetic pixel by pixel
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val v = ((99L * 31 + x * 7 + y * 13) & 0xFFFFFFL).toInt
+      sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+    }
+    val s1 = out.head
+    assert((s1.width, s1.height) == ((6, 4)))
+    assert((s1.sum_r, s1.sum_g, s1.sum_b) == ((sr, sg, sb)))
+  }
+
   test("synthesizeWav round-trips its own parameters deterministically") {
     val a = Multimodal.synthesizeWav(8000, 1, 50, seed = 5L)
     val b = Multimodal.synthesizeWav(8000, 1, 50, seed = 5L)
