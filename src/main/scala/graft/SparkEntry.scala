@@ -2176,6 +2176,22 @@ object SparkEntry {
       Multimodal.imagePixelStats(media).toDF()
     }),
 
+    // REAL PCM-data features (q272): q271's pixel-sum proof applied to
+    // audio — exact sample sum/min/max from the actually-decoded PCM
+    // stream (the header fields alone would pass q270 from a 44-byte
+    // peek). Sample i of the fixture is (id*31 + i*7) % 65536 - 32768,
+    // so the oracle replays the whole waveform arithmetically.
+    "q272_audio_sample_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.synthesizeWav(8000 + (id % 5).toInt * 4000,
+              1 + (id % 2).toInt, 50 + (id % 97).toInt, id))
+        }.toDF()
+      Multimodal.audioSampleStats(media).toDF()
+    }),
+
     // Streaming-CDC batch twin (q262): the three verdicts an unbounded
     // stream CAN observe (added/changed/unchanged — `removed` needs
     // absence, a batch-side anti-join at epoch close; documented
@@ -3067,6 +3083,24 @@ object SparkEntry {
         |  CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
         |  CAST(sum(v & 255) AS BIGINT) AS sum_b
         |FROM v GROUP BY 1, 2, 3""".stripMargin,
+    // The oracle reconstructs every 16-bit sample from the synthesis
+    // arithmetic and aggregates; the engine aggregates what javax.sound
+    // actually decoded — a match proves the PCM DATA round-trips.
+    "q272_audio_sample_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 5) * 4000 AS INTEGER) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    CAST(50 + doc_id % 97 AS INTEGER) AS n_frames,
+        |    unnest(range(0, (50 + doc_id % 97) * (1 + doc_id % 2))) AS i
+        |  FROM documents),
+        |v AS (SELECT doc_id, sample_rate, channels, n_frames,
+        |        (doc_id * 31 + i * 7) % 65536 - 32768 AS v FROM s)
+        |SELECT doc_id AS media_id, sample_rate, channels, n_frames,
+        |  CAST(sum(v) AS BIGINT) AS sum_samples,
+        |  CAST(min(v) AS INTEGER) AS min_sample,
+        |  CAST(max(v) AS INTEGER) AS max_sample
+        |FROM v GROUP BY 1, 2, 3, 4""".stripMargin,
     "q262_streaming_cdc" -> OracleSql.streamingCorpusDiff(oldMax = 70,
       newMin = 30, revEvery = 7, idCol = "doc_id"),
     // min-id-per-content-hash IS the streaming keep-first contract on

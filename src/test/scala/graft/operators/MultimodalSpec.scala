@@ -104,6 +104,28 @@ class MultimodalSpec extends SparkSpec {
     assert((s1.sum_r, s1.sum_g, s1.sum_b) == ((sr, sg, sb)))
   }
 
+  test("audioSampleStats: PCM sum/min/max match a per-sample Scala " +
+      "replay; non-audio and corrupt rows emit nothing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val wav = Multimodal.synthesizeWav(8000, 2, 31, seed = 17L)
+    val df = Seq(
+      (1L, "audio", wav),
+      (2L, "audio", "garbage".getBytes("UTF-8")),
+      (3L, "image", wav))
+      .toDF("media_id", "media_type", "content")
+    val out = Multimodal.audioSampleStats(df).collect()
+    assert(out.map(_.media_id).toSeq == Seq(1L))
+    var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+    for (i <- 0 until 31 * 2) {
+      val v = ((17L * 31 + i * 7) % 65536 - 32768).toInt
+      sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+    }
+    val s1 = out.head
+    assert((s1.sample_rate, s1.channels, s1.n_frames) == ((8000, 2, 31)))
+    assert((s1.sum_samples, s1.min_sample, s1.max_sample) == ((sum, mn, mx)))
+  }
+
   test("synthesizeWav round-trips its own parameters deterministically") {
     val a = Multimodal.synthesizeWav(8000, 1, 50, seed = 5L)
     val b = Multimodal.synthesizeWav(8000, 1, 50, seed = 5L)
