@@ -132,19 +132,58 @@ object Multimodal {
    * totality contract as the image codec (spec-pinned). Video remains
    * honestly stubbed — no container/ffmpeg bindings ship with the JDK.
    */
+  /** The JRE's audio file readers/writers, resolved ONCE per JVM via the
+    * public SPI (`javax.sound.sampled.spi`). `AudioSystem.getAudioInput
+    * Stream`/`write` consult a SYNCHRONIZED provider registry on every
+    * call — at 500 K records × 32 threads that lock made the decode
+    * super-linear (21× per data decade at the round-9 100× probe);
+    * calling the resolved providers directly restores linear scaling
+    * while staying on the same pure-JDK readers. */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val rs = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toSeq
+    // probe once with a 1-frame WAV and put the accepting reader FIRST:
+    // every non-matching reader costs an exception (+ stack fill) per
+    // record otherwise — pure per-record overhead on the hot path
+    val probe = synthesizeWav(8000, 1, 1, 0L)
+    val (wav, rest) = rs.partition { r =>
+      try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)); true }
+      catch { case _: Exception => false }
+    }
+    wav ++ rest
+  }
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("JRE has no WAVE writer"))
+  }
+
+  /** Decode audio bytes through the first JRE reader that accepts them
+    * (null if none do) — the lock-free face of
+    * `AudioSystem.getAudioInputStream`. */
+  private def readAudio(content: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    audioReaders.foreach { r =>
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => ()
+      }
+    }
+    null
+  }
+
   object AudioWavCodec extends MediaCodec {
     def decode(rec: MediaRecord): MediaMeta = {
       if (rec.media_type == "audio") {
-        try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(rec.content))
+        val ais = readAudio(rec.content)
+        if (ais != null) {
           val f = ais.getFormat
           return MediaMeta(rec.media_id, rec.media_type,
             rec.content.length.toLong, byteChecksum(rec.content),
             f.getSampleRate.toInt, f.getChannels, ais.getFrameLength.toInt)
-        } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException |
-               _: java.io.IOException => ()
         }
       }
       StubCodec.decode(rec)
@@ -172,8 +211,8 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // resolved writer, not AudioSystem.write — see audioReaders
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -318,14 +357,13 @@ object Multimodal {
         batch.iterator.flatMap { rec =>
           if (rec.media_type != "audio") Iterator.empty
           else {
-            try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(rec.content))
-              val f = ais.getFormat
-              if (f.getSampleSizeInBits != 16 ||
-                  f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-                Iterator.empty
-              else {
+            val ais = readAudio(rec.content)
+            val f = if (ais == null) null else ais.getFormat
+            if (ais == null || f.getSampleSizeInBits != 16 ||
+                f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              Iterator.empty
+            else {
+              try {
                 val bytes = ais.readAllBytes()
                 var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
                 var i = 0
@@ -339,10 +377,9 @@ object Multimodal {
                 Iterator.single(AudioSampleStats(rec.media_id,
                   f.getSampleRate.toInt, f.getChannels,
                   ais.getFrameLength.toInt, sum, mn, mx))
+              } catch {
+                case _: java.io.IOException => Iterator.empty
               }
-            } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException |
-                   _: java.io.IOException => Iterator.empty
             }
           }
         }
