@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Driver-run benchmark: every SparkEntry query against
- * `SPARK_GRAFT_SF_DIR`, one JSON result line on stdout.
+ * `SPARK_GRAFT_SF_DIR`. The FULL per-query JSON (medians, spreads,
+ * loadavgs) is written to `target/bench.json`; stdout ends with a
+ * COMPACT one-line JSON summary sized to survive the driver's ~2 KB
+ * tail capture.
  *
  * Each query runs once as warmup (whole-stage-codegen compilation, JIT,
  * parquet footer reads — one-time costs that say nothing about throughput
@@ -90,10 +93,12 @@ object Bench {
     // End-of-sweep outlier re-run: a query whose three samples spread
     // more than 2× (and whose spread is material, > 0.5 s) was probably
     // measured under a load transient — re-measure it once the sweep's
-    // own burst is over and keep the run with the LOWER median (closer
-    // to the machine-quiet floor; the higher one is floor + noise).
-    // This kills the q120-class false regression at the source instead
-    // of adjudicating it a round later.
+    // own burst is over and keep the RE-RUN unconditionally: it is the
+    // post-burst measurement. (Keeping min-of-two-medians, as earlier
+    // rounds did, is a one-sided selection that biases the headline
+    // total optimistically instead of just de-noising it.) This kills
+    // the q120-class false regression at the source instead of
+    // adjudicating it a round later.
     val results = firstPass.map { case (name, fn, s, load) =>
       val wide = s.nonEmpty && s.head > 0 &&
         s.last / s.head > 2.0 && s.last - s.head > 0.5
@@ -101,9 +106,7 @@ object Bench {
       else {
         val load2 = loadavg()
         val s2 = sample(name, fn)
-        if (s2.nonEmpty && s2(s2.size / 2) < s(s.size / 2))
-          (name, s2, load2, true)
-        else (name, s, load, true)
+        if (s2.nonEmpty) (name, s2, load2, true) else (name, s, load, true)
       }
     }
     def fmt(d: Double) = f"$d%.4f"
@@ -125,13 +128,13 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, s, _, _) if s.nonEmpty => s(s.size / 2) }.sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread_min_max":$spread,"loadavg":$loads,"rerun_wide_spread":$reruns,"runs_per_query":$runs,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: the driver's stdout tail-capture truncated
-    // round 3's JSON line mid-object (BENCH_r03.json shipped parsed:null),
-    // so the artifact must survive independently of pipe buffering.
+    // Persist the FULL per-query artifact to a file: the driver's stdout
+    // capture keeps only a ~2 KB tail, which has truncated the inline
+    // JSON mid-object in three rounds now (BENCH_r03/r08/r09 all shipped
+    // parsed:null) — the file must survive independently of pipe limits.
+    val fileName = if (only.isDefined) "target/bench_partial.json" else "target/bench.json"
     try {
       // Filtered runs must not clobber the full artifact the driver ingests.
-      val fileName = if (only.isDefined) "target/bench_partial.json" else "target/bench.json"
       val out = java.nio.file.Paths.get(fileName).toAbsolutePath
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
@@ -139,6 +142,25 @@ object Bench {
       // file (tail-capture has truncated the inline JSON in past rounds).
       println(s"BENCH_JSON=$out")
     } catch { case NonFatal(e) => System.err.println(s"bench: file write failed: $e") }
+    // The LAST stdout line is a COMPACT self-contained JSON sized to fit
+    // whole inside the driver's ~2 KB tail capture: headline total + the
+    // slowest queries' medians (as many as fit a 1.5 KB budget, 2-decimal
+    // precision), plus counts and the pointer to the full artifact. A
+    // 272-entry 4-decimal map is ~8 KB — guaranteed truncation, which is
+    // exactly the parsed:null failure mode this replaces.
+    def fmt2(d: Double) = f"$d%.2f"
+    val byCost = results.filter(_._2.nonEmpty)
+      .sortBy { case (_, s, _, _) => -s(s.size / 2) }
+    val budget = 1500
+    val head = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"queries_n":${results.size},"failed":$failed,"detail":"$fileName","top_queries":{"""
+    val tailStr = "}}"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = head.length + tailStr.length
+    byCost.foreach { case (k, s, _, _) =>
+      val e = "\"" + k + "\":" + fmt2(s(s.size / 2))
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    println(head + entries.mkString(",") + tailStr)
     spark.stop()
     // A bench with failed queries is not a successful run; make rc reflect
     // it so downstream tooling can't mistake a broken round for a clean one.

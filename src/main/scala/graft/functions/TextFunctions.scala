@@ -198,11 +198,15 @@ object TextFunctions {
    * intact; all ≤ 3 differing bits then lie in b's 24-bit complement, so
    * splitting that complement into 4 sub-blocks leaves ≥ 1 sub-block
    * intact — key (b, s, both values) still collides for every true pair.
-   * Level 2 repeats on the 18-bit remainder (sub-widths 5/5/4/4). Each
-   * level multiplies emitted keys by 4 and widens the bucket key by 4-6
-   * bits, shrinking expected occupancy ~16-64× — candidates stay ~linear
-   * while the blocking stays LOSSLESS for maxHamming ≤ 3 at every depth
-   * (spec-pinned: pair sets identical across depths).
+   * Level 2 repeats on the 18-bit remainder (sub-widths 5/5/4/4), so
+   * depth-2 keys are 8+6+5 = 19 bits for the width-5 tables and
+   * 8+6+4 = 18 bits for the width-4 ones — a 2¹⁸–2¹⁹ space per table,
+   * NOT a uniform 2¹⁸ (sizing thresholds key off the smaller figure,
+   * which is the conservative side). Each level multiplies emitted keys
+   * by 4 and widens the bucket key by 4-6 bits, shrinking expected
+   * occupancy ~16-64× — candidates stay ~linear while the blocking
+   * stays LOSSLESS for maxHamming ≤ 3 at every depth (spec-pinned:
+   * pair sets identical across depths).
    *
    * Output schema matches [[simhashBlocks]] ((block_id, block_val)), so
    * callers' join shape is unchanged; depth 0 IS [[simhashBlocks]].
@@ -239,7 +243,8 @@ object TextFunctions {
   }
 
   /** Refinement depth for [[simhashBlocksAt]] from the corpus count:
-    * smallest depth whose bucket-key space (2⁸ / 2¹⁴ / 2¹⁸) keeps
+    * smallest depth whose bucket-key space (2⁸ / 2¹⁴ / 2¹⁸–2¹⁹, the
+    * conservative lower figure — see [[simhashBlocksAt]]) keeps
     * expected occupancy ≤ `targetBucket` — the q264/q268 auto-sizing
     * rule applied to the pigeonhole family. The default target folds in
     * the empirically-measured ~16× bucket concentration of templated
@@ -261,7 +266,7 @@ object TextFunctions {
    * maxHamming ≤ 3 at every depth by the same argument (spec-pinned).
    *
    * Key spaces per table — 2¹⁶ / 2²⁸ / 2³⁷ vs the 32-bit family's
-   * 2⁸ / 2¹⁴ / 2¹⁸ — are why this is the at-scale face: the 32-bit
+   * 2⁸ / 2¹⁴ / 2¹⁸–2¹⁹ — are why this is the at-scale face: the 32-bit
    * blocks exhaust their entropy near 10⁵ docs (230 M candidates at the
    * round-9 100× probe point, depth 2 already maxed) while depth 1 here
    * holds expected occupancy ≤ 4 past 10⁹ docs.

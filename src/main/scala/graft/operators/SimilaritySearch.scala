@@ -816,18 +816,37 @@ object SimilaritySearch {
    * region) via [[lshPlanesFor]]: bucket occupancy — hence per-vector
    * candidate work — stays ≈ `targetBucket` at any scale, which is the
    * difference between linear and quadratic growth for the self-join.
-   * On a corpus small enough that `minPlanes` binds, this is exactly
-   * the explicit call (spec-pinned), so the q58 oracle covers the
-   * delegation at the correctness scale.
+   * On a corpus under [[lshBucketCapFor]]'s activation threshold the
+   * degenerate-bucket cap is OFF, so this is exactly the explicit
+   * uncapped call BY CONSTRUCTION (spec-pinned) and the q58 oracle
+   * covers the delegation at the correctness scale.
    */
   def knnJoinLshAuto(df: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, targetBucket: Int = 64,
       maxTables: Int = 8): DataFrame = {
-    val (nPlanes, nTables) = lshPlanesFor(df.count(), targetBucket,
+    val n = df.count()
+    val (nPlanes, nTables) = lshPlanesFor(n, targetBucket,
       maxTables = maxTables)
     knnJoinLsh(df, k, idCol, vecCol, dim, nPlanes, nTables,
-      bucketCap = 4 * targetBucket)
+      bucketCap = lshBucketCapFor(n, targetBucket))
+  }
+
+  /** Effective per-(table, bucket) candidate cap for the auto-sized LSH
+    * family. The cap is a SCALE guard (a tight semantic cluster shares
+    * sign bits at any width, so its bucket grows with the corpus — the
+    * 100× probe's Σ size² wall); on a small corpus it must be OFF so
+    * the delegation to the explicit fixed-width call — and hence the
+    * q58 oracle's uncapped SQL — is exact BY CONSTRUCTION, not just
+    * statistically (at sf0.01's 500 vectors a degenerate bucket over
+    * the cap would silently drop candidates the oracle keeps).
+    * Activation threshold 16×cap: below it even the worst-case
+    * uncapped bucket costs ≤ n² ≈ 16 M codegen'd dot products — noise;
+    * above it the cap's linearization pays. Pure function of the
+    * counts (unit-testable without data). */
+  private[graft] def lshBucketCapFor(n: Long, targetBucket: Int): Int = {
+    val cap = 4 * targetBucket
+    if (n > 16L * cap) cap else Int.MaxValue
   }
 
   /** Dev hook (tools.ScaleDebug): the exploded (id, table-key) rows of

@@ -211,6 +211,16 @@ class SimilaritySearchSpec extends SparkSpec {
       val (p, _) = lshPlanesFor(n)
       assert(n.toDouble / (1L << p) <= 128.0, s"n=$n planes=$p")
     }
+    // the degenerate-bucket cap is a SCALE guard: provably OFF below
+    // 16x its own size (so the small-corpus delegation — and the q58
+    // oracle's uncapped SQL — is exact BY CONSTRUCTION, sf0.01's 500
+    // vectors included), ON above
+    import SimilaritySearch.lshBucketCapFor
+    assert(lshBucketCapFor(500L, 64) == Int.MaxValue)
+    assert(lshBucketCapFor(2000L, 64) == Int.MaxValue) // sf0.1 bench corpus
+    assert(lshBucketCapFor(16L * 256, 64) == Int.MaxValue) // boundary
+    assert(lshBucketCapFor(16L * 256 + 1, 64) == 256)
+    assert(lshBucketCapFor(2000000L, 64) == 256) // the 100x probe point
     // the auto entry point is exactly the explicit call at the chosen
     // width (same rows) on the fixture corpus
     val e = emb.cache()
