@@ -69,6 +69,44 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(keptIds == reps)
   }
 
+  test("single-task union-find fast path == iterative propagation " +
+      "(forced via localEdgeCutoff) on chains, bridges, and a real pair graph") {
+    val spark0 = spark
+    import spark0.implicits._
+    def both(edges: Seq[(Long, Long)], verts: Seq[Long]): Unit = {
+      val e = edges.toDF("id_a", "id_b")
+      val v = Some(verts.toDF("id"))
+      val fast = ConnectedComponents(e, v) // small + long ids -> fast path
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val iter = ConnectedComponents(e, v, localEdgeCutoff = -1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == iter, s"fast!=iterative for edges=$edges")
+    }
+    both(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)), Seq(1L, 2L, 3L, 4L, 5L, 9L))
+    both(Seq((1L, 2L), (3L, 4L), (2L, 3L), (7L, 7L)), Seq(1L, 2L, 3L, 4L, 7L))
+    // a real near-dup pair graph (same fixture family as the q99 dispatch)
+    val d = spark.read.parquet(s"${sf()}/documents.parquet").limit(300)
+    val pairs = Dedup.simhashPairs64(d).select("id_a", "id_b").cache()
+    val v = Some(d.select("doc_id"))
+    val fast = ConnectedComponents(pairs, v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iter = ConnectedComponents(pairs, v, localEdgeCutoff = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == iter)
+    assert(fast.size == 300)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("fast path stays OFF for non-long ids (schema dispatch, not a cast)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // int ids take the iterative engine and must still produce min labels
+    val e = Seq((5, 4), (4, 3)).toDF("id_a", "id_b")
+    val out = ConnectedComponents(e)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out == Map(3 -> 3, 4 -> 3, 5 -> 3))
+  }
+
   test("alternating stars == propagation on fixtures and the q28 pair graph") {
     val spark0 = spark
     import spark0.implicits._
