@@ -126,6 +126,79 @@ class MultimodalSpec extends SparkSpec {
     assert((s1.sum_samples, s1.min_sample, s1.max_sample) == ((sum, mn, mx)))
   }
 
+  test("audioSampleStats: a VALID zero-frame PCM payload quarantines " +
+      "(no sentinel min/max garbage); decodeMeta stays total on it") {
+    val spark0 = spark
+    import spark0.implicits._
+    val empty = Multimodal.synthesizeWav(8000, 1, 0, seed = 3L)
+    val df = Seq((1L, "audio", empty)).toDF("media_id", "media_type", "content")
+    assert(Multimodal.audioSampleStats(df).collect().isEmpty)
+    // the metadata face still reports the true (zero-frame) header facts
+    val meta = Multimodal.decodeMeta(df, Multimodal.AudioWavCodec).collect()
+    assert(meta.map(m => (m.media_id, m.width, m.height, m.n_frames)).toSeq ==
+      Seq((1L, 8000, 1, 0)))
+  }
+
+  test("synthesizeAvi round-trips through VideoRiffCodec: true avih " +
+      "facts from the bytes; non-video and corrupt rows fall back to stub") {
+    val spark0 = spark
+    import spark0.implicits._
+    val avi = Multimodal.synthesizeAvi(8, 5, 7, seed = 11L)
+    val garbage = "not a riff container at all".getBytes("UTF-8")
+    val truncated = avi.take(30) // RIFF magic intact, chunk tree cut off
+    val df = Seq(
+      (1L, "video", avi),
+      (2L, "video", garbage),
+      (3L, "video", truncated),
+      (4L, "image", avi)) // declared image: codec must not sniff video
+      .toDF("media_id", "media_type", "content")
+    val out = Multimodal.decodeMeta(df, Multimodal.VideoRiffCodec).collect()
+      .map(m => m.media_id -> ((m.width, m.height, m.n_frames))).toMap
+    assert(out(1L) == ((8, 5, 7)))
+    // rows 2-4 carry stub values: equal to StubCodec.decode on the bytes
+    for ((id, bytes, tpe) <- Seq((2L, garbage, "video"),
+        (3L, truncated, "video"), (4L, avi, "image"))) {
+      val stub = Multimodal.StubCodec.decode(
+        Multimodal.MediaRecord(id, tpe, bytes))
+      assert(out(id) == ((stub.width, stub.height, stub.n_frames)), s"id=$id")
+    }
+  }
+
+  test("parseAviHeader walks the chunk tree generically: an unknown " +
+      "chunk before hdrl is skipped, not a parse failure") {
+    val avi = Multimodal.synthesizeAvi(4, 3, 2, seed = 1L)
+    // splice an unknown 6-byte chunk (odd size: exercises word-align
+    // padding) between 'AVI ' and the LIST hdrl
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = avi.take(12) ++ junk ++ avi.drop(12)
+    // fix the RIFF size field (little-endian at offset 4)
+    val sz = spliced.length - 8
+    spliced(4) = (sz & 0xff).toByte; spliced(5) = ((sz >> 8) & 0xff).toByte
+    spliced(6) = ((sz >> 16) & 0xff).toByte; spliced(7) = ((sz >> 24) & 0xff).toByte
+    val h = Multimodal.parseAviHeader(spliced)
+    assert(h != null && h.toSeq == Seq(2, 4, 3))
+  }
+
+  test("videoFrameStats: per-frame byte sums match a Scala replay of " +
+      "the synthesis arithmetic; non-video rows emit nothing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val (w, hh, nf, seed) = (4, 3, 5, 9L)
+    val avi = Multimodal.synthesizeAvi(w, hh, nf, seed)
+    val df = Seq((1L, "video", avi), (2L, "audio", avi))
+      .toDF("media_id", "media_type", "content")
+    val out = Multimodal.videoFrameStats(df).collect()
+      .map(r => r.frame_id -> ((r.media_id, r.frame_bytes, r.sum_bytes))).toMap
+    assert(out.size == nf)
+    val fb = w * hh * 3
+    for (f <- 0 until nf) {
+      var s = 0L
+      for (i <- 0 until fb) s += (seed * 31 + f * 7 + i * 13) % 251
+      assert(out(f) == ((1L, fb, s)), s"frame $f")
+    }
+  }
+
   test("synthesizeWav round-trips its own parameters deterministically") {
     val a = Multimodal.synthesizeWav(8000, 1, 50, seed = 5L)
     val b = Multimodal.synthesizeWav(8000, 1, 50, seed = 5L)
