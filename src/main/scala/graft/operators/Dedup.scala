@@ -752,15 +752,32 @@ object Dedup {
    * data decade and an outright failure at 500 K docs. Pair output is
    * IDENTICAL at every depth (lossless; spec-pinned) — only candidate
    * volume changes, so the fixture-scale oracle covers all regimes.
+   *
+   * AT-SCALE GUARD: past [[LegacyWidthGuardCutoff]] docs this operator
+   * is WRONG, not just slow — random 32-bit hashes land within
+   * Hamming ≤ 3 at C(32,≤3)/2³² ≈ 1.3e-6, so a 500 K-doc corpus
+   * manufactures ~160 K FALSE near-dup pairs (growing n²), and the
+   * 32-bit pigeonhole blocks are entropy-exhausted (measured 230 M
+   * candidates / 92 s at the round-9 100× probe). Large corpora must
+   * either use [[simhashPairs64]] (the at-scale face, ~2e-15 false-pair
+   * rate) or opt in explicitly with `allowLegacyWidth = true` (e.g. to
+   * reproduce reference 32-bit semantics in an audit). A scaladoc
+   * warning alone is not a guardrail — this is the one operator a
+   * pipeline could reach for and silently get wrong output at scale.
    */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3,
-      blockDepth: Int = -1): DataFrame = {
+      blockDepth: Int = -1, allowLegacyWidth: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "pigeonhole blocking over 4 bytes is only lossless for maxHamming <= 3")
     // count the RAW input (parquet metadata / no hashing), not the hash
     // projection — the dispatch must not cost a corpus pass on the
     // small-corpus path
     val n = docs.count()
+    require(n <= LegacyWidthGuardCutoff || allowLegacyWidth,
+      s"simhashPairs is 32-bit: at n=$n docs (> $LegacyWidthGuardCutoff) it manufactures " +
+        "~n²·1.3e-6 false near-dup pairs and its pigeonhole blocks are entropy-exhausted. " +
+        "Use simhashPairs64 (the at-scale face), or pass allowLegacyWidth=true to " +
+        "knowingly keep 32-bit reference semantics.")
     val hashed = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(docs)
         .select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("sh")))
@@ -840,6 +857,15 @@ object Dedup {
   /** Corpus size under which [[pairDispatch]] always picks the flat
     * branch without any statistics pass. */
   private[graft] val FlatSmallCutoff: Long = 8192L
+
+  /** Corpus size past which the 32-bit-width operators
+    * ([[simhashPairs]], `Multimodal.phashPairs`) refuse to run without
+    * an explicit opt-in: beyond it their output is wrong (32-bit false
+    * pairs) or data-quadratic (pHash pair lists) BY MEASUREMENT — the
+    * round-9 100× probe, BASELINE.md coda 3. Set above every
+    * correctness/bench scale (sf0.1 = 5 K docs, the 10× probe = 50 K)
+    * and below the 100× point (500 K) where both walls were measured. */
+  val LegacyWidthGuardCutoff: Long = 100000L
 
   /**
    * Shared scale core of [[simhashPairs]] / `Multimodal.phashPairs`: all
@@ -973,6 +999,57 @@ object Dedup {
         .select(col(idCol).as("id"), hashFn(tokens(col(textCol))).as("sh")))
     hammingComponentEdges(hashed, "id", "sh", maxHamming, width,
       nHint = docs.count())
+  }
+
+  /** Corpus size over which [[multiSignalComponents]] switches from
+    * pair-list to connectivity-preserving edge-set composition. Below
+    * it the pair lists are cheap (the stub pHash's ~1.5 K-value space
+    * gives Σ cluster² ≈ 1500·(n/1500)² ≈ n²/1500 pairs — ~1.7 M at the
+    * cutoff) and their CLIQUE edges keep component diameter ~1, so the
+    * CC loop converges in 2-3 rounds; above it the pair list is
+    * data-quadratic (the round-9 100× probe failed outright on it)
+    * while the star/representative edge form stays ~linear — at the
+    * price of longer rep-to-rep chains (13 min-label rounds measured at
+    * sf0.1) that only pointer-doubling keeps cheap. */
+  val MultiSignalPairListCutoff: Long = 50000L
+
+  /**
+   * Multi-signal dedup components (q99): 64-bit text SimHash pairs and
+   * media pHash pairs union into ONE evidence graph; components span
+   * both signals, so a doc and its rendering dedup together even when
+   * each signal alone misses. Input is the `documents` schema (the
+   * media signal derives from [[Multimodal.mediaFromDocuments]]).
+   *
+   * Adaptive composition — the q49/q264 bounded-statistic dispatcher
+   * pattern, decided from ONE raw count (parquet-metadata cheap):
+   * corpora at or under `pairListCutoff` compose the PAIR LISTS
+   * ([[simhashPairs64]] ∪ `Multimodal.phashPairs`) whose clique edges
+   * make the CC loop converge in 2-3 rounds; larger corpora compose the
+   * connectivity-preserving EDGE SETS ([[simhashComponentEdges]] ∪
+   * `Multimodal.phashComponentEdges`) — ~linear edge volume where the
+   * pair list is data-quadratic (7.8× faster and the only correct
+   * option at the 100× probe point). Both branches yield IDENTICAL
+   * components (spec-pinned; the edge form preserves union connectivity
+   * exactly), so the fixture-scale oracle covers both regimes.
+   *
+   * No pre-`distinct()` on the union: CC symmetrizes and distincts the
+   * edge list itself, so one here would just add a shuffle.
+   */
+  def multiSignalComponents(docs: DataFrame, maxHamming: Int = 3,
+      pairListCutoff: Long = MultiSignalPairListCutoff): DataFrame = {
+    val n = docs.count()
+    val media = Multimodal.mediaFromDocuments(docs)
+    val edges =
+      if (n <= pairListCutoff)
+        simhashPairs64(docs, maxHamming = maxHamming).select("id_a", "id_b")
+          .union(Multimodal.phashPairs(media, maxHamming = maxHamming)
+            .select(col("media_id_a").as("id_a"),
+              col("media_id_b").as("id_b")))
+      else
+        simhashComponentEdges(docs, maxHamming = maxHamming)
+          .union(Multimodal.phashComponentEdges(media, maxHamming = maxHamming))
+    ConnectedComponents(edges, vertices = Some(docs.select("doc_id")))
+      .select(col("id").as("doc_id"), col("component"))
   }
 
   /**

@@ -286,6 +286,48 @@ class DedupSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("multiSignalComponents: pair-list and edge-set branches yield " +
+      "IDENTICAL components (the q99 dispatch is a plan choice, not a " +
+      "semantics choice)") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet").limit(400).cache()
+    def canon(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      rows.groupBy(_._2).map { case (_, vs) =>
+        val set = vs.map(_._1).toSet; (set.min, set)
+      }
+    }
+    // force each branch via the cutoff; the default on this 400-doc
+    // fixture must take the pair-list branch (the small-n plan)
+    val pair = canon(Dedup.multiSignalComponents(d, pairListCutoff = Long.MaxValue))
+    val edge = canon(Dedup.multiSignalComponents(d, pairListCutoff = 0L))
+    assert(pair == edge)
+    assert(pair.values.exists(_.size > 1),
+      "fixture must contain at least one multi-member component")
+    assert(pair.values.flatten.toSet.size == 400, "every doc gets a component")
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("at-scale guards: 32-bit simhashPairs and phashPairs refuse past " +
+      "LegacyWidthGuardCutoff without an explicit opt-in") {
+    val big = spark.range(Dedup.LegacyWidthGuardCutoff + 1)
+      .select(col("id").as("doc_id"),
+        concat(lit("tok"), (col("id") % 97).cast("string")).as("text"))
+    val e1 = intercept[IllegalArgumentException] { Dedup.simhashPairs(big) }
+    assert(e1.getMessage.contains("simhashPairs64"))
+    // the opt-in constructs (the guard and the dispatch probe are the
+    // only eager steps — the pair join itself stays lazy/unexecuted)
+    Dedup.simhashPairs(big, allowLegacyWidth = true)
+    val media = big.select(col("doc_id").as("media_id"),
+      lit("image").as("media_type"), encode(col("text"), "UTF-8").as("content"))
+    val e2 = intercept[IllegalArgumentException] { Multimodal.phashPairs(media) }
+    assert(e2.getMessage.contains("phashComponentEdges"))
+    Multimodal.phashPairs(media, allowPairList = true)
+    // the at-scale faces take the same corpus without ceremony
+    Dedup.simhashPairs64(big)
+    Multimodal.phashComponentEdges(media)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("hammingComponentEdges: star + value-pair edges yield the SAME " +
       "components as the full pair list, at no more edges — both widths") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet").limit(400).cache()
