@@ -23,10 +23,18 @@ that replica under target/sfprobe/sf1:
   events     x10 — event_id and user_id shifted per replica: 10x the
               users, per-user history unchanged (the way traffic
               actually grows), timestamps untouched.
-  TPC-H tables copied UNSCALED (the probe queries are
-              document/embedding/event-bound; noted in BASELINE.md).
+  TPC-H fact/dim tables (customer supplier part orders lineitem)
+              x10 with --tpch (the round-10 FULL-inventory sweep):
+              every key shifted by k*N per replica so each replica is
+              a self-contained join-consistent universe — per-key
+              fanouts (orders per customer, lines per order) stay
+              constant while totals grow 10x, the way a warehouse
+              actually grows. region/nation stay UNSCALED: they are
+              fixed 5/25-row catalog dimensions at ANY TPC-H scale.
+              Without --tpch they are copied unscaled (the round-9
+              heavy-set behavior).
 
-Usage: python3 scripts/make_scale_probe.py [out_dir] [replicas]
+Usage: python3 scripts/make_scale_probe.py [out_dir] [replicas] [--tpch]
 """
 import os
 import shutil
@@ -37,7 +45,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 
 
-def main(out_dir, reps):
+def main(out_dir, reps, tpch=False):
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
 
@@ -80,16 +88,49 @@ def main(out_dir, reps):
         FROM '{SRC}/events.parquet', (SELECT unnest(range({reps})) AS k) k
       ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)""")
 
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem"]:
+    for t in ["region", "nation"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
-    for t in ["documents", "embeddings", "events"]:
+    scaled = ["documents", "embeddings", "events"]
+    if not tpch:
+        for t in ["customer", "supplier", "part", "orders", "lineitem"]:
+            shutil.copyfile(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    else:
+        counts = {}
+        for t in ["customer", "supplier", "part", "orders", "lineitem"]:
+            counts[t] = con.sql(
+                f"SELECT count(*) FROM '{SRC}/{t}.parquet'").fetchone()[0]
+        # key shift per table: primary key by own count, FKs by the
+        # referenced table's count — each replica is join-consistent
+        shifts = {
+            "customer": {"c_custkey": "customer"},
+            "supplier": {"s_suppkey": "supplier"},
+            "part": {"p_partkey": "part"},
+            "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+            "lineitem": {"l_orderkey": "orders", "l_partkey": "part",
+                         "l_suppkey": "supplier"},
+        }
+        for t, keymap in shifts.items():
+            cols = [c[0] for c in con.sql(
+                f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
+            sel = ", ".join(
+                f"{c} + k.k * {counts[keymap[c]]} AS {c}" if c in keymap else c
+                for c in cols)
+            con.sql(f"""
+              COPY (
+                SELECT {sel}
+                FROM '{SRC}/{t}.parquet',
+                     (SELECT unnest(range({reps})) AS k) k
+              ) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)""")
+        scaled += list(shifts)
+
+    for t in scaled:
         n = con.sql(f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "target/sfprobe/sf1"
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    main(out, reps)
+    args = [a for a in sys.argv[1:] if a != "--tpch"]
+    out = args[0] if len(args) > 0 else "target/sfprobe/sf1"
+    reps = int(args[1]) if len(args) > 1 else 10
+    main(out, reps, tpch="--tpch" in sys.argv)

@@ -4420,6 +4420,15 @@ object OracleSql {
        |FROM sc QUALIFY rank <= $k""".stripMargin
   }
 
+  /** Mirror of StreamingOps.enrich's batch twin (q273): the lookup
+    * operator's E1 left-outer broadcast join from events.user_id to
+    * customer.c_custkey with the E5 projection (input columns in order,
+    * enrichment value last under the E4/outputField alias). */
+  def streamEnrich: String =
+    s"""SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+       |  e.props, c.c_mktsegment AS segment
+       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+
   /** Mirror of StreamingOps.windowedManifest's batch twin over events
     * (q257): per (hour window, id-bucket shard), row count and bit-XOR
     * checksum of the 60-bit props hash. */

@@ -1119,30 +1119,18 @@ object SparkEntry {
     // (q95) union into ONE evidence graph, components span both signals
     // — the cross-modal dedup a mixed text+media corpus needs (a doc and
     // its rendering dedup together even when each signal alone misses).
-    "q99_multisignal_components" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // connectivity-preserving edge sets, NOT pair lists: the stub
-      // pHash's ~1.2 K-value range makes its pair list data-quadratic
-      // (the 100× probe failed outright on it); star-per-cluster +
-      // one-edge-per-value-pair keeps the SAME components at ~linear
-      // edges (Dedup.hammingComponentEdges; equivalence spec-pinned).
-      // Text signal is the 64-BIT SimHash (q269's hash): at 500 K docs
-      // the 32-bit hash manufactures ~160 K false pairs that fuse
-      // unrelated components AND its pigeonhole blocks are entropy-
-      // exhausted (measured 50 s candidate join at the 100× probe)
-      val textEdges = Dedup.simhashComponentEdges(docs)
-      val mediaEdges = Multimodal
-        .phashComponentEdges(Multimodal.mediaFromDocuments(docs))
-      // the edge form trades clique shortcuts for ~linear edge count, so
-      // component DIAMETER grows (pHash's dense value space chains
-      // rep-to-rep edges long — 13 min-label rounds measured at sf0.1);
-      // the CC engine's pointer-doubling jump makes that O(log diameter)
-      // no .distinct() here: CC symmetrizes + distincts the edge list
-      // itself, so a pre-distinct would just add a shuffle
-      ConnectedComponents(textEdges.union(mediaEdges),
-          vertices = Some(docs.select("doc_id")))
-        .select(col("id").as("doc_id"), col("component"))
-    }),
+    // Adaptive composition (Dedup.multiSignalComponents, the q49/q264
+    // bounded-statistic dispatcher): PAIR LISTS under 50 K docs (clique
+    // edges -> 2-3 CC rounds; the edge form's rep-to-rep chains cost 13
+    // rounds at sf0.1 — measured 8.2 s vs 2.4 s), connectivity-
+    // preserving EDGE SETS above (the pair list is data-quadratic there
+    // — the 100× probe failed outright on it; the edge form measured
+    // 24.8 s at 100×). Text signal is the 64-BIT SimHash in BOTH
+    // branches: at 500 K docs the 32-bit hash manufactures ~160 K false
+    // pairs that fuse unrelated components. Branch equivalence
+    // spec-pinned; dispatch costs one raw count (parquet metadata).
+    "q99_multisignal_components" -> ((s, dir) =>
+      Dedup.multiSignalComponents(t(s, dir, "documents"))),
 
     // PII incidence by registered domain — the audit rollup a compliance
     // review asks for: which domains leak emails/numbers, at what rate
@@ -2192,6 +2180,58 @@ object SparkEntry {
       Multimodal.audioSampleStats(media).toDF()
     }),
 
+    // REAL video container decode (q274): the q261/q270 pattern for
+    // AVI — per-doc RIFF/AVI fixtures with id-derived dims/frame-count
+    // are synthesized (pure-JDK byte writer; width keeps DIB rows
+    // 4-byte aligned) and decoded back through Multimodal.VideoRiffCodec,
+    // a generic RIFF chunk-tree walk (the JDK has no video LIBRARY, but
+    // the CONTAINER is ~50 lines of fourCC parsing). The reported
+    // fields are TRUE avih facts read from the bytes — the oracle knows
+    // them only from the id arithmetic. Retires the last stubbed
+    // modality.
+    "q274_avi_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          Multimodal.MediaRecord(id, "video",
+            Multimodal.synthesizeAvi(4 + 4 * (id % 3).toInt,
+              2 + (id % 6).toInt, 1 + (id % 13).toInt, id))
+        }.toDF()
+      Multimodal.decodeMeta(media, Multimodal.VideoRiffCodec)
+        .select(col("media_id"), col("media_type"), col("width"),
+          col("height"), col("n_frames"))
+    }),
+
+    // REAL frame-data features (q275): q271/q272's data proof applied
+    // to video — per-frame byte sums read from the movi 00db chunks
+    // (the avih header alone would pass q274 from a 32-byte peek;
+    // matching per-frame sums require walking every frame chunk).
+    // Frame byte i of frame f is (id*31 + f*7 + i*13) % 251, so the
+    // oracle replays every frame arithmetically.
+    "q275_video_frame_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          Multimodal.MediaRecord(id, "video",
+            Multimodal.synthesizeAvi(4 + 4 * (id % 3).toInt,
+              2 + (id % 6).toInt, 1 + (id % 13).toInt, id))
+        }.toDF()
+      Multimodal.videoFrameStats(media).toDF()
+    }),
+
+    // Stream-static enrich batch twin (q273): StreamingOps.enrich —
+    // the classic stream-static broadcast lookup join, the streaming
+    // face of the reference's ONE operator — run on the batch events
+    // frame against the customer dimension (events.user_id →
+    // c_custkey, E1/E4/E8 semantics per micro-batch). The last
+    // spec-only streaming parity, now oracle-gated (sessionization's
+    // batch twin has been q23 since round 2).
+    "q273_stream_enrich" -> ((s, dir) =>
+      StreamingOps.enrich(Tables.loadEvents(s, dir), "events",
+        t(s, dir, "customer"),
+        LookupConfig("customer", "user_id", "c_custkey", "c_mktsegment",
+          outputField = Some("segment")))),
+
     // Streaming-CDC batch twin (q262): the three verdicts an unbounded
     // stream CAN observe (added/changed/unchanged — `removed` needs
     // absence, a batch-side anti-join at epoch close; documented
@@ -3109,5 +3149,31 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
         |  md5(text) AS content_key
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q273_stream_enrich" -> OracleSql.streamEnrich,
+    // The oracle knows dims/frame count only from the id arithmetic;
+    // the engine reads them from avih bytes — a match proves a real
+    // container parse.
+    "q274_avi_decode" ->
+      """SELECT doc_id AS media_id, 'video' AS media_type,
+        |  CAST(4 + 4 * (doc_id % 3) AS INTEGER) AS width,
+        |  CAST(2 + doc_id % 6 AS INTEGER) AS height,
+        |  CAST(1 + doc_id % 13 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+    // The oracle reconstructs every frame byte from the synthesis
+    // arithmetic; the engine sums what the RIFF movi walk actually
+    // read — a match proves the frame DATA round-trips.
+    "q275_video_frame_stats" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    (4 + 4 * (doc_id % 3)) * (2 + doc_id % 6) * 3 AS fb,
+        |    unnest(range(0, 1 + doc_id % 13)) AS f
+        |  FROM documents),
+        |b AS (SELECT doc_id, fb, f,
+        |        unnest(range(0, fb)) AS i FROM g)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_id,
+        |  CAST(fb AS INTEGER) AS frame_bytes,
+        |  CAST(sum((doc_id * 31 + f * 7 + i * 13) % 251) AS BIGINT)
+        |    AS sum_bytes
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
   )
 }

@@ -590,14 +590,21 @@ class PlanContractSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
-  test("q99 edge form: no pair-list m² anywhere — every join an equi-join, " +
-      "CC rounds see only checkpointed inputs") {
-    val p = plan(SparkEntry.queries("q99_multisignal_components")(spark, sf()))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    // the final labels plan is one join away from checkpointed RDDs —
-    // iteration lineage must NOT accumulate into the output plan
-    assert(p.contains("Scan ExistingRDD"), p)
+  test("q99 (both dispatch branches): no pair-list m² anywhere — every " +
+      "join an equi-join, CC rounds see only checkpointed inputs") {
+    // fixture scale picks the pair-list branch; force the edge branch
+    // too — the dispatch must be a plan choice only (semantics pinned
+    // equal in DedupSpec), and BOTH plans must hold the contracts
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    for (cutoff <- Seq(Long.MaxValue, 0L)) {
+      val p = plan(graft.operators.Dedup.multiSignalComponents(docs,
+        pairListCutoff = cutoff))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // the final labels plan is one join away from checkpointed RDDs —
+      // iteration lineage must NOT accumulate into the output plan
+      assert(p.contains("Scan ExistingRDD"), p)
+    }
     graft.SparkUtil.unpersistTrackedCaches()
   }
 

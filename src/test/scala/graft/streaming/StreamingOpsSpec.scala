@@ -209,6 +209,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows((2L, "2024-01-01 10:05:00.0")) == (("2024-01-01 10:35:00.0", 1L)))
   }
 
+  test("sessionize boundary: an exactly-gap-sized silence still MERGES " +
+      "(session_window extends while next start <= current end) — the " +
+      "q23 oracle's strict-> new-session rule. The events fixture has no " +
+      "exact-gap pair, so this pin carries the boundary semantics the " +
+      "oracle cannot exercise") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = StreamingOps.sessionize(Seq(
+        Ev(t("2024-01-01 10:00:00"), "click", 1L, 1.0),
+        Ev(t("2024-01-01 10:30:00"), "click", 1L, 1.0), // == gap: merges
+        Ev(t("2024-01-01 11:00:01"), "click", 1L, 1.0)) // > gap: new session
+      .toDF()).collect()
+    assert(rows.length == 2, rows.mkString(";"))
+    assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("sessionize runs under Structured Streaming with a watermark") {
     val spark0 = spark
     import spark0.implicits._
