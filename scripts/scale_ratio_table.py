@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Compare two graft.Bench JSON dumps (baseline sf vs a scale-probe sf)
+and print a per-query scaling table, worst ratio first (dev tool only).
+
+Usage: python3 scripts/scale_ratio_table.py base.json probe.json [--md]
+
+Ratios are probe_median / base_median. Queries with sub-0.15 s base
+medians are grouped in a coda (JVM/fixed-overhead floor dominates —
+a 10x "ratio" of a 40 ms query measures noise, not scaling).
+"""
+import json
+import sys
+
+
+def main(base_path, probe_path, md=False):
+    base = json.load(open(base_path))
+    probe = json.load(open(probe_path))
+    bq, pq = base["queries"], probe["queries"]
+    missing = sorted(set(bq) - set(pq))
+    extra = sorted(set(pq) - set(bq))
+    rows = []
+    for name in sorted(set(bq) & set(pq)):
+        b, p = bq[name], pq[name]
+        rows.append((p / max(b, 1e-9), b, p, name))
+    rows.sort(reverse=True)
+
+    sig = [r for r in rows if r[1] >= 0.15]
+    tiny = [r for r in rows if r[1] < 0.15]
+
+    if md:
+        print("| Query | sf0.1 s | 10x s | ratio |")
+        print("|---|---|---|---|")
+        for r, b, p, n in sig:
+            print(f"| {n} | {b:.2f} | {p:.2f} | {r:.1f}x |")
+    else:
+        print(f"{'query':<38}{'base':>8}{'probe':>9}{'ratio':>8}")
+        for r, b, p, n in sig:
+            flag = "  <-- SUPERLINEAR?" if r > 12 else ""
+            print(f"{n:<38}{b:>8.2f}{p:>9.2f}{r:>7.1f}x{flag}")
+    bsum = sum(r[1] for r in rows)
+    psum = sum(r[2] for r in rows)
+    print(f"\n{len(rows)} queries compared; sums {bsum:.1f}s -> {psum:.1f}s "
+          f"({psum / bsum:.1f}x overall)")
+    if tiny:
+        tworst = max(tiny)
+        print(f"{len(tiny)} sub-0.15s-base queries (fixed-cost floor): "
+              f"base sum {sum(r[1] for r in tiny):.1f}s -> probe sum "
+              f"{sum(r[2] for r in tiny):.1f}s; worst probe-side "
+              f"{tworst[3]} {tworst[2]:.2f}s")
+        slow_tiny = [r for r in tiny if r[2] > 2.0]
+        for r, b, p, n in sorted(slow_tiny, reverse=True, key=lambda x: x[2]):
+            print(f"  tiny-base but slow at probe: {n} {b:.2f}s -> {p:.2f}s")
+    if missing:
+        print(f"MISSING from probe ({len(missing)}): {missing}")
+    if extra:
+        print(f"EXTRA in probe ({len(extra)}): {extra}")
+    if probe.get("failed"):
+        print(f"PROBE FAILURES: {probe['failed']}")
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if a != "--md"]
+    main(args[0], args[1], md="--md" in sys.argv)
