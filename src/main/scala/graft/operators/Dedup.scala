@@ -1010,8 +1010,17 @@ object Dedup {
     * data-quadratic (the round-9 100× probe failed outright on it)
     * while the star/representative edge form stays ~linear — at the
     * price of longer rep-to-rep chains (13 min-label rounds measured at
-    * sf0.1) that only pointer-doubling keeps cheap. */
-  val MultiSignalPairListCutoff: Long = 50000L
+    * sf0.1) that only pointer-doubling keeps cheap.
+    *
+    * Placement (round-10 full-inventory 10× sweep): the crossover was
+    * MEASURED at the endpoints — 5 K docs: pair 2.1 s vs edge 8.2 s;
+    * 50 K docs: pair 21-24 s vs edge ~9 s (Q99Probe, quiet re-runs).
+    * The pair branch's edge volume is data-quadratic (Σ cluster² —
+    * n²/1500 pHash pairs alone), so its cost curve crosses the edge
+    * form's ~linear one between those points; 20 K sits on the safe
+    * side of the measured interval — a corpus that mis-lands near the
+    * cutoff pays a small constant, never the quadratic tail. */
+  val MultiSignalPairListCutoff: Long = 20000L
 
   /**
    * Multi-signal dedup components (q99): 64-bit text SimHash pairs and

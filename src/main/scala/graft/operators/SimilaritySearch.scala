@@ -828,8 +828,10 @@ object SimilaritySearch {
     val n = df.count()
     val (nPlanes, nTables) = lshPlanesFor(n, targetBucket,
       maxTables = maxTables)
+    // allowFixedWidth: the auto sizing IS the occupancy guard (width
+    // grows with this count), so the delegate must not re-count.
     knnJoinLsh(df, k, idCol, vecCol, dim, nPlanes, nTables,
-      bucketCap = lshBucketCapFor(n, targetBucket))
+      bucketCap = lshBucketCapFor(n, targetBucket), allowFixedWidth = true)
   }
 
   /** Effective per-(table, bucket) candidate cap for the auto-sized LSH
@@ -847,6 +849,36 @@ object SimilaritySearch {
   private[graft] def lshBucketCapFor(n: Long, targetBucket: Int): Int = {
     val cap = 4 * targetBucket
     if (n > 16L * cap) cap else Int.MaxValue
+  }
+
+  /** AT-SCALE GUARD for the FIXED-width LSH self-join family (q58/q41
+    * reference configs). A fixed `nPlanes` means expected bucket
+    * occupancy `n / 2^nPlanes` grows linearly with the corpus and the
+    * bucket self-join's Σ size² candidate volume grows QUADRATICALLY —
+    * the round-10 full-inventory 10× sweep measured q58 (4 planes,
+    * uncapped) at 38 s for 20 K vectors (41× its sf0.1 cost; the next
+    * decade is hours). Past this expected occupancy the fixed-width
+    * calls refuse without an explicit `allowFixedWidth = true`: large
+    * corpora should use the auto-sized family ([[knnJoinLshAuto]] /
+    * [[cosineNearDupPairsLshAuto]] / [[crossCorpusNearDupLshAuto]]),
+    * whose width grows with n to hold occupancy — and cost — linear.
+    * 4096 ≈ the point where one table's Σ size² passes ~2×10⁸ per
+    * 16-bucket table (the q58 config's measured 38 s decade); the
+    * guarded count is parquet-metadata cheap and is skipped entirely
+    * when a bucketCap already linearizes the join. The q16/q95 guard
+    * rule applied to the third operator a pipeline could reach for and
+    * silently get a quadratic outcome at scale. */
+  val FixedWidthOccupancyGuardCutoff: Long = 4096L
+
+  private def requireFixedWidthInBudget(n: Long, nPlanes: Int,
+      op: String, autoOp: String): Unit = {
+    val occ = n >> nPlanes
+    require(occ <= FixedWidthOccupancyGuardCutoff,
+      s"$op with fixed nPlanes=$nPlanes puts ~$occ vectors in each LSH bucket at " +
+        s"n=$n (> ${FixedWidthOccupancyGuardCutoff}): the bucket self-join is " +
+        "quadratic in the corpus from here. Use " + autoOp +
+        " (width sized from the corpus count, linear candidate volume), or pass " +
+        "allowFixedWidth=true to knowingly keep the fixed-width reference semantics.")
   }
 
   /** Dev hook (tools.ScaleDebug): the exploded (id, table-key) rows of
@@ -879,10 +911,17 @@ object SimilaritySearch {
   def knnJoinLsh(df: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8,
-      bucketCap: Int = Int.MaxValue): DataFrame = {
+      bucketCap: Int = Int.MaxValue,
+      allowFixedWidth: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     require(bucketCap >= 1, s"bucketCap=$bucketCap must be >= 1")
+    // A bucketCap already linearizes the candidate side; only the
+    // UNCAPPED fixed-width call needs the occupancy guard (and its
+    // parquet-metadata count).
+    if (bucketCap == Int.MaxValue && !allowFixedWidth)
+      requireFixedWidthInBudget(df.count(), nPlanes,
+        "knnJoinLsh", "knnJoinLshAuto")
     val base = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(df)
         .select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -931,8 +970,12 @@ object SimilaritySearch {
    */
   def cosineNearDupPairsLsh(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+      dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8,
+      allowFixedWidth: Boolean = false): DataFrame = {
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
+    if (!allowFixedWidth)
+      requireFixedWidthInBudget(df.count(), nPlanes,
+        "cosineNearDupPairsLsh", "cosineNearDupPairsLshAuto")
     val base = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(df)
         .select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -980,7 +1023,9 @@ object SimilaritySearch {
       maxTables: Int = 8): DataFrame = {
     val (nPlanes, nTables) = lshPlanesFor(df.count(), targetBucket,
       maxTables = maxTables)
-    cosineNearDupPairsLsh(df, threshold, idCol, vecCol, dim, nPlanes, nTables)
+    // allowFixedWidth: the auto sizing IS the occupancy guard.
+    cosineNearDupPairsLsh(df, threshold, idCol, vecCol, dim, nPlanes,
+      nTables, allowFixedWidth = true)
   }
 
   /**
@@ -997,8 +1042,13 @@ object SimilaritySearch {
   def crossCorpusNearDupLsh(newEmb: DataFrame, oldEmb: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int = 64, nPlanes: Int = 4,
-      nTables: Int = 8): DataFrame = {
+      nTables: Int = 8, allowFixedWidth: Boolean = false): DataFrame = {
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
+    // Occupancy of the STORE side decides per-ingest-row candidate
+    // volume — the side that grows with every ingest.
+    if (!allowFixedWidth)
+      requireFixedWidthInBudget(oldEmb.count(), nPlanes,
+        "crossCorpusNearDupLsh", "crossCorpusNearDupLshAuto")
     def side(df: DataFrame) = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(df)
         .select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -1034,8 +1084,9 @@ object SimilaritySearch {
       targetBucket: Int = 64, maxTables: Int = 8): DataFrame = {
     val (nPlanes, nTables) = lshPlanesFor(oldEmb.count(), targetBucket,
       maxTables = maxTables)
+    // allowFixedWidth: the auto sizing IS the occupancy guard.
     crossCorpusNearDupLsh(newEmb, oldEmb, threshold, idCol, vecCol, dim,
-      nPlanes, nTables)
+      nPlanes, nTables, allowFixedWidth = true)
   }
 
   /**

@@ -693,6 +693,11 @@ class DedupSpec extends SparkSpec {
     assert(curated == quality.intersect(lowBoiler).intersect(reps))
     assert(curated.nonEmpty && curated.size < d.count(),
       "curation must keep some docs and drop some docs")
+    // the cached plan is the BARE parquet scan of the fixture table:
+    // the JVM-wide CacheManager would substitute it into ANY later
+    // scan of the same path — PlanContractSpec's pushdown/pruning
+    // tests then see an InMemoryRelation instead of a parquet scan
+    d.unpersist()
   }
 
   test("bandTuningSweep: more, shorter bands never find fewer candidates") {

@@ -823,4 +823,45 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(out(-10) == 2L)       // (1,4) and (2,4)
     graft.SparkUtil.unpersistTrackedCaches()
   }
+
+  test("at-scale guard: fixed-width LSH self-joins refuse past the " +
+      "occupancy cutoff without an explicit opt-in") {
+    // nPlanes=1 halves the corpus into each bucket, so occupancy
+    // n >> 1 crosses the cutoff at a spec-sized corpus.
+    val n = 2 * SimilaritySearch.FixedWidthOccupancyGuardCutoff + 2
+    val big = spark.range(n).select(col("id").as("vec_id"),
+      array((col("id") % 7).cast("float"),
+        (col("id") % 11).cast("float")).as("embedding"))
+    val e1 = intercept[IllegalArgumentException] {
+      SimilaritySearch.knnJoinLsh(big, k = 5, dim = 2, nPlanes = 1, nTables = 1)
+    }
+    assert(e1.getMessage.contains("knnJoinLshAuto"))
+    val e2 = intercept[IllegalArgumentException] {
+      SimilaritySearch.cosineNearDupPairsLsh(big, 0.9, dim = 2,
+        nPlanes = 1, nTables = 1)
+    }
+    assert(e2.getMessage.contains("cosineNearDupPairsLshAuto"))
+    val small = big.limit(4)
+    val e3 = intercept[IllegalArgumentException] {
+      SimilaritySearch.crossCorpusNearDupLsh(small, big, 0.9, dim = 2,
+        nPlanes = 1, nTables = 1)
+    }
+    assert(e3.getMessage.contains("crossCorpusNearDupLshAuto"))
+    // a big NEW side against a small store is the legitimate ingest
+    // shape — only store-side occupancy guards
+    SimilaritySearch.crossCorpusNearDupLsh(big, small, 0.9, dim = 2,
+      nPlanes = 1, nTables = 1)
+    // opt-in constructs (guard is the only eager step; joins stay lazy)
+    SimilaritySearch.knnJoinLsh(big, k = 5, dim = 2, nPlanes = 1,
+      nTables = 1, allowFixedWidth = true)
+    SimilaritySearch.cosineNearDupPairsLsh(big, 0.9, dim = 2, nPlanes = 1,
+      nTables = 1, allowFixedWidth = true)
+    // a bucketCap already linearizes the join: no guard, no opt-in
+    SimilaritySearch.knnJoinLsh(big, k = 5, dim = 2, nPlanes = 1,
+      nTables = 1, bucketCap = 64)
+    // the at-scale faces take the same corpus without ceremony
+    SimilaritySearch.knnJoinLshAuto(big, k = 5, dim = 2)
+    SimilaritySearch.cosineNearDupPairsLshAuto(big, 0.9, dim = 2)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
 }
