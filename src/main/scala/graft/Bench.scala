@@ -25,12 +25,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Optional scan-split knobs for layout probes (BASELINE.md round-10
+    // coda): the scale-probe replicas are tiny files, so demonstrating
+    // "a 10×-bigger warehouse ships more splits and absorbs scan growth
+    // with parallelism" needs maxPartitionBytes/openCost sized to the
+    // probe files rather than to a real warehouse's GB-scale files.
+    // Unset (the driver's per-round runs), Spark defaults apply.
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES").foreach(v =>
+      builder.config("spark.sql.files.maxPartitionBytes", v))
+    sys.env.get("SPARK_GRAFT_OPEN_COST_BYTES").foreach(v =>
+      builder.config("spark.sql.files.openCostInBytes", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Sink into the `noop` format, not `count()`: count() lets Catalyst's
     // ColumnPruning delete every projected expression (a projection-only
