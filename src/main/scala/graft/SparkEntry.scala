@@ -1120,7 +1120,7 @@ object SparkEntry {
     // — the cross-modal dedup a mixed text+media corpus needs (a doc and
     // its rendering dedup together even when each signal alone misses).
     // Adaptive composition (Dedup.multiSignalComponents, the q49/q264
-    // bounded-statistic dispatcher): PAIR LISTS under 50 K docs (clique
+    // bounded-statistic dispatcher): PAIR LISTS under 20 K docs (clique
     // edges -> 2-3 CC rounds; the edge form's rep-to-rep chains cost 13
     // rounds at sf0.1 — measured 8.2 s vs 2.4 s), connectivity-
     // preserving EDGE SETS above (the pair list is data-quadratic there
