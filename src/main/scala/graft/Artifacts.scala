@@ -79,7 +79,10 @@ object Artifacts {
     * miner (q137), label-purity probe (q221), and hubness audit (q234)
     * all read THIS graph rather than re-running candidate generation
     * per report, exactly as they would against the stored graph at
-    * 100 TB. */
+    * 100 TB. Fixed reference width: past expected occupancy 4096 the
+    * underlying call refuses (the round-10 at-scale guard) — a
+    * large-corpus pipeline builds the graph with `knnJoinLshAuto` and
+    * hands it to the consumers via their `knnGraph` parameter. */
   def knnGraphLsh(s: SparkSession, dir: String): DataFrame =
     shared(s, s"knn5lsh_${dirTag(dir)}") {
       operators.SimilaritySearch.knnJoinLsh(
