@@ -18,9 +18,16 @@ def main(base_path, probe_path, md=False):
     bq, pq = base["queries"], probe["queries"]
     missing = sorted(set(bq) - set(pq))
     extra = sorted(set(pq) - set(bq))
+    # A failed query is encoded as median -1.0 in bench.json; it is NOT
+    # data — a -1 base would clamp to 1e-9 and print an absurd ratio,
+    # and negative values skew the sums. Report them separately.
+    failed_rows = sorted(n for n in set(bq) & set(pq)
+                         if bq[n] < 0 or pq[n] < 0)
     rows = []
     for name in sorted(set(bq) & set(pq)):
         b, p = bq[name], pq[name]
+        if b < 0 or p < 0:
+            continue
         rows.append((p / max(b, 1e-9), b, p, name))
     rows.sort(reverse=True)
 
@@ -54,6 +61,11 @@ def main(base_path, probe_path, md=False):
         print(f"MISSING from probe ({len(missing)}): {missing}")
     if extra:
         print(f"EXTRA in probe ({len(extra)}): {extra}")
+    if failed_rows:
+        print(f"FAILED on one side, excluded from ratios "
+              f"({len(failed_rows)}): {failed_rows}")
+    if base.get("failed"):
+        print(f"BASE FAILURES: {base['failed']}")
     if probe.get("failed"):
         print(f"PROBE FAILURES: {probe['failed']}")
 

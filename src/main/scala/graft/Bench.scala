@@ -25,6 +25,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Scale-sweep knobs. WARMUP=0 skips the untimed warmup pass — at a
+    // 100x probe scale every query is multi-second (JIT/codegen overhead
+    // is relatively negligible) and the warmup would double a
+    // multi-hour sweep. TIMEOUT_SEC arms a per-query watchdog that
+    // cancels the query's job group: a straggler (e.g. an
+    // output-quadratic query on a replicated corpus) is recorded as a
+    // failure instead of stalling the whole sweep.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt > 0
+    val timeoutSec = sys.env.get("SPARK_GRAFT_BENCH_TIMEOUT_SEC").map(_.toLong)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,10 +63,28 @@ object Bench {
     def time(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
+      // setJobGroup is driver-thread-local, so the group also covers any
+      // eager plan-construction jobs (guard counts, codebook collects).
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val watchdog = timeoutSec.map { secs =>
+        val th = new Thread(() => {
+          try {
+            Thread.sleep(secs * 1000)
+            fired.set(true)
+            spark.sparkContext.cancelJobGroup(s"bench-$name")
+          } catch { case _: InterruptedException => }
+        }, s"bench-watchdog-$name")
+        th.setDaemon(true); th.start(); th
+      }
+      spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case NonFatal(e) =>
-          System.err.println(s"bench FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+          val why = if (fired.get) s"TIMEOUT after ${timeoutSec.get}s" else "FAILED"
+          System.err.println(s"bench $why $name: ${e.getClass.getName}: ${e.getMessage}")
           return None
+      } finally {
+        watchdog.foreach(_.interrupt())
+        spark.sparkContext.clearJobGroup()
       }
       Some((System.nanoTime() - t0) / 1e9)
     }
@@ -85,7 +112,7 @@ object Bench {
     }
     def sample(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] = {
-      time(name, fn) // warmup: codegen + JIT + footer cache
+      if (warmup) time(name, fn) // warmup: codegen + JIT + footer cache
       val samples = (1 to runs).flatMap { _ => reset(); time(name, fn) }
       // Between queries: force a GC so the ContextCleaner reaps dead
       // broadcasts and shuffle state. Without it, a multi-hundred-query

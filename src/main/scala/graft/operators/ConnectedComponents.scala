@@ -65,8 +65,15 @@ object ConnectedComponents {
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     val Seq(ca, cb) = edges.columns.toSeq.take(2)
+    // A null endpoint carries no connectivity (SQL equality never matches
+    // it), so drop such edges up front. This also pins ONE failure mode
+    // across engines: before the filter, the single-task fast path threw
+    // a typed-decode NPE on a null endpoint while the iterative branch
+    // silently dropped the same edge through join semantics — divergent
+    // behavior on dirty input depending only on graph size.
     val sym = ckpt(edges.select(col(ca).as("a"), col(cb).as("b"))
       .union(edges.select(col(cb).as("a"), col(ca).as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
       .distinct())
 
     // SMALL-GRAPH FAST PATH — a hand-rolled CBO rule (the q49/q99

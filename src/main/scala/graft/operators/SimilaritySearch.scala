@@ -330,11 +330,41 @@ object SimilaritySearch {
         expr("(n_vectors * 1000) div sum(n_vectors) over ()"))
   }
 
+  /** AT-SCALE GUARD for the brute-force pair operator ([[cosineNearDupPairs]],
+    * q18): n(n-1)/2 comparisons crosses ~2×10⁸ — the same per-table
+    * candidate volume where the fixed-width LSH family's measured decade
+    * turned into hours — at n ≈ 20 000, so past this corpus count the
+    * exact call refuses without `allowBruteForce = true` and points at
+    * [[cosineNearDupPairsLshAuto]] (linear candidates, exact scoring).
+    * The q16/q58/q95 refusal rule applied to the last reachable
+    * quadratic: scaladoc alone is not a guardrail. */
+  val BruteForcePairGuardCutoff: Long = 20000L
+
   /** Exact all-pairs cosine near-duplicates: (a, b), a < b, with
-    * cosine >= threshold. Quadratic by construction; norms precomputed. */
+    * cosine >= threshold. Quadratic by construction (the documented
+    * brute-force baseline); norms precomputed.
+    *
+    * EAGER at call time: unless `allowBruteForce = true`, the guard runs
+    * one parquet-metadata-cheap `df.count()` when the plan is BUILT (a
+    * Spark job per call). Callers that already hold the corpus count —
+    * or build many plans in a loop — should pass it via `nHint` (≥ 0
+    * skips the count, the Dedup convention); `allowBruteForce = true`
+    * keeps the call fully lazy. Past [[BruteForcePairGuardCutoff]] rows
+    * the call refuses: use [[cosineNearDupPairsLshAuto]] at scale. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, allowBruteForce: Boolean = false,
+      nHint: Long = -1L): DataFrame = {
+    if (!allowBruteForce) {
+      val n = if (nHint >= 0) nHint else df.count()
+      require(n <= BruteForcePairGuardCutoff,
+        s"cosineNearDupPairs is an n(n-1)/2 brute-force self-join: at n=$n (> " +
+          s"$BruteForcePairGuardCutoff) that is ${n * (n - 1) / 2} exact cosine " +
+          "comparisons and grows quadratically from here. Use " +
+          "cosineNearDupPairsLshAuto (LSH-blocked candidates, exact scoring, " +
+          "width sized from the corpus count), or pass allowBruteForce=true " +
+          "to knowingly run the exact baseline.")
+    }
     val withNorm = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
       norm2(col(vecCol), dim).as("n2"))
@@ -907,12 +937,18 @@ object SimilaritySearch {
    *   `Int.MaxValue` = off (the q58 reference semantics); the capped
    *   window rank sorts by the join key the sort-merge join sorts by
    *   anyway, so enabling it adds no extra Exchange.
+   * @param nHint corpus row count, if the caller already holds one (the
+   *   Dedup convention): `nHint >= 0` feeds the occupancy guard without
+   *   the eager `df.count()`. NOTE the guard is otherwise EAGER — an
+   *   uncapped call without `allowFixedWidth` runs one
+   *   parquet-metadata-cheap count job when the plan is BUILT; pass
+   *   `allowFixedWidth = true` (or a `bucketCap`) to stay fully lazy.
    */
   def knnJoinLsh(df: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8,
       bucketCap: Int = Int.MaxValue,
-      allowFixedWidth: Boolean = false): DataFrame = {
+      allowFixedWidth: Boolean = false, nHint: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     require(bucketCap >= 1, s"bucketCap=$bucketCap must be >= 1")
@@ -920,8 +956,8 @@ object SimilaritySearch {
     // UNCAPPED fixed-width call needs the occupancy guard (and its
     // parquet-metadata count).
     if (bucketCap == Int.MaxValue && !allowFixedWidth)
-      requireFixedWidthInBudget(df.count(), nPlanes,
-        "knnJoinLsh", "knnJoinLshAuto")
+      requireFixedWidthInBudget(if (nHint >= 0) nHint else df.count(),
+        nPlanes, "knnJoinLsh", "knnJoinLshAuto")
     val base = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(df)
         .select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -967,15 +1003,19 @@ object SimilaritySearch {
    * though recall < 1 vs the exact operator, the output is fully
    * deterministic and exactly verifiable. Expected recall per pair at
    * angle θ is `1-(1-p^nPlanes)^nTables`, p = 1 - θ/π.
+   *
+   * EAGER at call time unless `allowFixedWidth = true`: the occupancy
+   * guard runs one count job when the plan is built; `nHint >= 0`
+   * supplies a caller-held count instead (the Dedup convention).
    */
   def cosineNearDupPairsLsh(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8,
-      allowFixedWidth: Boolean = false): DataFrame = {
+      allowFixedWidth: Boolean = false, nHint: Long = -1L): DataFrame = {
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     if (!allowFixedWidth)
-      requireFixedWidthInBudget(df.count(), nPlanes,
-        "cosineNearDupPairsLsh", "cosineNearDupPairsLshAuto")
+      requireFixedWidthInBudget(if (nHint >= 0) nHint else df.count(),
+        nPlanes, "cosineNearDupPairsLsh", "cosineNearDupPairsLshAuto")
     val base = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(df)
         .select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -1038,17 +1078,23 @@ object SimilaritySearch {
    * rows whose bucket collides. Incremental-ingest shape: the old side is never
    * re-compared against itself, so daily ingests pay |new| × bucket
    * collisions, not |corpus|².
+   *
+   * EAGER at call time unless `allowFixedWidth = true`: the store-side
+   * occupancy guard runs one count job when the plan is built;
+   * `nHint >= 0` supplies a caller-held STORE count instead (the Dedup
+   * convention).
    */
   def crossCorpusNearDupLsh(newEmb: DataFrame, oldEmb: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int = 64, nPlanes: Int = 4,
-      nTables: Int = 8, allowFixedWidth: Boolean = false): DataFrame = {
+      nTables: Int = 8, allowFixedWidth: Boolean = false,
+      nHint: Long = -1L): DataFrame = {
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     // Occupancy of the STORE side decides per-ingest-row candidate
     // volume — the side that grows with every ingest.
     if (!allowFixedWidth)
-      requireFixedWidthInBudget(oldEmb.count(), nPlanes,
-        "crossCorpusNearDupLsh", "crossCorpusNearDupLshAuto")
+      requireFixedWidthInBudget(if (nHint >= 0) nHint else oldEmb.count(),
+        nPlanes, "crossCorpusNearDupLsh", "crossCorpusNearDupLshAuto")
     def side(df: DataFrame) = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(df)
         .select(col(idCol).as("id"), col(vecCol).as("v"),

@@ -13,10 +13,10 @@ object TextProbe {
   private val taskMs =
     new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
 
-  private def timed(name: String)(f: => Long): Unit = {
+  private def timed(name: String, n: Long)(f: => Unit): Unit = {
     for (i <- 1 to 3) {
       taskMs.clear()
-      val t0 = System.nanoTime(); val n = f
+      val t0 = System.nanoTime(); f
       val wall = (System.nanoTime() - t0) / 1e9
       import scala.jdk.CollectionConverters._
       val ts = taskMs.asScala.toSeq.map(_._2).sorted
@@ -46,9 +46,15 @@ object TextProbe {
       })
     val docs = spark.read.parquet(s"${args(0)}/documents.parquet")
     println(s"scan partitions: ${docs.rdd.getNumPartitions}")
+    // Row count ONCE, outside the timed region: timing noop-write +
+    // count ran two jobs per sample, so per-stage walls carried an
+    // extra count job and the task-listener stats mixed both jobs'
+    // tasks (ADVICE r10). Every probe below is a row-wise projection
+    // of `docs`, so one count serves them all.
+    val nRows = docs.count()
 
     def run(name: String, df: DataFrame): Unit =
-      timed(name) { df.write.format("noop").mode("overwrite").save(); df.count() }
+      timed(name, nRows) { df.write.format("noop").mode("overwrite").save() }
 
     run("scan+count only", docs.select(col("doc_id"), length(col("text")).as("l")))
     run("lower only", docs.select(col("doc_id"), lower(col("text")).as("t")))

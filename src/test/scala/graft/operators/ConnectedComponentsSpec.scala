@@ -53,6 +53,64 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("null-endpoint edges drop identically in the fast path and the " +
+      "iterative engine (no typed-decode NPE, no divergent dirty-input mode)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // nullable Long endpoints: (2,null)/(null,7) carry no connectivity
+    // and must vanish in BOTH engines — before the shared isNotNull
+    // filter the fast path threw a decode NPE here while the iterative
+    // branch dropped the edges via join semantics (ADVICE r10).
+    val dirty = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, null), (null, 7L), (5L, 6L)).toDF("id_a", "id_b")
+    val verts = Some(Seq(1L, 2L, 5L, 6L, 7L).toDF("id"))
+    def run(cutoff: Long) =
+      ConnectedComponents(dirty, verts, localEdgeCutoff = cutoff)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run(ConnectedComponents.LocalEdgeCutoff)
+    val iterative = run(0L) // cutoff 0 forces the distributed engine
+    val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
+    assert(fast == expected)
+    assert(iterative == expected)
+  }
+
+  test("reliable checkpoints survive loss of executor-local blocks; " +
+      "local checkpoints provably do not") {
+    // The preemptible-cluster claim, exercised instead of argued: kill
+    // every executor-held RDD block after the computation and read the
+    // label table. `localCheckpoint` blocks live only on executors (a
+    // lost node loses them and the truncated lineage cannot recompute);
+    // reliable `checkpoint()` re-reads the checkpoint-dir files.
+    val spark0 = spark
+    import spark0.implicits._
+    graft.SparkUtil.unpersistTrackedCaches()
+    spark.catalog.clearCache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_loss").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    // induced block loss = drop every persisted RDD's blocks, the same
+    // state a dead executor leaves behind for its partitions
+    def loseExecutorBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    // cutoff 0 forces the multi-round iterative engine — the lineage
+    // shape the checkpoint-per-round design exists for
+    val local = ConnectedComponents(edges, localEdgeCutoff = 0L)
+    loseExecutorBlocks()
+    val eLocal = intercept[Exception] { local.collect() }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    assert(chain(eLocal).toLowerCase.contains("checkpoint"),
+      s"expected a lost-checkpoint-block failure, got: ${chain(eLocal)}")
+    val reliable = ConnectedComponents(edges, reliableCheckpoints = true,
+      localEdgeCutoff = 0L)
+    loseExecutorBlocks()
+    val out = reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("cleaned corpus keeps exactly one representative per cluster") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val cleaned = graft.SparkEntry.queries("q51_dedup_corpus")(spark, sf())

@@ -864,4 +864,27 @@ class SimilaritySearchSpec extends SparkSpec {
     SimilaritySearch.cosineNearDupPairsLshAuto(big, 0.9, dim = 2)
     graft.SparkUtil.unpersistTrackedCaches()
   }
+
+  test("at-scale guard: brute-force cosineNearDupPairs refuses past the " +
+      "pair-budget cutoff without an explicit opt-in") {
+    val n = SimilaritySearch.BruteForcePairGuardCutoff + 1
+    val big = spark.range(n).select(col("id").as("vec_id"),
+      array((col("id") % 7).cast("float"),
+        (col("id") % 11).cast("float")).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.cosineNearDupPairs(big, 0.9, dim = 2)
+    }
+    assert(e.getMessage.contains("cosineNearDupPairsLshAuto"))
+    // nHint feeds the guard without the eager count (and still refuses)
+    val e2 = intercept[IllegalArgumentException] {
+      SimilaritySearch.cosineNearDupPairs(big, 0.9, dim = 2, nHint = n)
+    }
+    assert(e2.getMessage.contains("brute-force"))
+    // a passing nHint skips the count entirely; opt-in stays fully lazy
+    SimilaritySearch.cosineNearDupPairs(big, 0.9, dim = 2,
+      nHint = SimilaritySearch.BruteForcePairGuardCutoff)
+    SimilaritySearch.cosineNearDupPairs(big, 0.9, dim = 2,
+      allowBruteForce = true)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
 }
