@@ -2,17 +2,21 @@
 """Compare two graft.Bench JSON dumps (baseline sf vs a scale-probe sf)
 and print a per-query scaling table, worst ratio first (dev tool only).
 
-Usage: python3 scripts/scale_ratio_table.py base.json probe.json [--md]
+Usage: python3 scripts/scale_ratio_table.py base.json probe.json \
+           [--md] [--decades N]
 
-Ratios are probe_median / base_median. Queries with sub-0.15 s base
-medians are grouped in a coda (JVM/fixed-overhead floor dominates —
-a 10x "ratio" of a 40 ms query measures noise, not scaling).
+Ratios are probe_median / base_median. With --decades N (data grew
+10^N x), a per-decade ratio column ratio^(1/N) is added — the number
+to hold at-or-under ~10 for "linear in the data". Queries with
+sub-0.15 s base medians are grouped in a coda (JVM/fixed-overhead
+floor dominates — a 10x "ratio" of a 40 ms query measures noise, not
+scaling).
 """
 import json
 import sys
 
 
-def main(base_path, probe_path, md=False):
+def main(base_path, probe_path, md=False, decades=1):
     base = json.load(open(base_path))
     probe = json.load(open(probe_path))
     bq, pq = base["queries"], probe["queries"]
@@ -34,16 +38,23 @@ def main(base_path, probe_path, md=False):
     sig = [r for r in rows if r[1] >= 0.15]
     tiny = [r for r in rows if r[1] < 0.15]
 
+    def pd(r):
+        return r ** (1.0 / decades)
+
     if md:
-        print("| Query | sf0.1 s | 10x s | ratio |")
-        print("|---|---|---|---|")
+        dcol = " per-decade |" if decades > 1 else ""
+        print(f"| Query | base s | probe s | ratio |{dcol}")
+        print("|---|---|---|---|" + ("---|" if decades > 1 else ""))
         for r, b, p, n in sig:
-            print(f"| {n} | {b:.2f} | {p:.2f} | {r:.1f}x |")
+            dtxt = f" {pd(r):.1f}x |" if decades > 1 else ""
+            print(f"| {n} | {b:.2f} | {p:.2f} | {r:.1f}x |{dtxt}")
     else:
-        print(f"{'query':<38}{'base':>8}{'probe':>9}{'ratio':>8}")
+        dhdr = f"{'per-dec':>9}" if decades > 1 else ""
+        print(f"{'query':<38}{'base':>8}{'probe':>9}{'ratio':>8}{dhdr}")
         for r, b, p, n in sig:
-            flag = "  <-- SUPERLINEAR?" if r > 12 else ""
-            print(f"{n:<38}{b:>8.2f}{p:>9.2f}{r:>7.1f}x{flag}")
+            flag = "  <-- SUPERLINEAR?" if pd(r) > 12 else ""
+            dtxt = f"{pd(r):>8.1f}x" if decades > 1 else ""
+            print(f"{n:<38}{b:>8.2f}{p:>9.2f}{r:>7.1f}x{dtxt}{flag}")
     bsum = sum(r[1] for r in rows)
     psum = sum(r[2] for r in rows)
     print(f"\n{len(rows)} queries compared; sums {bsum:.1f}s -> {psum:.1f}s "
@@ -71,5 +82,11 @@ def main(base_path, probe_path, md=False):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--md"]
-    main(args[0], args[1], md="--md" in sys.argv)
+    argv = sys.argv[1:]
+    decades = 1
+    if "--decades" in argv:
+        i = argv.index("--decades")
+        decades = int(argv[i + 1])
+        del argv[i:i + 2]
+    args = [a for a in argv if a != "--md"]
+    main(args[0], args[1], md="--md" in argv, decades=decades)

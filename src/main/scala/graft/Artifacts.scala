@@ -72,20 +72,26 @@ object Artifacts {
         .select("id_a", "id_b")
     }
 
-  /** The q58 LSH kNN graph (SRP buckets, exact cosine, top-5 per
-    * vector) over the full `embeddings` table — columns (query_id,
-    * cand_id, score, rank). The persisted kNN graph is the standard
-    * shared index of an embedding-curation pipeline: the mutual-top-1
-    * miner (q137), label-purity probe (q221), and hubness audit (q234)
-    * all read THIS graph rather than re-running candidate generation
-    * per report, exactly as they would against the stored graph at
-    * 100 TB. Fixed reference width: past expected occupancy 4096 the
-    * underlying call refuses (the round-10 at-scale guard) — a
-    * large-corpus pipeline builds the graph with `knnJoinLshAuto` and
-    * hands it to the consumers via their `knnGraph` parameter. */
+  /** The LSH kNN graph (SRP buckets, exact cosine, top-5 per vector)
+    * over the full `embeddings` table — columns (query_id, cand_id,
+    * score, rank). The persisted kNN graph is the standard shared index
+    * of an embedding-curation pipeline: the mutual-top-1 miner (q137),
+    * label-purity probe (q221), and hubness audit (q234) all read THIS
+    * graph rather than re-running candidate generation per report,
+    * exactly as they would against the stored graph at 100 TB.
+    *
+    * Built with the AUTO-sized face (round-11; was the q58 fixed width,
+    * which the occupancy guard rightly refused at the 100× sweep's
+    * 200 K vectors, taking all three consumers down with it): width
+    * grows with the corpus count, so the artifact build stays linear at
+    * any scale (q264's measured curve). At correctness scale (sf0.01,
+    * 500 vectors) `lshPlanesFor` resolves to exactly the q58 (4, 8)
+    * reference config with the bucket cap off, so every consumer's
+    * fixed-width DuckDB oracle still replays the graph row-for-row
+    * (spec-pinned delegation, the q264 rule). */
   def knnGraphLsh(s: SparkSession, dir: String): DataFrame =
     shared(s, s"knn5lsh_${dirTag(dir)}") {
-      operators.SimilaritySearch.knnJoinLsh(
+      operators.SimilaritySearch.knnJoinLshAuto(
         Tables.load(s, dir, "embeddings"), k = 5)
     }
 }

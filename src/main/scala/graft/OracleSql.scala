@@ -1915,7 +1915,7 @@ object OracleSql {
   def methodAgreement(threshold: Double, maxDocFreq: Int,
       maxHamming: Int): String =
     s"""WITH jp AS MATERIALIZED (${ngramJaccardPairs(threshold, maxDocFreq)}),
-       |sp AS MATERIALIZED (${simhashPairs(maxHamming)}),
+       |sp AS MATERIALIZED (${simhash64Pairs(maxHamming)}),
        |cl AS (SELECT DISTINCT least(id_a, id_b) AS a,
        |         greatest(id_a, id_b) AS b FROM jp WHERE id_a <> id_b),
        |cr AS (SELECT DISTINCT least(id_a, id_b) AS a,
@@ -3975,6 +3975,34 @@ object OracleSql {
        |FROM embeddings e, q
        |WHERE $negPred
        |QUALIFY rank <= $k""".stripMargin
+  }
+
+  /** Mirror of the q276 composition (knnJoinLshBipartiteAuto across
+    * label-disjoint sets at correctness scale, where the auto sizing
+    * resolves to the q58 (nPlanes, nTables) reference config with the
+    * bucket cap off): per-positive top-k hard negatives among SRP
+    * bucket-collision candidates, shared exact-cosine chain. No
+    * self-pair exclusion — the sides are disjoint by the predicates,
+    * mirroring [[bipartiteKnn]]. */
+  def bipartiteKnnLsh(k: Int, dim: Int, nPlanes: Int, nTables: Int,
+      posPred: String, negPred: String): String = {
+    val n2 = dotTerms("embedding", "embedding", dim)
+    val dotQY = dotTerms("q.v", "y.v", dim)
+    val mask = (1L << nPlanes) - 1
+    val anyTable = (0 until nTables).map { t =>
+      s"((q.bits >> ${t * nPlanes}) & $mask) = ((y.bits >> ${t * nPlanes}) & $mask)"
+    }.mkString(" OR ")
+    s"""WITH n AS (SELECT vec_id AS id, label, embedding AS v, ($n2) AS n2,
+       |             ${srpBits("embedding", dim, nPlanes * nTables)} AS bits
+       |           FROM embeddings),
+       |c AS (SELECT q.id AS query_id, y.id AS cand_id,
+       |        ($dotQY) / (sqrt(q.n2) * sqrt(y.n2)) AS score
+       |      FROM (SELECT * FROM n WHERE $posPred) q
+       |      JOIN (SELECT * FROM n WHERE $negPred) y ON ($anyTable))
+       |SELECT query_id, cand_id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cand_id ASC) AS rank
+       |FROM c QUALIFY rank <= $k""".stripMargin
   }
 
   /** Left-associated squared-L2 terms between two vector SQL expressions

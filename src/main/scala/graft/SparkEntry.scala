@@ -2232,6 +2232,21 @@ object SparkEntry {
         LookupConfig("customer", "user_id", "c_custkey", "c_mktsegment",
           outputField = Some("segment")))),
 
+    // Bipartite LSH hard negatives (q276) — q140's scale face, named by
+    // the round-11 100× sweep: the exact batch join scores
+    // |pos|×|neg| = 2 G dot products at 200 K vectors (20×/decade, the
+    // worst runnable sweep row family) and now refuses there; this
+    // buckets both sides under the corpus-count-sized SRP index so
+    // per-query candidate work stays ≈ targetBucket at any scale. At
+    // sf0.01 the auto sizing resolves to the q58 (4, 8) config with the
+    // cap off, so the fixed-width oracle replays the delegation exactly
+    // (the q264 rule).
+    "q276_hard_negatives_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.knnJoinLshBipartiteAuto(e.filter(col("label") >= 5),
+        e.filter(col("label") === 0), k = 3)
+    }),
+
     // Streaming-CDC batch twin (q262): the three verdicts an unbounded
     // stream CAN observe (added/changed/unchanged — `removed` needs
     // absence, a batch-side anti-join at epoch close; documented
@@ -2412,11 +2427,14 @@ object SparkEntry {
 
     // Detector agreement: exact-Jaccard pairs vs SimHash pairs on the
     // same corpus — do the two methods even find the same duplicates?
-    // Jaccard side reads the shared q14 pair-table artifact.
+    // Jaccard side reads the shared q14 pair-table artifact. SimHash
+    // side is the 64-BIT face (q269) since round 11: the 32-bit face's
+    // legacy-width guard rightly refused the 100× sweep's 500 K docs,
+    // and the at-scale pipeline this audit belongs to runs 64-bit.
     "q241_method_agreement" -> ((s, dir) =>
       Dedup.pairSetAgreement(
         Artifacts.jaccardPairs(s, dir),
-        Dedup.simhashPairs(t(s, dir, "documents"))
+        Dedup.simhashPairs64(t(s, dir, "documents"))
           .select("id_a", "id_b"))),
 
     // Dedup impact on diversity: vocabulary and token mass before vs
@@ -2864,6 +2882,9 @@ object SparkEntry {
       weightCol = "n_chars", idCol = "doc_id"),
     "q140_hard_negatives" -> OracleSql.bipartiteKnn(k = 3, dim = 64,
       posPred = "label = 0", negPred = "e.label >= 5"),
+    "q276_hard_negatives_lsh" -> OracleSql.bipartiteKnnLsh(k = 3,
+      dim = 64, nPlanes = 4, nTables = 8,
+      posPred = "label = 0", negPred = "label >= 5"),
     "q141_pq_encode" -> OracleSql.pqEncode(m = 8, ksub = 64, dim = 64),
     "q142_ivfpq_topk" -> OracleSql.ivfPqTopK(queryId = 123, k = 10,
       dim = 64, m = 8, ksub = 64, nlist = 16, nprobe = 8, rerank = 100),

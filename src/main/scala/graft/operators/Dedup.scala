@@ -1598,6 +1598,18 @@ object Dedup {
         (col("n_equal").cast("double") / lit(k.toDouble)).as("est_jaccard"))
   }
 
+  /** AT-SCALE GUARD for [[lengthBandPairs]]: token lengths concentrate,
+    * so every (group, band) cell grows linearly with the corpus and the
+    * emitted pair set — which IS the operator's contract — grows
+    * quadratically. The round-11 100× sweep measured the documents
+    * table at ~2.2 G same-band ordered pairs (500 K docs, 155 cells);
+    * the query was killed by the watchdog at 700 s. Past this many
+    * expected output pairs the call refuses without
+    * `allowLargeOutput = true`: a band this dense needs a second
+    * blocking signal before pairing (the q49 adaptive prefix filter /
+    * q148 dictionary-level resolution), not a bigger cluster. */
+  val BandPairOutputBudget: Long = 200000000L
+
   /**
    * Length-banded blocking join — the generic entity-resolution
    * candidate generator "same language, token counts within d": a
@@ -1607,16 +1619,36 @@ object Dedup {
    * difference in the join condition — so the output EQUALS the naive
    * all-pairs filter while the join stays an equi-join on (lang,
    * bucket) keys, never a cross product.
+   *
+   * EAGER at call time unless `allowLargeOutput = true`: the guard runs
+   * one bounded aggregation over the (group, band) count table (≤ one
+   * corpus scan; the table itself is catalog-sized) and refuses past
+   * [[BandPairOutputBudget]] expected same-band pairs — the output is
+   * the cost here, so the budget is ON the output.
    */
   def lengthBandPairs(docs: DataFrame, d: Int = 2,
       groupCol: String = "lang", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", allowLargeOutput: Boolean = false,
+      outputBudget: Long = BandPairOutputBudget): DataFrame = {
     require(d >= 0, s"d=$d must be >= 0")
     val width = d + 1L
     val base = graft.SparkUtil.ensureParallelism(docs)
       .select(col(idCol).as("id"), col(groupCol).as("g"),
         size(tokens(col(textCol))).cast("long").as("len"))
       .withColumn("b", expr(s"len div $width"))
+    if (!allowLargeOutput) {
+      // SUM over zero rows is SQL NULL (an empty corpus must pass, not NPE)
+      val row = base.groupBy(col("g"), col("b")).count()
+        .agg(sum(col("count") * (col("count") - 1L))).head()
+      val expected = if (row.isNullAt(0)) 0L else row.getLong(0)
+      require(expected <= outputBudget,
+        s"lengthBandPairs(d=$d) would emit ~$expected same-band pairs " +
+          s"(> $outputBudget) on this corpus: length bands " +
+          "concentrate, so the pair OUTPUT grows quadratically with the " +
+          "corpus. Narrow the blocking (a second signal: q49 adaptive " +
+          "prefix filter, q148 dictionary-level resolution), or pass " +
+          "allowLargeOutput=true to knowingly emit the full pair set.")
+    }
     val probe = base.select(col("id"), col("g"), col("len"),
       explode(array(col("b"), col("b") + 1L)).as("pb"))
     probe.as("x").join(base.as("y"),

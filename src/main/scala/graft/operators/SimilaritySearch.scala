@@ -389,12 +389,37 @@ object SimilaritySearch {
    * query, so the shuffle carries ≤ k·|queries| rows per task no matter
    * the corpus size. The right operator while the batch side fits a
    * broadcast (eval sets, codebooks, probe sets); for corpus×corpus
-   * scale use [[cosineNearDupPairsLsh]].
+   * scale use [[cosineNearDupPairsLsh]] / [[knnJoinLshBipartiteAuto]].
+   *
+   * AT-SCALE GUARD (the q18 rule on the bipartite face, named by the
+   * round-11 100× sweep): when BOTH sides grow with the corpus — q140's
+   * hard-negative mining scores every positive against every negative —
+   * the |corpus|×|queries| scored-row volume is quadratic (measured
+   * 303 s at 20 K × 100 K = 2 G dot products, 20×/decade). Past
+   * [[BruteForcePairGuardCutoff]]² products the call refuses without
+   * `allowBruteForce = true` and points at [[knnJoinLshBipartiteAuto]].
+   * The two guard counts run eagerly at plan-construction time
+   * (parquet-metadata cheap); `corpusHint`/`queryHint >= 0` supply
+   * caller-held counts instead.
    */
   def knnJoin(df: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "vec_id", dim: Int = 64): DataFrame = {
+      queryIdCol: String = "vec_id", dim: Int = 64,
+      allowBruteForce: Boolean = false, corpusHint: Long = -1L,
+      queryHint: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    if (!allowBruteForce) {
+      val cn = if (corpusHint >= 0) corpusHint else df.count()
+      val qn = if (queryHint >= 0) queryHint else queries.count()
+      val budget = BruteForcePairGuardCutoff * BruteForcePairGuardCutoff
+      require(cn * qn <= budget,
+        s"knnJoin scores every query against every corpus row: at " +
+          s"|corpus|=$cn x |queries|=$qn that is ${cn * qn} exact cosine " +
+          s"comparisons (> $budget) and grows quadratically when both sides " +
+          "grow with the corpus. Use knnJoinLshBipartiteAuto (LSH-bucketed " +
+          "candidates, exact scoring, width sized from the corpus count), " +
+          "or pass allowBruteForce=true to knowingly run the exact batch join.")
+    }
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("__qvec")))
     val w = Window.partitionBy(col("query_id"))
@@ -546,13 +571,39 @@ object SimilaritySearch {
    * q30 query path; the approximation (near-dups straddling a cell
    * boundary are missed) lives in the INDEX, the execution is exact and
    * SQL-replayable.
+   *
+   * AT-SCALE GUARD (the q58/q16 refusal rule, extended here by the
+   * round-11 100× sweep): a FIXED `nlist` means expected cell occupancy
+   * `n / nlist` grows linearly with the corpus and the within-cell
+   * self-join quadratically — measured 138 s at 200 K vectors (12.5 K
+   * occupancy, ~2.5 G in-cell pairs), the worst runnable row of the
+   * full-inventory 100× sweep. Past expected occupancy
+   * [[FixedWidthOccupancyGuardCutoff]] the call refuses without
+   * `allowFixedCells = true`: large corpora should use
+   * [[semanticDedupAuto]], whose SRP sub-split keeps the compare space
+   * ≈ n·targetCell. The guard count is parquet-metadata cheap (and the
+   * centroid collect below is already eager); `nHint >= 0` supplies a
+   * caller-held count instead (the Dedup convention).
    */
   def semanticDedup(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nlist: Int = 16,
-      codebook: Option[Seq[Array[Float]]] = None): DataFrame =
+      codebook: Option[Seq[Array[Float]]] = None,
+      allowFixedCells: Boolean = false, nHint: Long = -1L): DataFrame = {
+    if (!allowFixedCells) {
+      val n = if (nHint >= 0) nHint else df.count()
+      val occ = n / math.max(1, nlist)
+      require(occ <= FixedWidthOccupancyGuardCutoff,
+        s"semanticDedup with fixed nlist=$nlist puts ~$occ vectors in each " +
+          s"cell at n=$n (> $FixedWidthOccupancyGuardCutoff): the within-cell " +
+          "self-join is quadratic in the corpus from here. Use " +
+          "semanticDedupAuto (SRP sub-split sized from the corpus count, " +
+          "linear compare space), or pass allowFixedCells=true to knowingly " +
+          "keep the fixed-cell reference semantics.")
+    }
     semanticDedupImpl(df, threshold, idCol, vecCol, dim, nlist, codebook,
       subPlanes = 0)
+  }
 
   /**
    * [[semanticDedup]] with the cell space sized from the corpus count.
@@ -691,7 +742,7 @@ object SimilaritySearch {
   /** Explode a multi-table SRP bit string into (table, bucket) keys —
     * table t's bucket is bits [t*nPlanes, (t+1)*nPlanes). The bit string
     * is projected once per row; slicing is trivial bit math. */
-  private def srpTableKeys(bits: Column, nPlanes: Int, nTables: Int): Column = {
+  private[graft] def srpTableKeys(bits: Column, nPlanes: Int, nTables: Int): Column = {
     val mask = (1L << nPlanes) - 1
     explode(array((0 until nTables).map(t =>
       struct(lit(t).as("t"),
@@ -862,6 +913,88 @@ object SimilaritySearch {
     // grows with this count), so the delegate must not re-count.
     knnJoinLsh(df, k, idCol, vecCol, dim, nPlanes, nTables,
       bucketCap = lshBucketCapFor(n, targetBucket), allowFixedWidth = true)
+  }
+
+  /**
+   * Bipartite LSH kNN join — [[knnJoin]]'s scale face, named by the
+   * round-11 100× sweep (q140's exact batch join is |corpus|×|queries|
+   * dot products, 20×/decade once both sides grow with the corpus):
+   * corpus and query sides bucket under the SAME deterministic SRP
+   * projection, candidates are (table, bucket) equi-join collisions,
+   * exact cosine scores inside the join, and a per-query rank window
+   * (`WindowGroupLimit`) cuts to k. Like q264, the approximation lives
+   * in the INDEX (queries whose buckets collide with nothing yield no
+   * rows; per-candidate recall at angle θ is `1-(1-p^nPlanes)^nTables`,
+   * p = 1-θ/π) while the output stays deterministic and SQL-replayable.
+   *
+   * Shape notes vs [[knnJoinLsh]]: no self-pair exclusion (the sides
+   * are distinct sets by contract — mirror [[knnJoin]], which scores a
+   * query against every corpus row including an id twin); `bucketCap`
+   * bounds only the CORPUS side of a degenerate bucket (every query
+   * still probes; its competitor pool is capped to pseudorandom
+   * members, the q264 rule).
+   *
+   * EAGER at call time unless `allowFixedWidth = true`: the corpus-side
+   * occupancy guard runs one count job when the plan is built
+   * (`nHint >= 0` supplies a caller-held corpus count).
+   */
+  def knnJoinLshBipartite(df: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id", dim: Int = 64, nPlanes: Int = 4,
+      nTables: Int = 8, bucketCap: Int = Int.MaxValue,
+      allowFixedWidth: Boolean = false, nHint: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
+    require(bucketCap >= 1, s"bucketCap=$bucketCap must be >= 1")
+    if (bucketCap == Int.MaxValue && !allowFixedWidth)
+      requireFixedWidthInBudget(if (nHint >= 0) nHint else df.count(),
+        nPlanes, "knnJoinLshBipartite", "knnJoinLshBipartiteAuto")
+    def side(d: DataFrame, id: String, idOut: String) =
+      graft.SparkUtil.trackCache(graft.SparkUtil.ensureParallelism(d)
+        .select(col(id).as(idOut), col(vecCol).as(s"__v_$idOut"),
+          norm2(col(vecCol), dim).as(s"__n2_$idOut"),
+          lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits")))
+        .select(col(idOut), col(s"__v_$idOut"), col(s"__n2_$idOut"),
+          srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
+    val corpus = side(df, idCol, "cand_id")
+    val qs = side(queries, queryIdCol, "query_id")
+    val candSide = if (bucketCap == Int.MaxValue) corpus else {
+      val cw = Window.partitionBy(col("__tb")).orderBy(
+        graft.functions.TextFunctions.mix32(
+          pmod(col("cand_id"), lit(Sampling.IdFold))),
+        col("cand_id"))
+      corpus.withColumn("__cr", row_number().over(cw))
+        .filter(col("__cr") <= bucketCap).drop("__cr")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    qs.as("q").join(candSide.as("c"), col("q.__tb") === col("c.__tb"))
+      .select(col("q.query_id"), col("c.cand_id"),
+        cosineWithNorms(dot(col("q.__v_query_id"), col("c.__v_cand_id"), dim),
+          col("q.__n2_query_id"), col("c.__n2_cand_id")).as("score"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(max(col("score")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[knnJoinLshBipartite]] with the index width sized from the CORPUS
+    * count ([[lshPlanesFor]]) and the q264 degenerate-bucket cap
+    * ([[lshBucketCapFor]]) — candidate volume per query stays ≈
+    * `targetBucket` at any corpus size. On a corpus small enough that
+    * `minPlanes` binds and the cap is off this is exactly the explicit
+    * fixed-width call (spec-pinned), so a q58-shape oracle covers the
+    * delegation at correctness scale. */
+  def knnJoinLshBipartiteAuto(df: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id", dim: Int = 64,
+      targetBucket: Int = 64, maxTables: Int = 8): DataFrame = {
+    val n = df.count()
+    val (nPlanes, nTables) = lshPlanesFor(n, targetBucket,
+      maxTables = maxTables)
+    knnJoinLshBipartite(df, queries, k, idCol, vecCol, queryIdCol, dim,
+      nPlanes, nTables, bucketCap = lshBucketCapFor(n, targetBucket),
+      allowFixedWidth = true)
   }
 
   /** Effective per-(table, bucket) candidate cap for the auto-sized LSH

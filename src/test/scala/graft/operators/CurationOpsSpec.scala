@@ -235,6 +235,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(banded == naive && banded.nonEmpty)
   }
 
+  test("lengthBandPairs at-scale guard: refuses past the output budget, " +
+      "opt-in and a passing budget construct") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 40 same-lang same-length docs -> 40*39 = 1560 same-band ordered pairs
+    val dense = (1L to 40L).map(i => (i, "en", "a b c")).toDF(
+      "doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lengthBandPairs(dense, d = 2, outputBudget = 1000L)
+    }
+    assert(e.getMessage.contains("allowLargeOutput"))
+    // opt-in emits the full (legitimate) pair set; passing budget is silent
+    assert(Dedup.lengthBandPairs(dense, d = 2, outputBudget = 1000L,
+      allowLargeOutput = true).count() == 40L * 39 / 2)
+    assert(Dedup.lengthBandPairs(dense, d = 2, outputBudget = 2000L)
+      .count() == 40L * 39 / 2)
+  }
+
   test("duplicateNgramCoverage: exact multiset accounting on a hand corpus") {
     val docs = Seq(
       (1L, "en", "a b c d"),   // shingles: abc, bcd

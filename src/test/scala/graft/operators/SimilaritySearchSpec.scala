@@ -887,4 +887,92 @@ class SimilaritySearchSpec extends SparkSpec {
       allowBruteForce = true)
     graft.SparkUtil.unpersistTrackedCaches()
   }
+
+  test("at-scale guard: fixed-cell semanticDedup refuses past the " +
+      "occupancy cutoff without an explicit opt-in") {
+    val n = 2 * (SimilaritySearch.FixedWidthOccupancyGuardCutoff + 1)
+    val big = spark.range(n).select(col("id").as("vec_id"),
+      array((col("id") % 7 + 1).cast("float"),
+        (col("id") % 11 + 1).cast("float")).as("embedding"))
+    // nlist=2 puts ~n/2 vectors in each cell — over the cutoff
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.semanticDedup(big, 0.9, dim = 2, nlist = 2)
+    }
+    assert(e.getMessage.contains("semanticDedupAuto"))
+    // nHint feeds the guard without the count; opt-in constructs
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.semanticDedup(big, 0.9, dim = 2, nlist = 2, nHint = n)
+    }
+    SimilaritySearch.semanticDedup(big, 0.9, dim = 2, nlist = 2,
+      allowFixedCells = true)
+    // the auto face takes the same corpus without ceremony
+    SimilaritySearch.semanticDedupAuto(big, 0.9, dim = 2, nlist = 2)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("at-scale guard: exact bipartite knnJoin refuses past the " +
+      "corpus x batch product budget without an explicit opt-in") {
+    val cutoff = SimilaritySearch.BruteForcePairGuardCutoff
+    val big = spark.range(2 * cutoff).select(col("id").as("vec_id"),
+      array((col("id") % 7).cast("float"),
+        (col("id") % 11).cast("float")).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.knnJoin(big, big, k = 3, dim = 2)
+    }
+    assert(e.getMessage.contains("knnJoinLshBipartiteAuto"))
+    // hints feed the guard without counts; a bounded batch passes
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.knnJoin(big, big, k = 3, dim = 2,
+        corpusHint = 2 * cutoff, queryHint = 2 * cutoff)
+    }
+    SimilaritySearch.knnJoin(big, big.limit(10), k = 3, dim = 2,
+      corpusHint = 2 * cutoff, queryHint = 10)
+    SimilaritySearch.knnJoin(big, big, k = 3, dim = 2,
+      allowBruteForce = true)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("knnJoinLshBipartite: per-query top-k equals the brute-force cut " +
+      "restricted to SRP bucket collisions; auto face delegates") {
+    val e = emb.filter(col("vec_id") < 60).cache()
+    val corpus = e.filter(col("vec_id") >= 10)
+    val queries = e.filter(col("vec_id") < 10)
+    val k = 3; val nPlanes = 2; val nTables = 3
+    val got = SimilaritySearch.knnJoinLshBipartite(corpus, queries, k,
+        dim = 64, nPlanes = nPlanes, nTables = nTables,
+        allowFixedWidth = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    // reconstruct expected from the exploded (id, table-key) debug view
+    // __tb is the exploded (table, bucket) struct — compare by value string
+    val keys = SimilaritySearch.lshKeyedForDebug(e, nPlanes, nTables)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.get(1).toString).toSet }
+    val vecs = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 10L).flatMap { q =>
+      val cands = (10L until 60L).filter(c =>
+        keys(q).intersect(keys(c)).nonEmpty)
+      cands.map(c => (q, c, cos(vecs(q), vecs(c))))
+        .sortBy { case (_, c, s) => (-s, c) }.take(k).zipWithIndex
+        .map { case ((qq, c, s), i) => (qq, c, s, i + 1) }
+    }.toSet
+    assert(got.toSet == expected)
+    // at this corpus size the auto face IS the explicit (4, 8) call
+    val auto = SimilaritySearch.knnJoinLshBipartiteAuto(corpus, queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = SimilaritySearch.knnJoinLshBipartite(corpus, queries, k,
+        nPlanes = 4, nTables = 8, allowFixedWidth = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
 }
