@@ -968,10 +968,16 @@ object SimilaritySearch {
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
+    // k·nTables pre-cut before the dedup agg — lossless for the final
+    // top-k (each distinct pair appears ≤ nTables times); see the
+    // [[knnJoinLsh]] KnnProbe note: the undeduped-candidate hash agg is
+    // otherwise the dominant stage at scale.
     qs.as("q").join(candSide.as("c"), col("q.__tb") === col("c.__tb"))
       .select(col("q.query_id"), col("c.cand_id"),
         cosineWithNorms(dot(col("q.__v_query_id"), col("c.__v_cand_id"), dim),
           col("q.__n2_query_id"), col("c.__n2_cand_id")).as("score"))
+      .withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= k * nTables).drop("__pr")
       .groupBy(col("query_id"), col("cand_id"))
       .agg(max(col("score")).as("score"))
       .withColumn("rank", row_number().over(w))
@@ -1111,11 +1117,29 @@ object SimilaritySearch {
     // Score inside the bucket equi-join (both vectors are join inputs —
     // codegen'd, never shuffled with the pair), then dedup the
     // per-table occurrences by hash agg on narrow rows.
+    //
+    // PRE-CUT before the dedup agg (round-11, from the KnnProbe stage
+    // table at 200 K vectors): the agg's input is EVERY candidate row
+    // (~199 M) with nearly-unique (query_id, cand_id) keys, so map-side
+    // partials reduce nothing and the global hash agg dominated the
+    // operator at 71–96 s — candidate enumeration was 2.8 s and the
+    // cosine verify 6.8 s. A rank window cut at k·nTables FIRST is
+    // lossless for the final top-k: each distinct pair appears at most
+    // nTables times, so fewer than k·nTables candidate rows can precede
+    // the first copy of any true top-k pair — at least one copy always
+    // survives the cut, and the agg then runs on ≤ k·nTables rows per
+    // query instead of every collision. Spark plans the cut as
+    // WindowGroupLimit (each map task forwards ≤ k·nTables rows per
+    // query) and both windows and the agg share the hash(query_id)
+    // Exchange (HashPartitioning on a subset of the agg keys satisfies
+    // its clustering), so the 199 M-row shuffle disappears outright.
     keyed.as("x").join(candSide.as("y"),
         col("x.__tb") === col("y.__tb") && col("x.id") =!= col("y.id"))
       .select(col("x.id").as("query_id"), col("y.id").as("cand_id"),
         cosineWithNorms(dot(col("x.v"), col("y.v"), dim),
           col("x.n2"), col("y.n2")).as("score"))
+      .withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= k * nTables).drop("__pr")
       .groupBy(col("query_id"), col("cand_id"))
       .agg(max(col("score")).as("score"))
       .withColumn("rank", row_number().over(w))
