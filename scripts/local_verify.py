@@ -109,7 +109,10 @@ def main(sf_dir, out_dir):
             print(f"PASS {name}: {len(mr)} rows")
             n_pass += 1
     skip = f", {n_skip} skipped (no dump)" if n_skip else ""
-    print(f"== {n_pass} pass, {n_fail} fail{skip} ==")
+    # Canonicalization drift across DuckDB releases is unattributable
+    # without this (VERDICT r9/r10 driver ask, applied to our own gate).
+    print(f"== {n_pass} pass, {n_fail} fail{skip} == "
+          f"(duckdb {duckdb.__version__})")
     return 1 if n_fail else 0
 
 

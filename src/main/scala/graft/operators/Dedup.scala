@@ -1632,10 +1632,13 @@ object Dedup {
       outputBudget: Long = BandPairOutputBudget): DataFrame = {
     require(d >= 0, s"d=$d must be >= 0")
     val width = d + 1L
-    val base = graft.SparkUtil.ensureParallelism(docs)
-      .select(col(idCol).as("id"), col(groupCol).as("g"),
-        size(tokens(col(textCol))).cast("long").as("len"))
-      .withColumn("b", expr(s"len div $width"))
+    // cached: the narrow (id, group, len, band) projection feeds the
+    // guard aggregation AND both join sides — one tokenize pass, not 3
+    val base = graft.SparkUtil.trackCache(
+      graft.SparkUtil.ensureParallelism(docs)
+        .select(col(idCol).as("id"), col(groupCol).as("g"),
+          size(tokens(col(textCol))).cast("long").as("len"))
+        .withColumn("b", expr(s"len div $width")))
     if (!allowLargeOutput) {
       // SUM over zero rows is SQL NULL (an empty corpus must pass, not NPE)
       val row = base.groupBy(col("g"), col("b")).count()
