@@ -621,4 +621,32 @@ class PlanContractSpec extends SparkSpec {
           s"single-partition exchange over raw rows:\n${plan(df)}")
     }
   }
+
+  test("LSH kNN pre-cut contract: WindowGroupLimit BEFORE the dedup agg, " +
+      "and the agg reuses the window's hash(query_id) Exchange") {
+    // The round-11 KnnProbe finding: without the k*nTables pre-cut the
+    // (query_id, cand_id) dedup agg shuffles EVERY candidate row
+    // (~199 M at the 100x probe, 71-96 s); with it, the cut runs
+    // map-side (WindowGroupLimit) and the agg is co-partitioned under
+    // the same hash(query_id) Exchange. A refactor that reorders the
+    // agg before the window, or gives the agg its own Exchange on
+    // (query_id, cand_id), silently re-opens the wall.
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    for (df <- Seq(
+        SimilaritySearch.knnJoinLsh(e, k = 5, allowFixedWidth = true),
+        SimilaritySearch.knnJoinLshBipartite(
+          e.filter(col("vec_id") >= 1000), e.filter(col("vec_id") < 1000),
+          k = 5, allowFixedWidth = true))) {
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"), p)
+      // the pair rows shuffle ONCE, on query_id alone (the window's
+      // Exchange, which the agg's clustering reuses); an agg-owned
+      // hashpartitioning(query_id, cand_id) Exchange means the
+      // co-partitioning reuse broke
+      assert("""Exchange hashpartitioning\(query_id#\d+, cand_id#\d+""".r
+        .findFirstIn(p).isEmpty,
+        s"dedup agg grew its own (query_id, cand_id) Exchange:\n$p")
+    }
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
 }
