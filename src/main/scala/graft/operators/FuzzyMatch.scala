@@ -48,19 +48,50 @@ object FuzzyMatch {
     s"array_distinct(concat(${tiers.mkString(", ")}))"
   }
 
+  /** AT-SCALE GUARD for [[pairs]] (the q174/q18 refusal rule; the last
+    * reachable data-quadratic named by the round-11 100× sweep):
+    * duplicate or near-identical strings share EVERY delete key, so a
+    * value that appears c times contributes ~c² candidate collisions
+    * per key — the replicated-name 100× corpus measured ~2.5×10⁸
+    * ordered collisions (222 s); the next decade is hours. The budget
+    * is on Σ c·(c−1) over delete-key groups (computable from ONE
+    * bounded aggregation over the cached keyed table); 5×10⁸ keeps the
+    * measured 100× point runnable and refuses past it. */
+  val FuzzyCandidateBudget: Long = 500000000L
+
   /**
    * All id pairs (id_a < id_b) whose strings are within Levenshtein
    * distance `maxDist`, with the exact distance. Equal to the all-pairs
    * brute force by the blocking guarantee above.
+   *
+   * EAGER at call time unless `allowLargeOutput = true`: the candidate
+   * budget runs one aggregation over the delete-key counts (the keyed
+   * table is cached and reused by both join sides). DICTIONARY-level by
+   * contract — on duplicate-heavy raw rows the budget refuses and
+   * points at [[resolveEntities]] (distinct values + closure).
    */
   def pairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, allowLargeOutput: Boolean = false,
+      candidateBudget: Long = FuzzyCandidateBudget): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist=$maxDist must be 1 or 2 (keys grow as n^maxDist)")
     val names = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .where(col("__s").isNotNull)
-    val keyed = names.select(col("__id"),
-      explode(expr(deleteKeys("__s", maxDist))).as("__k"))
+    val keyed = graft.SparkUtil.trackCache(names.select(col("__id"),
+      explode(expr(deleteKeys("__s", maxDist))).as("__k")))
+    if (!allowLargeOutput) {
+      // SUM over zero rows is SQL NULL (an empty input must pass)
+      val row = keyed.groupBy(col("__k")).count()
+        .agg(sum(col("count") * (col("count") - 1L))).head()
+      val expected = if (row.isNullAt(0)) 0L else row.getLong(0)
+      require(expected <= candidateBudget,
+        s"fuzzy pairs(maxDist=$maxDist) would probe ~$expected delete-key " +
+          s"candidate collisions (> $candidateBudget) on this input: " +
+          "duplicate-heavy values share every blocking key, so candidates " +
+          "grow quadratically. Run the operator on the DISTINCT value " +
+          "dictionary (resolveEntities — the documented contract), or pass " +
+          "allowLargeOutput=true to knowingly probe the full candidate set.")
+    }
     // candidates on bare id pairs: dedupe BEFORE strings rejoin so the
     // shuffle carries two ids per candidate, not two strings
     val cand = keyed.as("a")

@@ -66,6 +66,33 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(out("zzz unrelated") == "zzz unrelated")
   }
 
+  test("fuzzy pairs at-scale guard: refuses duplicate-heavy input past " +
+      "the candidate budget; opt-in, passing budget, and the " +
+      "dictionary-level face all construct") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 30 copies of one name: every copy shares every delete key ->
+    // >= 30*29 ordered collisions on the identity key alone
+    val dupes = (1L to 30L).map(i => (i, "acme corp")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyMatch.pairs(dupes, "id", "name", maxDist = 1,
+        candidateBudget = 500L)
+    }
+    assert(e.getMessage.contains("resolveEntities"))
+    // opt-in emits the full (legitimate) pair set
+    assert(FuzzyMatch.pairs(dupes, "id", "name", maxDist = 1,
+      candidateBudget = 500L, allowLargeOutput = true)
+      .count() == 30L * 29 / 2)
+    // a budget that fits is silent
+    FuzzyMatch.pairs(dupes, "id", "name", maxDist = 1,
+      candidateBudget = 500000L)
+    // the documented contract passes naturally: distinct values first
+    val resolved = FuzzyMatch.resolveEntities(dupes, "name", maxDist = 1)
+      .collect()
+    assert(resolved.length == 1 && resolved.head.getString(1) == "acme corp")
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("connected components over string ids converges exactly (ER path)") {
     val spark0 = spark
     import spark0.implicits._
