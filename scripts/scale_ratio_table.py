@@ -81,12 +81,20 @@ def main(base_path, probe_path, md=False, decades=1):
         print(f"PROBE FAILURES: {probe['failed']}")
 
 
+USAGE = ("usage: scale_ratio_table.py BASE.json PROBE.json"
+         " [--md] [--decades N]")
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     decades = 1
     if "--decades" in argv:
         i = argv.index("--decades")
-        decades = int(argv[i + 1])
+        try:
+            decades = int(argv[i + 1])
+        except (IndexError, ValueError):
+            sys.exit(f"{USAGE}\n--decades needs an integer value")
         del argv[i:i + 2]
     args = [a for a in argv if a != "--md"]
+    if len(args) < 2:
+        sys.exit(USAGE)
     main(args[0], args[1], md="--md" in argv, decades=decades)

@@ -94,4 +94,15 @@ object Artifacts {
       operators.SimilaritySearch.knnJoinLshAuto(
         Tables.load(s, dir, "embeddings"), k = 5)
     }
+
+  /** Every shared artifact for `dir`, keyed for bench pricing: the bench
+    * builds (and TIMES) each one up front, so the build cost is a
+    * first-class ledger line instead of a surprise folded into whichever
+    * consumer touches the memo first (VERDICT r11 #3). Each thunk is the
+    * normal memoized accessor — calling it both prices the build and
+    * warms the memo for every consumer in the same sweep. */
+  def all(s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = Seq(
+    ("jacc06_pairs", () => jaccardPairsWithSim(s, dir)),
+    ("lsh_pairs", () => lshPairs(s, dir)),
+    ("knn5lsh_graph", () => knnGraphLsh(s, dir)))
 }

@@ -60,9 +60,16 @@ object Bench {
     // an unknown state — continuing would silently corrupt every number
     // after it, so fatals kill the run instead of being reported as a
     // per-query failure.
+    // Monotonic per-invocation sequence in the job-group id: with a
+    // name-only group, a watchdog that wins the race against its own
+    // finally-interrupt (query finishing at ~the timeout boundary) could
+    // cancel the NEXT sample of the same query — same group name — and
+    // record a spurious FAILED measurement (ADVICE r11).
+    val invocation = new java.util.concurrent.atomic.AtomicLong()
     def time(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
+      val group = s"bench-$name-${invocation.incrementAndGet()}"
       // setJobGroup is driver-thread-local, so the group also covers any
       // eager plan-construction jobs (guard counts, codebook collects).
       val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -71,12 +78,12 @@ object Bench {
           try {
             Thread.sleep(secs * 1000)
             fired.set(true)
-            spark.sparkContext.cancelJobGroup(s"bench-$name")
+            spark.sparkContext.cancelJobGroup(group)
           } catch { case _: InterruptedException => }
         }, s"bench-watchdog-$name")
         th.setDaemon(true); th.start(); th
       }
-      spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case NonFatal(e) =>
           val why = if (fired.get) s"TIMEOUT after ${timeoutSec.get}s" else "FAILED"
@@ -111,9 +118,10 @@ object Bench {
       case None       => SparkEntry.queries
     }
     def sample(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] = {
-      if (warmup) time(name, fn) // warmup: codegen + JIT + footer cache
-      val samples = (1 to runs).flatMap { _ => reset(); time(name, fn) }
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        nRuns: Int = runs, doWarmup: Boolean = warmup): Seq[Double] = {
+      if (doWarmup) time(name, fn) // warmup: codegen + JIT + footer cache
+      val samples = (1 to nRuns).flatMap { _ => reset(); time(name, fn) }
       // Between queries: force a GC so the ContextCleaner reaps dead
       // broadcasts and shuffle state. Without it, a multi-hundred-query
       // run on a large heap almost never GCs, the single JVM accumulates
@@ -123,6 +131,28 @@ object Bench {
       reset(); System.gc()
       samples.sorted
     }
+    // Price the shared-artifact builds as their OWN rows (VERDICT r11 #3):
+    // the kNN-graph / pair-table consumers (q137/q221/q234, the cluster
+    // and graph family) bench as artifact-amortized scans of a memoized
+    // parquet file, which hid a q264-sized build cost on whichever query
+    // touched the artifact first (q111 read as 200.6 s in the r11 100×
+    // sweep for exactly this reason). Building — and timing — each
+    // artifact up front makes every consumer uniformly amortized and the
+    // build cost a first-class line in bench.json. Skipped under a query
+    // filter (focused re-measures should not pay three builds).
+    // SPARK_GRAFT_BENCH_ARTIFACTS=1 forces pricing under a filter too —
+    // the scale sweeps run a filtered heavy set but still want the
+    // artifact builds on the ledger.
+    val priceArtifacts = only.isEmpty ||
+      sys.env.get("SPARK_GRAFT_BENCH_ARTIFACTS").contains("1")
+    val artifactTimes: Seq[(String, Double)] =
+      if (!priceArtifacts) Seq.empty
+      else Artifacts.all(spark, sfDir).map { case (key, build) =>
+        val t = time(s"artifact_$key", (_, _) => build()).getOrElse(-1.0)
+        System.err.println(f"bench artifact $key: $t%.2f s")
+        reset(); System.gc()
+        key -> t
+      }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load = loadavg()
       (name, fn, sample(name, fn), load)
@@ -146,6 +176,23 @@ object Bench {
         if (s2.nonEmpty) (name, s2, load2, true) else (name, s, load, true)
       }
     }
+    // Warm re-measurement pass (VERDICT r11 #4): a no-warmup single-sample
+    // sweep (WARMUP=0, RUNS=1 — the scale-probe configuration) overstates
+    // a machinery family's FIRST query 3-15× (JIT-cold coda, BASELINE.md:
+    // q14 183 s fresh-JVM vs 13.4 s warm median). With
+    // SPARK_GRAFT_BENCH_WARM_RERUN_SEC=<thr> set, every query whose sweep
+    // median is >= thr is re-run warm (median of 3, same JVM — codegen
+    // and JIT now hot, data caches still reset per sample) and BOTH
+    // columns ship in the JSON, so sweep adjudication needs no manual
+    // re-measure pass.
+    val warmRerunSec = sys.env.get("SPARK_GRAFT_BENCH_WARM_RERUN_SEC").map(_.toDouble)
+    val warm: Seq[(String, Seq[Double])] = warmRerunSec match {
+      case None => Seq.empty
+      case Some(thr) => results.collect {
+        case (name, s, _, _) if s.nonEmpty && s(s.size / 2) >= thr =>
+          name -> sample(name, selected(name), nRuns = 3, doWarmup = false)
+      }
+    }
     def fmt(d: Double) = f"$d%.4f"
     val qs = results.map { case (k, s, _, _) =>
       val v = if (s.isEmpty) -1.0 else s(s.size / 2)
@@ -164,7 +211,17 @@ object Bench {
     val failed = results.collect { case (k, s, _, _) if s.isEmpty => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, s, _, _) if s.nonEmpty => s(s.size / 2) }.sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread_min_max":$spread,"loadavg":$loads,"rerun_wide_spread":$reruns,"runs_per_query":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    // Artifact builds are their own ledger line, NOT folded into the
+    // query total (which stays comparable round-over-round); warm medians
+    // are a second column next to the sweep numbers, never a replacement.
+    val artifacts = artifactTimes.map { case (k, t) =>
+      s"\"" + k + "\":" + fmt(t)
+    }.mkString("{", ",", "}")
+    val artifactsTotal = artifactTimes.collect { case (_, t) if t >= 0 => t }.sum
+    val warmJson = warm.collect { case (k, s) if s.nonEmpty =>
+      s"\"" + k + "\":" + fmt(s(s.size / 2))
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread_min_max":$spread,"loadavg":$loads,"rerun_wide_spread":$reruns,"runs_per_query":$runs,"failed":$failed,"artifacts":$artifacts,"artifacts_total":${fmt(artifactsTotal)},"warm":$warmJson,"sf":"$sfDir"}"""
     // Persist the FULL per-query artifact to a file: the driver's stdout
     // capture keeps only a ~2 KB tail, which has truncated the inline
     // JSON mid-object in three rounds now (BENCH_r03/r08/r09 all shipped
@@ -189,7 +246,7 @@ object Bench {
     val byCost = results.filter(_._2.nonEmpty)
       .sortBy { case (_, s, _, _) => -s(s.size / 2) }
     val budget = 1500
-    val head = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"queries_n":${results.size},"failed":$failed,"detail":"$fileName","top_queries":{"""
+    val head = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","artifacts_total":${fmt2(artifactsTotal)},"sf":"$sfDir","runs_per_query":$runs,"queries_n":${results.size},"failed":$failed,"detail":"$fileName","top_queries":{"""
     val tailStr = "}}"
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + tailStr.length

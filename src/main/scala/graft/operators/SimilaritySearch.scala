@@ -355,7 +355,9 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, allowBruteForce: Boolean = false,
       nHint: Long = -1L): DataFrame = {
-    if (!allowBruteForce) {
+    if (!allowBruteForce &&
+        !(nHint < 0 &&
+          graft.SparkUtil.cheapCountAtMost(df, BruteForcePairGuardCutoff))) {
       val n = if (nHint >= 0) nHint else df.count()
       require(n <= BruteForcePairGuardCutoff,
         s"cosineNearDupPairs is an n(n-1)/2 brute-force self-join: at n=$n (> " +
@@ -409,16 +411,30 @@ object SimilaritySearch {
       queryHint: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (!allowBruteForce) {
-      val cn = if (corpusHint >= 0) corpusHint else df.count()
-      val qn = if (queryHint >= 0) queryHint else queries.count()
       val budget = BruteForcePairGuardCutoff * BruteForcePairGuardCutoff
-      require(cn * qn <= budget,
-        s"knnJoin scores every query against every corpus row: at " +
-          s"|corpus|=$cn x |queries|=$qn that is ${cn * qn} exact cosine " +
-          s"comparisons (> $budget) and grows quadratically when both sides " +
-          "grow with the corpus. Use knnJoinLshBipartiteAuto (LSH-bucketed " +
-          "candidates, exact scoring, width sized from the corpus count), " +
-          "or pass allowBruteForce=true to knowingly run the exact batch join.")
+      // Division-form product checks throughout: `cn * qn` overflows Long
+      // past ~4e9 × ~4e9 rows — exactly the regime this guard exists for —
+      // and a wrapped-negative product would silently PASS the require.
+      def within(c: Long, q: Long): Boolean = c == 0 || q == 0 || c <= budget / q
+      // Short-circuit on cheap upper bounds (caller hints or parquet
+      // footer counts): sound to PASS with (over-counting only tightens
+      // the check), never used to refuse.
+      val cub = if (corpusHint >= 0) Some(corpusHint)
+        else graft.SparkUtil.cheapRowCountUpperBound(df)
+      val qub = if (queryHint >= 0) Some(queryHint)
+        else graft.SparkUtil.cheapRowCountUpperBound(queries)
+      val cheapPass = (for { c <- cub; q <- qub } yield within(c, q)).getOrElse(false)
+      if (!cheapPass) {
+        val cn = if (corpusHint >= 0) corpusHint else df.count()
+        val qn = if (queryHint >= 0) queryHint else queries.count()
+        require(within(cn, qn),
+          s"knnJoin scores every query against every corpus row: at " +
+            s"|corpus|=$cn x |queries|=$qn that is ${BigInt(cn) * BigInt(qn)} exact cosine " +
+            s"comparisons (> $budget) and grows quadratically when both sides " +
+            "grow with the corpus. Use knnJoinLshBipartiteAuto (LSH-bucketed " +
+            "candidates, exact scoring, width sized from the corpus count), " +
+            "or pass allowBruteForce=true to knowingly run the exact batch join.")
+      }
     }
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("__qvec")))
@@ -590,7 +606,11 @@ object SimilaritySearch {
       dim: Int = 64, nlist: Int = 16,
       codebook: Option[Seq[Array[Float]]] = None,
       allowFixedCells: Boolean = false, nHint: Long = -1L): DataFrame = {
-    if (!allowFixedCells) {
+    // occ = n/nlist <= cutoff is implied by n <= cutoff*nlist, so a cheap
+    // footer-count upper bound within that product passes without a job
+    if (!allowFixedCells &&
+        !(nHint < 0 && graft.SparkUtil.cheapCountAtMost(df,
+          FixedWidthOccupancyGuardCutoff * math.max(1, nlist)))) {
       val n = if (nHint >= 0) nHint else df.count()
       val occ = n / math.max(1, nlist)
       require(occ <= FixedWidthOccupancyGuardCutoff,
@@ -947,7 +967,7 @@ object SimilaritySearch {
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     require(bucketCap >= 1, s"bucketCap=$bucketCap must be >= 1")
     if (bucketCap == Int.MaxValue && !allowFixedWidth)
-      requireFixedWidthInBudget(if (nHint >= 0) nHint else df.count(),
+      requireFixedWidthInBudgetDf(df, nHint,
         nPlanes, "knnJoinLshBipartite", "knnJoinLshBipartiteAuto")
     def side(d: DataFrame, id: String, idOut: String) =
       graft.SparkUtil.trackCache(graft.SparkUtil.ensureParallelism(d)
@@ -1039,6 +1059,18 @@ object SimilaritySearch {
     * silently get a quadratic outcome at scale. */
   val FixedWidthOccupancyGuardCutoff: Long = 4096L
 
+  /** Guard short-circuit wrapper: when the caller holds no count, a cheap
+    * parquet-footer upper bound within `cutoff << nPlanes` proves the
+    * occupancy budget cannot bind and skips the exact count job entirely
+    * (round-12; sound to PASS only — refusal always re-counts exactly). */
+  private def requireFixedWidthInBudgetDf(df: DataFrame, nHint: Long,
+      nPlanes: Int, op: String, autoOp: String): Unit = {
+    if (nHint < 0 && graft.SparkUtil.cheapCountAtMost(df,
+        FixedWidthOccupancyGuardCutoff << nPlanes)) return
+    requireFixedWidthInBudget(if (nHint >= 0) nHint else df.count(),
+      nPlanes, op, autoOp)
+  }
+
   private def requireFixedWidthInBudget(n: Long, nPlanes: Int,
       op: String, autoOp: String): Unit = {
     val occ = n >> nPlanes
@@ -1095,7 +1127,7 @@ object SimilaritySearch {
     // UNCAPPED fixed-width call needs the occupancy guard (and its
     // parquet-metadata count).
     if (bucketCap == Int.MaxValue && !allowFixedWidth)
-      requireFixedWidthInBudget(if (nHint >= 0) nHint else df.count(),
+      requireFixedWidthInBudgetDf(df, nHint,
         nPlanes, "knnJoinLsh", "knnJoinLshAuto")
     val base = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(df)
@@ -1171,7 +1203,7 @@ object SimilaritySearch {
       allowFixedWidth: Boolean = false, nHint: Long = -1L): DataFrame = {
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     if (!allowFixedWidth)
-      requireFixedWidthInBudget(if (nHint >= 0) nHint else df.count(),
+      requireFixedWidthInBudgetDf(df, nHint,
         nPlanes, "cosineNearDupPairsLsh", "cosineNearDupPairsLshAuto")
     val base = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(df)
@@ -1250,7 +1282,7 @@ object SimilaritySearch {
     // Occupancy of the STORE side decides per-ingest-row candidate
     // volume — the side that grows with every ingest.
     if (!allowFixedWidth)
-      requireFixedWidthInBudget(if (nHint >= 0) nHint else oldEmb.count(),
+      requireFixedWidthInBudgetDf(oldEmb, nHint,
         nPlanes, "crossCorpusNearDupLsh", "crossCorpusNearDupLshAuto")
     def side(df: DataFrame) = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(df)

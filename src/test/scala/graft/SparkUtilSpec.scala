@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[SparkUtil.cheapRowCountUpperBound]] — the round-12 guard
+  * short-circuit. The contract under test: the bound is a SOUND upper
+  * bound (exact for plain parquet scans, conservative through
+  * row-nonincreasing operators) and UNKNOWN (None) for any plan that can
+  * grow rows — because a guard that short-circuits on an under-count
+  * would silently disarm an at-scale refusal. */
+class SparkUtilSpec extends SparkSpec {
+
+  test("cheapRowCountUpperBound: exact for a plain parquet scan, stable " +
+      "through project/filter/limit/distinct, without running a job") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val exact = docs.count()
+    assert(SparkUtil.cheapRowCountUpperBound(docs).contains(exact))
+    // row-nonincreasing wrappers keep the scan's (upper-bound) count
+    assert(SparkUtil.cheapRowCountUpperBound(
+      docs.select("doc_id").filter(col("doc_id") > 100)).contains(exact))
+    assert(SparkUtil.cheapRowCountUpperBound(
+      docs.limit(5).distinct()).contains(exact))
+    assert(SparkUtil.cheapRowCountUpperBound(
+      docs.repartition(8).orderBy("doc_id")).contains(exact))
+    assert(SparkUtil.cheapCountAtMost(docs, exact))
+    assert(!SparkUtil.cheapCountAtMost(docs, exact - 1))
+  }
+
+  test("cheapRowCountUpperBound: None for row-growing plans (join, " +
+      "explode, union, aggregate keyed differently)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    assert(SparkUtil.cheapRowCountUpperBound(
+      docs.as("a").join(docs.as("b"), col("a.lang") === col("b.lang"))).isEmpty)
+    assert(SparkUtil.cheapRowCountUpperBound(
+      docs.select(explode(split(col("text"), " ")))).isEmpty)
+    assert(SparkUtil.cheapRowCountUpperBound(docs.union(docs)).isEmpty)
+    // a guard must never short-circuit on "don't know"
+    assert(!SparkUtil.cheapCountAtMost(docs.union(docs), Long.MaxValue))
+  }
+
+  test("cheapRowCountUpperBound: LocalRelation rows are counted " +
+      "driver-side (spec fixtures hit the same short-circuit)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val local = (1L to 37L).map(i => (i, s"v$i")).toDF("id", "v")
+    assert(SparkUtil.cheapRowCountUpperBound(local).contains(37L))
+    assert(SparkUtil.cheapRowCountUpperBound(
+      local.filter(col("id") > 30)).contains(37L))
+  }
+}

@@ -253,6 +253,30 @@ class CurationOpsSpec extends SparkSpec {
       .count() == 40L * 39 / 2)
   }
 
+  test("lengthBandPairs guard counts ADJACENT-band pairs: mass straddling " +
+      "a band boundary refuses even when each band alone fits") {
+    val spark0 = spark
+    import spark0.implicits._
+    // d=2 -> band width 3: len 2 lands in band 0, len 3 in band 1, and
+    // |2-3| <= d means every cross-band pair IS emitted. Same-band
+    // ordered estimate alone: 2*20*19 = 760 (would pass 1000); with the
+    // cross term 2*c0*c1 = 800 the estimate is 1560 -> must refuse.
+    val straddle = ((1L to 20L).map(i => (i, "en", "a b")) ++
+      (21L to 40L).map(i => (i, "en", "a b c"))).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lengthBandPairs(straddle, d = 2, outputBudget = 1000L)
+    }
+    assert(e.getMessage.contains("allowLargeOutput"))
+    // ...and the output it was protecting against really is the full
+    // cross product (every pair within d): 40*39/2
+    assert(Dedup.lengthBandPairs(straddle, d = 2, outputBudget = 1000L,
+      allowLargeOutput = true).count() == 40L * 39 / 2)
+    // n(n-1) <= budget short-circuits without any aggregation (sound:
+    // total distinct output can never exceed n(n-1)/2)
+    assert(Dedup.lengthBandPairs(straddle, d = 2, outputBudget = 1600L)
+      .count() == 40L * 39 / 2)
+  }
+
   test("duplicateNgramCoverage: exact multiset accounting on a hand corpus") {
     val docs = Seq(
       (1L, "en", "a b c d"),   // shingles: abc, bcd
