@@ -155,7 +155,13 @@ object Bench {
       }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load = loadavg()
-      (name, fn, sample(name, fn), load)
+      val s = sample(name, fn)
+      // Progress line per query (stderr, like the artifact lines): a
+      // multi-hour scale sweep is otherwise a black box until the final
+      // JSON — mid-sweep walls should be visible while they happen.
+      val med = if (s.isEmpty) -1.0 else s(s.size / 2)
+      System.err.println(f"bench query $name: $med%.2f s (load $load%.1f)")
+      (name, fn, s, load)
     }
     // End-of-sweep outlier re-run: a query whose three samples spread
     // more than 2× (and whose spread is material, > 0.5 s) was probably
