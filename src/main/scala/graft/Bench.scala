@@ -179,6 +179,10 @@ object Bench {
       else {
         val load2 = loadavg()
         val s2 = sample(name, fn)
+        // own stderr tag (ADVICE r12): the re-run REPLACES the first-pass
+        // median in the final JSON, so the log must stay reconcilable
+        val med2 = if (s2.isEmpty) -1.0 else s2(s2.size / 2)
+        System.err.println(f"bench rerun $name: $med2%.2f s (load $load2%.1f)")
         if (s2.nonEmpty) (name, s2, load2, true) else (name, s, load, true)
       }
     }
@@ -196,7 +200,10 @@ object Bench {
       case None => Seq.empty
       case Some(thr) => results.collect {
         case (name, s, _, _) if s.nonEmpty && s(s.size / 2) >= thr =>
-          name -> sample(name, selected(name), nRuns = 3, doWarmup = false)
+          val sw = sample(name, selected(name), nRuns = 3, doWarmup = false)
+          val medw = if (sw.isEmpty) -1.0 else sw(sw.size / 2)
+          System.err.println(f"bench warm $name: $medw%.2f s")
+          name -> sw
       }
     }
     def fmt(d: Double) = f"$d%.4f"

@@ -67,7 +67,9 @@ object SparkUtil {
    * back to the exact count).
    *
    * Sound because the walk only descends through row-NONINCREASING
-   * operators (project/filter/limit/sort/dedup/sample/repartition/hint)
+   * operators (project/filter/limit/sort/dedup/repartition/hint, and
+   * sample only WITHOUT replacement — with replacement a fraction > 1
+   * emits more rows than the child)
    * down to a leaf whose count is driver-readable: parquet footer record
    * counts (the same metadata a `count()` aggregate pushdown would read,
    * but without launching a job) or a LocalRelation's literal rows.
@@ -111,7 +113,9 @@ object SparkUtil {
       case n: Repartition             => walk(n.child)
       case n: RepartitionByExpression => walk(n.child)
       case n: Deduplicate             => walk(n.child)
-      case n: Sample                  => walk(n.child)
+      // with-replacement sampling at fraction > 1 EMITS more rows than its
+      // child — the one Sample shape that is not row-nonincreasing
+      case n: Sample if !n.withReplacement => walk(n.child)
       case n: ResolvedHint            => walk(n.child)
       case n: LocalRelation           => Some(n.data.size.toLong)
       case lr: LogicalRelation => lr.relation match {

@@ -7,6 +7,32 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Number of Spark jobs `body` launches — the assertion behind every
+    * "this guard short-circuit is FREE" claim: a cheap-bound pass must
+    * run ZERO jobs, while the don't-know fallback runs the exact check. */
+  def countJobs(body: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // listener events are async (the bus is private[spark]); wait until
+      // the observed count is stable for 300 ms
+      var prev = -1
+      var settled = 0
+      while (settled < 2) {
+        Thread.sleep(150)
+        val c = jobs.get()
+        if (c == prev) settled += 1 else { settled = 0; prev = c }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    jobs.get()
+  }
 }
 
 object SparkSpec {

@@ -38,6 +38,19 @@ class SparkUtilSpec extends SparkSpec {
     assert(!SparkUtil.cheapCountAtMost(docs.union(docs), Long.MaxValue))
   }
 
+  test("cheapRowCountUpperBound: sample WITHOUT replacement keeps the " +
+      "bound; WITH replacement (fraction > 1 can grow rows) returns None") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val exact = docs.count()
+    assert(SparkUtil.cheapRowCountUpperBound(
+      docs.sample(withReplacement = false, 0.5, seed = 7)).contains(exact))
+    assert(SparkUtil.cheapRowCountUpperBound(
+      docs.sample(withReplacement = true, 2.0, seed = 7)).isEmpty)
+    // ...and therefore a guard can never short-circuit through it
+    assert(!SparkUtil.cheapCountAtMost(
+      docs.sample(withReplacement = true, 2.0, seed = 7), Long.MaxValue))
+  }
+
   test("cheapRowCountUpperBound: LocalRelation rows are counted " +
       "driver-side (spec fixtures hit the same short-circuit)") {
     val spark0 = spark

@@ -93,6 +93,39 @@ class FuzzyMatchSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("fuzzy pairs guard short-circuit: tier-1 pessimistic-Lmax cheap " +
+      "pass runs ZERO jobs at its exact boundary; one under, the narrow " +
+      "agg (tier-2) still passes; refusal is never short-circuited") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 10 distinct strings, Lmax=8, maxDist=1: K(64)=65 pessimistic keys,
+    // so tier-1's bound is n(n-1)*K(64) = 10*9*65 = 5850 exactly.
+    val dict = Seq("red bolt", "old bolt", "old belt", "rd bolt",
+      "bluegear", "gear", "belt", "bolt", "x", "xy")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "name")
+    // at the boundary the LocalRelation count bound passes with NO jobs
+    assert(countJobs {
+      FuzzyMatch.pairs(dict, "id", "name", maxDist = 1,
+        candidateBudget = 5850L)
+    } == 0)
+    // one under: tier-1 fails (90 > 5849/65), tier-2's narrow count+max
+    // agg runs (>= 1 job) and passes with the TRUE Lmax (90*9 = 810)
+    assert(countJobs {
+      FuzzyMatch.pairs(dict, "id", "name", maxDist = 1,
+        candidateBudget = 5849L)
+    } >= 1)
+    // the cheap bounds are sound-to-PASS only: a duplicate-heavy input
+    // whose row count is equally cheaply known still reaches the exact
+    // per-key aggregation and refuses
+    val dupes = (1L to 30L).map(i => (i, "acme corp")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyMatch.pairs(dupes, "id", "name", maxDist = 1,
+        candidateBudget = 500L)
+    }
+    assert(e.getMessage.contains("resolveEntities"))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("connected components over string ids converges exactly (ER path)") {
     val spark0 = spark
     import spark0.implicits._

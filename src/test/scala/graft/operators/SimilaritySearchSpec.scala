@@ -932,6 +932,70 @@ class SimilaritySearchSpec extends SparkSpec {
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
+  test("knnJoin guard short-circuit: cheap bounds on BOTH sides pass " +
+      "with ZERO jobs; the division-form product check refuses " +
+      "overflow-regime hints the old multiply would have wrongly passed") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = (1L to 50L).map(i =>
+      (i, Array((i % 7).toFloat, (i % 11).toFloat))).toDF("vec_id", "embedding")
+    // LocalRelation bounds on corpus AND queries: guard passes job-free
+    assert(countJobs {
+      SimilaritySearch.knnJoin(vecs, vecs.limit(5), k = 3, dim = 2)
+    } == 0)
+    // 4e9 x 4e9 = 1.6e19 wraps a 64-bit product negative — the silent
+    // guard-disarm the round-12 overflow fix closed. The division-form
+    // check must still refuse.
+    val h = 4000000000L
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.knnJoin(vecs, vecs, k = 3, dim = 2,
+        corpusHint = h, queryHint = h)
+    }
+    assert(e.getMessage.contains("knnJoinLshBipartiteAuto"))
+    assert((h * h) < 0L) // the wrap the old `cn * qn <= budget` fell to
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("semanticDedup guard short-circuit: a cheap bound within " +
+      "occupancy x nlist passes with ZERO jobs (given a codebook); a " +
+      "don't-know plan falls back to the exact count and still passes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = (1L to 64L).map(i =>
+      (i, Array((i % 7 + 1).toFloat, (i % 11 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = Some(Seq(Array(1f, 0f), Array(0f, 1f)))
+    assert(countJobs {
+      SimilaritySearch.semanticDedup(vecs, 0.9, dim = 2, nlist = 2,
+        codebook = cb)
+    } == 0)
+    // union is row-growing -> no cheap bound -> the exact count job runs
+    // (and passes: 128 vectors over 2 cells is far inside the cutoff)
+    assert(countJobs {
+      SimilaritySearch.semanticDedup(vecs.union(vecs), 0.9, dim = 2,
+        nlist = 2, codebook = cb)
+    } >= 1)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("fixed-width LSH guard short-circuit: a cheap bound within " +
+      "occupancy << nPlanes passes with ZERO jobs; a don't-know plan " +
+      "falls back to the exact count and still passes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = (1L to 64L).map(i =>
+      (i, Array((i % 7).toFloat, (i % 11).toFloat))).toDF("vec_id", "embedding")
+    assert(countJobs {
+      SimilaritySearch.knnJoinLsh(vecs, k = 3, dim = 2, nPlanes = 1,
+        nTables = 1)
+    } == 0)
+    assert(countJobs {
+      SimilaritySearch.knnJoinLsh(vecs.union(vecs), k = 3, dim = 2,
+        nPlanes = 1, nTables = 1)
+    } >= 1)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
   test("knnJoinLshBipartite: per-query top-k equals the brute-force cut " +
       "restricted to SRP bucket collisions; auto face delegates") {
     val e = emb.filter(col("vec_id") < 60).cache()
