@@ -68,8 +68,8 @@ object SparkUtil {
    *
    * Sound because the walk only descends through row-NONINCREASING
    * operators (project/filter/limit/sort/dedup/repartition/hint, and
-   * sample only WITHOUT replacement — with replacement a fraction > 1
-   * emits more rows than the child)
+   * sample only WITHOUT replacement — with-replacement sampling is
+   * Poisson-based and can emit MORE rows than the child at any fraction)
    * down to a leaf whose count is driver-readable: parquet footer record
    * counts (the same metadata a `count()` aggregate pushdown would read,
    * but without launching a job) or a LocalRelation's literal rows.
@@ -103,18 +103,30 @@ object SparkUtil {
         Some(total)
       } catch { case NonFatal(_) => None }
     }
+    def limitBound(limitExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+        child: LogicalPlan): Option[Long] = limitExpr match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+        Some(math.min(v.toLong, walk(child).getOrElse(Long.MaxValue)))
+      case _ => walk(child)
+    }
     def walk(p: LogicalPlan): Option[Long] = p match {
       case n: Project                 => walk(n.child)
       case n: Filter                  => walk(n.child)
       case n: SubqueryAlias           => walk(n.child)
       case n: Sort                    => walk(n.child)
-      case n: GlobalLimit             => walk(n.child)
-      case n: LocalLimit              => walk(n.child)
+      // a limit node caps rows at the literal limit even when the child's
+      // bound is unknown or huge (e.g. df.limit(5) over a 100 TB scan as a
+      // knnJoin query side): min(limit, child bound) is still sound and
+      // keeps the guard from falling back to an exact count needlessly
+      case n: GlobalLimit             => limitBound(n.limitExpr, n.child)
+      case n: LocalLimit              => limitBound(n.limitExpr, n.child)
       case n: Repartition             => walk(n.child)
       case n: RepartitionByExpression => walk(n.child)
       case n: Deduplicate             => walk(n.child)
-      // with-replacement sampling at fraction > 1 EMITS more rows than its
-      // child — the one Sample shape that is not row-nonincreasing
+      // with-replacement sampling (PoissonSampler) draws a Poisson(fraction)
+      // replication count per input row, so the output can exceed the child
+      // row count at ANY fraction — not just fraction > 1. Every
+      // withReplacement=true shape must return None.
       case n: Sample if !n.withReplacement => walk(n.child)
       case n: ResolvedHint            => walk(n.child)
       case n: LocalRelation           => Some(n.data.size.toLong)

@@ -22,11 +22,15 @@ trait SparkSpec extends AnyFunSuite {
     try {
       body
       // listener events are async (the bus is private[spark]); wait until
-      // the observed count is stable for 300 ms
+      // the observed count is stable for a full second (ADVICE r13: a
+      // 300 ms window let a delivery delay falsely pass an `== 0`
+      // assertion under load), with a hard deadline so a wedged bus
+      // can't hang the suite
       var prev = -1
       var settled = 0
-      while (settled < 2) {
-        Thread.sleep(150)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (settled < 10 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
         val c = jobs.get()
         if (c == prev) settled += 1 else { settled = 0; prev = c }
       }

@@ -19,11 +19,27 @@ class SparkUtilSpec extends SparkSpec {
     assert(SparkUtil.cheapRowCountUpperBound(
       docs.select("doc_id").filter(col("doc_id") > 100)).contains(exact))
     assert(SparkUtil.cheapRowCountUpperBound(
-      docs.limit(5).distinct()).contains(exact))
-    assert(SparkUtil.cheapRowCountUpperBound(
       docs.repartition(8).orderBy("doc_id")).contains(exact))
     assert(SparkUtil.cheapCountAtMost(docs, exact))
     assert(!SparkUtil.cheapCountAtMost(docs, exact - 1))
+  }
+
+  test("cheapRowCountUpperBound: a literal limit CAPS the bound at " +
+      "min(limit, child) — a tiny limit over a huge scan must not force " +
+      "the exact-count fallback (ADVICE r13)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val exact = docs.count()
+    assert(exact > 5)
+    // limit below the scan count: the limit wins
+    assert(SparkUtil.cheapRowCountUpperBound(docs.limit(5)).contains(5L))
+    assert(SparkUtil.cheapRowCountUpperBound(docs.limit(5).distinct()).contains(5L))
+    assert(SparkUtil.cheapCountAtMost(docs.limit(5), 5L))
+    // limit above the scan count: the child's bound wins
+    assert(SparkUtil.cheapRowCountUpperBound(
+      docs.limit(Int.MaxValue)).contains(exact))
+    // a limit whose CHILD is unbounded (join) is still bounded by the limit
+    val joined = docs.as("a").join(docs.as("b"), col("a.lang") === col("b.lang"))
+    assert(SparkUtil.cheapRowCountUpperBound(joined.limit(7)).contains(7L))
   }
 
   test("cheapRowCountUpperBound: None for row-growing plans (join, " +
@@ -39,13 +55,19 @@ class SparkUtilSpec extends SparkSpec {
   }
 
   test("cheapRowCountUpperBound: sample WITHOUT replacement keeps the " +
-      "bound; WITH replacement (fraction > 1 can grow rows) returns None") {
+      "bound; WITH replacement (Poisson — can grow rows at ANY fraction) " +
+      "returns None") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val exact = docs.count()
     assert(SparkUtil.cheapRowCountUpperBound(
       docs.sample(withReplacement = false, 0.5, seed = 7)).contains(exact))
     assert(SparkUtil.cheapRowCountUpperBound(
       docs.sample(withReplacement = true, 2.0, seed = 7)).isEmpty)
+    // fraction <= 1 is NOT a safe with-replacement shape: PoissonSampler
+    // draws a per-row replication count, so the output can exceed the
+    // child even at small fractions
+    assert(SparkUtil.cheapRowCountUpperBound(
+      docs.sample(withReplacement = true, 0.5, seed = 7)).isEmpty)
     // ...and therefore a guard can never short-circuit through it
     assert(!SparkUtil.cheapCountAtMost(
       docs.sample(withReplacement = true, 2.0, seed = 7), Long.MaxValue))

@@ -1,0 +1,82 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Bench
+
+/** The bench's sustained-load self-correction (VERDICT r13 "what's
+  * wrong" #1). The motivating fixture: r13's driver run sampled q49 at
+  * 20.3/24.8/30.5 s under a load burst — 1.5× intra-run spread, so the
+  * wide-spread trigger never fired — while the committed quiet record
+  * said 2.19 s. These specs pin the three pieces the in-run fix is made
+  * of: record parsing, newest-matching-record selection (sf must match,
+  * so a 1000× sweep never compares against an sf0.1 record), and the
+  * 3×-and-material trigger itself. */
+class BenchRecordSpec extends AnyFunSuite {
+
+  private def writeRecord(dir: java.nio.file.Path, name: String, sf: String,
+      queries: (String, Double)*): java.nio.file.Path = {
+    val qs = queries.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val json =
+      s"""{"metric":"total","value":1.0,"unit":"sec","queries":{$qs},"runs_per_query":3,"sf":"$sf"}"""
+    val p = dir.resolve(name)
+    Files.write(p, (json + "\n").getBytes("UTF-8"))
+    p
+  }
+
+  test("readBenchRecord parses sf + per-query medians; malformed/missing → None") {
+    val dir = Files.createTempDirectory("graft_benchrec")
+    val p = writeRecord(dir, "bench_r12_sf01_quiet.json", "/root/testdata/sf0.1",
+      "q49" -> 2.19, "q50" -> 1.19)
+    val parsed = Bench.readBenchRecord(p)
+    assert(parsed.isDefined)
+    val (sf, qs) = parsed.get
+    assert(sf == "/root/testdata/sf0.1")
+    assert(qs("q49") == 2.19 && qs("q50") == 1.19)
+    // missing file and non-JSON content both degrade to None, never throw
+    assert(Bench.readBenchRecord(dir.resolve("nope.json")).isEmpty)
+    val bad = dir.resolve("bench_r1_bad.json")
+    Files.write(bad, "not json".getBytes("UTF-8"))
+    assert(Bench.readBenchRecord(bad).isEmpty)
+  }
+
+  test("latestMatchingRecord picks the highest round WITH a matching sf — " +
+      "a newer record at a different scale is skipped, not mismatched") {
+    val dir = Files.createTempDirectory("graft_benchrec")
+    writeRecord(dir, "bench_r10_sf01_final.json", "/root/testdata/sf0.1",
+      "q1" -> 1.0)
+    writeRecord(dir, "bench_r12_sf01_quiet.json", "/root/testdata/sf0.1",
+      "q1" -> 2.0)
+    // round 13 ran at a different sf: must not be selected for sf0.1
+    writeRecord(dir, "bench_r13_1000x_sweep.json", "target/sfprobe/sf1000rg",
+      "q1" -> 99.0)
+    val hit = Bench.latestMatchingRecord(dir, "/root/testdata/sf0.1")
+    assert(hit.isDefined)
+    assert(hit.get._1.getFileName.toString == "bench_r12_sf01_quiet.json")
+    assert(hit.get._2("q1") == 2.0)
+    // no record at this sf at all → None (the pass is simply skipped)
+    assert(Bench.latestMatchingRecord(dir, "/root/testdata/sf9.9").isEmpty)
+    // nonexistent records dir → None
+    assert(Bench.latestMatchingRecord(dir.resolve("absent"), "x").isEmpty)
+  }
+
+  test("sustainedLoadSuspect: fires only above 3x AND a material (0.5 s) " +
+      "excess — the r13 q49 fixture trips it, noise-band movement does not") {
+    // the motivating case: 24.8 s recorded vs 2.19 s quiet
+    assert(Bench.sustainedLoadSuspect(median = 24.8, quiet = 2.19))
+    // exactly 3x is NOT suspect (strict >); exact-binary values so the
+    // boundary is tested as written, not through rounding
+    assert(!Bench.sustainedLoadSuspect(median = 6.0, quiet = 2.0))
+    assert(Bench.sustainedLoadSuspect(median = 6.5, quiet = 2.0))
+    // above 3x but immaterial in absolute terms (0.10 -> 0.45 s): skip —
+    // re-running every jittery fast query would double a sweep
+    assert(!Bench.sustainedLoadSuspect(median = 0.45, quiet = 0.10))
+    // noise-band movement on a slow query: 2.85 -> 3.01 s (r13 q143)
+    assert(!Bench.sustainedLoadSuspect(median = 3.01, quiet = 2.85))
+    // a query with no quiet value (<= 0 marker) can never be suspect
+    assert(!Bench.sustainedLoadSuspect(median = 100.0, quiet = -1.0))
+    assert(!Bench.sustainedLoadSuspect(median = 100.0, quiet = 0.0))
+  }
+}
