@@ -899,8 +899,14 @@ object SimilaritySearch {
    * Pure function of the counts, so the sizing itself is unit-testable
    * without data.
    */
+  /** Floor of the SRP index width — below it a corpus is at most
+    * `targetBucket · 2^LshMinPlanes` rows, too small for any width to be
+    * quadratic-dangerous, so the auto paths skip occupancy measurement
+    * there (and the sf0.01 oracle's fixed (4, 8) config binds). */
+  private[graft] val LshMinPlanes: Int = 4
+
   private[graft] def lshPlanesFor(n: Long, targetBucket: Int = 64,
-      minPlanes: Int = 4, maxTables: Int = 8): (Int, Int) = {
+      minPlanes: Int = LshMinPlanes, maxTables: Int = 8): (Int, Int) = {
     require(targetBucket >= 1 && minPlanes >= 1 && maxTables >= 1)
     val want = math.max(1L, n / targetBucket)
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(
@@ -1228,31 +1234,109 @@ object SimilaritySearch {
       .agg(max(col("cosine")).as("cosine"))
   }
 
+  /** Exact candidate-pair count of an SRP index at width (nPlanes,
+    * nTables) over `df`: Σ m·(m−1)/2 across (table, bucket) cells — one
+    * narrow groupBy/agg job, no vectors shuffled. This is the OBSERVED
+    * occupancy, which on clustered real data can be orders of magnitude
+    * above [[lshPlanesFor]]'s isotropy expectation (the round-14 1000×
+    * probe measured 2.8×10¹⁰ candidate pairs at the (15, 4) width whose
+    * isotropic expectation was ~5×10⁸ — per-replica dominant directions
+    * make SRP bits correlate, so buckets concentrate). */
+  private[graft] def measuredLshCandidatePairs(df: DataFrame,
+      vecCol: String, dim: Int, nPlanes: Int, nTables: Int): Long =
+    df.select(srpTableKeys(
+        lshBucket(col(vecCol), dim, nPlanes * nTables), nPlanes, nTables)
+        .as("tb"))
+      .groupBy(col("tb")).agg(count(lit(1)).as("m"))
+      .agg(sum(col("m") * (col("m") - lit(1L))).as("p2"))
+      .head.getAs[Any]("p2") match {
+        case null      => 0L
+        case l: Long   => l / 2
+        case other     => other.toString.toLong / 2
+      }
+
+  /** Width ladder for the occupancy-measured escalation: start at
+    * [[lshPlanesFor]]'s isotropy pick, widen 5 planes at a time up to
+    * the 30-plane clamp, re-fitting nTables into the 63-bit key budget
+    * at each step. Pure function of the starting width (unit-testable). */
+  private[graft] def lshWidthLadder(p0: Int, maxTables: Int): Seq[(Int, Int)] =
+    ((p0 to 30 by 5) :+ 30).distinct
+      .map(p => (p, math.max(1, math.min(maxTables, 63 / p))))
+
   /**
-   * [[cosineNearDupPairsLsh]] with the index width sized from the
-   * corpus count ([[lshPlanesFor]] — the q264 treatment for the PAIR
-   * face of the family): at fixed nPlanes=4 the 16 buckets/table each
-   * hold n/16 vectors, so candidate generation is n²/16 per table —
-   * ~20 G pairs at the round-9 100× probe point (hours; the probe was
-   * killed). Width that grows with n keeps expected occupancy — and
-   * candidates — linear. Unlike the kNN graph there is NO bucketCap
-   * here: a pair op's output in a dense cluster is legitimately m²,
-   * and a cap would drop true near-dup pairs. The recall trade is the
-   * documented LSH contract — per-pair recall at angle θ is
-   * `1-(1-p^nPlanes)^nTables`, p = 1-θ/π, and wider indexes trade
-   * recall on LOW-cosine pairs for linear candidate volume; for the
-   * near-dup regime (cosine → 1, p → 1) recall stays high at any
-   * width. On a corpus small enough that minPlanes binds this is
-   * exactly the explicit call (spec-pinned), so the q41-shape oracle
-   * covers the delegation at correctness scale.
+   * [[cosineNearDupPairsLsh]] with the index width sized from MEASURED
+   * bucket occupancy, not just the corpus count: [[lshPlanesFor]]'s
+   * `ceil(log2(n / targetBucket))` keeps expected occupancy constant
+   * only under isotropy, and real corpora are not isotropic — the
+   * round-14 1000× probe (2 M vectors with per-replica dominant
+   * directions) put ~30 K vectors in single buckets at the count-sized
+   * (15, 4) width, 2.8×10¹⁰ candidate pairs in total, and the fixed
+   * 900 s sweep watchdog killed the query. So past the minPlanes
+   * regime the auto path now (a) measures the exact candidate count at
+   * the count-sized width (one narrow agg job per probe —
+   * [[measuredLshCandidatePairs]]), (b) escalates through
+   * [[lshWidthLadder]] until the measured count fits
+   * `n × maxCandidatesPerVec` (the same 1000× corpus lands at (30, 2):
+   * 2.1×10⁹ candidates, ~1 000/vector), and (c) REFUSES with the
+   * measured numbers if even the 30-plane clamp cannot fit the budget —
+   * at that point the surviving buckets are genuinely dense, the pair
+   * OUTPUT itself is ~the candidate count, and the caller must either
+   * opt in explicitly (cosineNearDupPairsLsh at the widest width,
+   * allowFixedWidth=true) or switch to cluster-representative dedup
+   * (semanticDedupAuto).
+   *
+   * Unlike the kNN graph there is still NO bucketCap: a pair op's
+   * output in a dense cluster is legitimately m², and a cap would drop
+   * true near-dup pairs. The recall trade of widening is the documented
+   * LSH contract — per-pair recall at angle θ is `1-(1-p^nPlanes)
+   * ^nTables`, p = 1-θ/π; wider indexes trade recall on LOW-cosine
+   * pairs for linear candidate volume, while the near-dup regime
+   * (cosine → 1, p → 1) keeps high recall at any width. On a corpus
+   * small enough that minPlanes binds, measurement is skipped (the
+   * corpus is ≤ targetBucket·2^minPlanes rows — no width can be
+   * quadratic-dangerous) and this is exactly the explicit call
+   * (spec-pinned), so the q41-shape oracle covers the delegation at
+   * correctness scale.
    */
+  /** The width decision behind [[cosineNearDupPairsLshAuto]], separated
+    * so specs can assert the CHOSEN width (otherwise invisible inside
+    * the delegated plan). Runs the eager count + measurement jobs. */
+  private[graft] def cosineNearDupPairsLshAutoWidth(df: DataFrame,
+      vecCol: String, dim: Int, targetBucket: Int,
+      maxTables: Int, maxCandidatesPerVec: Int): (Int, Int) = {
+    val n = df.count()
+    val (p0, t0) = lshPlanesFor(n, targetBucket, maxTables = maxTables)
+    if (p0 == LshMinPlanes) return (p0, t0) // minPlanes regime: n is small
+    val budget =
+      if (n > Long.MaxValue / maxCandidatesPerVec) Long.MaxValue
+      else n * maxCandidatesPerVec
+    val ladder = lshWidthLadder(p0, maxTables)
+    var last = 0L
+    ladder.foreach { case (p, t) =>
+      last = measuredLshCandidatePairs(df, vecCol, dim, p, t)
+      if (last <= budget) return (p, t)
+    }
+    val (pw, tw) = ladder.last
+    throw new IllegalArgumentException(
+      s"cosineNearDupPairsLshAuto: measured candidate volume at the " +
+      s"widest index (nPlanes=$pw, nTables=$tw) is $last pairs " +
+      s"(~${last / math.max(1L, n)}/vector) over n=$n vectors — " +
+      s"above the $maxCandidatesPerVec/vector budget even at the " +
+      s"30-plane clamp, so the surviving buckets are genuinely dense " +
+      s"and the pair OUTPUT itself is ~this size. Either call " +
+      s"cosineNearDupPairsLsh(nPlanes=$pw, nTables=$tw, " +
+      s"allowFixedWidth=true) to knowingly produce it, raise " +
+      s"maxCandidatesPerVec, or switch to semanticDedupAuto " +
+      s"(cluster-representative dedup, linear output).")
+  }
+
   def cosineNearDupPairsLshAuto(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, targetBucket: Int = 64,
-      maxTables: Int = 8): DataFrame = {
-    val (nPlanes, nTables) = lshPlanesFor(df.count(), targetBucket,
-      maxTables = maxTables)
-    // allowFixedWidth: the auto sizing IS the occupancy guard.
+      maxTables: Int = 8, maxCandidatesPerVec: Int = 2048): DataFrame = {
+    val (nPlanes, nTables) = cosineNearDupPairsLshAutoWidth(df, vecCol,
+      dim, targetBucket, maxTables, maxCandidatesPerVec)
+    // allowFixedWidth: the measured sizing IS the occupancy guard.
     cosineNearDupPairsLsh(df, threshold, idCol, vecCol, dim, nPlanes,
       nTables, allowFixedWidth = true)
   }
@@ -1305,21 +1389,84 @@ object SimilaritySearch {
       .agg(max(col("cosine")).as("cosine"))
   }
 
+  /** Exact cross-corpus candidate count at width (nPlanes, nTables):
+    * Σ m_new·m_old across shared (table, bucket) cells — a join of two
+    * narrow per-side histograms, no vectors shuffled. The cross-corpus
+    * analog of [[measuredLshCandidatePairs]]. */
+  private[graft] def measuredLshCrossCandidates(newEmb: DataFrame,
+      oldEmb: DataFrame, vecCol: String, dim: Int,
+      nPlanes: Int, nTables: Int): Long = {
+    def hist(df: DataFrame) =
+      df.select(srpTableKeys(
+          lshBucket(col(vecCol), dim, nPlanes * nTables), nPlanes, nTables)
+          .as("tb"))
+        .groupBy(col("tb")).agg(count(lit(1)).as("m"))
+    hist(newEmb).select(col("tb"), col("m").as("mn"))
+      .join(hist(oldEmb).select(col("tb"), col("m").as("mo")), "tb")
+      .agg(sum(col("mn") * col("mo")).as("c"))
+      .head.getAs[Any]("c") match {
+        case null    => 0L
+        case l: Long => l
+        case other   => other.toString.toLong
+      }
+  }
+
   /**
-   * [[crossCorpusNearDupLsh]] with the index width sized from the OLD
-   * (store) side's count — the side that grows with every ingest and
-   * whose bucket occupancy decides candidate volume; the new side is a
-   * bounded daily batch. Same rationale and recall contract as
-   * [[cosineNearDupPairsLshAuto]]; same minPlanes delegation at
-   * correctness scale (spec-pinned).
+   * [[crossCorpusNearDupLsh]] with the index width sized from MEASURED
+   * cross-bucket occupancy — the q265 treatment
+   * ([[cosineNearDupPairsLshAuto]]) applied to the ingest shape. The
+   * count-only sizing keys off the OLD (store) side — the side that
+   * grows with every ingest — but like the pair face it assumes
+   * isotropy; on a store with dominant directions the new batch's
+   * buckets land in the store's hot cells and candidates go quadratic
+   * the same way. Past the minPlanes regime this measures the exact
+   * Σ m_new·m_old at each ladder width (one histogram join per probe),
+   * escalates until it fits `|new| × maxCandidatesPerVec`, and refuses
+   * with the measured numbers if the 30-plane clamp can't — at that
+   * point the collisions are genuinely dense and the caller opts in
+   * explicitly or routes through semanticDedupAuto. Same recall
+   * contract; same minPlanes delegation at correctness scale
+   * (spec-pinned).
    */
+  /** The width decision behind [[crossCorpusNearDupLshAuto]] (see
+    * [[cosineNearDupPairsLshAutoWidth]]). */
+  private[graft] def crossCorpusNearDupLshAutoWidth(newEmb: DataFrame,
+      oldEmb: DataFrame, vecCol: String, dim: Int, targetBucket: Int,
+      maxTables: Int, maxCandidatesPerVec: Int): (Int, Int) = {
+    val (p0, t0) = lshPlanesFor(oldEmb.count(), targetBucket,
+      maxTables = maxTables)
+    if (p0 == LshMinPlanes) return (p0, t0) // minPlanes regime: small store
+    val nNew = newEmb.count()
+    val budget =
+      if (nNew > Long.MaxValue / maxCandidatesPerVec) Long.MaxValue
+      else nNew * maxCandidatesPerVec
+    val ladder = lshWidthLadder(p0, maxTables)
+    var last = 0L
+    ladder.foreach { case (p, t) =>
+      last = measuredLshCrossCandidates(newEmb, oldEmb, vecCol, dim, p, t)
+      if (last <= budget) return (p, t)
+    }
+    val (pw, tw) = ladder.last
+    throw new IllegalArgumentException(
+      s"crossCorpusNearDupLshAuto: measured candidate volume at the " +
+      s"widest index (nPlanes=$pw, nTables=$tw) is $last " +
+      s"(~${last / math.max(1L, nNew)}/new vector, |new|=$nNew) — " +
+      s"above the $maxCandidatesPerVec/vector budget even at the " +
+      s"30-plane clamp: the store's hot buckets are genuinely dense. " +
+      s"Either call crossCorpusNearDupLsh(nPlanes=$pw, nTables=$tw, " +
+      s"allowFixedWidth=true) to knowingly proceed, raise " +
+      s"maxCandidatesPerVec, or dedup the batch against cluster " +
+      s"representatives (semanticDedupAuto) instead.")
+  }
+
   def crossCorpusNearDupLshAuto(newEmb: DataFrame, oldEmb: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int = 64,
-      targetBucket: Int = 64, maxTables: Int = 8): DataFrame = {
-    val (nPlanes, nTables) = lshPlanesFor(oldEmb.count(), targetBucket,
-      maxTables = maxTables)
-    // allowFixedWidth: the auto sizing IS the occupancy guard.
+      targetBucket: Int = 64, maxTables: Int = 8,
+      maxCandidatesPerVec: Int = 2048): DataFrame = {
+    val (nPlanes, nTables) = crossCorpusNearDupLshAutoWidth(newEmb,
+      oldEmb, vecCol, dim, targetBucket, maxTables, maxCandidatesPerVec)
+    // allowFixedWidth: the measured sizing IS the occupancy guard.
     crossCorpusNearDupLsh(newEmb, oldEmb, threshold, idCol, vecCol, dim,
       nPlanes, nTables, allowFixedWidth = true)
   }

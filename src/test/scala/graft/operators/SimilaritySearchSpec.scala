@@ -1039,4 +1039,120 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(auto == fixed)
     graft.SparkUtil.unpersistTrackedCaches()
   }
+
+  // ---- occupancy-measured auto sizing (round 14: the 1000x probe put
+  // ~30K vectors in single SRP buckets at the count-sized width —
+  // isotropy-assumed sizing under-widens on clustered corpora, and the
+  // pair face has no bucketCap by design, so the width itself must
+  // answer to MEASURED occupancy) ----
+
+  test("lshWidthLadder: widens 5 planes per step to the 30-plane clamp, " +
+      "re-fitting tables into the 63-bit key budget") {
+    assert(SimilaritySearch.lshWidthLadder(15, maxTables = 8) ==
+      Seq((15, 4), (20, 3), (25, 2), (30, 2)))
+    assert(SimilaritySearch.lshWidthLadder(5, maxTables = 8) ==
+      Seq((5, 8), (10, 6), (15, 4), (20, 3), (25, 2), (30, 2)))
+    assert(SimilaritySearch.lshWidthLadder(30, maxTables = 8) ==
+      Seq((30, 2)))
+    // p*t never exceeds the 63-bit key budget at any rung
+    SimilaritySearch.lshWidthLadder(4, maxTables = 15)
+      .foreach { case (p, t) => assert(p * t <= 63 && t >= 1) }
+  }
+
+  test("measuredLshCandidatePairs: exact sum of C(m,2) over (table, " +
+      "bucket) cells — identical vectors always share a bucket") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 15 copies of one direction: every table holds them in ONE cell,
+    // so the measured count is exactly nTables * C(15,2)
+    val dup = (1L to 15L).map(i => (i, Array(1.0f, 0.5f, -0.25f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    assert(SimilaritySearch.measuredLshCandidatePairs(
+      dup, "embedding", dim = 4, nPlanes = 4, nTables = 2) == 2L * 105)
+    // empty corpus measures zero (null-sum path)
+    val none = dup.filter(col("vec_id") < 0)
+    assert(SimilaritySearch.measuredLshCandidatePairs(
+      none, "embedding", dim = 4, nPlanes = 4, nTables = 2) == 0L)
+  }
+
+  test("cosineNearDupPairsLshAuto escalates the width until MEASURED " +
+      "candidates fit the budget, and the escalated call runs") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two antipodal clusters of 1024 identical vectors: complementary
+    // bits => exactly two cells per table at ANY width, so measured
+    // candidates are nTables * 2 * C(1024,2) = nTables * 1,047,552 and
+    // only the (25, 2) rung fits budget = 2048 * 1024 = 2,097,152
+    // (the (20, 3) rung measures 3,142,656)
+    val clustered = (1L to 2048L).map { i =>
+      val s = if (i <= 1024) 1.0f else -1.0f
+      (i, Array(s, s * 0.5f, s * -0.25f, s * 2.0f))
+    }.toDF("vec_id", "embedding")
+    assert(SimilaritySearch.cosineNearDupPairsLshAutoWidth(clustered,
+      "embedding", dim = 4, targetBucket = 64, maxTables = 8,
+      maxCandidatesPerVec = 1024) == (25, 2))
+    // and the full operator at that budget produces the cluster pairs
+    // (identical vectors share every bucket at every width, so the
+    // output count is width-invariant: 2 * C(1024,2))
+    val pairs = SimilaritySearch.cosineNearDupPairsLshAuto(clustered,
+      threshold = 0.9, dim = 4, maxCandidatesPerVec = 1024)
+    assert(pairs.count() == 2L * 1024 * 1023 / 2)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("cosineNearDupPairsLshAuto refuses when even the 30-plane clamp " +
+      "leaves measured candidates over budget (genuinely dense corpus), " +
+      "naming the measured volume and the opt-in") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dense = (1L to 2048L).map(i => (i, Array(1.0f, 0.5f, -0.25f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.cosineNearDupPairsLshAuto(dense, threshold = 0.9,
+        dim = 4, maxCandidatesPerVec = 16)
+    }
+    assert(e.getMessage.contains("nPlanes=30"))
+    assert(e.getMessage.contains("allowFixedWidth=true"))
+    assert(e.getMessage.contains("semanticDedupAuto"))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("crossCorpusNearDupLshAuto: measured escalation on a hot store, " +
+      "refusal when the batch's collisions can't fit any width") {
+    val spark0 = spark
+    import spark0.implicits._
+    val v = Array(1.0f, 0.5f, -0.25f, 2.0f)
+    val store = (1L to 2048L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val batch = (10001L to 10004L).map(i => (i, v)).toDF("vec_id", "embedding")
+    // batch always lands in the store's single hot cell: measured =
+    // nTables * 4 * 2048; only the 2-table rungs fit 4 * 4096 = 16384
+    assert(SimilaritySearch.crossCorpusNearDupLshAutoWidth(batch, store,
+      "embedding", dim = 4, targetBucket = 64, maxTables = 8,
+      maxCandidatesPerVec = 4096) == (25, 2))
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.crossCorpusNearDupLshAuto(batch, store,
+        threshold = 0.9, dim = 4, maxCandidatesPerVec = 16)
+    }
+    assert(e.getMessage.contains("nPlanes=30"))
+    assert(e.getMessage.contains("crossCorpusNearDupLsh(nPlanes=30"))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("occupancy measurement is SKIPPED in the minPlanes regime: the " +
+      "width call runs no more jobs than the count it already owes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tiny = (1L to 100L).map(i =>
+      (i, Array((i % 7).toFloat, (i % 11).toFloat, 1.0f, 0.5f)))
+      .toDF("vec_id", "embedding").cache()
+    tiny.count() // materialize so both measured runs see the same plan
+    val countJobsBase = countJobs { tiny.count() }
+    val widthJobs = countJobs {
+      assert(SimilaritySearch.cosineNearDupPairsLshAutoWidth(tiny,
+        "embedding", dim = 4, targetBucket = 64, maxTables = 8,
+        maxCandidatesPerVec = 2048) == (4, 8))
+    }
+    assert(widthJobs == countJobsBase)
+    tiny.unpersist()
+  }
 }
