@@ -80,14 +80,19 @@ object SparkUtil {
   private val footerCounts =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
 
-  def cheapRowCountUpperBound(df: DataFrame): Option[Long] = {
+  def cheapRowCountUpperBound(df: DataFrame): Option[Long] =
+    cheapRowCountUpperBoundPlan(df.queryExecution.analyzed, df.sparkSession)
+
+  private[graft] def cheapRowCountUpperBoundPlan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      spark: org.apache.spark.sql.SparkSession): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import scala.util.control.NonFatal
     def parquetCount(rel: HadoopFsRelation): Option[Long] = {
       if (!rel.fileFormat.getClass.getSimpleName.startsWith("ParquetFileFormat"))
         return None
-      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val conf = spark.sessionState.newHadoopConf()
       try {
         var total = 0L
         rel.location.inputFiles.foreach { f =>
@@ -119,7 +124,12 @@ object SparkUtil {
       // knnJoin query side): min(limit, child bound) is still sound and
       // keeps the guard from falling back to an exact count needlessly
       case n: GlobalLimit             => limitBound(n.limitExpr, n.child)
-      case n: LocalLimit              => limitBound(n.limitExpr, n.child)
+      // LocalLimit caps rows per PARTITION, not globally: its literal is
+      // a total-row bound only under the GlobalLimit the analyzer pairs
+      // it with (the case above, whose min() then walks through here); a
+      // bare LocalLimit contributes nothing, or the guard could
+      // understate a multi-partition plan's rows (ADVICE r14)
+      case n: LocalLimit              => walk(n.child)
       case n: Repartition             => walk(n.child)
       case n: RepartitionByExpression => walk(n.child)
       case n: Deduplicate             => walk(n.child)
@@ -136,7 +146,7 @@ object SparkUtil {
       }
       case _ => None
     }
-    walk(df.queryExecution.analyzed)
+    walk(plan)
   }
 
   /** Guard short-circuit predicate: true iff a cheap sound upper bound on

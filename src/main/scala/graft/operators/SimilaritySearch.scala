@@ -626,7 +626,9 @@ object SimilaritySearch {
   }
 
   /**
-   * [[semanticDedup]] with the cell space sized from the corpus count.
+   * [[semanticDedup]] with the within-cell sub-split width sized from
+   * MEASURED per-cell bucket occupancy — the q265 treatment
+   * ([[cosineNearDupPairsLshAutoWidth]]) applied inside the IVF cell.
    * The SemDeDup ~sqrt(n) nlist recipe was tried first and REJECTED
    * here: the codebook rides the plan as one literal codegen'd
    * `greatest` chain (dim multiply-adds per centroid), so growing
@@ -634,43 +636,148 @@ object SimilaritySearch {
    * past the JIT sweet spot — measured 6× SLOWER than fixed-16 at the
    * 10× probe point with 142 centroids, the assignment dominating the
    * join it was meant to shrink. Instead the codebook stays at q67's
-   * 16 literal centroids (fast, zero-shuffle) and when expected cell
-   * occupancy n/16 exceeds `targetCell`, cells split by an SRP
-   * sub-bucket of `ceil(log2(occ / targetCell))` planes — the q264
-   * width rule applied INSIDE the cell, one codegen'd native
-   * expression, keeping the within-cell compare space ≈ n·targetCell
-   * at any corpus size instead of n²/16. The added approximation
-   * (near-dups straddling a sub-bucket boundary are missed) lives in
-   * the index like the cell boundary itself, and a dense near-dup
-   * cluster — which shares SRP sign bits at any width — stays
-   * together, so dedup RECALL on true clusters is preserved while
-   * uncorrelated cell mass splits. At correctness scale occupancy is
-   * under the target → zero sub-planes → exactly q67's rule, so q67's
-   * oracle covers the delegation (spec-pinned).
+   * 16 literal centroids (fast, zero-shuffle) and cells split by an
+   * SRP sub-bucket whose width answers to the MEASURED within-cell
+   * candidate volume, not to the uniform expectation `n/nlist`: the
+   * round-14 1000× probe proved SRP/IVF occupancy expectations are
+   * fiction on clustered corpora (single buckets held 500× their
+   * isotropic mass — BASELINE.md Adjudication 2), and a hot cell at
+   * 10× the average occupancy makes the within-cell self-join
+   * quadratic in the HOT cell no matter what the average says. So
+   * past the small regime (`n/nlist <= targetCell`, where zero
+   * sub-planes is exactly q67's rule and its oracle covers the
+   * delegation) the width decision ([[semanticDedupAutoSubPlanes]])
+   * measures the per-(cell, sub-bucket) histogram once at the
+   * 30-plane clamp width, replays the ladder against it, escalates
+   * until the measured candidate sum fits `n × maxCandidatesPerVec`,
+   * and REFUSES with the measured numbers when even the clamp cannot
+   * fit — the former silent 12-plane clamp reintroduced super-linear
+   * growth past ~4 M vectors with no refusal (VERDICT r14 #1).
+   *
+   * The added approximation (near-dups straddling a sub-bucket
+   * boundary are missed) lives in the index like the cell boundary
+   * itself, and a dense near-dup cluster — which shares SRP sign bits
+   * at any width — stays together, so dedup RECALL on true clusters
+   * is preserved while uncorrelated cell mass splits.
    */
   def semanticDedupAuto(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, targetCell: Int = 64, nlist: Int = 16): DataFrame = {
-    val occ = df.count() / math.max(1, nlist)
-    val want = math.max(1L, occ / targetCell)
-    val subPlanes = math.min(12,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, want - 1)))
-    semanticDedupImpl(df, threshold, idCol, vecCol, dim, nlist, None,
+      dim: Int = 64, targetCell: Int = 64, nlist: Int = 16,
+      maxCandidatesPerVec: Int = 2048): DataFrame = {
+    val n = df.count()
+    if (n / math.max(1, nlist) <= targetCell)
+      // small regime: zero sub-planes = exactly q67's rule (oracle-
+      // covered delegation); no measurement jobs beyond the count above
+      return semanticDedupImpl(df, threshold, idCol, vecCol, dim, nlist,
+        None, subPlanes = 0)
+    val cents = collectSeedCentroids(df, idCol, vecCol, nlist)
+    val subPlanes = semanticDedupAutoSubPlanes(df, vecCol, dim, targetCell,
+      nlist, cents, n, maxCandidatesPerVec)
+    semanticDedupWithCents(df, threshold, idCol, vecCol, dim, cents,
       subPlanes)
+  }
+
+  /** Sub-split clamp, mirroring [[lshWidthLadder]]'s single-table
+    * 30-plane ceiling: past it the surviving buckets are genuinely
+    * dense and widening buys nothing. */
+  private[graft] val SemanticDedupMaxSubPlanes: Int = 30
+
+  /** Single-table analog of [[lshWidthLadder]] for the within-cell
+    * sub-split: start at the expectation pick, widen 5 planes per step
+    * up to the clamp. Pure function (unit-testable). */
+  private[graft] def semanticDedupSubPlaneLadder(p0: Int): Seq[Int] =
+    ((p0 to SemanticDedupMaxSubPlanes by 5) :+ SemanticDedupMaxSubPlanes)
+      .distinct
+
+  /** Measured within-(cell, sub-bucket) candidate pairs at `subPlanes`,
+    * re-aggregated from the cached (cell, clamp-width bits, m)
+    * histogram: SRP bits are prefix-stable — plane j's weights ignore
+    * nPlanes (spec-pinned) — so masking the low `subPlanes` bits IS
+    * `lshBucket` at that width, and each ladder rung costs one narrow
+    * agg over the histogram, never another corpus scan. */
+  private def measuredWithinCellPairs(hist: DataFrame, subPlanes: Int): Long =
+    hist.groupBy(col("cell"),
+        col("__b").bitwiseAND(lit((1L << subPlanes) - 1)).as("__sb"))
+      .agg(sum(col("m")).as("mm"))
+      .agg(sum(col("mm") * (col("mm") - lit(1L))).as("p2"))
+      .head.getAs[Any]("p2") match {
+        case null    => 0L
+        case l: Long => l / 2
+        case other   => other.toString.toLong / 2
+      }
+
+  /** The sub-split width decision behind [[semanticDedupAuto]],
+    * separated so specs can assert the CHOSEN width (otherwise
+    * invisible inside the delegated plan). One corpus scan builds the
+    * per-(cell, 30-plane sub-bucket) histogram; every rung replays
+    * against the cached histogram ([[measuredWithinCellPairs]]). */
+  private[graft] def semanticDedupAutoSubPlanes(df: DataFrame,
+      vecCol: String, dim: Int, targetCell: Int, nlist: Int,
+      cents: Seq[(Long, Array[Float])], n: Long,
+      maxCandidatesPerVec: Int): Int = {
+    val occ = n / math.max(1, nlist)
+    val want = math.max(1L, occ / targetCell)
+    // the retired uniform-expectation rule survives only as the
+    // ladder's starting rung
+    val p0 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, want - 1))
+    val budget =
+      if (n > Long.MaxValue / maxCandidatesPerVec) Long.MaxValue
+      else n * maxCandidatesPerVec
+    val hist = df.select(cellAssign(col(vecCol), cents, dim).as("cell"),
+        lshBucket(col(vecCol), dim, SemanticDedupMaxSubPlanes).as("__b"))
+      .groupBy(col("cell"), col("__b")).agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var last = 0L
+      semanticDedupSubPlaneLadder(p0).foreach { p =>
+        last = measuredWithinCellPairs(hist, p)
+        if (last <= budget) return p
+      }
+      throw new IllegalArgumentException(
+        s"semanticDedupAuto: measured within-cell candidate volume at " +
+        s"the widest sub-split (subPlanes=$SemanticDedupMaxSubPlanes " +
+        s"over nlist=$nlist cells) is $last pairs " +
+        s"(~${last / math.max(1L, n)}/vector) over n=$n vectors — above " +
+        s"the $maxCandidatesPerVec/vector budget even at the clamp, so " +
+        s"the hot cells hold genuinely dense clusters whose compare " +
+        s"space is inherently quadratic. Either raise " +
+        s"maxCandidatesPerVec to knowingly pay it, pre-collapse exact " +
+        s"duplicates first (Dedup.exact on a content key, or PQ codes " +
+        s"via pqEncode), or call semanticDedup(allowFixedCells=true) " +
+        s"to keep the fixed-cell reference semantics.")
+    } finally hist.unpersist(false)
+  }
+
+  /** The q67 seed codebook: the `nlist` lowest-id vectors, collected
+    * once (bounded driver artifact — nlist × dim floats). */
+  private def collectSeedCentroids(df: DataFrame, idCol: String,
+      vecCol: String, nlist: Int): Seq[(Long, Array[Float])] = {
+    val session = df.sparkSession
+    import session.implicits._
+    val cents = df.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    require(cents.size >= 2,
+      s"semanticDedup needs >= 2 centroids, found ${cents.size}")
+    cents
   }
 
   private def semanticDedupImpl(df: DataFrame, threshold: Double,
       idCol: String, vecCol: String, dim: Int, nlist: Int,
       codebook: Option[Seq[Array[Float]]], subPlanes: Int): DataFrame = {
-    val session = df.sparkSession
-    import session.implicits._
     val cents: Seq[(Long, Array[Float])] = codebook match {
       case Some(cs) => cs.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
-      case None => df.filter(col(idCol) < nlist)
-        .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+      case None => collectSeedCentroids(df, idCol, vecCol, nlist)
     }
-    require(cents.size >= 2, s"semanticDedup needs >= 2 centroids, found ${cents.size}")
+    semanticDedupWithCents(df, threshold, idCol, vecCol, dim, cents,
+      subPlanes)
+  }
+
+  private def semanticDedupWithCents(df: DataFrame, threshold: Double,
+      idCol: String, vecCol: String, dim: Int,
+      cents: Seq[(Long, Array[Float])], subPlanes: Int): DataFrame = {
+    require(cents.size >= 2,
+      s"semanticDedup needs >= 2 centroids, found ${cents.size}")
     val sub = if (subPlanes > 0) lshBucket(col(vecCol), dim, subPlanes)
       else lit(0L)
     val base = graft.SparkUtil.trackCache(
@@ -1244,9 +1351,20 @@ object SimilaritySearch {
     * make SRP bits correlate, so buckets concentrate). */
   private[graft] def measuredLshCandidatePairs(df: DataFrame,
       vecCol: String, dim: Int, nPlanes: Int, nTables: Int): Long =
-    df.select(srpTableKeys(
-        lshBucket(col(vecCol), dim, nPlanes * nTables), nPlanes, nTables)
-        .as("tb"))
+    measuredLshCandidatePairsFromBits(
+      df.select(lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits")),
+      nPlanes, nTables)
+
+  /** [[measuredLshCandidatePairs]] over a precomputed `__bits` SRP
+    * column at width >= nPlanes*nTables: prefix-stable bits (plane j's
+    * weights ignore nPlanes — spec-pinned) make the slices identical,
+    * so the escalation ladder projects the corpus ONCE at the clamp
+    * width and replays every later rung against the cached
+    * single-column frame instead of re-scanning and re-hashing the
+    * vectors per rung (ADVICE r14). */
+  private def measuredLshCandidatePairsFromBits(bits: DataFrame,
+      nPlanes: Int, nTables: Int): Long =
+    bits.select(srpTableKeys(col("__bits"), nPlanes, nTables).as("tb"))
       .groupBy(col("tb")).agg(count(lit(1)).as("m"))
       .agg(sum(col("m") * (col("m") - lit(1L))).as("p2"))
       .head.getAs[Any]("p2") match {
@@ -1263,6 +1381,48 @@ object SimilaritySearch {
     ((p0 to 30 by 5) :+ 30).distinct
       .map(p => (p, math.max(1, math.min(maxTables, 63 / p))))
 
+  /** The width decision behind [[cosineNearDupPairsLshAuto]], separated
+    * so specs can assert the CHOSEN width (otherwise invisible inside
+    * the delegated plan). Runs the eager count + measurement jobs: the
+    * first rung pays its own narrow hash pass; escalation — the rare
+    * path — projects the corpus ONCE at the 63-bit clamp width and
+    * replays later rungs against that cached single-column frame
+    * ([[measuredLshCandidatePairsFromBits]], ADVICE r14). */
+  private[graft] def cosineNearDupPairsLshAutoWidth(df: DataFrame,
+      vecCol: String, dim: Int, targetBucket: Int,
+      maxTables: Int, maxCandidatesPerVec: Int): (Int, Int) = {
+    val n = df.count()
+    val (p0, t0) = lshPlanesFor(n, targetBucket, maxTables = maxTables)
+    if (p0 == LshMinPlanes) return (p0, t0) // minPlanes regime: n is small
+    val budget =
+      if (n > Long.MaxValue / maxCandidatesPerVec) Long.MaxValue
+      else n * maxCandidatesPerVec
+    val ladder = lshWidthLadder(p0, maxTables)
+    var last = measuredLshCandidatePairs(df, vecCol, dim,
+      ladder.head._1, ladder.head._2)
+    if (last <= budget) return ladder.head
+    val bits = df.select(lshBucket(col(vecCol), dim, 63).as("__bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ladder.tail.foreach { case (p, t) =>
+        last = measuredLshCandidatePairsFromBits(bits, p, t)
+        if (last <= budget) return (p, t)
+      }
+    } finally bits.unpersist(false)
+    val (pw, tw) = ladder.last
+    throw new IllegalArgumentException(
+      s"cosineNearDupPairsLshAuto: measured candidate volume at the " +
+      s"widest index (nPlanes=$pw, nTables=$tw) is $last pairs " +
+      s"(~${last / math.max(1L, n)}/vector) over n=$n vectors — " +
+      s"above the $maxCandidatesPerVec/vector budget even at the " +
+      s"30-plane clamp, so the surviving buckets are genuinely dense " +
+      s"and the pair OUTPUT itself is ~this size. Either call " +
+      s"cosineNearDupPairsLsh(nPlanes=$pw, nTables=$tw, " +
+      s"allowFixedWidth=true) to knowingly produce it, raise " +
+      s"maxCandidatesPerVec, or switch to semanticDedupAuto " +
+      s"(cluster-representative dedup, linear output).")
+  }
+
   /**
    * [[cosineNearDupPairsLsh]] with the index width sized from MEASURED
    * bucket occupancy, not just the corpus count: [[lshPlanesFor]]'s
@@ -1272,7 +1432,7 @@ object SimilaritySearch {
    * directions) put ~30 K vectors in single buckets at the count-sized
    * (15, 4) width, 2.8×10¹⁰ candidate pairs in total, and the fixed
    * 900 s sweep watchdog killed the query. So past the minPlanes
-   * regime the auto path now (a) measures the exact candidate count at
+   * regime the auto path (a) measures the exact candidate count at
    * the count-sized width (one narrow agg job per probe —
    * [[measuredLshCandidatePairs]]), (b) escalates through
    * [[lshWidthLadder]] until the measured count fits
@@ -1298,38 +1458,6 @@ object SimilaritySearch {
    * (spec-pinned), so the q41-shape oracle covers the delegation at
    * correctness scale.
    */
-  /** The width decision behind [[cosineNearDupPairsLshAuto]], separated
-    * so specs can assert the CHOSEN width (otherwise invisible inside
-    * the delegated plan). Runs the eager count + measurement jobs. */
-  private[graft] def cosineNearDupPairsLshAutoWidth(df: DataFrame,
-      vecCol: String, dim: Int, targetBucket: Int,
-      maxTables: Int, maxCandidatesPerVec: Int): (Int, Int) = {
-    val n = df.count()
-    val (p0, t0) = lshPlanesFor(n, targetBucket, maxTables = maxTables)
-    if (p0 == LshMinPlanes) return (p0, t0) // minPlanes regime: n is small
-    val budget =
-      if (n > Long.MaxValue / maxCandidatesPerVec) Long.MaxValue
-      else n * maxCandidatesPerVec
-    val ladder = lshWidthLadder(p0, maxTables)
-    var last = 0L
-    ladder.foreach { case (p, t) =>
-      last = measuredLshCandidatePairs(df, vecCol, dim, p, t)
-      if (last <= budget) return (p, t)
-    }
-    val (pw, tw) = ladder.last
-    throw new IllegalArgumentException(
-      s"cosineNearDupPairsLshAuto: measured candidate volume at the " +
-      s"widest index (nPlanes=$pw, nTables=$tw) is $last pairs " +
-      s"(~${last / math.max(1L, n)}/vector) over n=$n vectors — " +
-      s"above the $maxCandidatesPerVec/vector budget even at the " +
-      s"30-plane clamp, so the surviving buckets are genuinely dense " +
-      s"and the pair OUTPUT itself is ~this size. Either call " +
-      s"cosineNearDupPairsLsh(nPlanes=$pw, nTables=$tw, " +
-      s"allowFixedWidth=true) to knowingly produce it, raise " +
-      s"maxCandidatesPerVec, or switch to semanticDedupAuto " +
-      s"(cluster-representative dedup, linear output).")
-  }
-
   def cosineNearDupPairsLshAuto(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, targetBucket: Int = 64,
@@ -1396,13 +1524,22 @@ object SimilaritySearch {
   private[graft] def measuredLshCrossCandidates(newEmb: DataFrame,
       oldEmb: DataFrame, vecCol: String, dim: Int,
       nPlanes: Int, nTables: Int): Long = {
-    def hist(df: DataFrame) =
-      df.select(srpTableKeys(
-          lshBucket(col(vecCol), dim, nPlanes * nTables), nPlanes, nTables)
-          .as("tb"))
+    def bits(df: DataFrame) =
+      df.select(lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits"))
+    measuredLshCrossCandidatesFromBits(bits(newEmb), bits(oldEmb),
+      nPlanes, nTables)
+  }
+
+  /** [[measuredLshCrossCandidates]] over precomputed `__bits` columns —
+    * the prefix-stability replay of [[measuredLshCandidatePairsFromBits]]
+    * for the two-sided histogram join. */
+  private def measuredLshCrossCandidatesFromBits(newBits: DataFrame,
+      oldBits: DataFrame, nPlanes: Int, nTables: Int): Long = {
+    def hist(b: DataFrame) =
+      b.select(srpTableKeys(col("__bits"), nPlanes, nTables).as("tb"))
         .groupBy(col("tb")).agg(count(lit(1)).as("m"))
-    hist(newEmb).select(col("tb"), col("m").as("mn"))
-      .join(hist(oldEmb).select(col("tb"), col("m").as("mo")), "tb")
+    hist(newBits).select(col("tb"), col("m").as("mn"))
+      .join(hist(oldBits).select(col("tb"), col("m").as("mo")), "tb")
       .agg(sum(col("mn") * col("mo")).as("c"))
       .head.getAs[Any]("c") match {
         case null    => 0L
@@ -1441,11 +1578,22 @@ object SimilaritySearch {
       if (nNew > Long.MaxValue / maxCandidatesPerVec) Long.MaxValue
       else nNew * maxCandidatesPerVec
     val ladder = lshWidthLadder(p0, maxTables)
-    var last = 0L
-    ladder.foreach { case (p, t) =>
-      last = measuredLshCrossCandidates(newEmb, oldEmb, vecCol, dim, p, t)
-      if (last <= budget) return (p, t)
-    }
+    var last = measuredLshCrossCandidates(newEmb, oldEmb, vecCol, dim,
+      ladder.head._1, ladder.head._2)
+    if (last <= budget) return ladder.head
+    // escalation replays rungs against one cached 63-plane projection
+    // per side (prefix-stable bits), instead of re-hashing both corpora
+    def bits63(df: DataFrame) =
+      df.select(lshBucket(col(vecCol), dim, 63).as("__bits"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = bits63(newEmb)
+    val ob = bits63(oldEmb)
+    try {
+      ladder.tail.foreach { case (p, t) =>
+        last = measuredLshCrossCandidatesFromBits(nb, ob, p, t)
+        if (last <= budget) return (p, t)
+      }
+    } finally { nb.unpersist(false); ob.unpersist(false) }
     val (pw, tw) = ladder.last
     throw new IllegalArgumentException(
       s"crossCorpusNearDupLshAuto: measured candidate volume at the " +

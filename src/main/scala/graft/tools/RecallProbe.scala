@@ -1,0 +1,143 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilaritySearch
+
+/** Dev probe (VERDICT r14 #2): measured recall of the bucketCap'd
+  * auto-LSH faces against exact brute force. q264/q267/q276 bound hot
+  * corpus-side buckets with [[SimilaritySearch.lshBucketCapFor]] rather
+  * than widening; on the clustered 1000× probe those buckets run ~500×
+  * over the isotropy expectation, so the cap genuinely bites there and
+  * the documented recall contract ("per-candidate recall at angle θ is
+  * 1-(1-p^nPlanes)^nTables") needs a measurement on the real bucket
+  * skew, not an assumption.
+  *
+  * For a deterministic stride sample of query ids it reports, against
+  * exact top-k (excluding the query's own id, ties broken id-asc on
+  * both sides):
+  *   - q264 knnJoinLshAuto graph:       recall@1, recall@k, empty rate
+  *   - q276 knnJoinLshBipartiteAuto:    recall@1, recall@k, empty rate
+  *   - q267 annTopKLshAuto (multiprobe): recall@1, recall@10 on a
+  *     smaller sample (one corpus-index pass per query)
+  *
+  * Filtering the graph to the sampled query ids is per-query exact: the
+  * rank window partitions by query_id and the bucketCap window by
+  * (table, bucket) on the corpus side only, so no sampled query's rows
+  * change when the other queries' rows are pruned.
+  *
+  * Usage: runMain graft.tools.RecallProbe <sfDir> [nQueries] [k] [nAnn]
+  */
+object RecallProbe {
+  private def recallAt(m: Int, exact: Map[Long, Seq[Long]],
+      got: Map[Long, Seq[Long]]): Double = {
+    val per = exact.toSeq.map { case (q, ex) =>
+      val e = ex.take(m).toSet
+      if (e.isEmpty) 1.0
+      else got.getOrElse(q, Seq.empty).take(m).toSet.intersect(e).size.toDouble / e.size
+    }
+    per.sum / math.max(1, per.size)
+  }
+
+  private def toLists(rows: Array[org.apache.spark.sql.Row])
+      : Map[Long, Seq[Long]] =
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+      .map { case (q, xs) => q -> xs.sortBy(_._3).map(_._2).toSeq }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nq = if (args.length > 1) args(1).toInt else 64
+    val k = if (args.length > 2) args(2).toInt else 5
+    val nAnn = if (args.length > 3) args(3).toInt else 8
+    val dim = 64
+    val emb = spark.read.parquet(s"${args(0)}/embeddings.parquet").cache()
+    val n = emb.count()
+    val (nPlanes, nTables) = SimilaritySearch.lshPlanesFor(n, 64, maxTables = 8)
+    val cap = SimilaritySearch.lshBucketCapFor(n, 64)
+    println(s"n=$n width=($nPlanes, $nTables) bucketCap=$cap nq=$nq k=$k")
+
+    val stride = math.max(1L, n / nq)
+    val qids = (0 until nq).map(_ * stride)
+    val queries = emb.filter(col("vec_id").isin(qids: _*)).cache()
+    println(s"queries=${queries.count()} (stride $stride)")
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+    // exact ground truth: brute-force top-(k+1), self dropped, re-ranked
+    val exact = timed("exact knnJoin (brute)") {
+      toLists(SimilaritySearch.knnJoin(emb, queries, k + 1,
+          allowBruteForce = true)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("vec_id").asc)).as("r"))
+        .filter(col("r") <= k).collect())
+    }
+
+    val g264 = timed("q264 graph (filtered)") {
+      toLists(SimilaritySearch.knnJoinLshAuto(emb, k)
+        .filter(col("query_id").isin(qids: _*))
+        .select(col("query_id"), col("cand_id"), col("rank")).collect())
+    }
+    println(f"q264 recall@1=${recallAt(1, exact, g264)}%.4f " +
+      f"recall@$k=${recallAt(k, exact, g264)}%.4f " +
+      f"empty=${qids.count(q => !g264.contains(q))}/${qids.size}")
+
+    val g276 = timed("q276 bipartite") {
+      val out = SimilaritySearch.knnJoinLshBipartite(emb, queries, k + 1,
+        nPlanes = nPlanes, nTables = nTables,
+        bucketCap = cap, allowFixedWidth = true)
+      toLists(out
+        .filter(col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("cand_id").asc)).as("r"))
+        .filter(col("r") <= k).collect())
+    }
+    println(f"q276 recall@1=${recallAt(1, exact, g276)}%.4f " +
+      f"recall@$k=${recallAt(k, exact, g276)}%.4f " +
+      f"empty=${qids.count(q => !g276.contains(q))}/${qids.size}")
+
+    // q267: one corpus-index pass per query — smaller sample
+    val annIds = qids.take(nAnn)
+    val kAnn = 10
+    val g267 = timed(s"q267 ann x${annIds.size}") {
+      annIds.map { q =>
+        val rows = SimilaritySearch.annTopKLshAuto(emb,
+            emb.filter(col("vec_id") === q), kAnn + 1)
+          .filter(col("vec_id") =!= q).collect()
+        q.toLong -> rows.map(_.getLong(0)).toSeq.take(kAnn)
+      }.toMap
+    }
+    val exactAnn = timed("exact for ann sample") {
+      toLists(SimilaritySearch.knnJoin(emb,
+          emb.filter(col("vec_id").isin(annIds: _*)), kAnn + 1,
+          allowBruteForce = true)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("vec_id").asc)).as("r"))
+        .filter(col("r") <= kAnn).collect())
+    }
+    println(f"q267 recall@1=${recallAt(1, exactAnn, g267)}%.4f " +
+      f"recall@$kAnn=${recallAt(kAnn, exactAnn, g267)}%.4f " +
+      f"empty=${annIds.count(q => !g267.contains(q.toLong))}/${annIds.size}")
+    spark.stop()
+  }
+}

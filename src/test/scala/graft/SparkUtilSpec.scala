@@ -42,6 +42,25 @@ class SparkUtilSpec extends SparkSpec {
     assert(SparkUtil.cheapRowCountUpperBound(joined.limit(7)).contains(7L))
   }
 
+  test("cheapRowCountUpperBound: a BARE LocalLimit caps rows per " +
+      "PARTITION, not globally — its literal must not bound the total " +
+      "(ADVICE r14); only the GlobalLimit pairing makes it a row cap") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val exact = docs.count()
+    assert(exact > 5)
+    val child = docs.queryExecution.analyzed
+    // bare LocalLimit(5): on a 32-partition scan the real row count can
+    // be up to 5 * partitions — the walk must fall through to the child
+    assert(SparkUtil.cheapRowCountUpperBoundPlan(
+      LocalLimit(Literal(5), child), spark).contains(exact))
+    // the analyzer's GlobalLimit(LocalLimit(child)) pairing still caps
+    assert(SparkUtil.cheapRowCountUpperBoundPlan(
+      GlobalLimit(Literal(5), LocalLimit(Literal(5), child)),
+      spark).contains(5L))
+  }
+
   test("cheapRowCountUpperBound: None for row-growing plans (join, " +
       "explode, union, aggregate keyed differently)") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")

@@ -1155,4 +1155,178 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(widthJobs == countJobsBase)
     tiny.unpersist()
   }
+
+  // ---- measured within-cell sub-split (round 15: q268 carried the
+  // isotropy assumption the round-14 1000x wall disproved — its
+  // sub-split sized from UNIFORM expected cell occupancy with a silent
+  // 12-plane clamp and no refusal; now the width answers to the
+  // measured per-cell histogram, exactly the q265 treatment applied
+  // inside the IVF cell) ----
+
+  test("SRP bits are prefix-stable: the low p bits of a wider projection " +
+      "ARE lshBucket at p planes — the ladder-replay invariant behind " +
+      "every histogram-once escalation") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = (1L to 64L).map(i => (i, Array.tabulate(4)(d =>
+      math.sin(i * 31.7 + d * 7.3).toFloat))).toDF("vec_id", "embedding")
+    Seq(1, 7, 13, 29).foreach { p =>
+      val mask = (1L << p) - 1
+      val bad = vecs.select(
+        graft.functions.VectorFunctions.lshBucket(col("embedding"), 4, p)
+          .as("narrow"),
+        graft.functions.VectorFunctions.lshBucket(col("embedding"), 4, 30)
+          .bitwiseAND(lit(mask)).as("masked"))
+        .filter(col("narrow") =!= col("masked")).count()
+      assert(bad == 0L, s"prefix instability at p=$p")
+    }
+  }
+
+  test("semanticDedupSubPlaneLadder: expectation start, 5-plane steps, " +
+      "30-plane clamp") {
+    assert(SimilaritySearch.semanticDedupSubPlaneLadder(0) ==
+      Seq(0, 5, 10, 15, 20, 25, 30))
+    assert(SimilaritySearch.semanticDedupSubPlaneLadder(4) ==
+      Seq(4, 9, 14, 19, 24, 29, 30))
+    assert(SimilaritySearch.semanticDedupSubPlaneLadder(30) == Seq(30))
+  }
+
+  // Driver-side replay of the engine's cell/bucket/cosine math — same
+  // ascending-index double accumulation as DotProductF32/SrpBucketF32,
+  // so group keys and scores are bit-identical to the executors'.
+  private def replayDot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def replayCos(a: Array[Float], b: Array[Float]): Double =
+    replayDot(a, b) / (math.sqrt(replayDot(a, a)) * math.sqrt(replayDot(b, b)))
+  private def replayBits(v: Array[Float], planes: Int): Long = {
+    var b = 0L
+    var j = 0
+    while (j < planes) {
+      var proj = 0.0
+      var a = 0
+      while (a < v.length) {
+        proj += v(a).toDouble *
+          graft.functions.VectorFunctions.planeWeight(j, a + 1, v.length).toDouble
+        a += 1
+      }
+      if (proj > 0) b |= 1L << j
+      j += 1
+    }
+    b
+  }
+  // cellAssign ties to the LOWEST cid at equal cosine (greatest over
+  // (cos, -cid) structs), so >= on the lower-cid side mirrors it
+  private def replayCell(v: Array[Float],
+      cents: Seq[Array[Float]]): Long = {
+    var best = 0
+    var i = 1
+    while (i < cents.size) {
+      if (replayCos(v, cents(i)) > replayCos(v, cents(best))) best = i
+      i += 1
+    }
+    best.toLong
+  }
+
+  /** A hot-cell corpus: ids 0/1 are antipodal anchors (the seed
+    * codebook), ids 2..n-1 a noisy cone around the +anchor — nearly all
+    * mass lands in ONE cell, the exact shape the uniform-expectation
+    * rule under-sizes on. Deterministic (index-seeded sin noise). */
+  private def coneCorpus(n: Int, noise: Float): Seq[(Long, Array[Float])] = {
+    val u = Array(1.0f, 0.5f, -0.25f, 2.0f)
+    val anchors = Seq(0L -> u, 1L -> u.map(-_))
+    val cone = (2 until n).map { i =>
+      i.toLong -> Array.tabulate(4)(a =>
+        u(a) + noise * math.sin(i * 12.9898 + a * 78.233).toFloat)
+    }
+    anchors ++ cone
+  }
+
+  test("semanticDedupAutoSubPlanes sizes from the MEASURED per-cell " +
+      "histogram: a hot-cell corpus escalates past the uniform-" +
+      "expectation start, pinned by a driver-side ladder replay") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = coneCorpus(4096, noise = 0.45f)
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = rows.take(2).map { case (i, v) => (i, v) }
+    val n = rows.size.toLong
+    val maxCand = 500
+    val budget = n * maxCand
+    // uniform expectation: occ = 4096/2 = 2048, want = 32 -> p0 = 5
+    val p0 = 5
+    // replay the ladder against a driver-side (cell, bits30) histogram
+    val hist = rows.groupBy { case (_, v) =>
+      (replayCell(v, cents.map(_._2)), replayBits(v, 30))
+    }.map { case (k, vs) => (k, vs.size.toLong) }
+    def measured(p: Int): Long = {
+      val mask = (1L << p) - 1
+      hist.groupBy { case ((cell, b), _) => (cell, b & mask) }
+        .values.map(_.map(_._2).sum).map(m => m * (m - 1) / 2).sum
+    }
+    val ladder = SimilaritySearch.semanticDedupSubPlaneLadder(p0)
+    val expected = ladder.find(p => measured(p) <= budget)
+    // the fixture must genuinely exercise escalation-then-accept: the
+    // expectation rung overflows, a pre-clamp rung fits
+    assert(measured(p0) > budget,
+      s"fixture too diffuse: measured(p0=$p0)=${measured(p0)} <= $budget")
+    assert(expected.exists(p => p > p0 && p < 30),
+      s"fixture does not escalate-and-accept: $expected")
+    val got = SimilaritySearch.semanticDedupAutoSubPlanes(df, "embedding",
+      dim = 4, targetCell = 64, nlist = 2, cents = cents, n = n,
+      maxCandidatesPerVec = maxCand)
+    assert(got == expected.get)
+
+    // and the full operator at that width matches the keep rule replayed
+    // at the SAME (cell, sub-bucket) keys: drop iff a smaller-id
+    // neighbor in the group sits at cosine >= threshold
+    val threshold = 0.9
+    val kept = SimilaritySearch.semanticDedupAuto(df, threshold,
+        dim = 4, targetCell = 64, nlist = 2, maxCandidatesPerVec = maxCand)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val mask = (1L << got) - 1
+    val expectedKept = rows.groupBy { case (_, v) =>
+      (replayCell(v, cents.map(_._2)), replayBits(v, 30) & mask)
+    }.values.flatMap { group =>
+      val sorted = group.sortBy(_._1)
+      sorted.filter { case (id, v) =>
+        !sorted.exists { case (id2, v2) =>
+          id2 < id && replayCos(v2, v) >= threshold
+        }
+      }.map(_._1)
+    }.toSet
+    assert(kept == expectedKept)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("semanticDedupAuto REFUSES at the 30-plane clamp, naming the " +
+      "measured volume: identical vectors never split, so no width can " +
+      "fit a small budget — the silent-clamp hole (VERDICT r14 #1)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dense = (0L until 2048L)
+      .map(i => (i, Array(1.0f, 0.5f, -0.25f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.semanticDedupAuto(dense, threshold = 0.9, dim = 4,
+        nlist = 16, maxCandidatesPerVec = 16)
+    }
+    assert(e.getMessage.contains("subPlanes=30"))
+    assert(e.getMessage.contains((2048L * 2047 / 2).toString))
+    assert(e.getMessage.contains("maxCandidatesPerVec"))
+    assert(e.getMessage.contains("allowFixedCells=true"))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("small regime: semanticDedupAuto delegates to q67's exact rule " +
+      "(zero sub-planes, no measurement) — same rows as semanticDedup") {
+    val e = emb // sf0.01: occupancy ~31/cell, under the 64 target
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids(SimilaritySearch.semanticDedupAuto(e, threshold = 0.4)) ==
+      ids(SimilaritySearch.semanticDedup(e, threshold = 0.4)))
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
 }

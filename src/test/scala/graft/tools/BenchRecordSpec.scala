@@ -62,6 +62,34 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(Bench.latestMatchingRecord(dir.resolve("absent"), "x").isEmpty)
   }
 
+  test("latestMatchingRecord breaks same-round ties toward the QUIETEST " +
+      "record (lowest median sum), not Files.list order — a loaded sweep " +
+      "record cannot displace its own quiet re-measure") {
+    val dir = Files.createTempDirectory("graft_benchrec")
+    // same round, same sf: the 1000x-sweep-under-load shape (r14 records)
+    writeRecord(dir, "bench_r14_1000x_sweep.json", "target/sfprobe/sf1000rg",
+      "q86" -> 809.0, "q113" -> 455.5)
+    writeRecord(dir, "bench_r14_1000x_quiet113.json", "target/sfprobe/sf1000rg",
+      "q86" -> 524.0, "q113" -> 343.7)
+    val hit = Bench.latestMatchingRecord(dir, "target/sfprobe/sf1000rg")
+    assert(hit.isDefined)
+    assert(hit.get._1.getFileName.toString == "bench_r14_1000x_quiet113.json")
+    // a NEWER round still wins over a quieter older one
+    writeRecord(dir, "bench_r15_1000x_x.json", "target/sfprobe/sf1000rg",
+      "q86" -> 600.0)
+    assert(Bench.latestMatchingRecord(dir, "target/sfprobe/sf1000rg")
+      .get._1.getFileName.toString == "bench_r15_1000x_x.json")
+  }
+
+  test("isDesignedRefusal: guard IllegalArgumentExceptions split from " +
+      "real failures — the sweep JSON's refused/failed keys (VERDICT r14)") {
+    assert(Bench.isDesignedRefusal(new IllegalArgumentException(
+      "requirement failed: semanticDedup with fixed nlist=16 ...")))
+    assert(!Bench.isDesignedRefusal(new RuntimeException("executor lost")))
+    assert(!Bench.isDesignedRefusal(
+      new org.apache.spark.SparkException("job cancelled")))
+  }
+
   test("sustainedLoadSuspect: fires only above 3x AND a material (0.5 s) " +
       "excess — the r13 q49 fixture trips it, noise-band movement does not") {
     // the motivating case: 24.8 s recorded vs 2.19 s quiet
