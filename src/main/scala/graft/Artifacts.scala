@@ -82,13 +82,14 @@ object Artifacts {
     *
     * Built with the AUTO-sized face (round-11; was the q58 fixed width,
     * which the occupancy guard rightly refused at the 100× sweep's
-    * 200 K vectors, taking all three consumers down with it): width
-    * grows with the corpus count, so the artifact build stays linear at
-    * any scale (q264's measured curve). At correctness scale (sf0.01,
-    * 500 vectors) `lshPlanesFor` resolves to exactly the q58 (4, 8)
-    * reference config with the bucket cap off, so every consumer's
-    * fixed-width DuckDB oracle still replays the graph row-for-row
-    * (spec-pinned delegation, the q264 rule). */
+    * 200 K vectors, taking all three consumers down with it): since
+    * round 15 the width comes from the MEASURED candidate ladder
+    * (`knnGraphWidth`), so the artifact build stays linear at any scale
+    * without the bucketCap's true-near-dup eviction. At correctness
+    * scale (sf0.01, 500 vectors) the minPlanes regime resolves to
+    * exactly the q58 (4, 8) reference config with the bucket cap off,
+    * so every consumer's fixed-width DuckDB oracle still replays the
+    * graph row-for-row (spec-pinned delegation, the q264 rule). */
   def knnGraphLsh(s: SparkSession, dir: String): DataFrame =
     shared(s, s"knn5lsh_${dirTag(dir)}") {
       operators.SimilaritySearch.knnJoinLshAuto(

@@ -2236,11 +2236,13 @@ object SparkEntry {
     // the round-11 100× sweep: the exact batch join scores
     // |pos|×|neg| = 2 G dot products at 200 K vectors (20×/decade, the
     // worst runnable sweep row family) and now refuses there; this
-    // buckets both sides under the corpus-count-sized SRP index so
-    // per-query candidate work stays ≈ targetBucket at any scale. At
-    // sf0.01 the auto sizing resolves to the q58 (4, 8) config with the
-    // cap off, so the fixed-width oracle replays the delegation exactly
-    // (the q264 rule).
+    // buckets both sides under the SAME SRP index, width sized by the
+    // measured cross-collision ladder (the q264/q265 rule applied to
+    // the two-sided shape; budget = |queries| × maxCandidatesPerVec)
+    // so per-query candidate work stays bounded at any scale without
+    // the cap's true-near-dup eviction. At sf0.01 the auto sizing
+    // resolves to the q58 (4, 8) config with the cap off, so the
+    // fixed-width oracle replays the delegation exactly (the q264 rule).
     "q276_hard_negatives_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       SimilaritySearch.knnJoinLshBipartiteAuto(e.filter(col("label") >= 5),
@@ -2264,14 +2266,17 @@ object SparkEntry {
     }),
 
     // Auto-sized LSH kNN graph (q264): q58 with the index width chosen
-    // FROM THE CORPUS COUNT (lshPlanesFor: planes = ceil(log2(n /
-    // targetBucket))) so bucket occupancy — and the candidate
-    // self-join — stays bounded at any scale. The round-9 10× scale
-    // probe showed fixed nPlanes=4 going 25× super-linear; this is the
-    // structural fix. At the sf0.01 correctness scale minPlanes binds,
-    // so the choice lands on q58's exact (4, 8) config and the same
-    // oracle covers the delegation; the sizing formula and the
-    // larger-corpus behavior are spec-pinned.
+    // from MEASURED bucket occupancy (knnGraphWidth — the q265 ladder;
+    // round 15 replaced the count-sized width + bucketCap after the
+    // 1000x recall probe measured the cap evicting true near-dups:
+    // cosine>=0.9 band recall 0.42 capped vs 0.81 measured-uncapped).
+    // The round-9 10× scale probe showed fixed nPlanes=4 going 25×
+    // super-linear; the measured ladder is the structural fix, and a
+    // corpus whose buckets stay dense at the 30-plane clamp falls back
+    // to the capped trade (graph output is bounded by n×k). At the
+    // sf0.01 correctness scale minPlanes binds, so the choice lands on
+    // q58's exact (4, 8) config and the same oracle covers the
+    // delegation; the width decision is spec-observable.
     "q264_knn_lsh_auto" -> ((s, dir) =>
       SimilaritySearch.knnJoinLshAuto(t(s, dir, "embeddings"), k = 5)),
 

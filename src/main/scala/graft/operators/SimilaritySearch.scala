@@ -1023,29 +1023,52 @@ object SimilaritySearch {
     (nPlanes, nTables)
   }
 
+  /** Width + cap decision behind the kNN-graph faces (q264/q276),
+    * separated so specs can assert the CHOSEN configuration. Sized by
+    * the SAME measured ladder as the pair face ([[lshAutoWidthMeasured]])
+    * because the count-sized width + degenerate-bucket cap demonstrably
+    * evicts TRUE near-dups under real bucket skew — the r15 1000× probe
+    * (2 M clustered vectors) measured near-dup-band (cosine ≥ 0.9)
+    * recall at 0.42 capped-(15,4) vs 0.81 at the measured (25,2) width
+    * uncapped, with the measured width also winning every lower band —
+    * and unlike the pair face a graph's OUTPUT is bounded by n×k at any
+    * width, so a corpus too dense for even the 30-plane clamp FALLS
+    * BACK to the widest width plus [[lshBucketCapFor]]'s cap (the
+    * documented candidate-volume trade) instead of refusing. */
+  private[graft] def knnGraphWidth(df: DataFrame, vecCol: String,
+      dim: Int, targetBucket: Int, maxTables: Int,
+      maxCandidatesPerVec: Int, n: Long): (Int, Int, Int) =
+    lshAutoWidthMeasured(df, vecCol, dim, targetBucket, maxTables,
+      maxCandidatesPerVec, n) match {
+      case Right((p, t))   => (p, t, Int.MaxValue)
+      case Left((p, t, _)) => (p, t, lshBucketCapFor(n, targetBucket))
+    }
+
   /**
-   * [[knnJoinLsh]] with the index width sized from the corpus COUNT
-   * (one eager bounded pre-pass at construction — the dimensionAudit /
-   * bm25 guard pattern, and like them inside graft.Bench's timed
-   * region) via [[lshPlanesFor]]: bucket occupancy — hence per-vector
-   * candidate work — stays ≈ `targetBucket` at any scale, which is the
-   * difference between linear and quadratic growth for the self-join.
-   * On a corpus under [[lshBucketCapFor]]'s activation threshold the
-   * degenerate-bucket cap is OFF, so this is exactly the explicit
-   * uncapped call BY CONSTRUCTION (spec-pinned) and the q58 oracle
-   * covers the delegation at the correctness scale.
+   * [[knnJoinLsh]] with the index width sized from MEASURED bucket
+   * occupancy ([[knnGraphWidth]]): [[lshPlanesFor]]'s count-sized pick
+   * holds occupancy ≈ `targetBucket` only under isotropy, and the old
+   * cap-the-hot-buckets patch priced clustered corpora by EVICTING
+   * candidates pseudorandomly — which is exactly the true-near-dup
+   * regime on real data (r15 1000× probe: cosine-≥0.9 recall 0.42
+   * capped vs 0.81 measured-width uncapped, every band better). The
+   * measured ladder keeps total candidates ≤ n × maxCandidatesPerVec
+   * without truncating buckets; only a corpus whose buckets stay dense
+   * at the 30-plane clamp (where widening buys nothing) falls back to
+   * the capped trade. In the minPlanes regime this is exactly the
+   * explicit uncapped call BY CONSTRUCTION (spec-pinned) and the q58
+   * oracle covers the delegation at the correctness scale.
    */
   def knnJoinLshAuto(df: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, targetBucket: Int = 64,
-      maxTables: Int = 8): DataFrame = {
+      maxTables: Int = 8, maxCandidatesPerVec: Int = 2048): DataFrame = {
     val n = df.count()
-    val (nPlanes, nTables) = lshPlanesFor(n, targetBucket,
-      maxTables = maxTables)
-    // allowFixedWidth: the auto sizing IS the occupancy guard (width
-    // grows with this count), so the delegate must not re-count.
+    val (nPlanes, nTables, cap) = knnGraphWidth(df, vecCol, dim,
+      targetBucket, maxTables, maxCandidatesPerVec, n)
+    // allowFixedWidth: the measured sizing IS the occupancy guard.
     knnJoinLsh(df, k, idCol, vecCol, dim, nPlanes, nTables,
-      bucketCap = lshBucketCapFor(n, targetBucket), allowFixedWidth = true)
+      bucketCap = cap, allowFixedWidth = true)
   }
 
   /**
@@ -1127,27 +1150,39 @@ object SimilaritySearch {
   def knnJoinLshBipartiteAuto(df: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "vec_id", dim: Int = 64,
-      targetBucket: Int = 64, maxTables: Int = 8): DataFrame = {
+      targetBucket: Int = 64, maxTables: Int = 8,
+      maxCandidatesPerVec: Int = 2048): DataFrame = {
     val n = df.count()
-    val (nPlanes, nTables) = lshPlanesFor(n, targetBucket,
-      maxTables = maxTables)
+    // the q264 measured-width treatment applied to the two-sided shape:
+    // width from the corpus count, budget from the QUERY side's measured
+    // collisions (|queries| × maxCandidatesPerVec); a corpus whose
+    // buckets stay dense at the clamp falls back to the capped trade —
+    // the bipartite output is bounded by |queries| × k at any width
+    val (nPlanes, nTables, cap) = lshCrossAutoWidthMeasured(queries, df,
+      vecCol, dim, targetBucket, maxTables, maxCandidatesPerVec, n,
+      queries.count()) match {
+      case Right((p, t))   => (p, t, Int.MaxValue)
+      case Left((p, t, _)) => (p, t, lshBucketCapFor(n, targetBucket))
+    }
     knnJoinLshBipartite(df, queries, k, idCol, vecCol, queryIdCol, dim,
-      nPlanes, nTables, bucketCap = lshBucketCapFor(n, targetBucket),
-      allowFixedWidth = true)
+      nPlanes, nTables, bucketCap = cap, allowFixedWidth = true)
   }
 
-  /** Effective per-(table, bucket) candidate cap for the auto-sized LSH
-    * family. The cap is a SCALE guard (a tight semantic cluster shares
-    * sign bits at any width, so its bucket grows with the corpus — the
-    * 100× probe's Σ size² wall); on a small corpus it must be OFF so
-    * the delegation to the explicit fixed-width call — and hence the
-    * q58 oracle's uncapped SQL — is exact BY CONSTRUCTION, not just
-    * statistically (at sf0.01's 500 vectors a degenerate bucket over
-    * the cap would silently drop candidates the oracle keeps).
-    * Activation threshold 16×cap: below it even the worst-case
-    * uncapped bucket costs ≤ n² ≈ 16 M codegen'd dot products — noise;
-    * above it the cap's linearization pays. Pure function of the
-    * counts (unit-testable without data). */
+  /** Effective per-(table, bucket) candidate cap for explicit capped
+    * calls and for the graph faces' dense-corpus FALLBACK (a tight
+    * semantic cluster shares sign bits at any width, so its bucket
+    * grows with the corpus — the 100× probe's Σ size² wall; when even
+    * the 30-plane measured ladder can't fit the budget, truncation is
+    * the remaining linearization). Since r15 the auto graph faces size
+    * by MEASURED occupancy first ([[knnGraphWidth]]) because the cap's
+    * pseudorandom eviction demonstrably costs true near-dup recall
+    * (0.42 vs 0.81 in the cosine-≥0.9 band on the 1000× probe). On a
+    * small corpus the cap must be OFF so the delegation to the explicit
+    * fixed-width call — and hence the q58 oracle's uncapped SQL — is
+    * exact BY CONSTRUCTION, not just statistically. Activation
+    * threshold 16×cap: below it even the worst-case uncapped bucket
+    * costs ≤ n² ≈ 16 M codegen'd dot products — noise. Pure function
+    * of the counts (unit-testable without data). */
   private[graft] def lshBucketCapFor(n: Long, targetBucket: Int): Int = {
     val cap = 4 * targetBucket
     if (n > 16L * cap) cap else Int.MaxValue
@@ -1381,35 +1416,55 @@ object SimilaritySearch {
     ((p0 to 30 by 5) :+ 30).distinct
       .map(p => (p, math.max(1, math.min(maxTables, 63 / p))))
 
-  /** The width decision behind [[cosineNearDupPairsLshAuto]], separated
-    * so specs can assert the CHOSEN width (otherwise invisible inside
-    * the delegated plan). Runs the eager count + measurement jobs: the
-    * first rung pays its own narrow hash pass; escalation — the rare
-    * path — projects the corpus ONCE at the 63-bit clamp width and
-    * replays later rungs against that cached single-column frame
+  /** Measured-escalation core shared by the pair face and the kNN-graph
+    * faces: Right(width) when a ladder rung's measured candidate count
+    * fits `n × maxCandidatesPerVec`, Left((widestP, widestT, measured))
+    * when even the 30-plane clamp cannot. minPlanes regime returns
+    * Right immediately (measurement skipped — the corpus is too small
+    * for any width to be quadratic-dangerous). The first rung pays its
+    * own narrow hash pass; escalation — the rare path — projects the
+    * corpus ONCE at the 63-bit clamp width and replays later rungs
+    * against that cached single-column frame
     * ([[measuredLshCandidatePairsFromBits]], ADVICE r14). */
-  private[graft] def cosineNearDupPairsLshAutoWidth(df: DataFrame,
-      vecCol: String, dim: Int, targetBucket: Int,
-      maxTables: Int, maxCandidatesPerVec: Int): (Int, Int) = {
-    val n = df.count()
+  private def lshAutoWidthMeasured(df: DataFrame, vecCol: String,
+      dim: Int, targetBucket: Int, maxTables: Int,
+      maxCandidatesPerVec: Int, n: Long)
+      : Either[(Int, Int, Long), (Int, Int)] = {
     val (p0, t0) = lshPlanesFor(n, targetBucket, maxTables = maxTables)
-    if (p0 == LshMinPlanes) return (p0, t0) // minPlanes regime: n is small
+    if (p0 == LshMinPlanes) return Right((p0, t0))
     val budget =
       if (n > Long.MaxValue / maxCandidatesPerVec) Long.MaxValue
       else n * maxCandidatesPerVec
     val ladder = lshWidthLadder(p0, maxTables)
     var last = measuredLshCandidatePairs(df, vecCol, dim,
       ladder.head._1, ladder.head._2)
-    if (last <= budget) return ladder.head
+    if (last <= budget) return Right(ladder.head)
     val bits = df.select(lshBucket(col(vecCol), dim, 63).as("__bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       ladder.tail.foreach { case (p, t) =>
         last = measuredLshCandidatePairsFromBits(bits, p, t)
-        if (last <= budget) return (p, t)
+        if (last <= budget) return Right((p, t))
       }
     } finally bits.unpersist(false)
-    val (pw, tw) = ladder.last
+    Left((ladder.last._1, ladder.last._2, last))
+  }
+
+  /** The width decision behind [[cosineNearDupPairsLshAuto]], separated
+    * so specs can assert the CHOSEN width (otherwise invisible inside
+    * the delegated plan). Runs the eager count + measurement jobs
+    * ([[lshAutoWidthMeasured]]) and REFUSES on a corpus whose measured
+    * volume exceeds the budget even at the clamp — a pair op's OUTPUT
+    * is ~the candidate count there, so there is no sound fallback. */
+  private[graft] def cosineNearDupPairsLshAutoWidth(df: DataFrame,
+      vecCol: String, dim: Int, targetBucket: Int,
+      maxTables: Int, maxCandidatesPerVec: Int): (Int, Int) = {
+    val n = df.count()
+    val (pw, tw, last) = lshAutoWidthMeasured(df, vecCol, dim,
+      targetBucket, maxTables, maxCandidatesPerVec, n) match {
+      case Right(width) => return width
+      case Left(wall)   => wall
+    }
     throw new IllegalArgumentException(
       s"cosineNearDupPairsLshAuto: measured candidate volume at the " +
       s"widest index (nPlanes=$pw, nTables=$tw) is $last pairs " +
@@ -1565,22 +1620,26 @@ object SimilaritySearch {
    * contract; same minPlanes delegation at correctness scale
    * (spec-pinned).
    */
-  /** The width decision behind [[crossCorpusNearDupLshAuto]] (see
-    * [[cosineNearDupPairsLshAutoWidth]]). */
-  private[graft] def crossCorpusNearDupLshAutoWidth(newEmb: DataFrame,
+  /** Measured-escalation core for the two-corpus shape (q266's
+    * ingest face and the bipartite kNN face): width sized from the
+    * STORE/corpus count `nOld`, budget from the new/query side. Same
+    * Right/Left contract as [[lshAutoWidthMeasured]]. */
+  private def lshCrossAutoWidthMeasured(newEmb: DataFrame,
       oldEmb: DataFrame, vecCol: String, dim: Int, targetBucket: Int,
-      maxTables: Int, maxCandidatesPerVec: Int): (Int, Int) = {
-    val (p0, t0) = lshPlanesFor(oldEmb.count(), targetBucket,
-      maxTables = maxTables)
-    if (p0 == LshMinPlanes) return (p0, t0) // minPlanes regime: small store
-    val nNew = newEmb.count()
+      maxTables: Int, maxCandidatesPerVec: Int, nOld: Long,
+      nNewLazy: => Long): Either[(Int, Int, Long), (Int, Int)] = {
+    val (p0, t0) = lshPlanesFor(nOld, targetBucket, maxTables = maxTables)
+    // minPlanes regime: small store — the new-side count (by-name) is
+    // never evaluated, so the delegation owes no extra job
+    if (p0 == LshMinPlanes) return Right((p0, t0))
+    val nNew = nNewLazy
     val budget =
       if (nNew > Long.MaxValue / maxCandidatesPerVec) Long.MaxValue
       else nNew * maxCandidatesPerVec
     val ladder = lshWidthLadder(p0, maxTables)
     var last = measuredLshCrossCandidates(newEmb, oldEmb, vecCol, dim,
       ladder.head._1, ladder.head._2)
-    if (last <= budget) return ladder.head
+    if (last <= budget) return Right(ladder.head)
     // escalation replays rungs against one cached 63-plane projection
     // per side (prefix-stable bits), instead of re-hashing both corpora
     def bits63(df: DataFrame) =
@@ -1591,10 +1650,24 @@ object SimilaritySearch {
     try {
       ladder.tail.foreach { case (p, t) =>
         last = measuredLshCrossCandidatesFromBits(nb, ob, p, t)
-        if (last <= budget) return (p, t)
+        if (last <= budget) return Right((p, t))
       }
     } finally { nb.unpersist(false); ob.unpersist(false) }
-    val (pw, tw) = ladder.last
+    Left((ladder.last._1, ladder.last._2, last))
+  }
+
+  /** The width decision behind [[crossCorpusNearDupLshAuto]] (see
+    * [[cosineNearDupPairsLshAutoWidth]]). */
+  private[graft] def crossCorpusNearDupLshAutoWidth(newEmb: DataFrame,
+      oldEmb: DataFrame, vecCol: String, dim: Int, targetBucket: Int,
+      maxTables: Int, maxCandidatesPerVec: Int): (Int, Int) = {
+    val (pw, tw, last) = lshCrossAutoWidthMeasured(newEmb, oldEmb,
+      vecCol, dim, targetBucket, maxTables, maxCandidatesPerVec,
+      oldEmb.count(), newEmb.count()) match {
+      case Right(width) => return width
+      case Left(wall)   => wall
+    }
+    val nNew = newEmb.count() // refusal path only: sizes the message
     throw new IllegalArgumentException(
       s"crossCorpusNearDupLshAuto: measured candidate volume at the " +
       s"widest index (nPlanes=$pw, nTables=$tw) is $last " +

@@ -46,6 +46,26 @@ object RecallProbe {
       .groupBy(_._1)
       .map { case (q, xs) => q -> xs.sortBy(_._3).map(_._2).toSeq }
 
+  /** Recall split by the EXACT neighbor's cosine band: separates the
+    * near-dup regime (cosine → 1, where the LSH contract promises high
+    * recall at any width) from moderate-cosine accidental neighbors
+    * (where `1-(1-p^nPlanes)^nTables` prices recall near zero at wide
+    * indexes — by contract, not by the bucketCap). */
+  private def bandedRecall(exactScored: Map[Long, Seq[(Long, Double)]],
+      got: Map[Long, Seq[Long]]): Unit = {
+    val bands = Seq((0.9, 1.01), (0.7, 0.9), (0.5, 0.7), (-1.01, 0.5))
+    bands.foreach { case (lo, hi) =>
+      val pairs = exactScored.toSeq.flatMap { case (q, ns) =>
+        ns.collect { case (id, s) if s >= lo && s < hi => (q, id) }
+      }
+      val found = pairs.count { case (q, id) =>
+        got.getOrElse(q, Seq.empty).contains(id)
+      }
+      if (pairs.nonEmpty)
+        println(f"  band [$lo%5.2f, $hi%4.2f): recall ${found.toDouble / pairs.size}%.4f ($found/${pairs.size})")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -77,16 +97,25 @@ object RecallProbe {
     }
 
     // exact ground truth: brute-force top-(k+1), self dropped, re-ranked
-    val exact = timed("exact knnJoin (brute)") {
-      toLists(SimilaritySearch.knnJoin(emb, queries, k + 1,
+    val exactScored = timed("exact knnJoin (brute)") {
+      SimilaritySearch.knnJoin(emb, queries, k + 1,
           allowBruteForce = true)
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
+        .select(col("query_id"), col("vec_id"), col("score"),
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("query_id"))
             .orderBy(col("score").desc, col("vec_id").asc)).as("r"))
-        .filter(col("r") <= k).collect())
+        .filter(col("r") <= k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .groupBy(_._1)
+        .map { case (q, xs) =>
+          q -> xs.sortBy(_._4).map(x => (x._2, x._3)).toSeq }
     }
+    val exact = exactScored.map { case (q, ns) => q -> ns.map(_._1) }
+    val s1 = exactScored.values.flatMap(_.headOption.map(_._2))
+    val sk = exactScored.values.flatMap(_.lastOption.map(_._2))
+    println(f"exact cosine: rank-1 mean ${s1.sum / s1.size}%.4f " +
+      f"(min ${s1.min}%.4f max ${s1.max}%.4f), rank-$k mean ${sk.sum / sk.size}%.4f")
 
     val g264 = timed("q264 graph (filtered)") {
       toLists(SimilaritySearch.knnJoinLshAuto(emb, k)
@@ -96,6 +125,45 @@ object RecallProbe {
     println(f"q264 recall@1=${recallAt(1, exact, g264)}%.4f " +
       f"recall@$k=${recallAt(k, exact, g264)}%.4f " +
       f"empty=${qids.count(q => !g264.contains(q))}/${qids.size}")
+    bandedRecall(exactScored, g264)
+
+    // UNCAPPED control at the same width, sampled queries only: isolates
+    // the bucketCap's recall contribution from the width contract's.
+    // (Full-corpus uncapped is the 2.8e10-candidate wall; filtering the
+    // query side keeps per-query rows exact and the volume bounded.)
+    val g264u = timed("q264 width, cap OFF") {
+      toLists(SimilaritySearch.knnJoinLsh(emb, k,
+          nPlanes = nPlanes, nTables = nTables,
+          bucketCap = Int.MaxValue, allowFixedWidth = true)
+        .filter(col("query_id").isin(qids: _*))
+        .select(col("query_id"), col("cand_id"), col("rank")).collect())
+    }
+    println(f"uncapped recall@1=${recallAt(1, exact, g264u)}%.4f " +
+      f"recall@$k=${recallAt(k, exact, g264u)}%.4f")
+    bandedRecall(exactScored, g264u)
+
+    // The q265-ladder alternative (VERDICT r14 #2): measured-escalation
+    // width, NO cap — linear candidate volume by measurement instead of
+    // by truncation. Wider planes price moderate-cosine recall near
+    // zero by contract; the question is what they cost the near-dup
+    // band vs the cap's eviction loss.
+    val (pw, tw) = timed("ladder width decision") {
+      SimilaritySearch.cosineNearDupPairsLshAutoWidth(emb, "embedding",
+        dim = dim, targetBucket = 64, maxTables = 8,
+        maxCandidatesPerVec = 2048)
+    }
+    println(s"ladder width: ($pw, $tw)")
+    val g264w = timed("ladder width, cap OFF") {
+      toLists(SimilaritySearch.knnJoinLsh(emb, k,
+          nPlanes = pw, nTables = tw,
+          bucketCap = Int.MaxValue, allowFixedWidth = true)
+        .filter(col("query_id").isin(qids: _*))
+        .select(col("query_id"), col("cand_id"), col("rank")).collect())
+    }
+    println(f"ladder-width recall@1=${recallAt(1, exact, g264w)}%.4f " +
+      f"recall@$k=${recallAt(k, exact, g264w)}%.4f " +
+      f"empty=${qids.count(q => !g264w.contains(q))}/${qids.size}")
+    bandedRecall(exactScored, g264w)
 
     val g276 = timed("q276 bipartite") {
       val out = SimilaritySearch.knnJoinLshBipartite(emb, queries, k + 1,
