@@ -1023,26 +1023,72 @@ object SimilaritySearch {
     (nPlanes, nTables)
   }
 
-  /** Width + cap decision behind the kNN-graph faces (q264/q276),
-    * separated so specs can assert the CHOSEN configuration. Sized by
-    * the SAME measured ladder as the pair face ([[lshAutoWidthMeasured]])
-    * because the count-sized width + degenerate-bucket cap demonstrably
-    * evicts TRUE near-dups under real bucket skew — the r15 1000× probe
-    * (2 M clustered vectors) measured near-dup-band (cosine ≥ 0.9)
-    * recall at 0.42 capped-(15,4) vs 0.81 at the measured (25,2) width
-    * uncapped, with the measured width also winning every lower band —
-    * and unlike the pair face a graph's OUTPUT is bounded by n×k at any
-    * width, so a corpus too dense for even the 30-plane clamp FALLS
-    * BACK to the widest width plus [[lshBucketCapFor]]'s cap (the
-    * documented candidate-volume trade) instead of refusing. */
+  /** Width + cap decision behind the kNN-graph self-join face (q264),
+    * separated so specs can assert the CHOSEN configuration — every
+    * number in it is MEASURED, never an isotropy expectation:
+    *
+    *  1. The width walks the q265 escalation ladder against the graph's
+    *     ORDERED candidate volume Σ m·(m−1) (each x≠y collision is
+    *     scored once per direction — 2× the pair face's count) until a
+    *     rung fits `n × maxCandidatesPerVec`; a fitting rung runs
+    *     UNCAPPED. Motivation (r15 1000× probe, 2 M clustered vectors):
+    *     the old count-sized width + bucketCap evicted TRUE near-dups —
+    *     cosine-≥0.9 recall 0.42 capped-(15,4) vs 0.81 at the measured
+    *     width uncapped, every lower band also better.
+    *  2. A corpus still over budget at the 30-plane clamp holds
+    *     genuinely dense clusters that no width splits (widening past
+    *     this only sheds true near-dup pairs, the same probe measured
+    *     pure-uncapped at 1275 s = over the 10×/decade line). There —
+    *     and only there — the residual volume is bounded by the LARGEST
+    *     measured cap that fits: Σ m·min(m,c) over the widest rung's
+    *     (table, bucket) histogram, c from a geometric ladder down to
+    *     the `targetBucket` floor (within a dense cluster any cap-many
+    *     survivors are near-equivalent top-k candidates, so truncation
+    *     there is the cheapest honest trade; unlike the pair face the
+    *     output is bounded by n×k at any width, so nothing refuses).
+    *
+    * Default budget 1024/vec: the graph keeps k (default 5) neighbors,
+    * so 1024 ordered candidates per vector is ~200× oversampling; the
+    * pair face's 2048 is output-mass-driven, a different economy. */
   private[graft] def knnGraphWidth(df: DataFrame, vecCol: String,
       dim: Int, targetBucket: Int, maxTables: Int,
-      maxCandidatesPerVec: Int, n: Long): (Int, Int, Int) =
-    lshAutoWidthMeasured(df, vecCol, dim, targetBucket, maxTables,
-      maxCandidatesPerVec, n) match {
-      case Right((p, t))   => (p, t, Int.MaxValue)
-      case Left((p, t, _)) => (p, t, lshBucketCapFor(n, targetBucket))
-    }
+      maxCandidatesPerVec: Int, n: Long): (Int, Int, Int) = {
+    val (p0, t0) = lshPlanesFor(n, targetBucket, maxTables = maxTables)
+    if (p0 == LshMinPlanes) return (p0, t0, Int.MaxValue)
+    val budget =
+      if (n > Long.MaxValue / maxCandidatesPerVec) Long.MaxValue
+      else n * maxCandidatesPerVec
+    def ordered(pairs: Long): Long =
+      if (pairs > Long.MaxValue / 2) Long.MaxValue else 2 * pairs
+    val ladder = lshWidthLadder(p0, maxTables)
+    if (ordered(measuredLshCandidatePairs(df, vecCol, dim,
+        ladder.head._1, ladder.head._2)) <= budget)
+      return (ladder.head._1, ladder.head._2, Int.MaxValue)
+    val bits = df.select(lshBucket(col(vecCol), dim, 63).as("__bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ladder.tail.foreach { case (p, t) =>
+        if (ordered(measuredLshCandidatePairsFromBits(bits, p, t)) <= budget)
+          return (p, t, Int.MaxValue)
+      }
+      val (pw, tw) = ladder.last
+      val caps = Seq(64, 16, 4, 1).map(_.toLong * targetBucket)
+      val sums = bits
+        .select(srpTableKeys(col("__bits"), pw, tw).as("tb"))
+        .groupBy(col("tb")).agg(count(lit(1)).as("m"))
+        .agg(sum(col("m") * least(col("m"), lit(caps.head))).as("c0"),
+          caps.tail.zipWithIndex.map { case (c, i) =>
+            sum(col("m") * least(col("m"), lit(c))).as(s"c${i + 1}")
+          }: _*)
+        .head()
+      val fit = caps.indices.find(i => !sums.isNullAt(i) &&
+        sums.getLong(i) <= budget)
+      // the targetBucket floor fits whenever tables×targetBucket <=
+      // maxCandidatesPerVec (defaults: 2×64 << 1024); best-effort floor
+      // otherwise — never refuse, the output is n×k-bounded
+      (pw, tw, caps(fit.getOrElse(caps.size - 1)).toInt)
+    } finally bits.unpersist(false)
+  }
 
   /**
    * [[knnJoinLsh]] with the index width sized from MEASURED bucket
@@ -1052,17 +1098,19 @@ object SimilaritySearch {
    * candidates pseudorandomly — which is exactly the true-near-dup
    * regime on real data (r15 1000× probe: cosine-≥0.9 recall 0.42
    * capped vs 0.81 measured-width uncapped, every band better). The
-   * measured ladder keeps total candidates ≤ n × maxCandidatesPerVec
-   * without truncating buckets; only a corpus whose buckets stay dense
-   * at the 30-plane clamp (where widening buys nothing) falls back to
-   * the capped trade. In the minPlanes regime this is exactly the
-   * explicit uncapped call BY CONSTRUCTION (spec-pinned) and the q58
-   * oracle covers the delegation at the correctness scale.
+   * measured ladder keeps total ORDERED candidates ≤ n ×
+   * maxCandidatesPerVec without truncating buckets; only a corpus
+   * whose buckets stay dense at the 30-plane clamp (where widening
+   * buys nothing but lost true pairs) is bounded by the largest
+   * MEASURED cap that fits the same budget ([[knnGraphWidth]]). In the
+   * minPlanes regime this is exactly the explicit uncapped call BY
+   * CONSTRUCTION (spec-pinned) and the q58 oracle covers the
+   * delegation at the correctness scale.
    */
   def knnJoinLshAuto(df: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, targetBucket: Int = 64,
-      maxTables: Int = 8, maxCandidatesPerVec: Int = 2048): DataFrame = {
+      maxTables: Int = 8, maxCandidatesPerVec: Int = 1024): DataFrame = {
     val n = df.count()
     val (nPlanes, nTables, cap) = knnGraphWidth(df, vecCol, dim,
       targetBucket, maxTables, maxCandidatesPerVec, n)

@@ -165,6 +165,37 @@ object RecallProbe {
       f"empty=${qids.count(q => !g264w.contains(q))}/${qids.size}")
     bandedRecall(exactScored, g264w)
 
+    // Ladder width + cap: widening splits the MIXED buckets (where the
+    // cap was evicting the lone true neighbor), the cap bounds the
+    // residual dense clusters (where survivors are near-equivalent
+    // top-k candidates) — the cost/recall synthesis candidate.
+    val g264wc = timed("ladder width + cap") {
+      toLists(SimilaritySearch.knnJoinLsh(emb, k,
+          nPlanes = pw, nTables = tw, bucketCap = cap,
+          allowFixedWidth = true)
+        .filter(col("query_id").isin(qids: _*))
+        .select(col("query_id"), col("cand_id"), col("rank")).collect())
+    }
+    println(f"ladder+cap recall@1=${recallAt(1, exact, g264wc)}%.4f " +
+      f"recall@$k=${recallAt(k, exact, g264wc)}%.4f " +
+      f"empty=${qids.count(q => !g264wc.contains(q))}/${qids.size}")
+    bandedRecall(exactScored, g264wc)
+
+    // Full-graph cost predictors: Σ size² (uncapped candidate volume)
+    // and Σ size·min(size,cap) (what a cap admits), per width.
+    Seq((nPlanes, nTables), (pw, tw)).distinct.foreach { case (p, t) =>
+      val o = emb.select(SimilaritySearch.srpTableKeys(
+          graft.functions.VectorFunctions.lshBucket(
+            col("embedding"), dim, p * t), p, t).as("tb"))
+        .groupBy("tb").count()
+        .agg(max("count").as("mx"),
+          sum(col("count") * col("count")).as("sq"),
+          sum(col("count") * least(col("count"), lit(cap.toLong)))
+            .as("cp")).head()
+      println(s"width ($p, $t): max_bucket=${o.getLong(0)} " +
+        s"sum_sq=${o.getLong(1)} sum_capped(cap=$cap)=${o.getLong(2)}")
+    }
+
     val g276 = timed("q276 bipartite") {
       val out = SimilaritySearch.knnJoinLshBipartite(emb, queries, k + 1,
         nPlanes = nPlanes, nTables = nTables,

@@ -1309,50 +1309,57 @@ class SimilaritySearchSpec extends SparkSpec {
   // the dense-corpus fallback, sound because a graph's output is
   // bounded by n*k at any width) ----
 
-  test("knnGraphWidth escalates by MEASURED candidates and stays " +
+  test("knnGraphWidth escalates by MEASURED ORDERED volume and stays " +
       "uncapped when a rung fits; knnJoinLshAuto IS the explicit " +
       "uncapped call at that width") {
     val spark0 = spark
     import spark0.implicits._
     // the q265 escalation fixture: two antipodal clusters of 1024
-    // identical vectors — measured candidates shrink only via nTables,
-    // so the ladder from p0=5 walks (5,8) 8.4M -> (10,6) 6.3M ->
-    // (15,4) 4.19M <= budget 2048*2048
+    // identical vectors — ordered volume shrinks only via nTables:
+    // (5,8) 16.8M -> (10,6) 12.6M -> (15,4) 8.4M -> (20,3) 6.3M ->
+    // (25,2) 4.190M <= budget 2048*2048 = 4.194M
     val clustered = (1L to 2048L).map { i =>
       val s = if (i <= 1024) 1.0f else -1.0f
       (i, Array(s, s * 0.5f, s * -0.25f, s * 2.0f))
     }.toDF("vec_id", "embedding")
     assert(SimilaritySearch.knnGraphWidth(clustered, "embedding", dim = 4,
       targetBucket = 64, maxTables = 8, maxCandidatesPerVec = 2048,
-      n = 2048L) == (15, 4, Int.MaxValue))
-    val auto = SimilaritySearch.knnJoinLshAuto(clustered, k = 3, dim = 4)
+      n = 2048L) == (25, 2, Int.MaxValue))
+    val auto = SimilaritySearch.knnJoinLshAuto(clustered, k = 3, dim = 4,
+        maxCandidatesPerVec = 2048)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     val explicit = SimilaritySearch.knnJoinLsh(clustered, k = 3, dim = 4,
-        nPlanes = 15, nTables = 4, allowFixedWidth = true)
+        nPlanes = 25, nTables = 2, allowFixedWidth = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(auto.nonEmpty && auto == explicit)
     graft.SparkUtil.unpersistTrackedCaches()
   }
 
   test("knnGraphWidth dense-corpus FALLBACK: when even the 30-plane " +
-      "clamp can't fit the budget, the graph face caps instead of " +
-      "refusing (output is bounded by n*k) — and the capped call runs") {
+      "clamp is over budget, the residue is bounded by the LARGEST " +
+      "measured cap that fits (floor targetBucket) — never a refusal") {
     val spark0 = spark
     import spark0.implicits._
-    // 8192 identical vectors: no width ever splits them, and n is past
-    // lshBucketCapFor's activation threshold, so the fallback cap binds
+    // 8192 identical vectors: no width ever splits them — the widest
+    // rung's histogram is 2 tables x one 8192-cell
     val dense = (1L to 8192L)
       .map(i => (i, Array(1.0f, 0.5f, -0.25f, 2.0f)))
       .toDF("vec_id", "embedding")
+    // budget 8192*600 = 4.915M: cap sums are c=4096 -> 67.1M,
+    // c=1024 -> 16.8M, c=256 -> 4.19M <= budget: largest fitting = 256
+    assert(SimilaritySearch.knnGraphWidth(dense, "embedding", dim = 4,
+      targetBucket = 64, maxTables = 8, maxCandidatesPerVec = 600,
+      n = 8192L) == (30, 2, 256))
+    // budget 8192*16 = 131K: even c=64 sums to 1.05M — floor binds
     assert(SimilaritySearch.knnGraphWidth(dense, "embedding", dim = 4,
       targetBucket = 64, maxTables = 8, maxCandidatesPerVec = 16,
-      n = 8192L) == (30, 2, 256))
+      n = 8192L) == (30, 2, 64))
     val rows = SimilaritySearch.knnJoinLshAuto(dense, k = 3, dim = 4,
       maxCandidatesPerVec = 16).collect()
     assert(rows.nonEmpty)
     // every query still gets its k neighbors from the capped pool
     assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 3))
-    // bipartite face: same fallback shape, budget from the query side
+    // bipartite face: cross-ladder fallback shape, budget query-side
     val queries = dense.filter(col("vec_id") <= 4)
     val bp = SimilaritySearch.knnJoinLshBipartiteAuto(dense, queries,
       k = 3, maxCandidatesPerVec = 16).collect()
