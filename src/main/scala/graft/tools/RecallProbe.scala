@@ -196,10 +196,9 @@ object RecallProbe {
         s"sum_sq=${o.getLong(1)} sum_capped(cap=$cap)=${o.getLong(2)}")
     }
 
-    val g276 = timed("q276 bipartite") {
-      val out = SimilaritySearch.knnJoinLshBipartite(emb, queries, k + 1,
-        nPlanes = nPlanes, nTables = nTables,
-        bucketCap = cap, allowFixedWidth = true)
+    val g276 = timed("q276 bipartite (auto)") {
+      val out = SimilaritySearch.knnJoinLshBipartiteAuto(emb, queries,
+        k + 1)
       toLists(out
         .filter(col("cand_id") =!= col("query_id"))
         .select(col("query_id"), col("cand_id"),
