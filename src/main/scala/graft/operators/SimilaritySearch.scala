@@ -1086,7 +1086,8 @@ object SimilaritySearch {
       // the targetBucket floor fits whenever tables×targetBucket <=
       // maxCandidatesPerVec (defaults: 2×64 << 1024); best-effort floor
       // otherwise — never refuse, the output is n×k-bounded
-      (pw, tw, caps(fit.getOrElse(caps.size - 1)).toInt)
+      (pw, tw,
+        math.min(caps(fit.getOrElse(caps.size - 1)), Int.MaxValue).toInt)
     } finally bits.unpersist(false)
   }
 
