@@ -847,7 +847,7 @@ object Dedup {
       (if (blockDepth >= 0) blockDepth else depthFor(n, width), false)
     else {
       val d = hashed.agg(approx_count_distinct(col(hashCol)).as("d"))
-        .head.getLong(0)
+        .head().getLong(0)
       val dict = n >= 4 * math.max(1L, d)
       val sized = depthFor(if (dict) d else n, width)
       (if (blockDepth >= 0) blockDepth else sized, dict)

@@ -700,7 +700,7 @@ object SimilaritySearch {
         col("__b").bitwiseAND(lit((1L << subPlanes) - 1)).as("__sb"))
       .agg(sum(col("m")).as("mm"))
       .agg(sum(col("mm") * (col("mm") - lit(1L))).as("p2"))
-      .head.getAs[Any]("p2") match {
+      .head().getAs[Any]("p2") match {
         case null    => 0L
         case l: Long => l / 2
         case other   => other.toString.toLong / 2
@@ -1451,7 +1451,7 @@ object SimilaritySearch {
     bits.select(srpTableKeys(col("__bits"), nPlanes, nTables).as("tb"))
       .groupBy(col("tb")).agg(count(lit(1)).as("m"))
       .agg(sum(col("m") * (col("m") - lit(1L))).as("p2"))
-      .head.getAs[Any]("p2") match {
+      .head().getAs[Any]("p2") match {
         case null      => 0L
         case l: Long   => l / 2
         case other     => other.toString.toLong / 2
@@ -1645,7 +1645,7 @@ object SimilaritySearch {
     hist(newBits).select(col("tb"), col("m").as("mn"))
       .join(hist(oldBits).select(col("tb"), col("m").as("mo")), "tb")
       .agg(sum(col("mn") * col("mo")).as("c"))
-      .head.getAs[Any]("c") match {
+      .head().getAs[Any]("c") match {
         case null    => 0L
         case l: Long => l
         case other   => other.toString.toLong

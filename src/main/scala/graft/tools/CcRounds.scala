@@ -45,7 +45,7 @@ object CcRounds {
     var iter = 0
     while (!converged && iter < 40) {
       t0 = System.nanoTime()
-      val prev = labels.agg(sum("component")).head.getLong(0)
+      val prev = labels.agg(sum("component")).head().getLong(0)
       val prop = labels.as("l")
         .join(sym.as("e"), col("l.id") === col("e.a"), "left")
         .join(labels.as("n"), col("e.b") === col("n.id"), "left")
@@ -59,7 +59,7 @@ object CcRounds {
           .select(col("p.id").as("id"),
             coalesce(col("__jc"), col("p.component")).as("component"))
       }).localCheckpoint(true)
-      val cur = next.agg(sum("component")).head.getLong(0)
+      val cur = next.agg(sum("component")).head().getLong(0)
       labels = next
       converged = cur == prev
       iter += 1
