@@ -68,27 +68,43 @@ object Bench {
       else {
         // Several records can share the newest round (a sweep plus its
         // quiet re-measures at the same sf); Files.list order is
-        // unspecified, so break the tie deterministically toward the
-        // QUIETEST record — lowest sum of medians, then filename — so a
-        // loaded sweep record can't silently displace its own quiet
-        // re-measure as the baseline (ADVICE r14).
+        // unspecified. Merge the tied-round records PER QUERY, keeping
+        // each query's minimum POSITIVE median: the earlier whole-record
+        // tie-break (lowest median sum wins) let a partial or
+        // all-refused record — every entry a -1 marker, sum 0 — displace
+        // the real record wholesale and silently disable the
+        // sustained-load re-measure for every query (ADVICE r15).
+        // Per-query min keeps the quietest real sample of each query
+        // regardless of which record holds it; non-positive markers
+        // never contribute.
         val top = parsed.iterator.map(_._1).max
-        parsed.filter(_._1 == top)
-          .sortBy { case (_, p, qs) =>
-            (qs.values.filter(_ >= 0).sum, p.getFileName.toString)
-          }
-          .headOption.map { case (_, p, qs) => (p, qs) }
+        val tied = parsed.filter(_._1 == top)
+        val merged = tied.iterator.flatMap(_._3).filter(_._2 > 0)
+          .toSeq.groupMapReduce(_._1)(_._2)(math.min)
+        if (merged.isEmpty) None
+        else {
+          // Representative path (log line only): the record contributing
+          // the most merged baselines, then lowest sum, then filename.
+          val repr = tied.sortBy { case (_, p, qs) =>
+            (-qs.count { case (k, v) => v > 0 && merged.get(k).contains(v) },
+              qs.values.filter(_ >= 0).sum, p.getFileName.toString)
+          }.head._2
+          Some((repr, merged))
+        }
       }
     } catch { case NonFatal(_) => None }
   }
 
-  /** Designed guard refusals — the at-scale guards' `require`s and
-    * explicit `IllegalArgumentException`s — are CORRECT behavior, not
-    * failures: a sweep record listing nine refusals under `failed`
-    * reads as nine crashes (VERDICT r14 #2). Timeouts and engine errors
-    * stay failures. */
+  /** Designed guard refusals are CORRECT behavior, not failures: a
+    * sweep record listing nine refusals under `failed` reads as nine
+    * crashes (VERDICT r14 #2). Matched by the dedicated [[GuardRefusal]]
+    * type the guards throw — matching on the broad
+    * IllegalArgumentException class mis-filed genuine bugs that surface
+    * as IAEs (bad config, array/encoder argument errors in Spark/JDK
+    * library paths) as refusals and let a broken sweep exit 0
+    * (ADVICE r15). Timeouts and engine errors stay failures. */
   def isDesignedRefusal(e: Throwable): Boolean =
-    e.isInstanceOf[IllegalArgumentException]
+    e.isInstanceOf[GuardRefusal]
 
   /** The sustained-load trigger (VERDICT r13): a burst that inflates all
     * samples uniformly never trips the intra-run spread check, so also

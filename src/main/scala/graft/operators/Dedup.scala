@@ -773,7 +773,7 @@ object Dedup {
     // projection — the dispatch must not cost a corpus pass on the
     // small-corpus path
     val n = docs.count()
-    require(n <= LegacyWidthGuardCutoff || allowLegacyWidth,
+    graft.GuardRefusal.check(n <= LegacyWidthGuardCutoff || allowLegacyWidth,
       s"simhashPairs is 32-bit: at n=$n docs (> $LegacyWidthGuardCutoff) it manufactures " +
         "~n²·1.3e-6 false near-dup pairs and its pigeonhole blocks are entropy-exhausted. " +
         "Use simhashPairs64 (the at-scale face), or pass allowLegacyWidth=true to " +
@@ -1662,7 +1662,7 @@ object Dedup {
           when(col("pb") === col("b") - 1L, col("c") * col("pc") * 2L)
             .otherwise(0L))).head()
       val expected = if (row.isNullAt(0)) 0L else row.getLong(0)
-      require(expected <= outputBudget,
+      graft.GuardRefusal.check(expected <= outputBudget,
         s"lengthBandPairs(d=$d) would emit ~$expected same+adjacent-band pairs " +
           s"(> $outputBudget) on this corpus: length bands " +
           "concentrate, so the pair OUTPUT grows quadratically with the " +

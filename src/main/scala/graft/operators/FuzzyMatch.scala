@@ -118,7 +118,7 @@ object FuzzyMatch {
       val row = keyed.groupBy(col("__k")).count()
         .agg(sum(col("count") * (col("count") - 1L))).head()
       val expected = if (row.isNullAt(0)) 0L else row.getLong(0)
-      require(expected <= candidateBudget,
+      graft.GuardRefusal.check(expected <= candidateBudget,
         s"fuzzy pairs(maxDist=$maxDist) would probe ~$expected delete-key " +
           s"candidate collisions (> $candidateBudget) on this input: " +
           "duplicate-heavy values share every blocking key, so candidates " +

@@ -753,7 +753,7 @@ object Multimodal {
     // pHash corpora cluster heavily: n/d ≈ 41 at the 10× probe, the
     // dictionary branch's home turf)
     val n = df.count()
-    require(n <= Dedup.LegacyWidthGuardCutoff || allowPairList,
+    graft.GuardRefusal.check(n <= Dedup.LegacyWidthGuardCutoff || allowPairList,
       s"phashPairs lists ~quadratic pair rows at n=$n objects " +
         s"(> ${Dedup.LegacyWidthGuardCutoff}): the 32-bit pHash's ~1.5 K-value space makes " +
         "identical-hash clusters grow with the corpus, so the pair list is Σ cluster² by " +

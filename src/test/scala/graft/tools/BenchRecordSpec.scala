@@ -62,32 +62,63 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(Bench.latestMatchingRecord(dir.resolve("absent"), "x").isEmpty)
   }
 
-  test("latestMatchingRecord breaks same-round ties toward the QUIETEST " +
-      "record (lowest median sum), not Files.list order — a loaded sweep " +
-      "record cannot displace its own quiet re-measure") {
+  test("latestMatchingRecord merges same-round ties PER QUERY (minimum " +
+      "positive median), not per record — a loaded sweep record cannot " +
+      "displace its own quiet re-measure for any single query") {
     val dir = Files.createTempDirectory("graft_benchrec")
-    // same round, same sf: the 1000x-sweep-under-load shape (r14 records)
+    // same round, same sf: the 1000x-sweep-under-load shape (r14
+    // records). Each record holds the quieter sample of a DIFFERENT
+    // query, so any whole-record pick would lose one of them.
     writeRecord(dir, "bench_r14_1000x_sweep.json", "target/sfprobe/sf1000rg",
-      "q86" -> 809.0, "q113" -> 455.5)
-    writeRecord(dir, "bench_r14_1000x_quiet113.json", "target/sfprobe/sf1000rg",
-      "q86" -> 524.0, "q113" -> 343.7)
+      "q86" -> 809.0, "q113" -> 343.7)
+    writeRecord(dir, "bench_r14_1000x_quiet86.json", "target/sfprobe/sf1000rg",
+      "q86" -> 524.0, "q113" -> 455.5)
     val hit = Bench.latestMatchingRecord(dir, "target/sfprobe/sf1000rg")
     assert(hit.isDefined)
-    assert(hit.get._1.getFileName.toString == "bench_r14_1000x_quiet113.json")
+    assert(hit.get._2("q86") == 524.0 && hit.get._2("q113") == 343.7)
     // a NEWER round still wins over a quieter older one
     writeRecord(dir, "bench_r15_1000x_x.json", "target/sfprobe/sf1000rg",
       "q86" -> 600.0)
     assert(Bench.latestMatchingRecord(dir, "target/sfprobe/sf1000rg")
-      .get._1.getFileName.toString == "bench_r15_1000x_x.json")
+      .get._2 == Map("q86" -> 600.0))
   }
 
-  test("isDesignedRefusal: guard IllegalArgumentExceptions split from " +
-      "real failures — the sweep JSON's refused/failed keys (VERDICT r14)") {
-    assert(Bench.isDesignedRefusal(new IllegalArgumentException(
-      "requirement failed: semanticDedup with fixed nlist=16 ...")))
+  test("an all-refused record (every median a -1 marker) contributes no " +
+      "baselines and cannot win the tie — the refusals ledger must not " +
+      "disable the sustained-load re-measure (ADVICE r15)") {
+    val dir = Files.createTempDirectory("graft_benchrec")
+    writeRecord(dir, "bench_r15_1000x_real.json", "target/sfprobe/sf1000rg",
+      "q86" -> 524.0, "q113" -> 343.7)
+    // the refusals ledger: all -1 markers; sum of non-negatives = 0,
+    // which the old whole-record tie-break ranked "quietest"
+    writeRecord(dir, "bench_r15_1000x_refusals.json", "target/sfprobe/sf1000rg",
+      "q16" -> -1.0, "q41" -> -1.0, "q58" -> -1.0)
+    val hit = Bench.latestMatchingRecord(dir, "target/sfprobe/sf1000rg")
+    assert(hit.isDefined)
+    assert(hit.get._1.getFileName.toString == "bench_r15_1000x_real.json")
+    assert(hit.get._2 == Map("q86" -> 524.0, "q113" -> 343.7))
+    // ONLY all-refused records at the newest round → no baseline at all
+    val dir2 = Files.createTempDirectory("graft_benchrec")
+    writeRecord(dir2, "bench_r15_1000x_refusals.json", "target/sfprobe/sf1000rg",
+      "q16" -> -1.0)
+    assert(Bench.latestMatchingRecord(dir2, "target/sfprobe/sf1000rg").isEmpty)
+  }
+
+  test("isDesignedRefusal: only the dedicated GuardRefusal type counts — " +
+      "a genuine bug surfacing as a bare IllegalArgumentException is a " +
+      "FAILURE, not a refusal (ADVICE r15)") {
+    assert(Bench.isDesignedRefusal(new graft.GuardRefusal(
+      "semanticDedup with fixed nlist=16 ...")))
+    assert(Bench.isDesignedRefusal(intercept[Throwable](
+      graft.GuardRefusal.check(ok = false, "over budget"))))
+    // the broad-IAE mis-filing this replaces: library-path IAEs are real
+    assert(!Bench.isDesignedRefusal(new IllegalArgumentException(
+      "Unsupported class file major version")))
     assert(!Bench.isDesignedRefusal(new RuntimeException("executor lost")))
     assert(!Bench.isDesignedRefusal(
       new org.apache.spark.SparkException("job cancelled")))
+    // GuardRefusal.check passes silently when the budget fits
+    graft.GuardRefusal.check(ok = true, sys.error("message must stay lazy"))
   }
 
   test("sustainedLoadSuspect: fires only above 3x AND a material (0.5 s) " +
