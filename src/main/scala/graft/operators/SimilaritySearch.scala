@@ -359,7 +359,7 @@ object SimilaritySearch {
         !(nHint < 0 &&
           graft.SparkUtil.cheapCountAtMost(df, BruteForcePairGuardCutoff))) {
       val n = if (nHint >= 0) nHint else df.count()
-      require(n <= BruteForcePairGuardCutoff,
+      graft.GuardRefusal.check(n <= BruteForcePairGuardCutoff,
         s"cosineNearDupPairs is an n(n-1)/2 brute-force self-join: at n=$n (> " +
           s"$BruteForcePairGuardCutoff) that is ${n * (n - 1) / 2} exact cosine " +
           "comparisons and grows quadratically from here. Use " +
@@ -427,7 +427,7 @@ object SimilaritySearch {
       if (!cheapPass) {
         val cn = if (corpusHint >= 0) corpusHint else df.count()
         val qn = if (queryHint >= 0) queryHint else queries.count()
-        require(within(cn, qn),
+        graft.GuardRefusal.check(within(cn, qn),
           s"knnJoin scores every query against every corpus row: at " +
             s"|corpus|=$cn x |queries|=$qn that is ${BigInt(cn) * BigInt(qn)} exact cosine " +
             s"comparisons (> $budget) and grows quadratically when both sides " +
@@ -613,7 +613,7 @@ object SimilaritySearch {
           FixedWidthOccupancyGuardCutoff * math.max(1, nlist)))) {
       val n = if (nHint >= 0) nHint else df.count()
       val occ = n / math.max(1, nlist)
-      require(occ <= FixedWidthOccupancyGuardCutoff,
+      graft.GuardRefusal.check(occ <= FixedWidthOccupancyGuardCutoff,
         s"semanticDedup with fixed nlist=$nlist puts ~$occ vectors in each " +
           s"cell at n=$n (> $FixedWidthOccupancyGuardCutoff): the within-cell " +
           "self-join is quadratic in the corpus from here. Use " +
@@ -689,22 +689,53 @@ object SimilaritySearch {
     ((p0 to SemanticDedupMaxSubPlanes by 5) :+ SemanticDedupMaxSubPlanes)
       .distinct
 
+  /** Element type of the guard-aggregate sums. A LongType Σ m·(m−1)
+    * wraps negative once a single bucket/cell holds ≳3×10⁹ rows — with
+    * ANSI off the wrap is silent, so `last <= budget` would accept a
+    * width whose true volume is catastrophically over budget: the guard
+    * built to stop quadratic blowups would fail OPEN exactly in the
+    * regime it exists for (VERDICT r15; q115's decimal join-size
+    * products are the codebase precedent). decimal(38,0) cannot itself
+    * overflow here: m ≤ n ≤ Long.MaxValue ≈ 9.2×10¹⁸, so Σ m·(m−1) ≤
+    * n² < 8.6×10³⁷ < 10³⁸ by construction. */
+  private val GuardDecimal = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Read a guard aggregate's decimal(38,0) value back as a Long,
+    * saturating at Long.MaxValue: every caller compares `<= budget`
+    * with a budget that is itself ≤ Long.MaxValue, so saturation
+    * preserves the accept/escalate verdict while keeping the Long call
+    * sites unchanged. */
+  private[graft] def satLongOfDecimal(v: java.math.BigDecimal): Long =
+    if (v == null) 0L
+    else if (v.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) >= 0)
+      Long.MaxValue
+    else v.longValueExact()
+
+  /** Σ m·(m−1)/2 over an `m`-column histogram, summed in decimal(38,0)
+    * ([[GuardDecimal]]) and saturated on the way out. m·(m−1) is even
+    * per term, so the integral halving after the sum is exact. */
+  private[graft] def pairVolumeFromHist(hist: DataFrame): Long =
+    hist.agg(sum(col("m").cast(GuardDecimal) * (col("m") - lit(1L)))
+        .as("p2"))
+      .head().getDecimal(0) match {
+        case null => 0L
+        case d    => satLongOfDecimal(
+          d.divideToIntegralValue(java.math.BigDecimal.valueOf(2L)))
+      }
+
   /** Measured within-(cell, sub-bucket) candidate pairs at `subPlanes`,
     * re-aggregated from the cached (cell, clamp-width bits, m)
     * histogram: SRP bits are prefix-stable — plane j's weights ignore
     * nPlanes (spec-pinned) — so masking the low `subPlanes` bits IS
     * `lshBucket` at that width, and each ladder rung costs one narrow
-    * agg over the histogram, never another corpus scan. */
-  private def measuredWithinCellPairs(hist: DataFrame, subPlanes: Int): Long =
-    hist.groupBy(col("cell"),
+    * agg over the histogram, never another corpus scan. The inner
+    * Σ m per sub-bucket stays Long (bounded by the corpus count); the
+    * pair product sums in decimal ([[pairVolumeFromHist]]). */
+  private[graft] def measuredWithinCellPairs(hist: DataFrame,
+      subPlanes: Int): Long =
+    pairVolumeFromHist(hist.groupBy(col("cell"),
         col("__b").bitwiseAND(lit((1L << subPlanes) - 1)).as("__sb"))
-      .agg(sum(col("m")).as("mm"))
-      .agg(sum(col("mm") * (col("mm") - lit(1L))).as("p2"))
-      .head().getAs[Any]("p2") match {
-        case null    => 0L
-        case l: Long => l / 2
-        case other   => other.toString.toLong / 2
-      }
+      .agg(sum(col("m")).as("m")))
 
   /** The sub-split width decision behind [[semanticDedupAuto]],
     * separated so specs can assert the CHOSEN width (otherwise
@@ -733,7 +764,7 @@ object SimilaritySearch {
         last = measuredWithinCellPairs(hist, p)
         if (last <= budget) return p
       }
-      throw new IllegalArgumentException(
+      throw new graft.GuardRefusal(
         s"semanticDedupAuto: measured within-cell candidate volume at " +
         s"the widest sub-split (subPlanes=$SemanticDedupMaxSubPlanes " +
         s"over nlist=$nlist cells) is $last pairs " +
@@ -876,23 +907,39 @@ object SimilaritySearch {
         shiftright(bits, t * nPlanes).bitwiseAND(lit(mask)).as("b"))): _*))
   }
 
-  /** Multiprobe variant of [[srpTableKeys]] for the QUERY side: per table,
-    * the exact bucket plus every 1-bit-flipped bucket (`nPlanes` flips) —
-    * a near-miss on one hyperplane's sign no longer costs the whole
-    * table. Probing is query-side only, so the corpus index stays at
-    * `nTables` rows per vector; only the (tiny, broadcast) probe set
-    * grows `(nPlanes+1)×`. */
-  private def srpProbeKeys(bits: Column, nPlanes: Int, nTables: Int,
-      multiprobe: Boolean): Column = {
+  /** Multiprobe variant of [[srpTableKeys]] for the QUERY side: per
+    * table, the exact bucket plus every bucket within Hamming distance
+    * `probeBits` of it — a near-miss on one (or two) hyperplanes' signs
+    * no longer costs the whole table. Probing is query-side only, so
+    * the corpus index stays at `nTables` rows per vector; only the
+    * (tiny, or residual-slice) probe set grows: `(nPlanes+1)×` at depth
+    * 1, plus `(nPlanes choose 2)×` at depth 2 (the q267 recall@10
+    * frontier — depth 2 is probe-tool-measured before any face ships
+    * it). probeBits 0 = [[srpTableKeys]] semantics. */
+  private[graft] def srpProbeKeys(bits: Column, nPlanes: Int, nTables: Int,
+      probeBits: Int): Column = {
+    require(probeBits >= 0 && probeBits <= 2,
+      s"probeBits=$probeBits must be 0, 1, or 2")
     val mask = (1L << nPlanes) - 1
     explode(flatten(array((0 until nTables).map { t =>
       val b = shiftright(bits, t * nPlanes).bitwiseAND(lit(mask))
-      val variants = b +:
-        (if (multiprobe) (0 until nPlanes).map(j => b.bitwiseXOR(lit(1L << j)))
-         else Seq.empty[Column])
+      val h1 = if (probeBits >= 1)
+        (0 until nPlanes).map(j => b.bitwiseXOR(lit(1L << j)))
+      else Seq.empty[Column]
+      val h2 = if (probeBits >= 2)
+        (for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+          yield b.bitwiseXOR(lit((1L << i) | (1L << j))))
+      else Seq.empty[Column]
+      val variants = b +: (h1 ++ h2)
       array(variants.map(v => struct(lit(t).as("t"), v.as("b"))): _*)
     }: _*)))
   }
+
+  /** Boolean-flag compatibility shape: the shipped faces probe at depth
+    * 1 (`multiprobe = true`) or 0. */
+  private def srpProbeKeys(bits: Column, nPlanes: Int, nTables: Int,
+      multiprobe: Boolean): Column =
+    srpProbeKeys(bits, nPlanes, nTables, if (multiprobe) 1 else 0)
 
   /** Approximate top-k: multi-table SRP-LSH candidates re-ranked by exact
     * cosine — the standard (Indyk-Motwani) table-union construction. Each
@@ -1053,42 +1100,68 @@ object SimilaritySearch {
   private[graft] def knnGraphWidth(df: DataFrame, vecCol: String,
       dim: Int, targetBucket: Int, maxTables: Int,
       maxCandidatesPerVec: Int, n: Long): (Int, Int, Int) = {
-    val (p0, t0) = lshPlanesFor(n, targetBucket, maxTables = maxTables)
-    if (p0 == LshMinPlanes) return (p0, t0, Int.MaxValue)
     val budget =
       if (n > Long.MaxValue / maxCandidatesPerVec) Long.MaxValue
       else n * maxCandidatesPerVec
+    // Stamp every decision on stderr (VERDICT r15 #3): the knn5lsh
+    // artifact embeds this measured trade and its consumers
+    // (q137/q221/q234) silently inherit it — the build log must say
+    // which (width, cap) the graph was built at and what volume was
+    // measured, so BASELINE can record it next to the consumer rows.
+    // vol is the measured ORDERED candidate volume at the accepted
+    // configuration; -1 in the minPlanes regime (measurement skipped —
+    // the corpus is too small for any width to be quadratic-dangerous).
+    def decide(p: Int, t: Int, cap: Int, vol: Long): (Int, Int, Int) = {
+      System.err.println(s"knn-graph width decision: nPlanes=$p " +
+        s"nTables=$t cap=${if (cap == Int.MaxValue) "off" else cap} " +
+        s"orderedVolume=$vol budget=$budget n=$n")
+      (p, t, cap)
+    }
+    val (p0, t0) = lshPlanesFor(n, targetBucket, maxTables = maxTables)
+    if (p0 == LshMinPlanes) return decide(p0, t0, Int.MaxValue, -1L)
     def ordered(pairs: Long): Long =
       if (pairs > Long.MaxValue / 2) Long.MaxValue else 2 * pairs
     val ladder = lshWidthLadder(p0, maxTables)
-    if (ordered(measuredLshCandidatePairs(df, vecCol, dim,
-        ladder.head._1, ladder.head._2)) <= budget)
-      return (ladder.head._1, ladder.head._2, Int.MaxValue)
+    val v0 = ordered(measuredLshCandidatePairs(df, vecCol, dim,
+      ladder.head._1, ladder.head._2))
+    if (v0 <= budget)
+      return decide(ladder.head._1, ladder.head._2, Int.MaxValue, v0)
     val bits = df.select(lshBucket(col(vecCol), dim, 63).as("__bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       ladder.tail.foreach { case (p, t) =>
-        if (ordered(measuredLshCandidatePairsFromBits(bits, p, t)) <= budget)
-          return (p, t, Int.MaxValue)
+        val v = ordered(measuredLshCandidatePairsFromBits(bits, p, t))
+        if (v <= budget) return decide(p, t, Int.MaxValue, v)
       }
       val (pw, tw) = ladder.last
       val caps = Seq(64, 16, 4, 1).map(_.toLong * targetBucket)
-      val sums = bits
-        .select(srpTableKeys(col("__bits"), pw, tw).as("tb"))
-        .groupBy(col("tb")).agg(count(lit(1)).as("m"))
-        .agg(sum(col("m") * least(col("m"), lit(caps.head))).as("c0"),
-          caps.tail.zipWithIndex.map { case (c, i) =>
-            sum(col("m") * least(col("m"), lit(c))).as(s"c${i + 1}")
-          }: _*)
-        .head()
-      val fit = caps.indices.find(i => !sums.isNullAt(i) &&
-        sums.getLong(i) <= budget)
+      val sums = cappedVolumesFromHist(
+        bits.select(srpTableKeys(col("__bits"), pw, tw).as("tb"))
+          .groupBy(col("tb")).agg(count(lit(1)).as("m")), caps)
+      val fit = caps.indices.find(i => sums(i) <= budget)
       // the targetBucket floor fits whenever tables×targetBucket <=
       // maxCandidatesPerVec (defaults: 2×64 << 1024); best-effort floor
       // otherwise — never refuse, the output is n×k-bounded
-      (pw, tw,
-        math.min(caps(fit.getOrElse(caps.size - 1)), Int.MaxValue).toInt)
+      val i = fit.getOrElse(caps.size - 1)
+      decide(pw, tw, math.min(caps(i), Int.MaxValue).toInt, sums(i))
     } finally bits.unpersist(false)
+  }
+
+  /** Σ m·min(m, c) for each cap candidate `c` over an `m`-column
+    * histogram, all in ONE agg pass, summed in decimal(38,0) and
+    * saturated ([[GuardDecimal]] rationale — these sums guard the same
+    * budget comparison as the pair volumes). */
+  private[graft] def cappedVolumesFromHist(hist: DataFrame,
+      caps: Seq[Long]): Seq[Long] = {
+    val row = hist.agg(
+      sum(col("m").cast(GuardDecimal) * least(col("m"), lit(caps.head)))
+        .as("c0"),
+      caps.tail.zipWithIndex.map { case (c, i) =>
+        sum(col("m").cast(GuardDecimal) * least(col("m"), lit(c)))
+          .as(s"c${i + 1}")
+      }: _*).head()
+    caps.indices.map(i =>
+      if (row.isNullAt(i)) 0L else satLongOfDecimal(row.getDecimal(i)))
   }
 
   /**
@@ -1116,8 +1189,14 @@ object SimilaritySearch {
     val (nPlanes, nTables, cap) = knnGraphWidth(df, vecCol, dim,
       targetBucket, maxTables, maxCandidatesPerVec, n)
     // allowFixedWidth: the measured sizing IS the occupancy guard.
+    // residualMultiprobe past the minPlanes regime (VERDICT r15 #1):
+    // only a measured (wide) index leaves vectors alone in their
+    // buckets in every table; at correctness scale the fallback stays
+    // OFF so the delegation to the explicit fixed-width call — and its
+    // oracle — is exact by construction.
     knnJoinLsh(df, k, idCol, vecCol, dim, nPlanes, nTables,
-      bucketCap = cap, allowFixedWidth = true)
+      bucketCap = cap, allowFixedWidth = true,
+      residualMultiprobe = nPlanes > LshMinPlanes)
   }
 
   /**
@@ -1142,27 +1221,46 @@ object SimilaritySearch {
    * EAGER at call time unless `allowFixedWidth = true`: the corpus-side
    * occupancy guard runs one count job when the plan is built
    * (`nHint >= 0` supplies a caller-held corpus count).
+   *
+   * @param residualMultiprobe second pass for EMPTY-YIELD queries
+   *   (VERDICT r15 #1): a query whose buckets collide with nothing in
+   *   every table gets no neighbors for no semantic reason. With this
+   *   on, queries absent from the first pass's output are anti-joined
+   *   out and re-probed with query-side 1-bit multiprobe
+   *   ([[srpProbeKeys]] — the exact bucket plus every 1-bit-flipped
+   *   bucket per table), so a near-miss on one hyperplane's sign no
+   *   longer costs the whole query. Cost is (nPlanes+1)× on the
+   *   RESIDUAL slice only — the corpus index is untouched and the
+   *   output stays |queries|×k-bounded. Off by default: the auto face
+   *   enables it past the minPlanes regime (at correctness scale the
+   *   fixed-width oracle must replay the delegation exactly, and a
+   *   small corpus has no empty-bucket problem worth a second pass).
    */
   def knnJoinLshBipartite(df: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "vec_id", dim: Int = 64, nPlanes: Int = 4,
       nTables: Int = 8, bucketCap: Int = Int.MaxValue,
-      allowFixedWidth: Boolean = false, nHint: Long = -1L): DataFrame = {
+      allowFixedWidth: Boolean = false, nHint: Long = -1L,
+      residualMultiprobe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     require(bucketCap >= 1, s"bucketCap=$bucketCap must be >= 1")
     if (bucketCap == Int.MaxValue && !allowFixedWidth)
       requireFixedWidthInBudgetDf(df, nHint,
         nPlanes, "knnJoinLshBipartite", "knnJoinLshBipartiteAuto")
-    def side(d: DataFrame, id: String, idOut: String) =
+    def bitsSide(d: DataFrame, id: String, idOut: String) =
       graft.SparkUtil.trackCache(graft.SparkUtil.ensureParallelism(d)
         .select(col(id).as(idOut), col(vecCol).as(s"__v_$idOut"),
           norm2(col(vecCol), dim).as(s"__n2_$idOut"),
           lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits")))
-        .select(col(idOut), col(s"__v_$idOut"), col(s"__n2_$idOut"),
-          srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
-    val corpus = side(df, idCol, "cand_id")
-    val qs = side(queries, queryIdCol, "query_id")
+    def keysOf(b: DataFrame, idOut: String, probe: Boolean) =
+      b.select(col(idOut), col(s"__v_$idOut"), col(s"__n2_$idOut"),
+        (if (probe)
+          srpProbeKeys(col("__bits"), nPlanes, nTables, multiprobe = true)
+        else srpTableKeys(col("__bits"), nPlanes, nTables)).as("__tb"))
+    val qBits = bitsSide(queries, queryIdCol, "query_id")
+    val corpus = keysOf(bitsSide(df, idCol, "cand_id"), "cand_id",
+      probe = false)
     val candSide = if (bucketCap == Int.MaxValue) corpus else {
       val cw = Window.partitionBy(col("__tb")).orderBy(
         graft.functions.TextFunctions.mix32(
@@ -1174,28 +1272,45 @@ object SimilaritySearch {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
     // k·nTables pre-cut before the dedup agg — lossless for the final
-    // top-k (each distinct pair appears ≤ nTables times); see the
-    // [[knnJoinLsh]] KnnProbe note: the undeduped-candidate hash agg is
-    // otherwise the dominant stage at scale.
-    qs.as("q").join(candSide.as("c"), col("q.__tb") === col("c.__tb"))
-      .select(col("q.query_id"), col("c.cand_id"),
-        cosineWithNorms(dot(col("q.__v_query_id"), col("c.__v_cand_id"), dim),
-          col("q.__n2_query_id"), col("c.__n2_cand_id")).as("score"))
-      .withColumn("__pr", row_number().over(w))
-      .filter(col("__pr") <= k * nTables).drop("__pr")
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(max(col("score")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // top-k (each distinct pair appears ≤ nTables times: a candidate
+    // occupies ONE bucket per table, so even a multiprobe query — whose
+    // per-table probe buckets are distinct — matches it at most once
+    // per table); see the [[knnJoinLsh]] KnnProbe note: the
+    // undeduped-candidate hash agg is otherwise the dominant stage at
+    // scale.
+    def scoreCut(q: DataFrame) =
+      q.as("q").join(candSide.as("c"), col("q.__tb") === col("c.__tb"))
+        .select(col("q.query_id"), col("c.cand_id"),
+          cosineWithNorms(dot(col("q.__v_query_id"), col("c.__v_cand_id"), dim),
+            col("q.__n2_query_id"), col("c.__n2_cand_id")).as("score"))
+        .withColumn("__pr", row_number().over(w))
+        .filter(col("__pr") <= k * nTables).drop("__pr")
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("score")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    val first = scoreCut(keysOf(qBits, "query_id", probe = false))
+    if (!residualMultiprobe) first
+    else {
+      // The first-pass graph is consumed twice (output + the residual
+      // anti-join) — cache it: |queries|×k narrow rows at any scale.
+      val g = graft.SparkUtil.trackCache(first)
+      val residual = qBits.join(g.select(col("query_id")).distinct(),
+        Seq("query_id"), "left_anti")
+      g.union(scoreCut(keysOf(residual, "query_id", probe = true)))
+    }
   }
 
-  /** [[knnJoinLshBipartite]] with the index width sized from the CORPUS
-    * count ([[lshPlanesFor]]) and the q264 degenerate-bucket cap
-    * ([[lshBucketCapFor]]) — candidate volume per query stays ≈
-    * `targetBucket` at any corpus size. On a corpus small enough that
-    * `minPlanes` binds and the cap is off this is exactly the explicit
-    * fixed-width call (spec-pinned), so a q58-shape oracle covers the
-    * delegation at correctness scale. */
+  /** [[knnJoinLshBipartite]] with the index width sized from the
+    * MEASURED cross-collision ladder (the q264/q265 rule on the
+    * two-sided shape) — candidate volume per query stays ≈
+    * `targetBucket` at any corpus size; a corpus whose buckets stay
+    * dense at the 30-plane clamp falls back to an unconditional
+    * `4×targetBucket` corpus-side cap (the bipartite output is bounded
+    * by |queries|×k at any width, so nothing refuses). On a corpus
+    * small enough that `minPlanes` binds and the cap is off this is
+    * exactly the explicit fixed-width call (spec-pinned), so a
+    * q58-shape oracle covers the delegation at correctness scale. */
   def knnJoinLshBipartiteAuto(df: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "vec_id", dim: Int = 64,
@@ -1211,10 +1326,26 @@ object SimilaritySearch {
       vecCol, dim, targetBucket, maxTables, maxCandidatesPerVec, n,
       queries.count()) match {
       case Right((p, t))   => (p, t, Int.MaxValue)
-      case Left((p, t, _)) => (p, t, lshBucketCapFor(n, targetBucket))
+      // Left = MEASURED over budget even at the 30-plane clamp: the cap
+      // must bind UNCONDITIONALLY. lshBucketCapFor's 16×cap activation
+      // threshold is for count-only sizing and resolves to Int.MaxValue
+      // on a small-but-dense corpus — which would run the clamp width
+      // uncapped against a measured-over-budget verdict (ADVICE r15).
+      case Left((p, t, _)) => (p, t, 4 * targetBucket)
     }
+    // Past the minPlanes regime the width is wide enough that some
+    // queries' buckets can collide with nothing in every table — run
+    // the 1-bit multiprobe second pass on exactly that residual slice
+    // (VERDICT r15 #1). In the minPlanes regime the fallback must stay
+    // OFF so the delegation to the explicit fixed-width call — and its
+    // oracle — is exact by construction.
+    val residual = nPlanes > LshMinPlanes
+    System.err.println(s"bipartite-knn width decision: nPlanes=$nPlanes " +
+      s"nTables=$nTables cap=${if (cap == Int.MaxValue) "off" else cap} " +
+      s"residualMultiprobe=$residual n=$n")
     knnJoinLshBipartite(df, queries, k, idCol, vecCol, queryIdCol, dim,
-      nPlanes, nTables, bucketCap = cap, allowFixedWidth = true)
+      nPlanes, nTables, bucketCap = cap, allowFixedWidth = true,
+      residualMultiprobe = residual)
   }
 
   /** Effective per-(table, bucket) candidate cap for explicit capped
@@ -1271,7 +1402,7 @@ object SimilaritySearch {
   private def requireFixedWidthInBudget(n: Long, nPlanes: Int,
       op: String, autoOp: String): Unit = {
     val occ = n >> nPlanes
-    require(occ <= FixedWidthOccupancyGuardCutoff,
+    graft.GuardRefusal.check(occ <= FixedWidthOccupancyGuardCutoff,
       s"$op with fixed nPlanes=$nPlanes puts ~$occ vectors in each LSH bucket at " +
         s"n=$n (> ${FixedWidthOccupancyGuardCutoff}): the bucket self-join is " +
         "quadratic in the corpus from here. Use " + autoOp +
@@ -1311,12 +1442,24 @@ object SimilaritySearch {
    *   uncapped call without `allowFixedWidth` runs one
    *   parquet-metadata-cheap count job when the plan is BUILT; pass
    *   `allowFixedWidth = true` (or a `bucketCap`) to stay fully lazy.
+   * @param residualMultiprobe second pass for EMPTY-YIELD vectors
+   *   (VERDICT r15 #1): at a measured (wide) index, a vector alone in
+   *   its bucket in EVERY table gets no neighbors — a kNN-graph
+   *   consumer (mutual-kNN, purity, hubness) then sees it as isolated
+   *   for no semantic reason (6/64 probe queries at the r15 1000×
+   *   width). With this on, vectors absent from the first pass's
+   *   query_id column are anti-joined out and re-probed with query-side
+   *   1-bit multiprobe ([[srpProbeKeys]]), costing (nPlanes+1)× on the
+   *   residual slice ONLY; the corpus index is untouched and the output
+   *   stays n×k-bounded. Off by default (the q58 reference semantics);
+   *   the auto face enables it past the minPlanes regime.
    */
   def knnJoinLsh(df: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8,
       bucketCap: Int = Int.MaxValue,
-      allowFixedWidth: Boolean = false, nHint: Long = -1L): DataFrame = {
+      allowFixedWidth: Boolean = false, nHint: Long = -1L,
+      residualMultiprobe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     require(bucketCap >= 1, s"bucketCap=$bucketCap must be >= 1")
@@ -1362,17 +1505,37 @@ object SimilaritySearch {
     // query) and both windows and the agg share the hash(query_id)
     // Exchange (HashPartitioning on a subset of the agg keys satisfies
     // its clustering), so the 199 M-row shuffle disappears outright.
-    keyed.as("x").join(candSide.as("y"),
-        col("x.__tb") === col("y.__tb") && col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("query_id"), col("y.id").as("cand_id"),
-        cosineWithNorms(dot(col("x.v"), col("y.v"), dim),
-          col("x.n2"), col("y.n2")).as("score"))
-      .withColumn("__pr", row_number().over(w))
-      .filter(col("__pr") <= k * nTables).drop("__pr")
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(max(col("score")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    def scoreCut(q: DataFrame) =
+      q.as("x").join(candSide.as("y"),
+          col("x.__tb") === col("y.__tb") && col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("query_id"), col("y.id").as("cand_id"),
+          cosineWithNorms(dot(col("x.v"), col("y.v"), dim),
+            col("x.n2"), col("y.n2")).as("score"))
+        .withColumn("__pr", row_number().over(w))
+        .filter(col("__pr") <= k * nTables).drop("__pr")
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("score")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    val first = scoreCut(keyed)
+    if (!residualMultiprobe) first
+    else {
+      // The first-pass graph is consumed twice (output + the residual
+      // anti-join) — cache it: n×k narrow rows at any scale. The k·
+      // nTables pre-cut stays lossless under multiprobe (a candidate
+      // occupies one bucket per table; a query's per-table probe
+      // buckets are distinct, so each pair still appears ≤ nTables
+      // times). Vectors whose probed buckets ALSO hold nothing remain
+      // isolated — honestly this time: Hamming ≤ 1 on every table's
+      // sketch found no non-self neighbor.
+      val g = graft.SparkUtil.trackCache(first)
+      val residual = base.join(g.select(col("query_id")).distinct(),
+        col("id") === col("query_id"), "left_anti")
+      val resKeyed = residual.select(col("id"), col("v"), col("n2"),
+        srpProbeKeys(col("__bits"), nPlanes, nTables,
+          multiprobe = true).as("__tb"))
+      g.union(scoreCut(resKeyed))
+    }
   }
 
   /**
@@ -1448,14 +1611,9 @@ object SimilaritySearch {
     * vectors per rung (ADVICE r14). */
   private def measuredLshCandidatePairsFromBits(bits: DataFrame,
       nPlanes: Int, nTables: Int): Long =
-    bits.select(srpTableKeys(col("__bits"), nPlanes, nTables).as("tb"))
-      .groupBy(col("tb")).agg(count(lit(1)).as("m"))
-      .agg(sum(col("m") * (col("m") - lit(1L))).as("p2"))
-      .head().getAs[Any]("p2") match {
-        case null      => 0L
-        case l: Long   => l / 2
-        case other     => other.toString.toLong / 2
-      }
+    pairVolumeFromHist(
+      bits.select(srpTableKeys(col("__bits"), nPlanes, nTables).as("tb"))
+        .groupBy(col("tb")).agg(count(lit(1)).as("m")))
 
   /** Width ladder for the occupancy-measured escalation: start at
     * [[lshPlanesFor]]'s isotropy pick, widen 5 planes at a time up to
@@ -1514,7 +1672,7 @@ object SimilaritySearch {
       case Right(width) => return width
       case Left(wall)   => wall
     }
-    throw new IllegalArgumentException(
+    throw new graft.GuardRefusal(
       s"cosineNearDupPairsLshAuto: measured candidate volume at the " +
       s"widest index (nPlanes=$pw, nTables=$tw) is $last pairs " +
       s"(~${last / math.max(1L, n)}/vector) over n=$n vectors — " +
@@ -1642,15 +1800,20 @@ object SimilaritySearch {
     def hist(b: DataFrame) =
       b.select(srpTableKeys(col("__bits"), nPlanes, nTables).as("tb"))
         .groupBy(col("tb")).agg(count(lit(1)).as("m"))
-    hist(newBits).select(col("tb"), col("m").as("mn"))
-      .join(hist(oldBits).select(col("tb"), col("m").as("mo")), "tb")
-      .agg(sum(col("mn") * col("mo")).as("c"))
-      .head().getAs[Any]("c") match {
-        case null    => 0L
-        case l: Long => l
-        case other   => other.toString.toLong
-      }
+    crossVolumeFromHists(hist(newBits), hist(oldBits))
   }
+
+  /** Σ m_new·m_old over two joined (tb, m) histograms, summed in
+    * decimal(38,0) and saturated ([[GuardDecimal]] rationale). */
+  private[graft] def crossVolumeFromHists(newHist: DataFrame,
+      oldHist: DataFrame): Long =
+    newHist.select(col("tb"), col("m").as("mn"))
+      .join(oldHist.select(col("tb"), col("m").as("mo")), "tb")
+      .agg(sum(col("mn").cast(GuardDecimal) * col("mo")).as("c"))
+      .head().getDecimal(0) match {
+        case null => 0L
+        case d    => satLongOfDecimal(d)
+      }
 
   /**
    * [[crossCorpusNearDupLsh]] with the index width sized from MEASURED
@@ -1717,7 +1880,7 @@ object SimilaritySearch {
       case Left(wall)   => wall
     }
     val nNew = newEmb.count() // refusal path only: sizes the message
-    throw new IllegalArgumentException(
+    throw new graft.GuardRefusal(
       s"crossCorpusNearDupLshAuto: measured candidate volume at the " +
       s"widest index (nPlanes=$pw, nTables=$tw) is $last " +
       s"(~${last / math.max(1L, nNew)}/new vector, |new|=$nNew) — " +

@@ -236,6 +236,45 @@ object RecallProbe {
     println(f"q267 recall@1=${recallAt(1, exactAnn, g267)}%.4f " +
       f"recall@$kAnn=${recallAt(kAnn, exactAnn, g267)}%.4f " +
       f"empty=${annIds.count(q => !g267.contains(q.toLong))}/${annIds.size}")
+
+    // Probe-depth frontier (VERDICT r15 #5): q267 measures recall@1 =
+    // 1.0 but recall@10 = 0.375 at 1000× — fine for top-1 lookup, thin
+    // for top-10 retrieval. Price the 2-bit query-side probe (exact
+    // bucket + nPlanes 1-flips + (nPlanes choose 2) 2-flips per table,
+    // query-side only) against the shipped 1-bit at the SAME auto
+    // width: ship depth 2 only if the measured recall@10 gain is worth
+    // the bounded probe-set growth.
+    val (ap, at) = SimilaritySearch.lshPlanesFor(n, 64, maxTables = 15)
+    println(s"q267 auto width: ($ap, $at), 2-bit probe set = " +
+      s"${1 + ap + ap * (ap - 1) / 2}x per table")
+    val g267d2 = timed(s"q267 ann 2-bit x${annIds.size}") {
+      annIds.map { q =>
+        val qdf = emb.filter(col("vec_id") === q)
+        val bucketed = graft.SparkUtil.ensureParallelism(emb)
+          .select(col("vec_id"), col("embedding"),
+            graft.functions.VectorFunctions.lshBucket(
+              col("embedding"), dim, ap * at).as("__bits"))
+          .select(col("vec_id"), col("embedding"),
+            SimilaritySearch.srpTableKeys(col("__bits"), ap, at).as("__tb"))
+        val qk = broadcast(qdf
+          .select(col("embedding").as("__qvec"),
+            graft.functions.VectorFunctions.lshBucket(
+              col("embedding"), dim, ap * at).as("__qbits"))
+          .select(col("__qvec"), SimilaritySearch.srpProbeKeys(
+            col("__qbits"), ap, at, probeBits = 2).as("__qtb")))
+        val rows = bucketed.join(qk, col("__tb") === col("__qtb"))
+          .select(col("vec_id"), graft.functions.VectorFunctions.cosine(
+            col("embedding"), col("__qvec"), dim).as("score"))
+          .groupBy(col("vec_id")).agg(max(col("score")).as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(kAnn + 1)
+          .filter(col("vec_id") =!= q).collect()
+        q.toLong -> rows.map(_.getLong(0)).toSeq.take(kAnn)
+      }.toMap
+    }
+    println(f"q267/2bit recall@1=${recallAt(1, exactAnn, g267d2)}%.4f " +
+      f"recall@$kAnn=${recallAt(kAnn, exactAnn, g267d2)}%.4f " +
+      f"empty=${annIds.count(q => !g267d2.contains(q.toLong))}/${annIds.size}")
     spark.stop()
   }
 }

@@ -1426,4 +1426,146 @@ class SimilaritySearchSpec extends SparkSpec {
       ids(SimilaritySearch.semanticDedup(e, threshold = 0.4)))
     graft.SparkUtil.unpersistTrackedCaches()
   }
+
+  // ---- residual multiprobe for the graph faces (VERDICT r15 #1): a
+  // vector alone in its bucket in EVERY table yields no graph rows at
+  // the first pass, so kNN-graph consumers see it as isolated for no
+  // semantic reason (6/64 probe queries at the r15 1000x width). The
+  // second pass anti-joins the empty-yield slice out and re-probes it
+  // with query-side 1-bit multiprobe — (nPlanes+1)x on the residual
+  // slice only. Fixture: the 2048 antipodal-cluster corpus (measured
+  // width (25, 2), uncapped) plus ONE isolated vector
+  // (-2, -2, 0, -2), found by scanning a half-integer grid for a
+  // vector whose 25-bit table-0 bucket is Hamming-1 from the minus
+  // cluster's (and table-1 Hamming-2, so both first-pass buckets are
+  // singletons): pass 1 provably yields nothing for it, the table-0
+  // 1-bit probe provably reaches the minus cluster (cosine ~0.877). ----
+
+  private def residualFixture = {
+    val spark0 = spark
+    import spark0.implicits._
+    ((1L to 2048L).map { i =>
+      val s = if (i <= 1024) 1.0f else -1.0f
+      (i, Array(s, s * 0.5f, s * -0.25f, s * 2.0f))
+    } :+ ((3000L, Array(-2.0f, -2.0f, 0.0f, -2.0f))))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("knnJoinLshAuto residual multiprobe: an empty-yield vector gets " +
+      "its true cluster neighbors in the second pass; every other " +
+      "query's rows are untouched") {
+    val corpus = residualFixture
+    // n=2049: budget 2049*2048 = 4.196M, ordered volume at (25,2) =
+    // 4.190M (the isolated vector contributes zero collisions) — the
+    // same accepted rung as the 2048-row ladder spec, uncapped
+    assert(SimilaritySearch.knnGraphWidth(corpus, "embedding", dim = 4,
+      targetBucket = 64, maxTables = 8, maxCandidatesPerVec = 2048,
+      n = 2049L) == (25, 2, Int.MaxValue))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val explicitRows = rowsOf(SimilaritySearch.knnJoinLsh(corpus, k = 3,
+      dim = 4, nPlanes = 25, nTables = 2, allowFixedWidth = true))
+    // pass 1 alone: the isolated vector is ABSENT — both its buckets
+    // are singletons, so the self-excluding join yields nothing
+    assert(!explicitRows.exists(_._1 == 3000L))
+    val autoRows = rowsOf(SimilaritySearch.knnJoinLshAuto(corpus, k = 3,
+      dim = 4, maxCandidatesPerVec = 2048))
+    // the residual pass attaches the isolated vector to the minus
+    // cluster (table-0 probe flips the one differing plane): k rows,
+    // ranks 1..k, exact cosine to the identical cluster members
+    val res = autoRows.filter(_._1 == 3000L).sortBy(_._4)
+    assert(res.length == 3)
+    assert(res.map(_._4).toSeq == Seq(1, 2, 3))
+    assert(res.forall(r => r._2 >= 1025L && r._2 <= 2048L))
+    assert(res.forall(r => math.abs(r._3 - 7.0 / math.sqrt(63.75)) < 1e-12))
+    // rank ties break cand_id-asc over 1024 identical members
+    assert(res.map(_._2).toSeq == Seq(1025L, 1026L, 1027L))
+    // every non-residual query's rows are exactly the first pass's
+    assert(autoRows.filterNot(_._1 == 3000L).toSet == explicitRows.toSet)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("knnJoinLshBipartiteAuto residual multiprobe: an empty-yield " +
+      "QUERY is re-probed against the store; collided queries are " +
+      "untouched (and the minPlanes regime skips the fallback)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val store = (1L to 2048L).map { i =>
+      val s = if (i <= 1024) 1.0f else -1.0f
+      (i, Array(s, s * 0.5f, s * -0.25f, s * 2.0f))
+    }.toDF("vec_id", "embedding")
+    val queries = Seq(
+      (10001L, Array(1.0f, 0.5f, -0.25f, 2.0f)), // plus-cluster twin
+      (10002L, Array(-2.0f, -2.0f, 0.0f, -2.0f)) // the isolated vector
+    ).toDF("vec_id", "embedding")
+    // budget 2*1024: the twin's cross collisions are 1024*t per rung,
+    // so only the (25, 2) rung fits — the width the fixture was built
+    // for; Right(...) = cap off, and 25 > minPlanes arms the fallback
+    assert(SimilaritySearch.crossCorpusNearDupLshAutoWidth(queries, store,
+      "embedding", dim = 4, targetBucket = 64, maxTables = 8,
+      maxCandidatesPerVec = 1024) == (25, 2))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val explicitRows = rowsOf(SimilaritySearch.knnJoinLshBipartite(store,
+      queries, k = 3, dim = 4, nPlanes = 25, nTables = 2,
+      allowFixedWidth = true))
+    assert(!explicitRows.exists(_._1 == 10002L)) // empty yield, pass 1
+    assert(explicitRows.count(_._1 == 10001L) == 3)
+    val autoRows = rowsOf(SimilaritySearch.knnJoinLshBipartiteAuto(store,
+      queries, k = 3, dim = 4, maxCandidatesPerVec = 1024))
+    val res = autoRows.filter(_._1 == 10002L).sortBy(_._4)
+    assert(res.length == 3)
+    assert(res.forall(r => r._2 >= 1025L && r._2 <= 2048L))
+    assert(res.forall(r => math.abs(r._3 - 7.0 / math.sqrt(63.75)) < 1e-12))
+    assert(autoRows.filterNot(_._1 == 10002L).toSet ==
+      explicitRows.filterNot(_._1 == 10002L).toSet)
+    // minPlanes regime (the sf0.01 oracle shape): auto == explicit
+    // fixed width BY CONSTRUCTION — no residual pass, even though one
+    // query yields nothing there too
+    val tinyStore = store.filter(col("vec_id") <= 256)
+    val tinyAuto = rowsOf(SimilaritySearch.knnJoinLshBipartiteAuto(
+      tinyStore, queries, k = 3, dim = 4)).toSet
+    val tinyExplicit = rowsOf(SimilaritySearch.knnJoinLshBipartite(
+      tinyStore, queries, k = 3, dim = 4, nPlanes = 4, nTables = 8,
+      allowFixedWidth = true)).toSet
+    assert(tinyAuto == tinyExplicit)
+    graft.SparkUtil.unpersistTrackedCaches()
+  }
+
+  test("srpProbeKeys enumerates exactly the Hamming-<=depth buckets per " +
+      "table: (1+p) keys at depth 1, (1+p+C(p,2)) at depth 2, all " +
+      "distinct, none outside the ball") {
+    val spark0 = spark
+    import spark0.implicits._
+    val (p, t) = (5, 3)
+    // a fixed 15-bit pattern: per-table buckets 0b10110, 0b01001, 0b11111
+    val bits = ((0b11111L << 10) | (0b01001L << 5) | 0b10110L)
+    def keysAt(depth: Int): Seq[(Int, Long)] =
+      Seq(bits).toDF("__bits")
+        .select(SimilaritySearch.srpProbeKeys(
+          col("__bits"), p, t, probeBits = depth).as("k"))
+        .select(col("k.t"), col("k.b")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val exactOf = Map(0 -> 0b10110L, 1 -> 0b01001L, 2 -> 0b11111L)
+    Seq(0 -> 1, 1 -> (1 + p), 2 -> (1 + p + p * (p - 1) / 2)).foreach {
+      case (depth, perTable) =>
+        val ks = keysAt(depth)
+        assert(ks.size == t * perTable, s"depth $depth size")
+        assert(ks.distinct.size == ks.size, s"depth $depth distinct")
+        ks.foreach { case (tb, b) =>
+          assert(ham(b, exactOf(tb)) <= depth && b >= 0 && b < (1L << p))
+        }
+        // the exact bucket is always present
+        exactOf.foreach { case (tb, b) => assert(ks.contains((tb, b))) }
+    }
+    // depth 0 IS srpTableKeys
+    val plain = Seq(bits).toDF("__bits")
+      .select(SimilaritySearch.srpTableKeys(col("__bits"), p, t).as("k"))
+      .select(col("k.t"), col("k.b")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(keysAt(0).sorted == plain.sorted)
+  }
 }
