@@ -969,8 +969,19 @@ object SimilaritySearch {
   def annTopKLsh(df: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nPlanes: Int = 4, nTables: Int = 15,
-      multiprobe: Boolean = true): DataFrame = {
+      multiprobe: Boolean = true, probeBits: Int = -1): DataFrame = {
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
+    // probeBits -1 derives the depth from the legacy flag; 0/1/2
+    // override it. Depth 2 is the measured recall@10 frontier (r16
+    // 1000x probe: 0.375 -> 0.5375 at 1.6x per-query cost on a 2 M
+    // corpus): the (1 + p + C(p,2))x probe set is query-side only and
+    // the candidate bound stays ~targetBucket x probes per table, but
+    // the probe-key array falls out of whole-stage codegen past ~100
+    // elements (janino method-size wall) — fine for the tiny broadcast
+    // query side, wrong as a default; opt in for recall-sensitive
+    // top-k retrieval.
+    val depth =
+      if (probeBits >= 0) probeBits else if (multiprobe) 1 else 0
     val totalPlanes = nPlanes * nTables
     val bucketed = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol), col(vecCol),
@@ -981,7 +992,7 @@ object SimilaritySearch {
       .select(col(vecCol).as("__qvec"),
         lshBucket(col(vecCol), dim, totalPlanes).as("__qbits"))
       .select(col("__qvec"),
-        srpProbeKeys(col("__qbits"), nPlanes, nTables, multiprobe).as("__qtb")))
+        srpProbeKeys(col("__qbits"), nPlanes, nTables, depth).as("__qtb")))
     bucketed.join(q, col("__tb") === col("__qtb"))
       .select(col(idCol), cosine(col(vecCol), col("__qvec"), dim).as("score"))
       .groupBy(col(idCol)).agg(max(col("score")).as("score"))
@@ -1004,10 +1015,11 @@ object SimilaritySearch {
   def annTopKLshAuto(df: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, targetBucket: Int = 64, maxTables: Int = 15,
-      multiprobe: Boolean = true): DataFrame = {
+      multiprobe: Boolean = true, probeBits: Int = -1): DataFrame = {
     val (nPlanes, nTables) = lshPlanesFor(df.count(), targetBucket,
       maxTables = maxTables)
-    annTopKLsh(df, query, k, idCol, vecCol, dim, nPlanes, nTables, multiprobe)
+    annTopKLsh(df, query, k, idCol, vecCol, dim, nPlanes, nTables,
+      multiprobe, probeBits)
   }
 
   /**
@@ -1196,7 +1208,9 @@ object SimilaritySearch {
     // oracle — is exact by construction.
     knnJoinLsh(df, k, idCol, vecCol, dim, nPlanes, nTables,
       bucketCap = cap, allowFixedWidth = true,
-      residualMultiprobe = nPlanes > LshMinPlanes)
+      residualMultiprobe = nPlanes > LshMinPlanes,
+      residualBucketCap = math.max(k,
+        maxCandidatesPerVec / (nTables * (nPlanes + 1))))
   }
 
   /**
@@ -1225,8 +1239,9 @@ object SimilaritySearch {
    * @param residualMultiprobe second pass for EMPTY-YIELD queries
    *   (VERDICT r15 #1): a query whose buckets collide with nothing in
    *   every table gets no neighbors for no semantic reason. With this
-   *   on, queries absent from the first pass's output are anti-joined
-   *   out and re-probed with query-side 1-bit multiprobe
+   *   on, queries none of whose buckets hold a corpus member (the
+   *   analytic equivalent of "absent from the pass-1 output") are
+   *   re-probed with query-side 1-bit multiprobe
    *   ([[srpProbeKeys]] — the exact bucket plus every 1-bit-flipped
    *   bucket per table), so a near-miss on one hyperplane's sign no
    *   longer costs the whole query. Cost is (nPlanes+1)× on the
@@ -1241,10 +1256,13 @@ object SimilaritySearch {
       queryIdCol: String = "vec_id", dim: Int = 64, nPlanes: Int = 4,
       nTables: Int = 8, bucketCap: Int = Int.MaxValue,
       allowFixedWidth: Boolean = false, nHint: Long = -1L,
-      residualMultiprobe: Boolean = false): DataFrame = {
+      residualMultiprobe: Boolean = false,
+      residualBucketCap: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     require(bucketCap >= 1, s"bucketCap=$bucketCap must be >= 1")
+    require(residualBucketCap >= 1,
+      s"residualBucketCap=$residualBucketCap must be >= 1")
     if (bucketCap == Int.MaxValue && !allowFixedWidth)
       requireFixedWidthInBudgetDf(df, nHint,
         nPlanes, "knnJoinLshBipartite", "knnJoinLshBipartiteAuto")
@@ -1261,14 +1279,15 @@ object SimilaritySearch {
     val qBits = bitsSide(queries, queryIdCol, "query_id")
     val corpus = keysOf(bitsSide(df, idCol, "cand_id"), "cand_id",
       probe = false)
-    val candSide = if (bucketCap == Int.MaxValue) corpus else {
+    def capped(c: Int): DataFrame = if (c == Int.MaxValue) corpus else {
       val cw = Window.partitionBy(col("__tb")).orderBy(
         graft.functions.TextFunctions.mix32(
           pmod(col("cand_id"), lit(Sampling.IdFold))),
         col("cand_id"))
       corpus.withColumn("__cr", row_number().over(cw))
-        .filter(col("__cr") <= bucketCap).drop("__cr")
+        .filter(col("__cr") <= c).drop("__cr")
     }
+    val candSide = capped(bucketCap)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
     // k·nTables pre-cut before the dedup agg — lossless for the final
@@ -1278,8 +1297,8 @@ object SimilaritySearch {
     // per table); see the [[knnJoinLsh]] KnnProbe note: the
     // undeduped-candidate hash agg is otherwise the dominant stage at
     // scale.
-    def scoreCut(q: DataFrame) =
-      q.as("q").join(candSide.as("c"), col("q.__tb") === col("c.__tb"))
+    def scoreCut(q: DataFrame, cands: DataFrame) =
+      q.as("q").join(cands.as("c"), col("q.__tb") === col("c.__tb"))
         .select(col("q.query_id"), col("c.cand_id"),
           cosineWithNorms(dot(col("q.__v_query_id"), col("c.__v_cand_id"), dim),
             col("q.__n2_query_id"), col("c.__n2_cand_id")).as("score"))
@@ -1289,15 +1308,27 @@ object SimilaritySearch {
         .agg(max(col("score")).as("score"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
-    val first = scoreCut(keysOf(qBits, "query_id", probe = false))
+    val first = scoreCut(keysOf(qBits, "query_id", probe = false),
+      candSide)
     if (!residualMultiprobe) first
     else {
-      // The first-pass graph is consumed twice (output + the residual
-      // anti-join) — cache it: |queries|×k narrow rows at any scale.
-      val g = graft.SparkUtil.trackCache(first)
-      val residual = qBits.join(g.select(col("query_id")).distinct(),
-        Seq("query_id"), "left_anti")
-      g.union(scoreCut(keysOf(residual, "query_id", probe = true)))
+      // The residual slice is ANALYTIC ([[knnJoinLsh]]'s occupancy
+      // rule, simpler here): with no self-exclusion, a query yields a
+      // pass-1 row iff ANY of its buckets holds a corpus member (the
+      // cap keeps >= 1 member of every non-empty bucket), so residual =
+      // queries whose every bucket misses the corpus bucket set — two
+      // narrow semi/anti joins, and the pass-1 graph is never cached
+      // or re-consumed. Pass 2 scores against the TIGHTER residual
+      // cap — the probe fan-out lands exactly on the dense buckets;
+      // see [[knnJoinLsh]]'s residualBucketCap note.
+      val collided = keysOf(qBits, "query_id", probe = false)
+        .select(col("query_id"), col("__tb"))
+        .join(corpus.select(col("__tb")).distinct(), Seq("__tb"),
+          "left_semi")
+        .select(col("query_id")).distinct()
+      val residual = qBits.join(collided, Seq("query_id"), "left_anti")
+      first.union(scoreCut(keysOf(residual, "query_id", probe = true),
+        capped(math.min(bucketCap, residualBucketCap))))
     }
   }
 
@@ -1345,7 +1376,9 @@ object SimilaritySearch {
       s"residualMultiprobe=$residual n=$n")
     knnJoinLshBipartite(df, queries, k, idCol, vecCol, queryIdCol, dim,
       nPlanes, nTables, bucketCap = cap, allowFixedWidth = true,
-      residualMultiprobe = residual)
+      residualMultiprobe = residual,
+      residualBucketCap = math.max(k,
+        maxCandidatesPerVec / (nTables * (nPlanes + 1))))
   }
 
   /** Effective per-(table, bucket) candidate cap for explicit capped
@@ -1448,21 +1481,45 @@ object SimilaritySearch {
    *   consumer (mutual-kNN, purity, hubness) then sees it as isolated
    *   for no semantic reason (6/64 probe queries at the r15 1000×
    *   width). With this on, vectors absent from the first pass's
-   *   query_id column are anti-joined out and re-probed with query-side
+   *   query_id column (equivalently, by the analytic occupancy rule:
+   *   every bucket a singleton) are re-probed with query-side
    *   1-bit multiprobe ([[srpProbeKeys]]), costing (nPlanes+1)× on the
    *   residual slice ONLY; the corpus index is untouched and the output
    *   stays n×k-bounded. Off by default (the q58 reference semantics);
    *   the auto face enables it past the minPlanes regime.
+   * @param residualBucketCap per-(table, bucket) candidate cap for the
+   *   RESIDUAL pass only. The probed buckets are exactly where the
+   *   corpus ISN'T sparse — a residual (singleton-bucket) vector's
+   *   Hamming-1 neighbors include the dense-cluster buckets — so
+   *   re-probing at the pass-1 cap multiplies it by the (nPlanes+1)×
+   *   probe fan-out: measured at the r16 1000× corpus, pass 2 at the
+   *   pass-1 cap (1024) tripled the whole graph build (125 → 372 s).
+   *   The auto faces derive this from the SAME per-vector budget as
+   *   the pass-1 sizing: maxCandidatesPerVec / (nTables·(nPlanes+1)),
+   *   floored at k — a residual vector's candidates then respect the
+   *   budget exactly like a collided vector's. Semantically cheap:
+   *   pass-2 queries sit OUTSIDE the probed bucket, so its members are
+   *   near-equivalent candidates and any cap-surviving subset
+   *   represents the bucket (unlike pass 1, where the r15 eviction bug
+   *   showed the cap dropping a query's true within-bucket near-dups).
    */
   def knnJoinLsh(df: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, nPlanes: Int = 4, nTables: Int = 8,
       bucketCap: Int = Int.MaxValue,
       allowFixedWidth: Boolean = false, nHint: Long = -1L,
-      residualMultiprobe: Boolean = false): DataFrame = {
+      residualMultiprobe: Boolean = false,
+      residualBucketCap: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nPlanes * nTables <= 63, "nPlanes * nTables must fit in 63 bits")
     require(bucketCap >= 1, s"bucketCap=$bucketCap must be >= 1")
+    require(residualBucketCap >= 1,
+      s"residualBucketCap=$residualBucketCap must be >= 1")
+    // the analytic residual rule below needs a cap that keeps >= 2
+    // members per bucket (a cap of 1 can keep only the query itself,
+    // making "all buckets singleton" under-count the empty-yield slice)
+    require(!residualMultiprobe || bucketCap >= 2,
+      s"residualMultiprobe requires bucketCap >= 2 (got $bucketCap)")
     // A bucketCap already linearizes the candidate side; only the
     // UNCAPPED fixed-width call needs the occupancy guard (and its
     // parquet-metadata count).
@@ -1476,14 +1533,15 @@ object SimilaritySearch {
           lshBucket(col(vecCol), dim, nPlanes * nTables).as("__bits")))
     val keyed = base.select(col("id"), col("v"), col("n2"),
       srpTableKeys(col("__bits"), nPlanes, nTables).as("__tb"))
-    val candSide = if (bucketCap == Int.MaxValue) keyed else {
+    def capped(c: Int): DataFrame = if (c == Int.MaxValue) keyed else {
       val cw = Window.partitionBy(col("__tb")).orderBy(
         graft.functions.TextFunctions.mix32(
           pmod(col("id"), lit(Sampling.IdFold))),
         col("id"))
       keyed.withColumn("__cr", row_number().over(cw))
-        .filter(col("__cr") <= bucketCap).drop("__cr")
+        .filter(col("__cr") <= c).drop("__cr")
     }
+    val candSide = capped(bucketCap)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
     // Score inside the bucket equi-join (both vectors are join inputs —
@@ -1505,8 +1563,8 @@ object SimilaritySearch {
     // query) and both windows and the agg share the hash(query_id)
     // Exchange (HashPartitioning on a subset of the agg keys satisfies
     // its clustering), so the 199 M-row shuffle disappears outright.
-    def scoreCut(q: DataFrame) =
-      q.as("x").join(candSide.as("y"),
+    def scoreCut(q: DataFrame, cands: DataFrame) =
+      q.as("x").join(cands.as("y"),
           col("x.__tb") === col("y.__tb") && col("x.id") =!= col("y.id"))
         .select(col("x.id").as("query_id"), col("y.id").as("cand_id"),
           cosineWithNorms(dot(col("x.v"), col("y.v"), dim),
@@ -1517,24 +1575,41 @@ object SimilaritySearch {
         .agg(max(col("score")).as("score"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
-    val first = scoreCut(keyed)
+    val first = scoreCut(keyed, candSide)
     if (!residualMultiprobe) first
     else {
-      // The first-pass graph is consumed twice (output + the residual
-      // anti-join) — cache it: n×k narrow rows at any scale. The k·
+      // The residual slice is ANALYTIC, not derived from the pass-1
+      // output: a vector yields no pass-1 rows iff every one of its
+      // (table, bucket) keys is a singleton (for bucketCap >= 2 —
+      // guarded above — a bucket of m >= 2 always keeps a non-self
+      // member through the cap window, and the self-excluding join then
+      // yields a row). Deriving it from the output instead (anti-join
+      // against the graph's query ids) forces the FULL n×k graph
+      // through a cache materialization barrier before the union can
+      // stream — measured at the r16 1000× corpus that alone took the
+      // build from 125 to 230 s; the occupancy rule costs two narrow
+      // shuffles of the (id, key) pairs and nothing is cached. The k·
       // nTables pre-cut stays lossless under multiprobe (a candidate
       // occupies one bucket per table; a query's per-table probe
       // buckets are distinct, so each pair still appears ≤ nTables
-      // times). Vectors whose probed buckets ALSO hold nothing remain
-      // isolated — honestly this time: Hamming ≤ 1 on every table's
-      // sketch found no non-self neighbor.
-      val g = graft.SparkUtil.trackCache(first)
-      val residual = base.join(g.select(col("query_id")).distinct(),
-        col("id") === col("query_id"), "left_anti")
-      val resKeyed = residual.select(col("id"), col("v"), col("n2"),
-        srpProbeKeys(col("__bits"), nPlanes, nTables,
-          multiprobe = true).as("__tb"))
-      g.union(scoreCut(resKeyed))
+      // times). Pass 2 scores against the TIGHTER residual cap (see
+      // @param residualBucketCap) — probing fans each residual vector
+      // into (nPlanes+1) buckets per table, so the pass-1 cap would
+      // multiply out of the per-vector budget exactly where the probes
+      // hit dense clusters. Vectors whose probed buckets ALSO hold
+      // nothing remain isolated — honestly this time: Hamming ≤ 1 on
+      // every table's sketch found no non-self neighbor.
+      val bcount = keyed.groupBy(col("__tb")).agg(count(lit(1)).as("__m"))
+      val residualIds = keyed.select(col("id"), col("__tb"))
+        .join(bcount, "__tb")
+        .groupBy(col("id")).agg(max(col("__m")).as("__mx"))
+        .filter(col("__mx") === 1L).select(col("id"))
+      val resKeyed = base.join(residualIds, Seq("id"), "left_semi")
+        .select(col("id"), col("v"), col("n2"),
+          srpProbeKeys(col("__bits"), nPlanes, nTables,
+            multiprobe = true).as("__tb"))
+      first.union(scoreCut(resKeyed,
+        capped(math.min(bucketCap, residualBucketCap))))
     }
   }
 

@@ -196,19 +196,22 @@ object RecallProbe {
         s"sum_sq=${o.getLong(1)} sum_capped(cap=$cap)=${o.getLong(2)}")
     }
 
+    // DISJOINT store shape — the shipped q276 (queries label===0 vs
+    // store label>=5 never overlap). Probing with store = full corpus
+    // under-measures the face: the query row is in the store, so pass 1
+    // always matches the query to ITSELF and the empty-yield residual
+    // (no rows at all) never fires; self-filtering afterwards then
+    // reports the residual-eligible queries as empty anyway. Drop the
+    // sampled ids from the store (and from the exact lists) instead.
+    val store = emb.filter(!col("vec_id").isin(qids: _*))
+    val exact276 = exactScored.map { case (q, ns) =>
+      q -> ns.filterNot { case (id, _) => qids.contains(id) }.map(_._1) }
     val g276 = timed("q276 bipartite (auto)") {
-      val out = SimilaritySearch.knnJoinLshBipartiteAuto(emb, queries,
-        k + 1)
-      toLists(out
-        .filter(col("cand_id") =!= col("query_id"))
-        .select(col("query_id"), col("cand_id"),
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("query_id"))
-            .orderBy(col("score").desc, col("cand_id").asc)).as("r"))
-        .filter(col("r") <= k).collect())
+      toLists(SimilaritySearch.knnJoinLshBipartiteAuto(store, queries, k)
+        .select(col("query_id"), col("cand_id"), col("rank")).collect())
     }
-    println(f"q276 recall@1=${recallAt(1, exact, g276)}%.4f " +
-      f"recall@$k=${recallAt(k, exact, g276)}%.4f " +
+    println(f"q276 recall@1=${recallAt(1, exact276, g276)}%.4f " +
+      f"recall@$k=${recallAt(k, exact276, g276)}%.4f " +
       f"empty=${qids.count(q => !g276.contains(q))}/${qids.size}")
 
     // q267: one corpus-index pass per query — smaller sample
@@ -249,25 +252,8 @@ object RecallProbe {
       s"${1 + ap + ap * (ap - 1) / 2}x per table")
     val g267d2 = timed(s"q267 ann 2-bit x${annIds.size}") {
       annIds.map { q =>
-        val qdf = emb.filter(col("vec_id") === q)
-        val bucketed = graft.SparkUtil.ensureParallelism(emb)
-          .select(col("vec_id"), col("embedding"),
-            graft.functions.VectorFunctions.lshBucket(
-              col("embedding"), dim, ap * at).as("__bits"))
-          .select(col("vec_id"), col("embedding"),
-            SimilaritySearch.srpTableKeys(col("__bits"), ap, at).as("__tb"))
-        val qk = broadcast(qdf
-          .select(col("embedding").as("__qvec"),
-            graft.functions.VectorFunctions.lshBucket(
-              col("embedding"), dim, ap * at).as("__qbits"))
-          .select(col("__qvec"), SimilaritySearch.srpProbeKeys(
-            col("__qbits"), ap, at, probeBits = 2).as("__qtb")))
-        val rows = bucketed.join(qk, col("__tb") === col("__qtb"))
-          .select(col("vec_id"), graft.functions.VectorFunctions.cosine(
-            col("embedding"), col("__qvec"), dim).as("score"))
-          .groupBy(col("vec_id")).agg(max(col("score")).as("score"))
-          .orderBy(col("score").desc, col("vec_id").asc)
-          .limit(kAnn + 1)
+        val rows = SimilaritySearch.annTopKLshAuto(emb,
+            emb.filter(col("vec_id") === q), kAnn + 1, probeBits = 2)
           .filter(col("vec_id") =!= q).collect()
         q.toLong -> rows.map(_.getLong(0)).toSeq.take(kAnn)
       }.toMap

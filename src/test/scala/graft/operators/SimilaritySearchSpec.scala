@@ -139,6 +139,35 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(annAll == exact)
   }
 
+  test("annTopKLsh probeBits: depth -1 replays the multiprobe flag " +
+      "exactly; recall and the k-th score are monotone in probe depth " +
+      "(the r16 recall@10 frontier knob)") {
+    val e = emb.cache()
+    val q = e.filter(col("vec_id") === 0)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val d0 = top(SimilaritySearch.annTopKLsh(e, q, k = 10,
+      multiprobe = false))
+    val d1 = top(SimilaritySearch.annTopKLsh(e, q, k = 10))
+    val d2 = top(SimilaritySearch.annTopKLsh(e, q, k = 10, probeBits = 2))
+    // -1 (the default) derives the depth from the legacy flag
+    assert(top(SimilaritySearch.annTopKLsh(e, q, k = 10,
+      multiprobe = false, probeBits = 0)) == d0)
+    assert(top(SimilaritySearch.annTopKLsh(e, q, k = 10,
+      probeBits = 1)) == d1)
+    // a deeper probe only ADDS candidate buckets: the k-th (minimum)
+    // surviving score can never drop, and recall vs exact top-10 can
+    // never drop (an exact-top-10 member in the pool outranks every
+    // non-member, so growing the pool never evicts one)
+    def minScore(d: Seq[(Long, Double)]) = d.map(_._2).min
+    assert(minScore(d0) <= minScore(d1) && minScore(d1) <= minScore(d2))
+    val exact = top(SimilaritySearch.topKCosine(e, q, k = 10))
+      .map(_._1).toSet
+    def recall(d: Seq[(Long, Double)]) =
+      d.map(_._1).toSet.intersect(exact).size
+    assert(recall(d0) <= recall(d1) && recall(d1) <= recall(d2))
+  }
+
   test("mean ANN recall@10 over 20 query vectors stays above the pinned floor") {
     // The single-query recall gate (above) can be lucky: one query vector
     // exercises one bucket path. This aggregate gate runs 20 queries so a
@@ -1479,8 +1508,12 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(res.map(_._4).toSeq == Seq(1, 2, 3))
     assert(res.forall(r => r._2 >= 1025L && r._2 <= 2048L))
     assert(res.forall(r => math.abs(r._3 - 7.0 / math.sqrt(63.75)) < 1e-12))
-    // rank ties break cand_id-asc over 1024 identical members
-    assert(res.map(_._2).toSeq == Seq(1025L, 1026L, 1027L))
+    // rank ties break cand_id-asc over the residual-cap survivors (the
+    // pass-2 candidate side is capped at maxCandidatesPerVec /
+    // (nTables·(nPlanes+1)) = 39 mix32-ordered members of the bucket —
+    // deterministic, but not the 3 lowest ids of the full cluster)
+    assert(res.map(_._2).toSeq == res.map(_._2).toSeq.sorted)
+    assert(res.map(_._2).distinct.length == 3)
     // every non-residual query's rows are exactly the first pass's
     assert(autoRows.filterNot(_._1 == 3000L).toSet == explicitRows.toSet)
     graft.SparkUtil.unpersistTrackedCaches()
