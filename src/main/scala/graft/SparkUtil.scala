@@ -157,6 +157,116 @@ object SparkUtil {
     cheapRowCountUpperBound(df).exists(_ <= bound)
 
   /**
+   * Driver-side per-column `max(abs(col))` UPPER BOUND from parquet footer
+   * column statistics, without running a Spark job — the column-stats twin
+   * of [[cheapRowCountUpperBound]] for overflow guards that only need a
+   * sound bound to pick an arithmetic width (e.g. the correlation matrix's
+   * long-vs-decimal moment type). Sound for the same reason: the walk only
+   * descends row-NONINCREASING operators (a filter can only shrink the
+   * value set, so the unfiltered footer max stays an upper bound), and the
+   * requested columns must resolve to bare scan attributes (a projection
+   * may rename but not compute). Plain numeric physical types only
+   * (INT32/INT64/FLOAT/DOUBLE with no rescaling logical annotation);
+   * NaN-tainted or absent statistics → None → the caller falls back to the
+   * exact aggregation scan.
+   */
+  private val footerAbsMax =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Map[String, Option[Double]]]()
+
+  def cheapAbsMaxUpperBound(df: DataFrame, cols: Seq[String]): Option[Seq[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import scala.util.control.NonFatal
+    def walk(p: LogicalPlan, names: Seq[String])
+        : Option[(HadoopFsRelation, Seq[String])] = p match {
+      case n: Filter                  => walk(n.child, names)
+      case n: SubqueryAlias           => walk(n.child, names)
+      case n: Sort                    => walk(n.child, names)
+      case n: GlobalLimit             => walk(n.child, names)
+      case n: LocalLimit              => walk(n.child, names)
+      case n: Repartition             => walk(n.child, names)
+      case n: RepartitionByExpression => walk(n.child, names)
+      case n: Deduplicate             => walk(n.child, names)
+      case n: Sample if !n.withReplacement => walk(n.child, names)
+      case n: ResolvedHint            => walk(n.child, names)
+      case n: Project =>
+        val mapped = names.map { nm =>
+          n.projectList.collectFirst {
+            case a: AttributeReference if a.name == nm      => a.name
+            case al @ Alias(ar: AttributeReference, _) if al.name == nm => ar.name
+          }
+        }
+        if (mapped.forall(_.isDefined)) walk(n.child, mapped.map(_.get)) else None
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation
+          if fs.fileFormat.getClass.getSimpleName.startsWith("ParquetFileFormat") =>
+          Some((fs, names))
+        case _ => None
+      }
+      case _ => None
+    }
+    def fileStats(rel: HadoopFsRelation, f: String): Map[String, Option[Double]] = {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      footerAbsMax.computeIfAbsent((f, st.getLen, st.getModificationTime), _ => {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          val perCol = scala.collection.mutable.Map.empty[String, Option[Double]]
+          r.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala.foreach { cc =>
+              if (cc.getPath.size() == 1) {
+                val name = cc.getPath.toDotString
+                val pt = cc.getPrimitiveType
+                val plainNumeric =
+                  Set(INT32, INT64, FLOAT, DOUBLE).contains(pt.getPrimitiveTypeName) &&
+                    (pt.getLogicalTypeAnnotation == null ||
+                      pt.getLogicalTypeAnnotation.isInstanceOf[
+                        org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+                val stats = cc.getStatistics
+                val chunk: Option[Double] =
+                  if (!plainNumeric || stats == null) None
+                  else if (!stats.hasNonNullValue) {
+                    // all-null chunk contributes nothing — but only when the
+                    // null count proves it (an unset-stats chunk is unknown)
+                    if (stats.isNumNullsSet && stats.getNumNulls == block.getRowCount) Some(0.0)
+                    else None
+                  } else {
+                    val mn = stats.genericGetMin.asInstanceOf[Number].doubleValue()
+                    val mx = stats.genericGetMax.asInstanceOf[Number].doubleValue()
+                    if (mn.isNaN || mx.isNaN) None
+                    else Some(math.max(math.abs(mn), math.abs(mx)))
+                  }
+                perCol(name) = (perCol.get(name), chunk) match {
+                  case (Some(Some(a)), Some(b)) => Some(math.max(a, b))
+                  case (None, c)                => c
+                  case _                        => None // any unknown chunk taints the column
+                }
+              }
+            }
+          }
+          perCol.toMap
+        } finally r.close()
+      })
+    }
+    try walk(df.queryExecution.analyzed, cols).flatMap { case (rel, names) =>
+      val files = rel.location.inputFiles
+      val perFile = files.map(f => fileStats(rel, f))
+      val bounds = names.map { nm =>
+        val per = perFile.map(_.getOrElse(nm, None))
+        if (files.isEmpty) Some(0.0)
+        else if (per.forall(_.isDefined)) Some(per.map(_.get).max)
+        else None
+      }
+      if (bounds.forall(_.isDefined)) Some(bounds.map(_.get)) else None
+    } catch { case NonFatal(_) => None }
+  }
+
+  /**
    * Salted equi-join for skewed keys. A hot key concentrates its rows in
    * one shuffle partition; salting scatters the skewed (left) side into
    * `salt` sub-keys and replicates the right side once per salt value, so

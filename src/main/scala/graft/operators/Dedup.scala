@@ -190,7 +190,15 @@ object Dedup {
       textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
       maxDocFreq: Int = 10000): DataFrame = {
     val sets = graft.SparkUtil.trackCache(withShingleSets(docs, idCol, textCol, n))
-    plainPairsFromIndex(invertedIndex(sets, maxDocFreq), threshold)
+    // Cache the inverted index: the candidate self-join consumes it TWICE,
+    // and when the build side is small enough to broadcast there is no
+    // shared Exchange for ReusedExchange to dedup — without the cache the
+    // explode + df-cap join runs once per side (r16 opt: measured 2× the
+    // index-build work in the q14/jacc06 plans). In shuffle-join mode the
+    // cache costs one materialization and the sides scan it, the same I/O
+    // the reused Exchange would have paid.
+    plainPairsFromIndex(
+      graft.SparkUtil.trackCache(invertedIndex(sets, maxDocFreq)), threshold)
   }
 
   /** The plain inverted-index candidate join + count-based Jaccard,
@@ -430,6 +438,11 @@ object Dedup {
   def crossCorpusPairs(newDocs: DataFrame, oldDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       threshold: Double = 0.6, maxDocFreq: Int = 10000): DataFrame = {
+    // NOT cached (r16 opt, measured): each side feeds the df-cap union and
+    // that side's index probe, but caching both sides cost more in
+    // materialization barriers than the saved re-shingle (q50 1.46→2.21 s
+    // in matched focused runs) — unlike [[ngramJaccardPairs]], the two
+    // consumers here want different projections of the sets.
     val newSets = withShingleSets(newDocs, idCol, textCol, n)
     val oldSets = withShingleSets(oldDocs, idCol, textCol, n)
     val df = newSets.select(explode(col("hs")).as("h"))
@@ -686,7 +699,8 @@ object Dedup {
       textCol: String = "text", n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Int = 10000): DataFrame = {
     val sets = graft.SparkUtil.trackCache(withShingleSets(docs, idCol, textCol, n))
-    val inv = invertedIndex(sets, maxDocFreq)
+    // cached for the same two-consumer reason as [[ngramJaccardPairs]]
+    val inv = graft.SparkUtil.trackCache(invertedIndex(sets, maxDocFreq))
     inv.as("x").join(inv.as("y"),
         col("x.h") === col("y.h") && col("x.id") =!= col("y.id"))
       .groupBy(col("x.id").as("inner_id"), col("x.sz").as("sz_in"),

@@ -108,11 +108,19 @@ object GraphOps {
     require(dampDen > dampNum && dampNum > 0,
       s"damping $dampNum/$dampDen must be in (0, 1)")
     val teleport = (dampDen - dampNum) * scale / dampDen
-    val e = canonical(edges)
+    // Cache the canonical edge list: dirx scans it twice (the union), and
+    // deg is referenced by the rank seed, every round's aggregate input
+    // (via withDeg) and the final degree join — without the cache the
+    // whole upstream edge-generation pipeline re-runs once per reference
+    // (r16 opt: q143 measured two full single-task co-engagement builds
+    // per query). deg itself is node-bounded and consumed three times, so
+    // it is cached too (A/B-measured: both caches together beat either
+    // alone and the uncached original in matched solo runs).
+    val e = graft.SparkUtil.trackCache(canonical(edges))
     val dirx = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
-    val deg = dirx.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("deg"))
+    val deg = graft.SparkUtil.trackCache(dirx.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("deg")))
     val withDeg = graft.SparkUtil.trackCache(dirx.join(deg, Seq("src")))
     var ranks = deg.select(col("src").as("id"),
       lit(scale).cast("long").as("rank"))

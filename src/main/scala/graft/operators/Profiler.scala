@@ -323,17 +323,33 @@ object Profiler {
       scale: Long = 1000000L): DataFrame = {
     require(cols.size >= 2, "correlationMatrix needs at least two columns")
     val idx = cols.indices
-    val guardRow = df.agg(count(lit(1)).as("__n"),
-      cols.map(c => max(abs(col(c).cast("double"))).as(s"__m_$c")): _*).head()
-    val nRows = guardRow.getLong(0)
-    val maxMicro = idx.map { i =>
-      val m = if (guardRow.isNullAt(i + 1)) 0.0 else guardRow.getDouble(i + 1)
-      m * scale.toDouble + 1.0
+    def momentsFitLong(n: Long, maxAbs: Seq[Double]): Boolean = {
+      val maxMicro = maxAbs.map(_ * scale.toDouble + 1.0)
+      n > 0 && maxMicro.forall(m => !m.isNaN) &&
+        (for { i <- idx; j <- idx if i <= j }
+          yield n.toDouble * maxMicro(i) * maxMicro(j))
+          .forall(_ < math.pow(2.0, 62))
     }
-    val longSafe = nRows > 0 && maxMicro.forall(m => !m.isNaN) &&
-      (for { i <- idx; j <- idx if i <= j }
-        yield nRows.toDouble * maxMicro(i) * maxMicro(j))
-        .forall(_ < math.pow(2.0, 62))
+    // Footer short-circuit (r16 opt, guide §1.2/§6): the guard pre-pass is
+    // a full table scan whose verdict at scale is almost always "decimal"
+    // (n·maxMicro² grows with n). Parquet footer statistics give sound
+    // UPPER bounds on both n and max|x| without a job; when the BOUNDS
+    // already exceed the int64 budget the true moments might too, so take
+    // the always-exact decimal path and skip the scan. The bounds are
+    // never trusted to prove the LONG side (footer float stats may omit
+    // NaNs), so whenever long is picked it is picked by the same exact
+    // scan as before — both paths yield identical integer moments either
+    // way, this only moves the speed trade.
+    val footerUnsafe = (for {
+      n  <- graft.SparkUtil.cheapRowCountUpperBound(df)
+      ms <- graft.SparkUtil.cheapAbsMaxUpperBound(df, cols)
+    } yield !momentsFitLong(n, ms)).getOrElse(false)
+    val longSafe = !footerUnsafe && {
+      val guardRow = df.agg(count(lit(1)).as("__n"),
+        cols.map(c => max(abs(col(c).cast("double"))).as(s"__m_$c")): _*).head()
+      momentsFitLong(guardRow.getLong(0),
+        idx.map(i => if (guardRow.isNullAt(i + 1)) 0.0 else guardRow.getDouble(i + 1)))
+    }
     val microType = if (longSafe) "long" else "decimal(19,0)"
     def micro(c: String): Column =
       floor(col(c).cast("double") * lit(scale.toDouble) + lit(0.5))

@@ -101,4 +101,49 @@ class SparkUtilSpec extends SparkSpec {
     assert(SparkUtil.cheapRowCountUpperBound(
       local.filter(col("id") > 30)).contains(37L))
   }
+
+  test("cheapAbsMaxUpperBound: footer max|x| is a sound upper bound for " +
+      "plain numeric parquet scans, survives rename/filter, and refuses " +
+      "computed projections and string columns (r16 guard short-circuit)") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val exact = li.agg(
+      max(abs(col("l_extendedprice"))), max(abs(col("l_quantity")))).head()
+    val Some(Seq(bPrice, bQty)) =
+      SparkUtil.cheapAbsMaxUpperBound(li, Seq("l_extendedprice", "l_quantity"))
+    // sound: bound >= true max|x| (footer stats are exact here, so equal)
+    assert(bPrice >= exact.getDouble(0) && bQty >= exact.getDouble(1))
+    // a filter can only SHRINK the value set — the unfiltered bound holds
+    assert(SparkUtil.cheapAbsMaxUpperBound(
+      li.filter(col("l_quantity") > 49), Seq("l_extendedprice"))
+      .exists(_.head >= exact.getDouble(0)))
+    // a pure rename projection still resolves to the scan attribute
+    assert(SparkUtil.cheapAbsMaxUpperBound(
+      li.select(col("l_extendedprice").as("price")), Seq("price"))
+      .contains(Seq(bPrice)))
+    // a COMPUTED projection must refuse (the footer knows nothing of it)
+    assert(SparkUtil.cheapAbsMaxUpperBound(
+      li.select((col("l_extendedprice") * 2).as("price")), Seq("price")).isEmpty)
+    // non-plain-numeric columns (BYTE_ARRAY) must refuse, not misread
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    assert(SparkUtil.cheapAbsMaxUpperBound(docs, Seq("text")).isEmpty)
+    // joins can invent no bound either (walk stops at row-growing ops)
+    assert(SparkUtil.cheapAbsMaxUpperBound(
+      li.as("a").join(li.as("b"), Seq("l_orderkey")),
+      Seq("l_extendedprice")).isEmpty)
+  }
+
+  test("cheapAbsMaxUpperBound: negative minima count toward |x| (a column " +
+      "of large negatives must not look small to an overflow guard)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_absmax").toFile
+    dir.deleteOnExit()
+    val spark0 = spark
+    import spark0.implicits._
+    val path = s"${dir.getAbsolutePath}/neg.parquet"
+    Seq(-9e8, -2e8, 3.0).toDF("x").repartition(1).write
+      .mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+    assert(SparkUtil.cheapAbsMaxUpperBound(back, Seq("x"))
+      .exists(_.head >= 9e8))
+  }
 }

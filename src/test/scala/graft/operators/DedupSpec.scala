@@ -418,10 +418,13 @@ class DedupSpec extends SparkSpec {
     // 1. CORRECTNESS: a df=1200 hot shingle (719 400 candidate pairs
     //    through one reducer's key range) changes nothing — the planted
     //    clone pairs surface, nothing else does.
-    // 2. PLAN SHAPE: the candidate self-join REUSES the df-cap join's hash
-    //    partitioning on h — zero extra Exchange, the efficient
-    //    steady-state plan. The flip side, verified here by the pinned
-    //    Exchange count: AQE's skew split pattern-matches only joins whose
+    // 2. PLAN SHAPE (r16 opt): the inverted index is CACHED, so the
+    //    candidate self-join reads the same InMemoryRelation on both
+    //    sides and inherits its hashpartitioning(h) (and sort order) —
+    //    zero Exchange and zero re-Sort of its own; the index-build
+    //    subtree (shingle explode + df-cap join) runs exactly once,
+    //    inside the cache, instead of once per side. The flip side still
+    //    holds: AQE's skew split pattern-matches only joins whose
     //    children are bare shuffle stages, so it can NEVER engage on this
     //    candidate join (at any scale). The operative remedies are
     //    therefore structural — the df cap bounds any shingle's candidate
@@ -450,16 +453,19 @@ class DedupSpec extends SparkSpec {
       assert(rows.sorted.toSeq ==
         Seq((900001L, 900002L, 1.0), (900003L, 900004L, 1.0)),
         "hot-key skew must not change the join's output")
-      // 5 Exchanges: inv + df-cap agg per self-join side, plus the final
-      // candidate aggregation — and none BETWEEN the two joins (the
-      // candidate join consumes the df-cap join's partitioning directly).
-      // Counted as distinct materialized ShuffleQueryStages backed by a
-      // hash-partitioning Exchange — stage ids appear only in the final
-      // adaptive plan, so the initial-plan listing can't double-count.
+      // Outer plan (everything above the nested cached-index plan): the
+      // candidate join's children are cache scans — no Exchange, no Sort
+      // between them and the join — and the ONLY outer exchange is the
+      // final candidate aggregation's. (Stage ids collide between the
+      // outer and the InMemoryRelation's nested adaptive plan, so the
+      // old distinct-stage-id count is no longer well-defined; the
+      // outer-prefix slice pins the same fact directly.)
       val plan = pairs.queryExecution.executedPlan.toString
-      val stages = """ShuffleQueryStage (\d+)[^\n]*\n[^\n]*Exchange hashpartitioning""".r
-        .findAllMatchIn(plan).map(_.group(1)).toSet
-      assert(stages.size == 5, plan)
+      val outer = plan.substring(0, plan.indexOf("InMemoryRelation"))
+      assert(outer.contains("SortMergeJoin"), plan)
+      assert(outer.contains("TableCacheQueryStage"), plan)
+      assert("Exchange hashpartitioning".r.findAllIn(outer).size == 1, plan)
+      assert(!outer.contains("Sort "), plan)
     } finally saved match {
       case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
       case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
