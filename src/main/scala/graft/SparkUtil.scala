@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, struct, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, explode, lit, pmod, sequence, spark_partition_id, struct, sum, xxhash64}
 
 /** Shared plan-shaping helpers. */
 object SparkUtil {
@@ -26,6 +26,28 @@ object SparkUtil {
     val maxBytes = sess.sessionState.conf.filesMaxPartitionBytes
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estBytes < BigInt(maxBytes) * target) df.repartition(target) else df
+  }
+
+  /**
+   * [[ensureParallelism]] for JOIN PROBE sides: skipped entirely when the
+   * input reads a BUCKETED table (r16 opt) — bucketing IS the useful
+   * partitioning (the zero-Exchange co-located join/window contract,
+   * plan-pinned in PlanContractSpec), and a repartition would both break
+   * that contract and pay a shuffle to destroy information. Non-bucketed
+   * inputs keep the conditional repartition: a one-row-group local file
+   * serializes the whole probe on one task, while at scale the scan
+   * already splits and the condition no-ops.
+   */
+  def ensureProbeParallelism(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val bucketed = df.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation
+        if (lr.relation match {
+          case fs: HadoopFsRelation => fs.bucketSpec.isDefined
+          case _                    => false
+        }) => ()
+    }.isDefined
+    if (bucketed) df else ensureParallelism(df)
   }
 
   /**
@@ -139,6 +161,15 @@ object SparkUtil {
       // withReplacement=true shape must return None.
       case n: Sample if !n.withReplacement => walk(n.child)
       case n: ResolvedHint            => walk(n.child)
+      // a GROUPED aggregate emits at most one row per input row (one per
+      // group, groups <= rows) — row-nonincreasing, so the child bound
+      // holds. A GLOBAL aggregate (no grouping) emits exactly ONE row
+      // even over empty input, so it can exceed a zero child bound:
+      // max(child, 1) stays sound (r16 opt — lets guards bound reduced
+      // tables like distinct-value histograms without a job).
+      case n: Aggregate =>
+        if (n.groupingExpressions.nonEmpty) walk(n.child)
+        else walk(n.child).map(b => math.max(b, 1L))
       case n: LocalRelation           => Some(n.data.size.toLong)
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => parquetCount(fs)
@@ -264,6 +295,70 @@ object SparkUtil {
       }
       if (bounds.forall(_.isDefined)) Some(bounds.map(_.get)) else None
     } catch { case NonFatal(_) => None }
+  }
+
+  /**
+   * Distributed cumulative sum — `sum(sumCol) OVER (ORDER BY ordCol)`
+   * without the single-task global window (r16 opt, guide §2.4): a
+   * global-ORDER-BY window moves EVERY row to one partition, which is
+   * the classic scale killer for exact rank/cumulative operators whose
+   * input is "reduced but still large" (a distinct-values table). Shape:
+   * range-partition by `ordCol` (equal keys land in one partition, so
+   * RANGE-frame tie semantics survive), cumulative-sum WITHIN each
+   * partition in parallel, then add each partition's exclusive prefix
+   * offset — computed from the per-partition totals, a
+   * numShufflePartitions-row table whose own window is trivially
+   * bounded. One extra (tiny) aggregation versus the naive window; the
+   * big table is shuffled once either way, but the cumsum itself runs
+   * on every core instead of one. Exact for any input: ties share a
+   * partition, and the RANGE frame within the partition matches the
+   * global window's peer handling.
+   */
+  def globalCumSum(df: DataFrame, ordCol: String, sumCol: String,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("__pid", "__pt", "__off")
+    val clashes = df.columns.filter(reserved.contains).distinct
+    require(clashes.isEmpty,
+      s"globalCumSum reserves column names ${reserved.mkString(", ")}; " +
+        s"rename input column(s) ${clashes.mkString(", ")}")
+    // Scale-adaptive strategy (round-16 rule: derive from input size, not
+    // a constant tuned for one deployment): when a SOUND upper bound
+    // proves the input small enough for one task (footer row counts
+    // walked through the reduced plan — grouped aggregates are
+    // row-nonincreasing), the plain global window is cheaper than the
+    // distributed machinery's extra exchanges (+0.3 s at sf0.1,
+    // measured); past the bound — or when no bound is provable — the
+    // distributed path removes the single-task scale killer. The
+    // threshold is env-tunable for cluster profiles.
+    val singleTaskMax = sys.env.getOrElse(
+      "SPARK_GRAFT_CUMSUM_SINGLE_TASK_MAX", "4000000").toLong
+    if (cheapCountAtMost(df, singleTaskMax)) {
+      import org.apache.spark.sql.expressions.Window
+      return df.withColumn(outCol,
+        sum(col(sumCol)).over(Window.orderBy(col(ordCol))))
+    }
+    val n = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    // CACHED, not just shared: __pid is physical-layout-dependent, and
+    // the cumsum branch and the totals branch would otherwise evaluate
+    // spark_partition_id() under DIFFERENT AQE-coalesced layouts of the
+    // range exchange — mismatched pids turn the offset join into silent
+    // row loss. The cache freezes one layout that both branches read.
+    val ranged = trackCache(df.repartitionByRange(n, col(ordCol))
+      .withColumn("__pid", spark_partition_id()))
+    val local = ranged.withColumn(outCol,
+      sum(col(sumCol)).over(Window.partitionBy(col("__pid"))
+        .orderBy(col(ordCol))))
+    // per-partition totals: numShufflePartitions rows — the ONLY
+    // single-partition window runs over this bounded table
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(sumCol)).as("__pt"))
+    val offsets = totals.select(col("__pid"),
+      sum(col("__pt")).over(Window.orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)).as("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col(outCol) + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__off")
   }
 
   /**

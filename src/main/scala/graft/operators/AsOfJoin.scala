@@ -73,7 +73,13 @@ object AsOfJoin {
       tieBreakCols: Seq[String],
       maxStalenessMinutes: Option[Long] = None,
       forward: Boolean = false): DataFrame = {
-    val l = left.as("l")
+    // Probe-side parallelism (r16 opt, guide §2.6): a one-row-group
+    // parquet probe serializes the whole join+pick on one task when the
+    // build side broadcasts; the conditional repartition is a no-op on
+    // any input already split to >= cores (i.e. at scale). Batch only —
+    // streaming plans size their own state partitioning.
+    val l = (if (left.isStreaming) left
+             else graft.SparkUtil.ensureProbeParallelism(left)).as("l")
     val r = right.as("r")
     val base = col(s"l.$leftKey") === col(s"r.$rightKey") &&
       (if (forward) col(s"r.$rightTime") >= col(s"l.$leftTime")
@@ -121,7 +127,9 @@ object AsOfJoin {
       toleranceMinutes: Long): DataFrame = {
     require(toleranceMinutes >= 1,
       s"toleranceMinutes=$toleranceMinutes must be >= 1")
-    val l = left.as("l")
+    // same probe-side conditional repartition as [[apply]] (r16 opt)
+    val l = (if (left.isStreaming) left
+             else graft.SparkUtil.ensureProbeParallelism(left)).as("l")
     val r = right.as("r")
     val cond = col(s"l.$leftKey") === col(s"r.$rightKey") &&
       col(s"r.$rightTime") >=

@@ -409,7 +409,11 @@ object Dedup {
     val idx = graft.SparkUtil.trackCache(
       tf.join(dfTbl, "h").crossJoin(broadcast(nDocs))
         .select(col("id"), col("h"), (col("tf") * expr("__n div df")).as("v")))
-    val norms = idx.groupBy("id").agg(sum(col("v") * col("v")).as("n2"))
+    // cached: consumed by BOTH per-side norm joins — without it each join
+    // rebuilds the aggregate with its own full pass over idx (r16 opt;
+    // norms is one row per doc, far under the idx row count)
+    val norms = graft.SparkUtil.trackCache(
+      idx.groupBy("id").agg(sum(col("v") * col("v")).as("n2")))
     idx.as("x").join(idx.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

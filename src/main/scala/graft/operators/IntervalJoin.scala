@@ -23,11 +23,19 @@ object IntervalJoin {
   def apply(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      lookback: String = "7 days"): DataFrame =
-    left.join(right,
-      left(leftKey) === right(rightKey) &&
-        right(rightTime) >= left(leftTime) - expr(s"INTERVAL $lookback") &&
-        right(rightTime) <= left(leftTime))
+      lookback: String = "7 days"): DataFrame = {
+    // Probe-side parallelism (r16 opt, guide §2.6): when the history side
+    // broadcasts, a one-row-group probe runs the whole range join on one
+    // task; the conditional repartition is a no-op at scale and is
+    // skipped for streaming plans (the [[streaming]] wrapper), whose
+    // state partitioning the engine owns.
+    val l = if (left.isStreaming) left
+      else graft.SparkUtil.ensureProbeParallelism(left)
+    l.join(right,
+      l(leftKey) === right(rightKey) &&
+        right(rightTime) >= l(leftTime) - expr(s"INTERVAL $lookback") &&
+        right(rightTime) <= l(leftTime))
+  }
 
   /**
    * Time-bucketed variant with IDENTICAL output (spec- and oracle-pinned
@@ -72,8 +80,13 @@ object IntervalJoin {
       // shuffle keys in float-normalization
       ((us - pmod(us, lit(micros))) / lit(micros)).cast("long")
     }
-    val l = left.withColumn("__lb",
-      explode(array(bucket(left(leftTime)) - 1, bucket(left(leftTime)))))
+    // same probe-side conditional repartition as [[apply]] (r16 opt) —
+    // applied BEFORE the 2× probe-bucket explode so the explode output
+    // is spread too
+    val l0 = if (left.isStreaming) left
+      else graft.SparkUtil.ensureProbeParallelism(left)
+    val l = l0.withColumn("__lb",
+      explode(array(bucket(l0(leftTime)) - 1, bucket(l0(leftTime)))))
     val r = right.withColumn("__rb", bucket(right(rightTime)))
     l.join(r,
         l(leftKey) === r(rightKey) && l("__lb") === r("__rb") &&

@@ -257,9 +257,12 @@ object Profiler {
     val vals = graft.SparkUtil.trackCache(
       df.filter(col(valueCol).isNotNull)
         .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")))
-    val w = Window.orderBy(col("v").asc)
-    val cum = vals
-      .select(col("v"), col("c"), sum(col("c")).over(w).as("hi_rank"))
+    // distributed cumulative rank (r16 opt): the old global-ORDER-BY
+    // window moved the whole distinct-values table — corpus-cardinality
+    // for a price-like double column — through ONE task; globalCumSum
+    // computes the identical ranks with range partitioning + per-
+    // partition windows + a bounded offset table (guide §2.4)
+    val cum = graft.SparkUtil.globalCumSum(vals, "v", "c", "hi_rank")
       .select(col("v"), (col("hi_rank") - col("c") + 1).as("lo_rank"),
         col("hi_rank"))
     val tot = vals.agg(sum(col("c")).as("__n"))

@@ -839,7 +839,11 @@ object TextAnalysis {
       graft.SparkUtil.ensureParallelism(docs)
         .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("t"))
         .groupBy(col("g"), col("t")).agg(count(lit(1)).as("n")))
-    val norms = counts.groupBy("g").agg(sum(col("n") * col("n")).as("n2"))
+    // cached: both per-side norm joins consume it — uncached, each join
+    // rebuilt the aggregate with its own full pass over counts (r16 opt;
+    // one row per group, trivially small)
+    val norms = graft.SparkUtil.trackCache(
+      counts.groupBy("g").agg(sum(col("n") * col("n")).as("n2")))
     counts.as("a").join(counts.as("b"),
         col("a.t") === col("b.t") && col("a.g") < col("b.g"))
       .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))
@@ -870,6 +874,13 @@ object TextAnalysis {
    */
   def backoffCoverage(docs: DataFrame, minCount: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // NOT pass-shared (r16 opt, measured and rejected): deriving the
+    // tri/bi/uni tables from one cached tokenized scan replaces three
+    // cheap scan+split passes with one corpus-SIZE deserialized
+    // token-array cache — the materialization cost more than the two
+    // saved splits (q133 1.77 → 1.97 s matched focused), and at scale a
+    // corpus-size cache is memory pressure, not a win (guide §5 cache
+    // rule: recompute here is cheaper than the memory it buys).
     val pos = graft.SparkUtil.trackCache(
       graft.SparkUtil.ensureParallelism(docs)
         .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))

@@ -132,6 +132,28 @@ class SparkUtilSpec extends SparkSpec {
       Seq("l_extendedprice")).isEmpty)
   }
 
+  test("globalCumSum: matches the single-task global window exactly — " +
+      "including tie peers (RANGE frame) — and loses no rows to the " +
+      "offset join under AQE-coalesced layouts") {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = spark
+    import spark0.implicits._
+    // 10k rows over 997 keys with ties (every key appears ~10 times)
+    val df = spark.range(10000)
+      .select((col("id") % 997).cast("long").as("v"), lit(1L).as("c"))
+      .repartition(7)
+    val viaHelper = SparkUtil.globalCumSum(df, "v", "c", "cs")
+      .groupBy("v").agg(max(col("cs")).as("cs"), count(lit(1)).as("n"))
+    val viaWindow = df
+      .withColumn("cs", sum(col("c")).over(Window.orderBy(col("v"))))
+      .groupBy("v").agg(max(col("cs")).as("cs"), count(lit(1)).as("n"))
+    val a = viaHelper.orderBy("v").collect().toSeq
+    val b = viaWindow.orderBy("v").collect().toSeq
+    assert(a.map(_.getLong(2)).sum == 10000L, "row loss in the offset join")
+    assert(a == b)
+    SparkUtil.unpersistTrackedCaches()
+  }
+
   test("cheapAbsMaxUpperBound: negative minima count toward |x| (a column " +
       "of large negatives must not look small to an overflow guard)") {
     import java.nio.file.Files
