@@ -1027,9 +1027,14 @@ object SparkEntry {
 
     // Cross-source duplication matrix: q14's near-dup pairs rolled up to
     // (source, source) cells — who is copying whom; diagonal = within-
-    // source duplication.
+    // source duplication. Consumes the shared jacc06 pair artifact (r16
+    // opt): the rollup is two id joins + one tiny agg, and the pair
+    // derivation it previously re-ran per query is EXACTLY the artifact
+    // generator (same table, same threshold/defaults) — the q85/q123
+    // store-once pattern; the oracle still replays the full derivation.
     "q118_cross_source_matrix" -> ((s, dir) =>
-      Dedup.crossSourceMatrix(t(s, dir, "documents"), threshold = 0.6)),
+      Dedup.crossSourceMatrixFromPairs(
+        Artifacts.jaccardPairs(s, dir), t(s, dir, "documents"))),
 
     // Referential-integrity audit: two child→parent relationships, one
     // intact (orders→customer) and one with a simulated partial parent

@@ -71,9 +71,21 @@ object ConnectedComponents {
     // a typed-decode NPE on a null endpoint while the iterative branch
     // silently dropped the same edge through join semantics — divergent
     // behavior on dirty input depending only on graph size.
+    // Symmetrize with ONE pass over `edges`, not a self-union (r16 opt,
+    // guide §1.2/§5): `edges` is usually an UNMATERIALIZED derivation —
+    // the full near-dup pair pipeline in q120/q148/q99 — and a
+    // union(edges, edges.swapped) re-runs that whole upstream once per
+    // branch (measured: the two heaviest q120 stages were the same
+    // candidate-scoring subtree, 25.9 s + 9.2 s task time, each writing
+    // the same 14.9 MB shuffle). The 2×-explode emits both directions
+    // from a single evaluation; same rows, same null handling, and the
+    // checkpoint right above still cuts the lineage.
     val sym = ckpt(edges.select(col(ca).as("a"), col(cb).as("b"))
-      .union(edges.select(col(cb).as("a"), col(ca).as("b")))
       .filter(col("a").isNotNull && col("b").isNotNull)
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"))
       .distinct())
 
     // SMALL-GRAPH FAST PATH — a hand-rolled CBO rule (the q49/q99

@@ -337,9 +337,21 @@ object Dedup {
    */
   def crossSourceMatrix(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", groupCol: String = "source", n: Int = 3,
-      threshold: Double = 0.6, maxDocFreq: Int = 10000): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxDocFreq)
-      .select(col("id_a"), col("id_b"))
+      threshold: Double = 0.6, maxDocFreq: Int = 10000): DataFrame =
+    crossSourceMatrixFromPairs(
+      ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxDocFreq),
+      docs, idCol, groupCol)
+
+  /** [[crossSourceMatrix]] over a PRE-BUILT near-dup pair table (r16
+    * opt, guide §5 store-once/consume-many): the rollup itself is two
+    * id-key joins + one tiny agg; callers that already materialized the
+    * canonical pair artifact pass it here instead of re-deriving the
+    * whole inverted-index pipeline per query. Identical output when the
+    * pair table equals the inline derivation (the Artifacts contract —
+    * both are deterministic). */
+  def crossSourceMatrixFromPairs(pairTable: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", groupCol: String = "source"): DataFrame = {
+    val pairs = pairTable.select(col("id_a"), col("id_b"))
     val src = docs.select(col(idCol), col(groupCol))
     pairs
       .join(src.select(col(idCol).as("id_a"), col(groupCol).as("__ga")), "id_a")

@@ -152,8 +152,14 @@ object FuzzyMatch {
    */
   def resolveEntities(df: DataFrame, strCol: String,
       maxDist: Int): DataFrame = {
-    val names = df.select(col(strCol).as("name")).where(col("name").isNotNull)
-      .distinct()
+    // cached (r16 opt, guide §5): the distinct dictionary is consumed
+    // FOUR times downstream (the delete-key explode inside pairs, both
+    // string rejoins, and the CC vertex set) and each consumption
+    // re-ran the corpus-wide distinct exchange+agg. Dictionary-bounded
+    // by contract, so the cache is small.
+    val names = graft.SparkUtil.trackCache(
+      df.select(col(strCol).as("name")).where(col("name").isNotNull)
+        .distinct())
     val p = pairs(names, "name", "name", maxDist)
     ConnectedComponents(p.select(col("id_a"), col("id_b")),
         vertices = Some(names.select(col("name").as("id"))))

@@ -35,6 +35,23 @@ object GraphOps {
       .distinct()
   }
 
+  /** Both directed copies of each canonical edge from ONE pass over `e`
+    * (r16 opt, guide §1.2/§5): `union(e, e.swapped)` evaluates the whole
+    * upstream subtree once per branch — for a cached source that is a
+    * second cache scan, for a derivation the entire pipeline twice. The
+    * 2×-explode emits both directions per input row in a single
+    * evaluation; identical rows. */
+  private def bothDirections(e: DataFrame): DataFrame =
+    e.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("__d"))
+      .select(col("__d.src").as("src"), col("__d.dst").as("dst"))
+
+  /** Both endpoints of each edge from one pass over `e` (same rationale
+    * as [[bothDirections]]), as a single `id` column. */
+  private def endpoints(e: DataFrame): DataFrame =
+    e.select(explode(array(col("a"), col("b"))).as("id"))
+
   /**
    * Synchronous majority label propagation over a pair graph: each round,
    * every node takes the most common label among its neighbors AND itself
@@ -61,8 +78,7 @@ object GraphOps {
     val seed = nodes.select(col(idC).as("id"), col(labC).as("label"))
     val e = canonical(edges)
     val directed = graft.SparkUtil.trackCache(
-      e.select(col("a").as("src"), col("b").as("dst"))
-        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      bothDirections(e)
         .union(seed.select(col("id").as("src"), col("id").as("dst"))))
     var labels = seed
     for (_ <- 1 to rounds) {
@@ -117,8 +133,7 @@ object GraphOps {
     // it is cached too (A/B-measured: both caches together beat either
     // alone and the uncached original in matched solo runs).
     val e = graft.SparkUtil.trackCache(canonical(edges))
-    val dirx = e.select(col("a").as("src"), col("b").as("dst"))
-      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val dirx = bothDirections(e)
     val deg = graft.SparkUtil.trackCache(dirx.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("deg")))
     val withDeg = graft.SparkUtil.trackCache(dirx.join(deg, Seq("src")))
@@ -168,8 +183,7 @@ object GraphOps {
     require(rounds >= 1 && rounds <= 8, s"rounds=$rounds must be in [1, 8]")
     var e = canonical(edges).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val surv = e.select(col("a").as("id"))
-        .union(e.select(col("b").as("id")))
+      val surv = endpoints(e)
         .groupBy(col("id")).agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k)
         .select(col("id"))
@@ -178,7 +192,7 @@ object GraphOps {
         .select(col("a"), col("b"))
         .localCheckpoint(true)
     }
-    e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+    endpoints(e)
       .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
       .filter(col("core_degree") >= k)
   }
@@ -198,7 +212,7 @@ object GraphOps {
    */
   def degreeBands(edges: DataFrame): DataFrame = {
     val e = canonical(edges)
-    e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+    endpoints(e)
       .groupBy(col("id")).agg(count(lit(1)).as("__deg"))
       .select(col("id"), length(bin(col("__deg"))).cast("int").as("band"),
         col("__deg"))
@@ -212,17 +226,18 @@ object GraphOps {
     * neighbors) and `n_triangles` (triangles the node participates in). */
   def nodeStats(edges: DataFrame): DataFrame = {
     val e = graft.SparkUtil.trackCache(canonical(edges))
-    val degrees = e.select(col("a").as("id"))
-      .union(e.select(col("b").as("id")))
+    val degrees = endpoints(e)
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
     // ordered wedges (a<b<c) closed by edge (a, c): each triangle once
     val triangles = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
       .join(e.as("z"),
         col("x.a") === col("z.a") && col("y.b") === col("z.b"), "left_semi")
       .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
-    val perNode = triangles.select(col("ta").as("id"))
-      .union(triangles.select(col("tb").as("id")))
-      .union(triangles.select(col("tc").as("id")))
+    // one pass over the WEDGE JOIN, not three: the 3-way endpoint union
+    // re-ran the (expensive, uncached) triangle join once per branch
+    // (r16 opt — same explode rewrite as bothDirections/endpoints)
+    val perNode = triangles
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
     degrees.join(perNode, Seq("id"), "left_outer")
       .select(col("id"), col("degree"),

@@ -178,8 +178,21 @@ object StreamingOps {
       tsCol: String = "ts", mBits: Int = 1 << 16, k: Int = 5,
       windowDuration: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
+    // Batch twin: conditional probe-side parallelism (r16 opt, guide
+    // §2.6) — the Bloom positions explode + mask arithmetic run as
+    // map-side work BEFORE the grid groupBy, so a one-row-group local
+    // scan serialized the whole sketch build on one task (measured:
+    // q255's heavy stage was 1 task, 1.05 s). No-op at scale; the
+    // streaming twin's state partitioning is the engine's. Applied only
+    // here and in windowedCms, where the map-side sketch arithmetic is
+    // the cost (q255 1.23 → 0.98 s matched focused): the light-map
+    // twins measured WORSE with the extra exchange (q257 manifest
+    // 0.33 → 0.77, q23 sessionize 0.48 → 0.80 — their per-row work is
+    // one hash/bucket and the downstream groupBy shuffles anyway), so
+    // they keep the bare scan.
     val withWm =
-      if (rows.isStreaming) rows.withWatermark(tsCol, watermark) else rows
+      if (rows.isStreaming) rows.withWatermark(tsCol, watermark)
+      else graft.SparkUtil.ensureParallelism(rows)
     val bits = graft.operators.Sketches.BloomWordBits
     withWm.where(col(valueCol).isNotNull)
       .select(window(col(tsCol), windowDuration).as("w"),
@@ -210,7 +223,8 @@ object StreamingOps {
       windowDuration: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
     val withWm =
-      if (rows.isStreaming) rows.withWatermark(tsCol, watermark) else rows
+      if (rows.isStreaming) rows.withWatermark(tsCol, watermark)
+      else graft.SparkUtil.ensureParallelism(rows)
     withWm.where(col(valueCol).isNotNull)
       .select(window(col(tsCol), windowDuration).as("w"),
         explode(array(graft.operators.Sketches.bloomPositions(
