@@ -58,6 +58,21 @@ object TextFunctions {
     * (`rollingHashHof`) is kept for parity tests. */
   def rollingHash(s: Column): Column = native(catalyst.RollingHashBytes(expr(s)))
 
+  /** All length-3 character substrings of `s`, one forward pass (codegen'd
+    * [[catalyst.CharTrigrams]]; r16 opt) — replaces the O(len²)
+    * `transform(sequence(1, length-2), i -> substring(s, i, 3))` spelling
+    * (kept as [[charTrigramsHof]] for parity tests). <3-char strings yield
+    * an empty array. */
+  def charTrigrams(s: Column): Column = native(catalyst.CharTrigrams(expr(s)))
+
+  /** Reference HOF formulation of [[charTrigrams]] (interpreted and
+    * per-position quadratic; used to cross-check the native expression).
+    * Caller must guard length >= 3 (`sequence(1, 0)` descends). */
+  def charTrigramsHof(s: Column): Column =
+    transform(sequence(lit(1), length(s) - lit(2)),
+      i => org.apache.spark.sql.functions.substring(s, i, lit(3)))
+
+
   /** Reference HOF formulation of [[rollingHash]] (interpreted; used to
     * cross-check the native expression). Empty-string chars are filtered
     * because Spark's `split(s,"")` keeps a trailing empty element

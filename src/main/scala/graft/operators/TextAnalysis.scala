@@ -610,9 +610,12 @@ object TextAnalysis {
       textCol: String): DataFrame =
     graft.SparkUtil.ensureParallelism(docs)
       .filter(length(col(textCol)) >= 3)
-      .select(col(keyCol).as("k"), explode(expr(
-        s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3))"))
-        .as("tri"))
+      // one-pass codegen'd slicer (r16 opt, guide §4): the transform+
+      // substring spelling re-walked the string per position — O(len²)
+      // per doc, the dominant CPU of the q88 train/infer stages
+      .select(col(keyCol).as("k"),
+        explode(graft.functions.TextFunctions.charTrigrams(col(textCol)))
+          .as("tri"))
 
   /**
    * TRAIN a character-trigram language profile: per language, the top-`m`
@@ -672,6 +675,12 @@ object TextAnalysis {
       // Spark's sequence(1, 0) would DESCEND, not yield empty) — the
       // oracle's WHERE len(t) >= 2
       .filter(size(col("__t")) >= 2)
+      // NOT rewritten to a native window expression (r16 opt, measured
+      // and rejected): a codegen'd one-pass n-gram builder replacing this
+      // transform+struct lambda measured a wash across every consumer
+      // (q81 1.44 -> 1.41, q80 0.71 -> 0.73, q162 1.39 -> 1.47, q133
+      // 1.93 -> 1.90 matched focused) — the explode/shuffle volume, not
+      // the lambda, is the cost here.
       .select(col("id"), explode(expr(
         """transform(sequence(1, size(__t) - 1),
           |  i -> struct(element_at(__t, i) AS ctx,

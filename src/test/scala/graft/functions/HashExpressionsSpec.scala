@@ -20,6 +20,29 @@ class HashExpressionsSpec extends SparkSpec {
     assert(d.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("native charTrigrams == HOF transform+substring on the corpus " +
+      "and on multi-byte/short edge cases") {
+    val d = docs.filter(length(col("text")) >= 3).select(
+      TextFunctions.charTrigrams(col("text")).as("a"),
+      TextFunctions.charTrigramsHof(col("text")).as("b"))
+    assert(d.filter(col("a") =!= col("b")).count() == 0)
+    val spark0 = spark
+    import spark0.implicits._
+    // multi-byte chars (2-, 3-, 4-byte UTF-8), exactly-3, and mixed —
+    // the HOF guard (length >= 3) mirrors every caller's filter
+    val edge = Seq("abc", "abcd", "héllo", "日本語のテスト", "a😀b😀c", "ΑΒΓΔ")
+      .toDF("text").filter(length(col("text")) >= 3)
+    val e = edge.select(
+      TextFunctions.charTrigrams(col("text")).as("a"),
+      TextFunctions.charTrigramsHof(col("text")).as("b"))
+    assert(e.filter(col("a") =!= col("b")).count() == 0)
+    // sub-3-char strings yield an empty array natively (callers filter
+    // them out; the HOF spelling would descend through sequence(1, 0))
+    val short = Seq("", "a", "ab", "日本").toDF("text")
+      .select(TextFunctions.charTrigrams(col("text")).as("a"))
+    assert(short.filter(size(col("a")) =!= 0).count() == 0)
+  }
+
   test("native simhash == HOF simhash on the corpus") {
     val toks = split(col("text"), " ")
     val d = docs.select(
