@@ -362,6 +362,67 @@ object SparkUtil {
   }
 
   /**
+   * [[globalCumSum]] for PER-GROUP cumulative sums —
+   * `sum(sumCol) OVER (PARTITION BY partCol ORDER BY ordCol ROWS
+   * UNBOUNDED PRECEDING..CURRENT ROW)` without one-task-per-group
+   * (r16 opt, guide §2.4): a per-group window moves each group's ENTIRE
+   * row set to one task, and for low-cardinality groups (languages,
+   * sources) that is the same single-task scale killer with a skew
+   * flavor — a 100 TB corpus packed per language runs on |languages|
+   * cores. Shape: range-partition by (partCol, ordCol) so each group
+   * occupies a contiguous run of partitions, windows run WITHIN
+   * (group, partition) in parallel, then each (group, partition) adds
+   * its group's exclusive prefix offset from a bounded totals table
+   * (≤ numShufflePartitions + |groups| rows). Exact when (partCol,
+   * ordCol) is duplicate-free — the same precondition under which the
+   * plain ROWS-frame window is deterministic at all (with duplicate
+   * keys BOTH forms return an engine-chosen peer order).
+   */
+  def groupedCumSum(df: DataFrame, partCol: String, ordCol: String,
+      sumCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("__pid", "__pt", "__off")
+    val clashes = df.columns.filter(reserved.contains).distinct
+    require(clashes.isEmpty,
+      s"groupedCumSum reserves column names ${reserved.mkString(", ")}; " +
+        s"rename input column(s) ${clashes.mkString(", ")}")
+    val frame: Window.type => org.apache.spark.sql.expressions.WindowSpec =
+      w => w.partitionBy(col(partCol)).orderBy(col(ordCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same scale-adaptive rule + env knob as globalCumSum: provably-small
+    // inputs keep the plain window (cheaper locally, measured there)
+    val singleTaskMax = sys.env.getOrElse(
+      "SPARK_GRAFT_CUMSUM_SINGLE_TASK_MAX", "4000000").toLong
+    if (cheapCountAtMost(df, singleTaskMax)) {
+      return df.withColumn(outCol, sum(col(sumCol)).over(frame(Window)))
+    }
+    val n = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    // cached for the same layout-freeze reason as globalCumSum (__pid is
+    // physical; both branches must read ONE layout)
+    val ranged = trackCache(
+      df.repartitionByRange(n, col(partCol), col(ordCol))
+        .withColumn("__pid", spark_partition_id()))
+    val local = ranged.withColumn(outCol,
+      sum(col(sumCol)).over(Window.partitionBy(col(partCol), col("__pid"))
+        .orderBy(col(ordCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // (group, partition) totals: each group spans a contiguous pid run,
+    // so this table is bounded by numShufflePartitions + |groups| rows;
+    // its per-group running window is trivially small
+    val totals = ranged.groupBy(col(partCol), col("__pid"))
+      .agg(sum(col(sumCol)).as("__pt"))
+    val offsets = totals.select(col(partCol), col("__pid"),
+      sum(col("__pt")).over(Window.partitionBy(col(partCol))
+        .orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)).as("__off"))
+    local.join(broadcast(offsets), Seq(partCol, "__pid"))
+      .withColumn(outCol, col(outCol) + coalesce(col("__off"), lit(0L)))
+      // the (partCol, __pid) join keys lead the join output; restore the
+      // input column order + appended outCol
+      .select((df.columns.map(col) :+ col(outCol)): _*)
+  }
+
+  /**
    * Salted equi-join for skewed keys. A hot key concentrates its rows in
    * one shuffle partition; salting scatters the skewed (left) side into
    * `salt` sub-keys and replicates the right side once per salt value, so

@@ -633,7 +633,13 @@ object Dedup {
 
   /** (id, band_id, band_key) rows of a (id, sig) signature table —
     * the LSH banding shared by [[minhashLshPairs]] and
-    * [[dedupAgainstSignatures]]. */
+    * [[dedupAgainstSignatures]]. NOT cached at the self-join call sites
+    * (r16 opt, measured and rejected): trackCache-ing `banded` so both
+    * join sides read one materialization measured a wash-to-worse on all
+    * five consumers (q15 1.08 -> 1.08, q119 1.40 -> 1.35, q175
+    * 1.18 -> 1.27, q233 1.14 -> 1.31, q253 1.68 -> 1.74 matched
+    * focused) — at corpus x bands rows the materialization barrier
+    * costs what the saved re-banding buys. */
   private def bandKeys(sigs: DataFrame, r: Int, bands: Int): DataFrame =
     sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),

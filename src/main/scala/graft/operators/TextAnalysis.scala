@@ -168,16 +168,23 @@ object TextAnalysis {
     * shuffle on `groupCol`, integer-exact offsets. */
   def packSequencesBy(docs: DataFrame, budgetTokens: Int,
       weight: Column, groupCol: String = "lang",
-      idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol), col(groupCol), weight.cast("long").as("n_tokens"))
-      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      idCol: String = "doc_id"): DataFrame =
+    // distributed per-group cumulative offsets (r16 opt, guide §2.4):
+    // the plain PARTITION BY group window runs each group — at corpus
+    // scale, each LANGUAGE — on one task; groupedCumSum computes the
+    // identical ROWS-frame offsets with range partitioning + bounded
+    // per-(group, partition) offset tables (scale-adaptive: provably
+    // small inputs keep the plain window, so the local plan is
+    // unchanged). doc ids are unique, the frame's determinism
+    // precondition either way.
+    graft.SparkUtil.groupedCumSum(
+        docs.select(col(idCol), col(groupCol),
+          weight.cast("long").as("n_tokens")),
+        groupCol, idCol, "n_tokens", "start_off")
+      .withColumn("start_off", col("start_off") - col("n_tokens"))
       .select(col(idCol), col(groupCol), col("n_tokens"),
         expr(s"start_off div $budgetTokens").as("seq_id"),
         pmod(col("start_off"), lit(budgetTokens.toLong)).as("seq_offset"))
-  }
 
   /** Gopher-style repetition signals per document: the share of the most
     * frequent token (`top_tok_ratio`) and the duplicate-2-gram fraction

@@ -154,6 +154,31 @@ class SparkUtilSpec extends SparkSpec {
     SparkUtil.unpersistTrackedCaches()
   }
 
+  test("groupedCumSum: matches the per-group ROWS window exactly and " +
+      "loses no rows across group/partition boundaries") {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = spark
+    import spark0.implicits._
+    // 3 skewed groups over unique ids (the packSequences shape): group 0
+    // holds ~80% of rows so it must span several range partitions
+    val df = spark.range(20000)
+      .select(col("id"),
+        when(col("id") % 10 < 8, lit("g0"))
+          .when(col("id") % 10 === 8, lit("g1"))
+          .otherwise(lit("g2")).as("g"),
+        (col("id") % 7 + 1).as("w"))
+      .repartition(11)
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = SparkUtil.groupedCumSum(df, "g", "id", "w", "cs")
+      .orderBy("g", "id").collect().toSeq
+    val b = df.withColumn("cs", sum(col("w")).over(w))
+      .orderBy("g", "id").collect().toSeq
+    assert(a.size == 20000, "row loss in the offset join")
+    assert(a == b)
+    SparkUtil.unpersistTrackedCaches()
+  }
+
   test("cheapAbsMaxUpperBound: negative minima count toward |x| (a column " +
       "of large negatives must not look small to an overflow guard)") {
     import java.nio.file.Files
