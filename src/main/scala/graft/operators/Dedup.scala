@@ -1626,6 +1626,11 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .select(col("g"), posexplode(minhashSignature(col("hs"), k)))
       .groupBy(col("g"), col("pos")).agg(min(col("col")).as("v"))
+    // NOT cached (r16 opt, measured and rejected — q170 1.13 -> 1.32 s):
+    // this is an EQUALITY self-join, so both sides already share one
+    // shuffle via ReusedExchange and a cache only adds a barrier. Caching
+    // a self-join input pays only where no exchange can be reused
+    // (broadcast/cartesian joins — the q252 case).
     sigs.as("a").join(sigs.as("b"),
         col("a.pos") === col("b.pos") && col("a.g") < col("b.g"))
       .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))

@@ -200,6 +200,9 @@ object EventAnalytics {
         .orderBy(col("__first").asc, col("__item").asc)))
       .filter(col("__rn") <= maxItemsPerUser)
       .select(col(userCol), col("__item"))
+    // NOT cached (r16 opt, measured and rejected — q106 1.48 -> 2.26 s):
+    // equality self-join; both sides already share one shuffle via
+    // ReusedExchange, a cache only adds a materialization barrier.
     capped.as("a").join(capped.as("b"),
         col(s"a.$userCol") === col(s"b.$userCol") &&
           col("a.__item") < col("b.__item"))

@@ -250,8 +250,12 @@ object SimilaritySearch {
     val micro = (1 to dim).map(d =>
       sum(floor(element_at(col(vecCol), d).cast("double") * lit(1000000.0) +
         lit(0.5)).cast("long")).as(s"__s$d"))
-    val stats = vectors.groupBy(col(labelCol))
-      .agg(count(lit(1)).as("__n"), micro: _*)
+    // cached (r16 opt, guide §5): one row per LABEL, consumed by both
+    // sides of the |labels|² cartesian — uncached, each side re-ran the
+    // full-corpus centroid aggregation (the tiny-aggregate cache shape
+    // that won on q108/q116; unlike corpus-size caches, which lose)
+    val stats = graft.SparkUtil.trackCache(vectors.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("__n"), micro: _*))
     def cent(p: String, d: Int): Column =
       col(s"$p.__s$d").cast("double") /
         (col(s"$p.__n").cast("double") * lit(1000000.0))
