@@ -992,9 +992,14 @@ object SparkEntry {
       val keepQ = TextAnalysis.qualityFilter(d)
         .filter(col("keep")).select("doc_id")
       // curated feeds BOTH the pair generation and the split's vertex
-      // set — cache it so the quality projection runs once, not twice
+      // set — cache it so the quality projection runs once, not twice.
+      // Projected to the two columns those consumers read (r16 opt,
+      // guide §2.3/§6: the cache carried lang/source/n_chars for
+      // nothing — narrower cache, narrower downstream shuffles; the
+      // before-plan's ReadSchema pulled all five document columns)
       val curated = graft.SparkUtil.trackCache(
-        d.join(keepQ, Seq("doc_id"), "left_semi"))
+        d.select(col("doc_id"), col("text"))
+          .join(keepQ, Seq("doc_id"), "left_semi"))
       val pairs = Dedup.ngramJaccardPairs(curated, threshold = 0.6)
         .select("id_a", "id_b")
       Sampling.leakageSafeSplit(curated, pairs, testPct = 20)
