@@ -331,8 +331,13 @@ object SparkUtil {
     // measured); past the bound — or when no bound is provable — the
     // distributed path removes the single-task scale killer. The
     // threshold is env-tunable for cluster profiles.
+    // Default measured at the 1000x probe (5 M rows): the plain window
+    // still wins there (q34 4.48 s vs 6.53 s distributed — the sort is
+    // parallel up front and the window scan is linear), so the cutover
+    // sits above any locally-testable size; 16 M rows/task is where the
+    // single-task sort+scan reaches minutes and memory pressure starts.
     val singleTaskMax = sys.env.getOrElse(
-      "SPARK_GRAFT_CUMSUM_SINGLE_TASK_MAX", "4000000").toLong
+      "SPARK_GRAFT_CUMSUM_SINGLE_TASK_MAX", "16000000").toLong
     if (cheapCountAtMost(df, singleTaskMax)) {
       import org.apache.spark.sql.expressions.Window
       return df.withColumn(outCol,
@@ -391,8 +396,13 @@ object SparkUtil {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // same scale-adaptive rule + env knob as globalCumSum: provably-small
     // inputs keep the plain window (cheaper locally, measured there)
+    // Default measured at the 1000x probe (5 M rows): the plain window
+    // still wins there (q34 4.48 s vs 6.53 s distributed — the sort is
+    // parallel up front and the window scan is linear), so the cutover
+    // sits above any locally-testable size; 16 M rows/task is where the
+    // single-task sort+scan reaches minutes and memory pressure starts.
     val singleTaskMax = sys.env.getOrElse(
-      "SPARK_GRAFT_CUMSUM_SINGLE_TASK_MAX", "4000000").toLong
+      "SPARK_GRAFT_CUMSUM_SINGLE_TASK_MAX", "16000000").toLong
     if (cheapCountAtMost(df, singleTaskMax)) {
       return df.withColumn(outCol, sum(col(sumCol)).over(frame(Window)))
     }
